@@ -1,0 +1,89 @@
+"""Attention backend abstraction.
+
+Mirrors the reference's `_torch/attention_backend/interface.py`
+(`AttentionBackend` :644, `AttentionMetadata` :54) re-designed for JAX: the
+metadata is a pytree of *static-shaped* device arrays prepared once per engine
+step (the analog of the reference's block-offset tensors / kv_lens built in
+`trtllm.py:628`), and the backend is a pure function so the whole step jits.
+
+Two execution modes per step, like the reference's enqueueContext /
+enqueueGeneration split (`common/attentionOp.h:206,237`):
+  * "prefill"  — one sequence's chunk of T tokens vs its paged KV
+  * "decode"   — B sequences, one token each, batched paged attention
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AttentionMetadata:
+    """Per-step attention inputs (device arrays; static shapes per bucket)."""
+
+    # [T] absolute position of each input token (for RoPE + causal masking)
+    positions: jax.Array = None
+    # [T] flat KV slot (block_id * block_size + offset); OOB => dropped
+    slot_mapping: jax.Array = None
+    # decode: [B, max_blocks]; prefill: [1, max_blocks]
+    block_tables: jax.Array = None
+    # [B] valid kv length per sequence (including tokens written this step)
+    kv_lens: jax.Array = None
+    # prefill only: scalar position of the first query token (chunked prefill)
+    q_offset: jax.Array = None
+
+    # static (not traced): jax.tree_util.register_dataclass metadata
+    mode: str = dataclasses.field(default="decode", metadata={"static": True})
+
+    def __post_init__(self):
+        assert self.mode in ("prefill", "decode")
+
+
+class AttentionBackend:
+    """Base: write new KV into the paged cache, then attend."""
+
+    name = "base"
+
+    def __init__(self, num_heads: int, num_kv_heads: int, head_dim: int,
+                 scale: float, sliding_window: Optional[int] = None,
+                 logit_cap: Optional[float] = None):
+        self.num_heads = num_heads
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.scale = scale
+        self.sliding_window = sliding_window
+        self.logit_cap = logit_cap
+
+    def __call__(
+        self,
+        q: jax.Array,          # [T, Hq, D]
+        k: jax.Array,          # [T, Hkv, D]
+        v: jax.Array,          # [T, Hkv, D]
+        k_cache: jax.Array,    # [NB, BS, Hkv, D]
+        v_cache: jax.Array,
+        meta: AttentionMetadata,
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        raise NotImplementedError
+
+
+_BACKENDS = {}
+
+
+def register_backend(cls):
+    _BACKENDS[cls.name] = cls
+    return cls
+
+
+def get_attention_backend(name: str = "auto"):
+    # populate registry
+    import tensorrt_llm_tpu.attention_backend.xla_backend  # noqa: F401
+    import tensorrt_llm_tpu.attention_backend.pallas_backend  # noqa: F401
+    if name == "auto":
+        from tensorrt_llm_tpu.utils import is_tpu_backend
+        name = "pallas" if is_tpu_backend() else "xla"
+    return _BACKENDS[name]

@@ -1,0 +1,53 @@
+"""XLA attention backend (fallback / CPU-test path).
+
+The analog of the reference's `VanillaAttention`
+(`_torch/attention_backend/vanilla.py`) — gather-based paged attention in
+pure jnp.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+
+from tensorrt_llm_tpu.attention_backend.interface import (
+    AttentionBackend,
+    AttentionMetadata,
+    register_backend,
+)
+from tensorrt_llm_tpu.ops.attention_xla import (
+    paged_decode_xla,
+    paged_prefill_xla,
+    write_kv_cache,
+)
+
+
+@register_backend
+class XlaAttention(AttentionBackend):
+    name = "xla"
+
+    def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
+                                          meta.slot_mapping)
+        if meta.mode == "prefill":
+            out = paged_prefill_xla(
+                q, k_cache, v_cache,
+                block_table=meta.block_tables[0],
+                kv_len=meta.kv_lens[0],
+                q_offset=meta.q_offset,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                logit_cap=self.logit_cap,
+            )
+        else:
+            out = paged_decode_xla(
+                q, k_cache, v_cache,
+                block_tables=meta.block_tables,
+                kv_lens=meta.kv_lens,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                logit_cap=self.logit_cap,
+            )
+        return out, k_cache, v_cache

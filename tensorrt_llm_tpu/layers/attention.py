@@ -1,0 +1,135 @@
+"""Multi-head attention module (GQA) over a paged KV cache.
+
+Counterpart of the reference's `_torch/modules/attention.py:556`: fused QKV
+column-parallel projection, RoPE, optional per-head Q/K RMSNorm (Qwen3/Gemma3),
+backend attention call, row-parallel output projection with all-reduce.
+
+TP semantics: query and KV heads are sharded over the "tp" mesh axis (the KV
+cache itself is head-sharded — each rank holds its heads' pages).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tensorrt_llm_tpu.attention_backend.interface import AttentionMetadata
+from tensorrt_llm_tpu.layers.linear import Linear, make_linear_method
+from tensorrt_llm_tpu.ops.norms import rms_norm
+from tensorrt_llm_tpu.ops.rope import RopeConfig, apply_rope, make_rope_tables
+from tensorrt_llm_tpu.quantization import QuantConfig
+
+
+@dataclass
+class Attention:
+    hidden_size: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope: RopeConfig
+    has_bias: bool = False        # qkv bias (Qwen2 style)
+    has_qk_norm: bool = False     # per-head q/k RMSNorm (Qwen3)
+    rms_eps: float = 1e-6
+    scale: Optional[float] = None
+    sliding_window: Optional[int] = None
+    logit_cap: Optional[float] = None
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[QuantConfig] = None
+    tp_size: int = 1
+    backend_cls: type = None
+
+    def __post_init__(self):
+        assert self.num_heads % self.tp_size == 0
+        assert self.num_kv_heads % self.tp_size == 0, (
+            "kv-head replication for tp > num_kv_heads not yet implemented")
+        self.scale = self.scale or self.head_dim ** -0.5
+        self.n_local_heads = self.num_heads // self.tp_size
+        self.n_local_kv = self.num_kv_heads // self.tp_size
+        method = lambda name: make_linear_method(self.quant, name)
+        qkv_out = (self.num_heads + 2 * self.num_kv_heads) * self.head_dim
+        self.qkv = Linear(self.hidden_size, qkv_out, self.has_bias, self.dtype,
+                          method("qkv_proj"), tp_mode="column",
+                          tp_size=self.tp_size)
+        self.o = Linear(self.num_heads * self.head_dim, self.hidden_size,
+                        False, self.dtype, method("o_proj"), tp_mode="row",
+                        tp_size=self.tp_size)
+        if self.backend_cls is None:
+            from tensorrt_llm_tpu.attention_backend import get_attention_backend
+            self.backend_cls = get_attention_backend("auto")
+        self.backend = self.backend_cls(
+            self.n_local_heads, self.n_local_kv, self.head_dim, self.scale,
+            self.sliding_window, self.logit_cap)
+
+    # ---- params ---------------------------------------------------------------
+    def init(self, key) -> Dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        p = {"qkv": self.qkv.init(k1), "o": self.o.init(k2)}
+        if self.has_qk_norm:
+            p["q_norm"] = jnp.ones((self.head_dim,), jnp.float32)
+            p["k_norm"] = jnp.ones((self.head_dim,), jnp.float32)
+        return p
+
+    def from_float(self, q_w, k_w, v_w, o_w, q_b=None, k_b=None, v_b=None,
+                   q_norm=None, k_norm=None) -> Dict:
+        """Fuse full [in, out] float Q/K/V weights, interleaved per TP shard."""
+        tp = self.tp_size
+        D = self.head_dim
+        qh, kvh = self.n_local_heads, self.n_local_kv
+        cols, bcols = [], []
+        for r in range(tp):
+            cols.append(q_w[:, r * qh * D:(r + 1) * qh * D])
+            cols.append(k_w[:, r * kvh * D:(r + 1) * kvh * D])
+            cols.append(v_w[:, r * kvh * D:(r + 1) * kvh * D])
+            if q_b is not None:
+                bcols.append(q_b[r * qh * D:(r + 1) * qh * D])
+                bcols.append(k_b[r * kvh * D:(r + 1) * kvh * D])
+                bcols.append(v_b[r * kvh * D:(r + 1) * kvh * D])
+        fused_w = jnp.concatenate(cols, axis=1)
+        fused_b = jnp.concatenate(bcols) if bcols else None
+        p = {"qkv": self.qkv.quantize_from_float(fused_w, fused_b),
+             "o": self.o.quantize_from_float(o_w)}
+        if self.has_qk_norm:
+            p["q_norm"] = q_norm.astype(jnp.float32)
+            p["k_norm"] = k_norm.astype(jnp.float32)
+        return p
+
+    def param_specs(self) -> Dict:
+        p = {"qkv": self.qkv.param_specs(), "o": self.o.param_specs()}
+        if self.has_qk_norm:
+            p["q_norm"] = P(None)
+            p["k_norm"] = P(None)
+        return p
+
+    # ---- forward ----------------------------------------------------------------
+    def __call__(
+        self,
+        params: Dict,
+        x: jax.Array,                 # [T, hidden]
+        rope_tables: Tuple[jax.Array, jax.Array],
+        kv_cache: Tuple[jax.Array, jax.Array],
+        meta: AttentionMetadata,
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+        T = x.shape[0]
+        D = self.head_dim
+        qh, kvh = self.n_local_heads, self.n_local_kv
+
+        qkv = self.qkv(params["qkv"], x)  # [T, (qh+2kvh)*D] local
+        q = qkv[:, : qh * D].reshape(T, qh, D)
+        k = qkv[:, qh * D:(qh + kvh) * D].reshape(T, kvh, D)
+        v = qkv[:, (qh + kvh) * D:].reshape(T, kvh, D)
+
+        if self.has_qk_norm:
+            q = rms_norm(q, params["q_norm"], self.rms_eps)
+            k = rms_norm(k, params["k_norm"], self.rms_eps)
+
+        cos_t, sin_t = rope_tables
+        q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+
+        k_cache, v_cache = kv_cache
+        out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta)
+        out = out.reshape(T, qh * D)
+        return self.o(params["o"], out), (k_cache, v_cache)

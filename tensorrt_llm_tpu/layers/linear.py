@@ -1,0 +1,220 @@
+"""Linear layer with pluggable quantization methods.
+
+TPU-native re-design of the reference's `tensorrt_llm/_torch/modules/linear.py`
+(`LinearMethodBase` plugin pattern; `W4A16_AWQ_LinearMethod` create/apply at
+linear.py:1618-1692): each method owns its parameter layout, offline packing,
+and the fused compute path.  Weights are stored ``[in_features, out_features]``
+(K-major for the GEMM reduction; HF checkpoints are transposed at load).
+
+Tensor parallelism: the layer is *local-shape* code executed under shard_map.
+``tp_mode='column'`` shards out_features (no comm); ``tp_mode='row'`` shards
+in_features and all-reduces the partial outputs over the "tp" axis, applying
+bias/activation after the reduction (matching the reference's row-parallel
+Linear + AllReduce placement, modules/linear.py + distributed/ops.py:636).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tensorrt_llm_tpu.ops.w4a16_gemm import _ACTIVATIONS, w4a16_matmul
+from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+from tensorrt_llm_tpu.quantization import QuantAlgo, QuantConfig, pack_w4, quantize_w4, quantize_w8
+
+Params = Dict[str, jax.Array]
+
+
+class LinearMethodBase:
+    """Owns parameter layout + compute for one quantization scheme."""
+
+    def make_params(self, w: jax.Array, bias: Optional[jax.Array],
+                    dtype) -> Params:
+        raise NotImplementedError
+
+    def apply(self, params: Params, x: jax.Array,
+              activation: Optional[str] = None) -> jax.Array:
+        raise NotImplementedError
+
+    def param_specs(self, tp_mode: str) -> Dict[str, P]:
+        raise NotImplementedError
+
+    @staticmethod
+    def _bias_spec(tp_mode: str) -> P:
+        return P("tp") if tp_mode == "column" else P(None)
+
+
+class UnquantizedLinearMethod(LinearMethodBase):
+    def make_params(self, w, bias, dtype):
+        p = {"weight": w.astype(dtype)}
+        if bias is not None:
+            p["bias"] = bias.astype(jnp.float32)
+        return p
+
+    def apply(self, params, x, activation=None):
+        out = jnp.dot(x, params["weight"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        if "bias" in params:
+            out = out + params["bias"]
+        return _ACTIVATIONS[activation](out).astype(x.dtype)
+
+    def param_specs(self, tp_mode):
+        wspec = {"column": P(None, "tp"), "row": P("tp", None)}.get(tp_mode, P(None, None))
+        return {"weight": wspec, "bias": self._bias_spec(tp_mode)}
+
+
+class W4A16LinearMethod(LinearMethodBase):
+    """Per-group int4 weights; fused dequant GEMM via the Pallas kernel."""
+
+    def __init__(self, group_size: int = 128, has_zeros: bool = False):
+        self.group_size = group_size
+        self.has_zeros = has_zeros
+
+    def make_params(self, w, bias, dtype):
+        q, scales, zeros = quantize_w4(
+            w, self.group_size, symmetric=not self.has_zeros)
+        p = {"qweight": pack_w4(q), "scales": scales}
+        if zeros is not None:
+            p["zeros"] = zeros
+        if bias is not None:
+            p["bias"] = bias.astype(jnp.float32)
+        return p
+
+    def from_quantized(self, q: jax.Array, scales: jax.Array,
+                       zeros: Optional[jax.Array],
+                       bias: Optional[jax.Array]) -> Params:
+        """Build params from an externally-quantized (AWQ/GPTQ) checkpoint."""
+        p = {"qweight": pack_w4(q), "scales": scales.astype(jnp.float32)}
+        if zeros is not None:
+            p["zeros"] = zeros.astype(jnp.float32)
+        if bias is not None:
+            p["bias"] = bias.astype(jnp.float32)
+        return p
+
+    def apply(self, params, x, activation=None):
+        return w4a16_matmul(
+            x,
+            params["qweight"],
+            params["scales"],
+            zeros=params.get("zeros"),
+            bias=params.get("bias"),
+            activation=activation,
+            out_dtype=x.dtype,
+        )
+
+    def param_specs(self, tp_mode):
+        if tp_mode == "column":
+            w, s = P(None, "tp"), P(None, "tp")
+        elif tp_mode == "row":
+            w, s = P("tp", None), P("tp", None)
+        else:
+            w, s = P(None, None), P(None, None)
+        return {"qweight": w, "scales": s, "zeros": s,
+                "bias": self._bias_spec(tp_mode)}
+
+
+class W8A16LinearMethod(LinearMethodBase):
+    """Per-channel int8 weights; XLA int8->bf16 upcast matmul with
+    scale-on-accumulator (XLA fuses the upcast into the matmul feed)."""
+
+    def make_params(self, w, bias, dtype):
+        q, scales = quantize_w8(w)
+        p = {"qweight": q, "scales": scales}
+        if bias is not None:
+            p["bias"] = bias.astype(jnp.float32)
+        return p
+
+    def apply(self, params, x, activation=None):
+        out = jnp.dot(x, params["qweight"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        out = out * params["scales"][None, :]
+        if "bias" in params:
+            out = out + params["bias"]
+        return _ACTIVATIONS[activation](out).astype(x.dtype)
+
+    def param_specs(self, tp_mode):
+        if tp_mode == "column":
+            w, s = P(None, "tp"), P("tp")
+        elif tp_mode == "row":
+            w, s = P("tp", None), P(None)
+        else:
+            w, s = P(None, None), P(None)
+        return {"qweight": w, "scales": s, "bias": self._bias_spec(tp_mode)}
+
+
+def make_linear_method(quant: Optional[QuantConfig],
+                       layer_name: str = "") -> LinearMethodBase:
+    """Factory mirroring the reference's quant-method selection
+    (modules/linear.py `get_quant_method`)."""
+    if quant is None or quant.quant_algo == QuantAlgo.NO_QUANT or quant.excludes(layer_name):
+        return UnquantizedLinearMethod()
+    if quant.is_weight_only_w4:
+        has_zeros = quant.has_zero_point or quant.quant_algo in (
+            QuantAlgo.W4A16_AWQ, QuantAlgo.W4A16_GPTQ)
+        return W4A16LinearMethod(quant.group_size, has_zeros)
+    if quant.quant_algo == QuantAlgo.W8A16:
+        return W8A16LinearMethod()
+    raise NotImplementedError(f"quant algo {quant.quant_algo} not yet supported")
+
+
+@dataclass
+class Linear:
+    """Config-only module; parameters live in an external pytree."""
+
+    in_features: int
+    out_features: int
+    has_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    method: LinearMethodBase = None
+    tp_mode: str = "none"   # none | column | row
+    tp_size: int = 1
+
+    def __post_init__(self):
+        if self.method is None:
+            self.method = UnquantizedLinearMethod()
+        if self.tp_mode == "column":
+            assert self.out_features % self.tp_size == 0
+        elif self.tp_mode == "row":
+            assert self.in_features % self.tp_size == 0
+
+    # ---- parameter creation -------------------------------------------------
+    def init(self, key) -> Params:
+        """Random init (tests); local shard shapes."""
+        k_in = self.in_features // (self.tp_size if self.tp_mode == "row" else 1)
+        n_out = self.out_features // (self.tp_size if self.tp_mode == "column" else 1)
+        w = jax.random.normal(key, (k_in, n_out), jnp.float32)
+        w = w * (0.5 / jnp.sqrt(self.in_features))
+        bias = jnp.zeros((n_out,), jnp.float32) if self.has_bias else None
+        return self.method.make_params(w, bias, self.dtype)
+
+    def quantize_from_float(self, w: jax.Array,
+                            bias: Optional[jax.Array] = None) -> Params:
+        """Pack *full* (unsharded) float weights [in, out]."""
+        assert w.shape == (self.in_features, self.out_features), (
+            w.shape, (self.in_features, self.out_features))
+        return self.method.make_params(w, bias, self.dtype)
+
+    def param_specs(self) -> Dict[str, P]:
+        return self.method.param_specs(self.tp_mode)
+
+    # ---- forward -------------------------------------------------------------
+    def __call__(self, params: Params, x: jax.Array,
+                 activation: Optional[str] = None,
+                 reduce_output: bool = True) -> jax.Array:
+        if self.tp_mode == "row" and self.tp_size > 1:
+            # bias/act must come after the cross-shard reduction
+            bias = params.get("bias")
+            pp = {k: v for k, v in params.items() if k != "bias"}
+            out = self.method.apply(pp, x, activation=None)
+            if reduce_output:
+                out = tp_all_reduce(out)
+            if bias is not None:
+                out = out + bias
+            if activation:
+                out = _ACTIVATIONS[activation](out.astype(jnp.float32)).astype(out.dtype)
+            return out
+        return self.method.apply(params, x, activation=activation)

@@ -1,0 +1,84 @@
+"""Gated MLP (SwiGLU / GeGLU) block.
+
+Counterpart of the reference's `_torch/modules/gated_mlp.py`: gate+up are a
+single fused column-parallel projection (one weight-streaming pass over HBM —
+same motivation as the reference's fused gate_up loading,
+modules/linear.py:1593), the activation*gate product is elementwise, and down
+is row-parallel with the all-reduce after.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tensorrt_llm_tpu.layers.linear import Linear, LinearMethodBase, make_linear_method
+from tensorrt_llm_tpu.ops.w4a16_gemm import _ACTIVATIONS
+from tensorrt_llm_tpu.quantization import QuantConfig
+
+
+@dataclass
+class GatedMLP:
+    hidden_size: int
+    intermediate_size: int
+    activation: str = "silu"
+    has_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[QuantConfig] = None
+    tp_size: int = 1
+
+    def __post_init__(self):
+        method = lambda: make_linear_method(self.quant, "mlp")
+        self.gate_up = Linear(
+            self.hidden_size, 2 * self.intermediate_size, self.has_bias,
+            self.dtype, method(), tp_mode="column", tp_size=self.tp_size)
+        self.down = Linear(
+            self.intermediate_size, self.hidden_size, self.has_bias,
+            self.dtype, method(), tp_mode="row", tp_size=self.tp_size)
+
+    def init(self, key) -> Dict:
+        k1, k2 = jax.random.split(key)
+        return {"gate_up": self.gate_up.init(k1), "down": self.down.init(k2)}
+
+    def from_float(self, gate_w, up_w, down_w, gate_b=None, up_b=None,
+                   down_b=None) -> Dict:
+        """Build params from full float weights ([in, out] layout).
+
+        gate and up are interleaved per TP shard so a column-sharded fused
+        weight keeps gate/up halves aligned within each shard.
+        """
+        tp = self.tp_size
+        I = self.intermediate_size
+        per = I // tp
+        cols = []
+        for r in range(tp):
+            cols.append(gate_w[:, r * per:(r + 1) * per])
+            cols.append(up_w[:, r * per:(r + 1) * per])
+        fused_w = jnp.concatenate(cols, axis=1)
+        fused_b = None
+        if gate_b is not None:
+            bcols = []
+            for r in range(tp):
+                bcols.append(gate_b[r * per:(r + 1) * per])
+                bcols.append(up_b[r * per:(r + 1) * per])
+            fused_b = jnp.concatenate(bcols)
+        return {
+            "gate_up": self.gate_up.quantize_from_float(fused_w, fused_b),
+            "down": self.down.quantize_from_float(down_w, down_b),
+        }
+
+    def param_specs(self) -> Dict:
+        return {"gate_up": self.gate_up.param_specs(),
+                "down": self.down.param_specs()}
+
+    def __call__(self, params: Dict, x: jax.Array) -> jax.Array:
+        gu = self.gate_up(params["gate_up"], x)
+        local_i = self.intermediate_size // self.tp_size
+        gate, up = gu[..., :local_i], gu[..., local_i:]
+        h = (_ACTIVATIONS[self.activation](gate.astype(jnp.float32))
+             * up.astype(jnp.float32)).astype(x.dtype)
+        return self.down(params["down"], h)

@@ -1,0 +1,7 @@
+from tensorrt_llm_tpu.models.modeling_utils import (  # noqa: F401
+    ModelConfig,
+    DecoderModelForCausalLM,
+    register_auto_model,
+    get_model_class,
+)
+import tensorrt_llm_tpu.models.llama  # noqa: F401  (registers architectures)

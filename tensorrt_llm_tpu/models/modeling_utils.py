@@ -1,0 +1,310 @@
+"""Generic decoder-only transformer for causal LM.
+
+TPU-native counterpart of the reference's `_torch/models/modeling_utils.py`
+(`DecoderModelForCausalLM`, `register_auto_model` AutoModel registry,
+modeling_auto.py): a config-driven pre-norm decoder covering the Llama family
+(Llama/TinyLlama/Mistral/Qwen2/Qwen3 dense) with:
+
+  * fused QKV + gate_up projections (column-parallel, W4A16-quantizable),
+  * paged KV cache threaded functionally through the forward,
+  * pure `forward(params, ...)` so the engine jits whole steps,
+  * per-layer Python loop (scan-over-layers is a later compile-time optim).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tensorrt_llm_tpu.attention_backend.interface import AttentionMetadata
+from tensorrt_llm_tpu.layers.attention import Attention
+from tensorrt_llm_tpu.layers.embedding import Embedding
+from tensorrt_llm_tpu.layers.linear import Linear, make_linear_method
+from tensorrt_llm_tpu.layers.mlp import GatedMLP
+from tensorrt_llm_tpu.ops.norms import add_rms_norm, rms_norm
+from tensorrt_llm_tpu.ops.rope import RopeConfig, make_rope_tables
+from tensorrt_llm_tpu.parallel.mapping import Mapping
+from tensorrt_llm_tpu.parallel.ops import tp_all_gather
+from tensorrt_llm_tpu.quantization import QuantConfig
+
+
+@dataclass
+class ModelConfig:
+    architecture: str = "LlamaForCausalLM"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None
+    rms_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    max_position: int = 4096
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False
+    qk_norm: bool = False
+    activation: str = "silu"
+    sliding_window: Optional[int] = None
+    dtype: Any = jnp.bfloat16
+    quant: Optional[QuantConfig] = None
+    mapping: Mapping = field(default_factory=Mapping)
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_heads
+
+    @property
+    def rope(self) -> RopeConfig:
+        scaling = self.rope_scaling or {}
+        stype = scaling.get("rope_type") or scaling.get("type")
+        return RopeConfig(
+            head_dim=self.head_dim,
+            theta=self.rope_theta,
+            max_position=self.max_position,
+            scaling_type=stype,
+            scaling_factor=scaling.get("factor", 1.0),
+            low_freq_factor=scaling.get("low_freq_factor", 1.0),
+            high_freq_factor=scaling.get("high_freq_factor", 4.0),
+            original_max_position=scaling.get(
+                "original_max_position_embeddings", self.max_position),
+        )
+
+    @classmethod
+    def from_hf_config(cls, hf, quant: Optional[QuantConfig] = None,
+                       mapping: Optional[Mapping] = None,
+                       dtype=jnp.bfloat16) -> "ModelConfig":
+        """Build from a transformers PretrainedConfig (or plain dict)."""
+        get = (lambda k, d=None: getattr(hf, k, d)) if not isinstance(hf, dict) \
+            else (lambda k, d=None: hf.get(k, d))
+        arch = (get("architectures") or ["LlamaForCausalLM"])[0]
+        return cls(
+            architecture=arch,
+            vocab_size=get("vocab_size", 32000),
+            hidden_size=get("hidden_size", 4096),
+            intermediate_size=get("intermediate_size", 11008),
+            num_layers=get("num_hidden_layers", 32),
+            num_heads=get("num_attention_heads", 32),
+            num_kv_heads=get("num_key_value_heads") or get("num_attention_heads", 32),
+            head_dim=get("head_dim"),
+            rms_eps=get("rms_norm_eps", 1e-5),
+            rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=get("rope_scaling"),
+            max_position=get("max_position_embeddings", 4096),
+            tie_word_embeddings=get("tie_word_embeddings", False),
+            attention_bias=bool(get("attention_bias", False)
+                                or get("qkv_bias", False)),
+            sliding_window=get("sliding_window"),
+            dtype=dtype,
+            quant=quant,
+            mapping=mapping or Mapping(),
+        )
+
+
+class DecoderLayer:
+    """Pre-norm decoder block: x + attn(norm(x)); x + mlp(norm(x))."""
+
+    def __init__(self, cfg: ModelConfig, layer_idx: int):
+        self.cfg = cfg
+        self.layer_idx = layer_idx
+        tp = cfg.mapping.tp_size
+        self.attn = Attention(
+            hidden_size=cfg.hidden_size,
+            num_heads=cfg.num_heads,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            rope=cfg.rope,
+            has_bias=cfg.attention_bias,
+            has_qk_norm=cfg.qk_norm,
+            rms_eps=cfg.rms_eps,
+            sliding_window=cfg.sliding_window,
+            dtype=cfg.dtype,
+            quant=cfg.quant,
+            tp_size=tp,
+        )
+        self.mlp = GatedMLP(
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            activation=cfg.activation,
+            dtype=cfg.dtype,
+            quant=cfg.quant,
+            tp_size=tp,
+        )
+
+    def init(self, key) -> Dict:
+        k1, k2 = jax.random.split(key)
+        return {
+            "input_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
+            "post_attn_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
+            "attn": self.attn.init(k1),
+            "mlp": self.mlp.init(k2),
+        }
+
+    def param_specs(self) -> Dict:
+        return {
+            "input_norm": P(None),
+            "post_attn_norm": P(None),
+            "attn": self.attn.param_specs(),
+            "mlp": self.mlp.param_specs(),
+        }
+
+    def __call__(self, params, x, residual, rope_tables, kv_cache, meta):
+        h, residual = add_rms_norm(x, residual, params["input_norm"],
+                                   self.cfg.rms_eps)
+        h, kv_cache = self.attn(params["attn"], h, rope_tables, kv_cache, meta)
+        h2, residual = add_rms_norm(h, residual, params["post_attn_norm"],
+                                    self.cfg.rms_eps)
+        out = self.mlp(params["mlp"], h2)
+        return out, residual, kv_cache
+
+
+_MODEL_REGISTRY: Dict[str, type] = {}
+
+
+def register_auto_model(*architectures):
+    def deco(cls):
+        for a in architectures:
+            _MODEL_REGISTRY[a] = cls
+        return cls
+    return deco
+
+
+def get_model_class(architecture: str) -> type:
+    if architecture not in _MODEL_REGISTRY:
+        raise KeyError(
+            f"architecture {architecture!r} not registered; known: "
+            f"{sorted(_MODEL_REGISTRY)}")
+    return _MODEL_REGISTRY[architecture]
+
+
+class DecoderModelForCausalLM:
+    """Llama-family causal LM. Subclasses tweak config defaults + weight maps."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        tp = cfg.mapping.tp_size
+        self.embedding = Embedding(cfg.vocab_size, cfg.hidden_size, cfg.dtype,
+                                   tp_size=tp)
+        self.layers = [DecoderLayer(cfg, i) for i in range(cfg.num_layers)]
+        # LM head stays unquantized by default (reference excludes it too).
+        lm_tp = "column" if (tp > 1 and cfg.vocab_size % tp == 0) else "none"
+        self.lm_head = Linear(cfg.hidden_size, cfg.vocab_size, False, cfg.dtype,
+                              make_linear_method(cfg.quant, "lm_head"),
+                              tp_mode=lm_tp, tp_size=tp if lm_tp != "none" else 1)
+        self._rope_tables = None
+
+    # ---- parameters -----------------------------------------------------------
+    def init(self, key) -> Dict:
+        keys = jax.random.split(key, self.cfg.num_layers + 2)
+        params = {
+            "embedding": self.embedding.init(keys[0]),
+            "layers": [l.init(keys[i + 1]) for i, l in enumerate(self.layers)],
+            "final_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
+            "rope": tuple(make_rope_tables(self.cfg.rope)),
+        }
+        if not self.cfg.tie_word_embeddings:
+            params["lm_head"] = self.lm_head.init(keys[-1])
+        return params
+
+    def param_specs(self) -> Dict:
+        specs = {
+            "embedding": self.embedding.param_specs(),
+            "layers": [l.param_specs() for l in self.layers],
+            "final_norm": P(None),
+            "rope": (P(None, None), P(None, None)),
+        }
+        if not self.cfg.tie_word_embeddings:
+            specs["lm_head"] = self.lm_head.param_specs()
+        return specs
+
+    # ---- forward ----------------------------------------------------------------
+    def forward(
+        self,
+        params: Dict,
+        input_ids: jax.Array,                       # [T] int32
+        kv_caches: List[Tuple[jax.Array, jax.Array]],
+        meta: AttentionMetadata,
+        logit_indices: Optional[jax.Array] = None,  # [B] rows to project
+    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+        cfg = self.cfg
+        x = self.embedding(params["embedding"], input_ids)
+        residual = None
+        rope_tables = params["rope"]
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            x, residual, cache = layer(
+                params["layers"][i], x, residual, rope_tables, kv_caches[i],
+                meta)
+            new_caches.append(cache)
+        x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
+        if logit_indices is not None:
+            x = x[logit_indices]
+        if cfg.tie_word_embeddings:
+            logits = jnp.dot(x, params["embedding"]["weight"].T.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = self.lm_head(params["lm_head"], x).astype(jnp.float32)
+        if self.lm_head.tp_mode == "column" and cfg.mapping.tp_size > 1 \
+                and not cfg.tie_word_embeddings:
+            logits = tp_all_gather(logits, axis=-1)
+        return logits, new_caches
+
+    # ---- HF weight loading ------------------------------------------------------
+    def load_hf_weights(self, get_tensor, dtype=None) -> Dict:
+        """Build params from an HF checkpoint.
+
+        get_tensor(name) -> np/jnp array for HF parameter `name` (our analog of
+        the reference's per-model weight mappers, _torch/models/checkpoints/).
+        """
+        import numpy as np
+        cfg = self.cfg
+
+        def t(name):  # HF linear weights are [out, in] -> ours [in, out]
+            return jnp.asarray(np.asarray(get_tensor(name))).astype(jnp.float32).T
+
+        def vec(name):
+            arr = get_tensor(name)
+            return None if arr is None else jnp.asarray(np.asarray(arr)).astype(jnp.float32)
+
+        params = {
+            "embedding": self.embedding.from_float(
+                jnp.asarray(np.asarray(get_tensor("model.embed_tokens.weight")))),
+            "final_norm": vec("model.norm.weight"),
+            "rope": tuple(make_rope_tables(cfg.rope)),
+            "layers": [],
+        }
+        for i, layer in enumerate(self.layers):
+            pre = f"model.layers.{i}."
+            has_b = cfg.attention_bias
+            lp = {
+                "input_norm": vec(pre + "input_layernorm.weight"),
+                "post_attn_norm": vec(pre + "post_attention_layernorm.weight"),
+                "attn": layer.attn.from_float(
+                    t(pre + "self_attn.q_proj.weight"),
+                    t(pre + "self_attn.k_proj.weight"),
+                    t(pre + "self_attn.v_proj.weight"),
+                    t(pre + "self_attn.o_proj.weight"),
+                    q_b=vec(pre + "self_attn.q_proj.bias") if has_b else None,
+                    k_b=vec(pre + "self_attn.k_proj.bias") if has_b else None,
+                    v_b=vec(pre + "self_attn.v_proj.bias") if has_b else None,
+                    q_norm=vec(pre + "self_attn.q_norm.weight") if cfg.qk_norm else None,
+                    k_norm=vec(pre + "self_attn.k_norm.weight") if cfg.qk_norm else None,
+                ),
+                "mlp": layer.mlp.from_float(
+                    t(pre + "mlp.gate_proj.weight"),
+                    t(pre + "mlp.up_proj.weight"),
+                    t(pre + "mlp.down_proj.weight"),
+                ),
+            }
+            params["layers"].append(lp)
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = self.lm_head.quantize_from_float(
+                t("lm_head.weight"))
+        return params

@@ -1,0 +1,142 @@
+"""XLA (non-Pallas) attention implementations + paged KV cache ops.
+
+These are the reference/fallback implementations of the framework's attention
+backend (the analog of the reference's `VanillaAttention`,
+`_torch/attention_backend/vanilla.py`): used on CPU in tests, for odd shapes,
+and as the numerical baseline the Pallas kernels are validated against.
+
+The paged layout matches `runtime/kv_cache_manager.py`: per layer,
+``[num_blocks, block_size, num_kv_heads, head_dim]``; a token's flat *slot* is
+``block_id * block_size + offset``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def write_kv_cache(
+    k_cache: jax.Array,   # [NB, BS, H, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,     # [T, H, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32 flat slots; OOB slots are dropped
+) -> Tuple[jax.Array, jax.Array]:
+    nb, bs, h, d = k_cache.shape
+    kf = k_cache.reshape(nb * bs, h, d)
+    vf = v_cache.reshape(nb * bs, h, d)
+    kf = kf.at[slot_mapping].set(k_new.astype(kf.dtype), mode="drop")
+    vf = vf.at[slot_mapping].set(v_new.astype(vf.dtype), mode="drop")
+    return kf.reshape(k_cache.shape), vf.reshape(v_cache.shape)
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """[.., Hkv, D] -> [.., Hkv*n_rep, D]"""
+    if n_rep == 1:
+        return x
+    return jnp.repeat(x, n_rep, axis=-2)
+
+
+def _masked_softmax(scores: jax.Array, mask: jax.Array) -> jax.Array:
+    scores = jnp.where(mask, scores, NEG_INF)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def mha_xla(
+    q: jax.Array,  # [T, Hq, D]
+    k: jax.Array,  # [S, Hkv, D]
+    v: jax.Array,  # [S, Hkv, D]
+    scale: float,
+    causal: bool = True,
+    q_offset: int | jax.Array = 0,
+    kv_len: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+) -> jax.Array:
+    """Dense attention for one sequence.
+
+    q_offset: absolute position of q[0] (for chunked prefill, query token i
+      sits at position q_offset + i and attends kv positions <= that).
+    kv_len: number of valid kv tokens (<= S); rest masked.
+    """
+    T, Hq, D = q.shape
+    S, Hkv, _ = k.shape
+    k = _repeat_kv(k, Hq // Hkv)
+    v = _repeat_kv(v, Hq // Hkv)
+    qf = q.astype(jnp.float32) * scale
+    scores = jnp.einsum("thd,shd->hts", qf, k.astype(jnp.float32))
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    kv_pos = jnp.arange(S)[None, :]
+    q_pos = q_offset + jnp.arange(T)[:, None]
+    mask = jnp.ones((T, S), bool)
+    if causal:
+        mask &= kv_pos <= q_pos
+    if kv_len is not None:
+        mask &= kv_pos < kv_len
+    if sliding_window is not None:
+        mask &= kv_pos > q_pos - sliding_window
+    probs = _masked_softmax(scores, mask[None])
+    out = jnp.einsum("hts,shd->thd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def paged_prefill_xla(
+    q: jax.Array,            # [T, Hq, D] (current chunk, rope applied)
+    k_cache: jax.Array,      # [NB, BS, Hkv, D] (chunk already written)
+    v_cache: jax.Array,
+    block_table: jax.Array,  # [max_blocks] int32
+    kv_len: jax.Array,       # scalar: total tokens incl. this chunk
+    q_offset: jax.Array,     # scalar: position of q[0]
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+) -> jax.Array:
+    """Chunked-prefill attention for one sequence against its paged KV."""
+    nb, bs, h, d = k_cache.shape
+    k = k_cache[block_table].reshape(-1, h, d)  # [max_blocks*BS, H, D]
+    v = v_cache[block_table].reshape(-1, h, d)
+    return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
+                   kv_len=kv_len, sliding_window=sliding_window,
+                   logit_cap=logit_cap)
+
+
+def paged_decode_xla(
+    q: jax.Array,             # [B, Hq, D] (one new token per sequence)
+    k_cache: jax.Array,       # [NB, BS, Hkv, D]
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # [B, max_blocks] int32
+    kv_lens: jax.Array,       # [B] int32 (incl. the new token)
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+) -> jax.Array:
+    """Batched decode attention over paged KV."""
+    nb, bs, hkv, d = k_cache.shape
+    B, Hq, _ = q.shape
+    n_rep = Hq // hkv
+
+    k = k_cache[block_tables]  # [B, MB, BS, Hkv, D]
+    v = v_cache[block_tables]
+    S = block_tables.shape[1] * bs
+    k = k.reshape(B, S, hkv, d)
+    v = v.reshape(B, S, hkv, d)
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+
+    qf = q.astype(jnp.float32) * scale
+    scores = jnp.einsum("bhd,bshd->bhs", qf, k.astype(jnp.float32))
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    kv_pos = jnp.arange(S)[None, None, :]
+    mask = kv_pos < kv_lens[:, None, None]
+    if sliding_window is not None:
+        mask &= kv_pos >= (kv_lens[:, None, None] - sliding_window)
+    probs = _masked_softmax(scores, mask)
+    out = jnp.einsum("bhs,bshd->bhd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)

@@ -1,0 +1,94 @@
+"""Rotary position embeddings.
+
+Counterpart of the reference's RoPE handling inside attention preprocessing
+(`cpp/.../common/attentionOp.cpp` QKV preprocessing; `fusedQKNormRopeKernel.cu`).
+Tables are precomputed once per model; application is an elementwise op XLA
+fuses into the QKV projection epilogue.
+
+Implements the "NeoX" rotate-half convention used by Llama/Qwen/Mistral, with
+linear / llama3 / yarn frequency scaling variants.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class RopeConfig:
+    head_dim: int = 128
+    theta: float = 10000.0
+    max_position: int = 8192
+    scaling_type: Optional[str] = None  # None | 'linear' | 'llama3' | 'yarn'
+    scaling_factor: float = 1.0
+    # llama3-specific
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position: int = 8192
+    # partial rotary (e.g. GPT-NeoX style models)
+    rotary_dim: Optional[int] = None
+
+
+def _base_inv_freq(cfg: RopeConfig) -> jnp.ndarray:
+    dim = cfg.rotary_dim or cfg.head_dim
+    return 1.0 / (cfg.theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+
+
+def _llama3_scale(cfg: RopeConfig, inv_freq: jnp.ndarray) -> jnp.ndarray:
+    low_wl = cfg.original_max_position / cfg.low_freq_factor
+    high_wl = cfg.original_max_position / cfg.high_freq_factor
+    wavelen = 2 * math.pi / inv_freq
+    scaled = inv_freq / cfg.scaling_factor
+    smooth = (cfg.original_max_position / wavelen - cfg.low_freq_factor) / (
+        cfg.high_freq_factor - cfg.low_freq_factor)
+    smooth = jnp.clip(smooth, 0.0, 1.0)
+    mid = (1 - smooth) * scaled + smooth * inv_freq
+    return jnp.where(wavelen > low_wl, scaled,
+                     jnp.where(wavelen < high_wl, inv_freq, mid))
+
+
+def make_rope_tables(cfg: RopeConfig) -> Tuple[jax.Array, jax.Array]:
+    """Returns (cos, sin) tables of shape [max_position, rotary_dim//2], f32."""
+    inv_freq = _base_inv_freq(cfg)
+    if cfg.scaling_type == "linear":
+        inv_freq = inv_freq / cfg.scaling_factor
+    elif cfg.scaling_type == "llama3":
+        inv_freq = _llama3_scale(cfg, inv_freq)
+    elif cfg.scaling_type == "yarn":
+        # simplified NTK-by-parts (yarn without attention-temperature term)
+        inv_freq = _llama3_scale(cfg, inv_freq)
+    pos = jnp.arange(cfg.max_position, dtype=jnp.float32)
+    freqs = jnp.outer(pos, inv_freq)  # [P, D/2]
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(
+    q: jax.Array,           # [T, H, D]
+    k: jax.Array,           # [T, Hkv, D]
+    positions: jax.Array,   # [T] int32
+    cos_table: jax.Array,   # [P, D/2]
+    sin_table: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """NeoX rotate-half RoPE applied in f32."""
+    rot = cos_table.shape[-1] * 2
+    cos = cos_table[positions][:, None, :]  # [T, 1, D/2]
+    sin = sin_table[positions][:, None, :]
+
+    def rotate(x):
+        dtype = x.dtype
+        xr, xtail = x[..., :rot], x[..., rot:]
+        x1 = xr[..., : rot // 2].astype(jnp.float32)
+        x2 = xr[..., rot // 2:].astype(jnp.float32)
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1).astype(dtype)
+        if xtail.shape[-1]:
+            out = jnp.concatenate([out, xtail], axis=-1)
+        return out
+
+    return rotate(q), rotate(k)

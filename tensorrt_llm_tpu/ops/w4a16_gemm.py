@@ -1,0 +1,268 @@
+"""Fused W4A16 (bf16-act x int4-weight) GEMM as a Pallas MXU kernel.
+
+TPU-native replacement for the reference's CUTLASS ``fpA_intB`` runner
+(`cpp/.../cutlass_kernels/fpA_intB_gemm/fpA_intB_gemm.h:47-89`, SM90 launcher
+`launchers/fpA_intB_launcher_sm90.inl:126-171`) and its small-M companion
+(`cpp/.../kernels/weightOnlyBatchedGemv/`).  Instead of TMA + warp-specialized
+WGMMA with an interleaved-B layout, we:
+
+  * stream int8 nibble-packed weights HBM→VMEM through the Pallas grid
+    pipeline (the TMA analog — double-buffered block DMA),
+  * sign-extend nibbles with two arithmetic shifts on the VPU (the packing in
+    `quantization/quantize.py` is chosen so no interleave/permute is needed),
+  * feed the MXU with bf16 ``x_g @ q_g`` sub-matmuls per scale group and apply
+    the f32 per-group scale to the *accumulator* — the scale never touches the
+    [K, N] weight tile, and zero points fold into a rank-1 correction:
+
+        out = sum_g  s_g * (x_g @ q_g)  -  rowsum(x_g) * (s_g * z_g)
+
+  * fuse bias add + activation (SiLU/GELU) into the epilogue, mirroring the
+    reference's epilogue fusion (`fpA_intB_launcher_sm90.inl:142-148`).
+
+The kernel is decode-shape friendly: for M<=64 it is purely HBM-bandwidth
+bound (reads K*N/2 weight bytes once), which is the speed-of-light target from
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorrt_llm_tpu.quantization.quantize import W4_PAIR_WIDTH, dequantize_w4
+from tensorrt_llm_tpu.utils import cdiv, is_tpu_backend, round_up
+
+# Output-column block = 2 * pair width: one packed [BK, 128] int8 tile expands
+# to a [BK, 256] weight tile.
+BLOCK_N = 2 * W4_PAIR_WIDTH
+
+_ACTIVATIONS = {
+    None: lambda x: x,
+    "silu": jax.nn.silu,
+    "gelu": functools.partial(jax.nn.gelu, approximate=True),
+    "relu": jax.nn.relu,
+}
+
+
+def _w4a16_kernel(
+    x_ref,        # [BM, BK] bf16
+    p_ref,        # [BK, 128] int8 (packed nibbles)
+    s_ref,        # [total_groups, BLOCK_N] f32 scales (full group dim)
+    *rest,        # optional z_ref, optional b_ref, then out_ref, acc_ref
+    n_groups: int,
+    group_rows: int,
+    per_channel: bool,
+    has_zeros: bool,
+    has_bias: bool,
+    activation: Optional[str],
+    out_dtype,
+):
+    it = iter(rest)
+    z_ref = next(it) if has_zeros else None
+    b_ref = next(it) if has_bias else None
+    out_ref = next(it)
+    acc_ref = next(it)
+
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Sign-extend nibbles: low = (b << 4) >> 4, high = b >> 4 (arithmetic).
+    p32 = p_ref[:].astype(jnp.int32)
+    lo = jnp.left_shift(p32, 28) >> 28
+    hi = jnp.left_shift(p32, 24) >> 28
+    w = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # [BK, 2*128]
+
+    acc = acc_ref[:]
+    for g in range(n_groups):
+        x_g = x_ref[:, g * group_rows:(g + 1) * group_rows]
+        w_g = w[g * group_rows:(g + 1) * group_rows, :]
+        partial = jnp.dot(x_g, w_g, preferred_element_type=jnp.float32)
+        row = 0 if per_channel else k_idx * n_groups + g
+        s_g = s_ref[pl.ds(row, 1), :]  # [1, BLOCK_N]
+        acc = acc + partial * s_g
+        if has_zeros:
+            xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc - xsum * (s_g * z_ref[pl.ds(row, 1), :])
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _epilogue():
+        r = acc_ref[:]
+        if has_bias:
+            r = r + b_ref[0, :][None, :].astype(jnp.float32)
+        r = _ACTIVATIONS[activation](r)
+        out_ref[:] = r.astype(out_dtype)
+
+
+def _pick_block_k(K: int, G: int, max_block_k: int = 512) -> int:
+    """Largest multiple of G that divides K, capped at max_block_k."""
+    if G >= K:
+        # per-channel: any divisor of K that is lane-tile friendly
+        for bk in (512, 256, 128, 64, 32, 16, 8):
+            if K % bk == 0 and bk <= max(K, 8):
+                return min(bk, K)
+        return K
+    best = G
+    for mult in range(max_block_k // G, 0, -1):
+        if K % (mult * G) == 0:
+            best = mult * G
+            break
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "block_k", "interpret"),
+)
+def _w4a16_matmul_pallas(
+    x: jax.Array,
+    packed: jax.Array,
+    scales: jax.Array,
+    zeros: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    activation: Optional[str],
+    out_dtype,
+    block_m: int,
+    block_k: int,
+    interpret: bool,
+):
+    M, K = x.shape
+    N = packed.shape[1] * 2
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+
+    BM, BK, BN = block_m, block_k, BLOCK_N
+    n_groups = BK // G if G < K else 1
+    group_rows = G if G < K else BK
+    n_m, n_n, n_k = cdiv(M, BM), N // BN, K // BK
+
+    in_specs = [
+        pl.BlockSpec((BM, BK), lambda i, j, k: (i, k)),
+        pl.BlockSpec((BK, BN // 2), lambda i, j, k: (k, j)),
+    ]
+    # Scales/zeros: TPU blocks need sublane multiples of 8 (or the full dim),
+    # so we hand the kernel the *entire* group dim for this column block (it
+    # is tiny vs. the packed weights) and index rows dynamically.
+    sblock = (n_scale_groups, BN)
+    smap = lambda i, j, k: (0, j)
+    in_specs.append(pl.BlockSpec(sblock, smap))
+    operands = [x.astype(jnp.bfloat16), packed, scales.astype(jnp.float32)]
+    if zeros is not None:
+        in_specs.append(pl.BlockSpec(sblock, smap))
+        operands.append(zeros.astype(jnp.float32))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, BN), lambda i, j, k: (0, j)))
+        operands.append(bias.reshape(1, N).astype(jnp.float32))
+
+    kernel = functools.partial(
+        _w4a16_kernel,
+        n_groups=n_groups,
+        group_rows=group_rows,
+        per_channel=G >= K,
+        has_zeros=zeros is not None,
+        has_bias=bias is not None,
+        activation=activation,
+        out_dtype=out_dtype,
+    )
+
+    flops = 2 * M * N * K
+    bytes_accessed = K * N // 2 + M * K * 2 + M * N * 2 + scales.size * 4
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_m, n_n, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((round_up(M, BM), N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
+def w4a16_matmul_xla(
+    x: jax.Array,
+    packed: jax.Array,
+    scales: jax.Array,
+    zeros: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    activation: Optional[str] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Pure-XLA fallback (CPU tests / shapes the kernel doesn't cover)."""
+    out_dtype = out_dtype or x.dtype
+    w = dequantize_w4(packed, scales, zeros)
+    out = jnp.dot(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    out = _ACTIVATIONS[activation](out)
+    return out.astype(out_dtype)
+
+
+def w4a16_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    scales: jax.Array,
+    zeros: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    activation: Optional[str] = None,
+    out_dtype=None,
+    block_m: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused dequant-GEMM: ``act(x @ deq(packed, scales, zeros) + bias)``.
+
+    Args:
+      x: ``[..., K]`` activations (any float dtype; computed in bf16).
+      packed: ``[K, N//2]`` int8 nibble-packed int4 weights (see pack_w4).
+      scales: ``[K//G, N]`` f32 per-group scales (G may equal K: per-channel).
+      zeros: optional ``[K//G, N]`` f32 zero points (same signed domain as q).
+      bias: optional ``[N]``.
+      activation: None | 'silu' | 'gelu' | 'relu' (fused epilogue).
+    """
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = packed.shape[1] * 2
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    use_pallas = is_tpu_backend() if interpret is None else True
+    if N % BLOCK_N != 0 or K % 128 != 0:
+        use_pallas = False
+    if not use_pallas:
+        out = w4a16_matmul_xla(x2, packed, scales, zeros, bias, activation,
+                               out_dtype)
+        return out.reshape(*lead, N)
+
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+    bk = block_k or _pick_block_k(K, G)
+    bm = block_m or min(256, max(16, round_up(M, 16)))
+    Mp = round_up(M, bm)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    out = _w4a16_matmul_pallas(
+        x2, packed, scales, zeros, bias, activation, out_dtype,
+        bm, bk, bool(interpret))
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, N)

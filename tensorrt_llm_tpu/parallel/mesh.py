@@ -1,0 +1,22 @@
+"""Device mesh construction over ICI.
+
+Replaces the reference's NCCL communicator bring-up
+(`cpp/.../runtime/ncclCommunicator.cpp`, `_torch/distributed/communicator.py`):
+on TPU the mesh + XLA collectives are the communicator.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+
+from tensorrt_llm_tpu.parallel.mapping import Mapping
+
+
+def make_mesh(mapping: Mapping, devices: Optional[Sequence] = None) -> jax.sharding.Mesh:
+    devices = list(devices) if devices is not None else jax.devices()
+    n = mapping.world_size
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return jax.make_mesh(
+        mapping.mesh_shape, mapping.mesh_axis_names, devices=devices[:n])

@@ -1,0 +1,9 @@
+from tensorrt_llm_tpu.quantization.mode import QuantAlgo, KvCacheQuantAlgo, QuantConfig  # noqa: F401
+from tensorrt_llm_tpu.quantization.quantize import (  # noqa: F401
+    quantize_w4,
+    quantize_w8,
+    pack_w4,
+    unpack_w4,
+    dequantize_w4,
+    W4_PAIR_WIDTH,
+)

@@ -1,0 +1,119 @@
+"""W4A16 fused GEMM correctness tests.
+
+Tolerance model follows the reference's weight-only kernel test
+(`cpp/tests/unit_tests/kernels/weightOnly/weightOnlyKernelTest.cpp:70-107`):
+``max_diff <= max_val * quant_scale * mult`` with quant_scale = 1/2^(bits-1)
+(=1/8 for INT4) and mult = 3.0 for bf16 activations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul, w4a16_matmul_xla
+from tensorrt_llm_tpu.quantization import (
+    dequantize_w4,
+    pack_w4,
+    quantize_w4,
+    unpack_w4,
+)
+
+QUANT_SCALE_W4 = 1.0 / 8.0
+BF16_MULT = 3.0
+
+
+def make_case(key, M, K, N, group_size, symmetric):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
+    q, scales, zeros = quantize_w4(w, group_size, symmetric=symmetric)
+    packed = pack_w4(q)
+    return x, w, q, packed, scales, zeros
+
+
+def ref_out(x, packed, scales, zeros):
+    wdq = dequantize_w4(packed, scales, zeros)
+    return np.asarray(x, np.float32) @ np.asarray(wdq, np.float32)
+
+
+def check(out, ref):
+    ref_max = np.abs(ref).max()
+    tol = ref_max * QUANT_SCALE_W4 * BF16_MULT
+    diff = np.abs(np.asarray(out, np.float32) - ref).max()
+    assert diff <= tol, f"max diff {diff} > tol {tol}"
+
+
+def test_pack_unpack_roundtrip():
+    key = jax.random.PRNGKey(0)
+    q = jax.random.randint(key, (256, 512), -8, 8, jnp.int8)
+    packed = pack_w4(q)
+    assert packed.shape == (256, 256)
+    assert np.array_equal(np.asarray(unpack_w4(packed)), np.asarray(q))
+
+
+def test_quantize_dequantize_close():
+    w = jax.random.normal(jax.random.PRNGKey(1), (512, 256), jnp.float32)
+    for symmetric in (True, False):
+        q, s, z = quantize_w4(w, 128, symmetric=symmetric)
+        wdq = dequantize_w4(pack_w4(q), s, z)
+        # per-group quant error bounded by scale/2
+        G = 128
+        smax = np.asarray(s).repeat(G, axis=0)
+        err = np.abs(np.asarray(wdq) - np.asarray(w))
+        assert (err <= smax * 0.51 + 1e-6).all()
+
+
+@pytest.mark.parametrize("M", [1, 16, 100, 256])
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_w4a16_matmul_xla_vs_fp32(M, symmetric):
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(2), M, 512, 512, 128, symmetric)
+    out = w4a16_matmul_xla(x, packed, scales, zeros)
+    check(out, ref_out(x, packed, scales, zeros))
+
+
+@pytest.mark.parametrize("M,K,N", [(16, 512, 512), (1, 1024, 256), (64, 512, 1024)])
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_w4a16_pallas_interpret_vs_fp32(M, K, N, symmetric):
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(3), M, K, N, 128, symmetric)
+    out = w4a16_matmul(x, packed, scales, zeros, interpret=True)
+    ref = ref_out(x, packed, scales, zeros)
+    check(out, ref)
+    # kernel must agree with the XLA path much tighter than with fp32
+    out_xla = w4a16_matmul_xla(x, packed, scales, zeros)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(out_xla, np.float32),
+        rtol=2e-2, atol=2e-2 * np.abs(ref).max())
+
+
+def test_w4a16_pallas_per_channel():
+    # per-channel scales: group_size == K
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(4), 16, 512, 512, -1, True)
+    assert scales.shape[0] == 1
+    out = w4a16_matmul(x, packed, scales, interpret=True)
+    check(out, ref_out(x, packed, scales, None))
+
+
+def test_w4a16_pallas_bias_silu():
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(5), 16, 512, 512, 128, True)
+    bias = jax.random.normal(jax.random.PRNGKey(6), (512,), jnp.float32)
+    out = w4a16_matmul(x, packed, scales, bias=bias, activation="silu",
+                       interpret=True)
+    ref = ref_out(x, packed, scales, None) + np.asarray(bias)
+    ref = ref / (1 + np.exp(-ref)) * 1.0  # silu
+    check(out, ref)
+
+
+def test_w4a16_batched_leading_dims():
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(7), 8, 512, 512, 128, True)
+    x3 = x.reshape(2, 4, 512)
+    out = w4a16_matmul(x3, packed, scales)
+    assert out.shape == (2, 4, 512)
+    out2 = w4a16_matmul(x, packed, scales)
+    np.testing.assert_allclose(np.asarray(out.reshape(8, 512)),
+                               np.asarray(out2), rtol=1e-5, atol=1e-5)
