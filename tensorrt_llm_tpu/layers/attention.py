@@ -66,12 +66,21 @@ class Attention:
 
     # ---- params ---------------------------------------------------------------
     def init(self, key) -> Dict:
-        k1, k2, k3 = jax.random.split(key, 3)
-        p = {"qkv": self.qkv.init(k1), "o": self.o.init(k2)}
-        if self.has_qk_norm:
-            p["q_norm"] = jnp.ones((self.head_dim,), jnp.float32)
-            p["k_norm"] = jnp.ones((self.head_dim,), jnp.float32)
-        return p
+        keys = jax.random.split(key, 4)
+        D, H = self.head_dim, self.hidden_size
+        std = 0.5 / (H ** 0.5)
+        q_w = jax.random.normal(keys[0], (H, self.num_heads * D), jnp.float32) * std
+        k_w = jax.random.normal(keys[1], (H, self.num_kv_heads * D), jnp.float32) * std
+        v_w = jax.random.normal(keys[2], (H, self.num_kv_heads * D), jnp.float32) * std
+        o_w = jax.random.normal(keys[3], (self.num_heads * D, H), jnp.float32) * std
+        zeros = (jnp.zeros((self.num_heads * D,), jnp.float32),
+                 jnp.zeros((self.num_kv_heads * D,), jnp.float32),
+                 jnp.zeros((self.num_kv_heads * D,), jnp.float32)) \
+            if self.has_bias else (None, None, None)
+        return self.from_float(
+            q_w, k_w, v_w, o_w, q_b=zeros[0], k_b=zeros[1], v_b=zeros[2],
+            q_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None,
+            k_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None)
 
     def from_float(self, q_w, k_w, v_w, o_w, q_b=None, k_b=None, v_b=None,
                    q_norm=None, k_norm=None) -> Dict:

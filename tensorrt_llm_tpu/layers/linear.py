@@ -183,12 +183,13 @@ class Linear:
 
     # ---- parameter creation -------------------------------------------------
     def init(self, key) -> Params:
-        """Random init (tests); local shard shapes."""
-        k_in = self.in_features // (self.tp_size if self.tp_mode == "row" else 1)
-        n_out = self.out_features // (self.tp_size if self.tp_mode == "column" else 1)
-        w = jax.random.normal(key, (k_in, n_out), jnp.float32)
+        """Random init (tests). Always GLOBAL shapes — under TP the engine
+        shards params into equal contiguous chunks along the tp dim."""
+        w = jax.random.normal(key, (self.in_features, self.out_features),
+                              jnp.float32)
         w = w * (0.5 / jnp.sqrt(self.in_features))
-        bias = jnp.zeros((n_out,), jnp.float32) if self.has_bias else None
+        bias = (jnp.zeros((self.out_features,), jnp.float32)
+                if self.has_bias else None)
         return self.method.make_params(w, bias, self.dtype)
 
     def quantize_from_float(self, w: jax.Array,

@@ -41,8 +41,15 @@ class GatedMLP:
             self.dtype, method(), tp_mode="row", tp_size=self.tp_size)
 
     def init(self, key) -> Dict:
-        k1, k2 = jax.random.split(key)
-        return {"gate_up": self.gate_up.init(k1), "down": self.down.init(k2)}
+        k1, k2, k3 = jax.random.split(key, 3)
+        std = 0.5 / (self.hidden_size ** 0.5)
+        gate = jax.random.normal(k1, (self.hidden_size, self.intermediate_size),
+                                 jnp.float32) * std
+        up = jax.random.normal(k2, (self.hidden_size, self.intermediate_size),
+                               jnp.float32) * std
+        down = jax.random.normal(k3, (self.intermediate_size, self.hidden_size),
+                                 jnp.float32) * (0.5 / self.intermediate_size ** 0.5)
+        return self.from_float(gate, up, down)
 
     def from_float(self, gate_w, up_w, down_w, gate_b=None, up_b=None,
                    down_b=None) -> Dict:

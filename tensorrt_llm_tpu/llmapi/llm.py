@@ -1,0 +1,300 @@
+"""The LLM user API.
+
+Counterpart of the reference's `tensorrt_llm/llmapi/llm.py` (`LLM` :1171,
+`generate`/`generate_async` :266,351): loads tokenizer + checkpoint, builds the
+engine/executor, exposes sync + async generation with streaming.
+
+Single-controller design: no MPI proxy/worker processes — one Python process
+drives the whole TPU slice through jax.distributed (multi-host lands with the
+serving stack), so submission is a function call instead of ZMQ IPC.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+from dataclasses import dataclass, field
+from typing import Any, Iterator, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrt_llm_tpu.llmapi.llm_args import LlmArgs
+from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+from tensorrt_llm_tpu.models import get_model_class
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+from tensorrt_llm_tpu.runtime.executor import PyExecutor
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheManager
+from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+from tensorrt_llm_tpu.runtime.request import FinishReason, LlmRequest
+from tensorrt_llm_tpu.utils import cdiv, logger
+
+
+@dataclass
+class CompletionOutput:
+    index: int
+    text: str
+    token_ids: List[int]
+    finish_reason: Optional[str] = None
+    logprobs: Optional[list] = None
+
+
+@dataclass
+class RequestOutput:
+    request_id: int
+    prompt: Optional[str]
+    prompt_token_ids: List[int]
+    outputs: List[CompletionOutput] = field(default_factory=list)
+    finished: bool = False
+
+
+class LLM:
+    def __init__(self, model: Any = None, tokenizer: Any = None,
+                 args: Optional[LlmArgs] = None, **kwargs):
+        if args is None:
+            args = LlmArgs(model=model, tokenizer=tokenizer, **kwargs)
+        self.args = args
+        self._tokenizer = None
+        self._build()
+
+    # ------------------------------------------------------------------ build ----
+    def _load_tokenizer(self, model_path: Optional[str]):
+        if self.args.skip_tokenizer_init:
+            return None
+        tok = self.args.tokenizer
+        if tok is None and model_path is not None:
+            tok = model_path
+        if isinstance(tok, (str, os.PathLike)):
+            from transformers import AutoTokenizer
+            return AutoTokenizer.from_pretrained(tok)
+        return tok
+
+    def _build(self):
+        a = self.args
+        mapping = a.mapping()
+        quant = a.quant_config()
+
+        model_path = None
+        if isinstance(a.model, ModelConfig):
+            cfg = a.model
+            cfg.mapping = mapping
+            if quant is not None:
+                cfg.quant = quant
+            params = None
+        elif isinstance(a.model, (str, os.PathLike)):
+            model_path = str(a.model)
+            from transformers import AutoConfig
+            hf_cfg = AutoConfig.from_pretrained(model_path)
+            cfg = ModelConfig.from_hf_config(hf_cfg, quant=quant,
+                                             mapping=mapping, dtype=a.dtype)
+            params = None
+        else:
+            raise TypeError(f"model must be path or ModelConfig, got {type(a.model)}")
+        cfg.max_position = max(cfg.max_position, a.max_seq_len)
+
+        self.model_config = cfg
+        self._tokenizer = self._load_tokenizer(model_path)
+
+        model_cls = get_model_class(cfg.architecture)
+        self.model = model_cls(cfg)
+
+        if model_path is not None and _has_weights(model_path):
+            get_tensor = _safetensors_reader(model_path)
+            params = self.model.load_hf_weights(get_tensor, dtype=a.dtype)
+        elif params is None:
+            logger.warning("no checkpoint found — random-initializing weights")
+            params = self.model.init(jax.random.PRNGKey(a.seed))
+
+        kvcfg = a.make_kv_cache_config()
+        num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
+        self.kv_manager = KVCacheManager(
+            kvcfg, cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, num_blocks)
+
+        self.engine = ModelEngine(
+            self.model, params, self.kv_manager, mapping=mapping,
+            max_batch_size=a.max_batch_size, max_seq_len=a.max_seq_len)
+
+        eos = None
+        if self._tokenizer is not None:
+            eos = self._tokenizer.eos_token_id
+        self.executor = PyExecutor(
+            self.engine, a.make_scheduler_config(), eos_token_id=eos,
+            max_seq_len=a.max_seq_len)
+        self.executor.start()
+
+    @staticmethod
+    def _derive_num_blocks(cfg, kvcfg, a) -> int:
+        """Size the pool from device free memory (reference
+        resource_manager.py:782 calculate_max_num_blocks)."""
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit", 8 << 30)
+            used = stats.get("bytes_in_use", 0)
+            budget = int((limit - used) * kvcfg.free_mem_fraction)
+        except Exception:
+            budget = 4 << 30
+        tp = cfg.mapping.tp_size
+        n = KVCacheManager.blocks_from_memory(
+            budget, cfg.num_layers, max(cfg.num_kv_heads // tp, 1),
+            cfg.head_dim, kvcfg.block_size)
+        # at least enough for max_batch_size sequences of max_seq_len
+        need = a.max_batch_size * cdiv(a.max_seq_len, kvcfg.block_size)
+        return min(max(n, 64), max(need * 2, 64) * 8)
+
+    # ------------------------------------------------------------------ generate --
+    def generate(
+        self,
+        prompts: Union[str, Sequence[str], Sequence[List[int]], List[int]],
+        sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
+        use_tqdm: bool = False,
+    ) -> List[RequestOutput]:
+        single = isinstance(prompts, str) or (
+            isinstance(prompts, (list, tuple)) and prompts
+            and isinstance(prompts[0], int))
+        if single:
+            prompts = [prompts]
+        n = len(prompts)
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        sps = ([sampling_params] * n if isinstance(sampling_params, SamplingParams)
+               else list(sampling_params))
+        futures = [self.generate_async(p, sp) for p, sp in zip(prompts, sps)]
+        results = [f.result() for f in futures]
+        return results
+
+    def generate_async(self, prompt, sampling_params: Optional[SamplingParams] = None,
+                       streaming: bool = False) -> "GenerationFuture":
+        sampling_params = sampling_params or SamplingParams()
+        if isinstance(prompt, str):
+            assert self._tokenizer is not None, "tokenizer required for text prompts"
+            token_ids = self._tokenizer.encode(prompt)
+            text = prompt
+        else:
+            token_ids = list(prompt)
+            text = None
+        req = LlmRequest(token_ids, sampling_params)
+        self.executor.submit(req)
+        return GenerationFuture(self, req, text, streaming)
+
+    # ------------------------------------------------------------------ misc ------
+    @property
+    def tokenizer(self):
+        return self._tokenizer
+
+    def get_stats(self) -> List[dict]:
+        return self.executor.get_stats()
+
+    def get_kv_cache_stats(self) -> dict:
+        return self.kv_manager.stats()
+
+    def shutdown(self):
+        self.executor.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+
+class GenerationFuture:
+    """Handle for one in-flight request (sync result + streaming iterator)."""
+
+    def __init__(self, llm: LLM, req: LlmRequest, prompt_text: Optional[str],
+                 streaming: bool):
+        self.llm = llm
+        self.req = req
+        self.prompt_text = prompt_text
+        self.streaming = streaming
+
+    @property
+    def request_id(self) -> int:
+        return self.req.request_id
+
+    def _decode(self, token_ids: List[int]) -> str:
+        tok = self.llm.tokenizer
+        if tok is None or not self.req.sampling_params.detokenize:
+            return ""
+        return tok.decode(token_ids,
+                          skip_special_tokens=self.req.sampling_params.skip_special_tokens)
+
+    def result(self, timeout: Optional[float] = None) -> RequestOutput:
+        toks: List[int] = []
+        reason = None
+        while True:
+            piece = self.req.out_queue.get(timeout=timeout)
+            if piece.error:
+                raise RuntimeError(f"generation failed: {piece.error}")
+            toks.extend(piece.new_token_ids)
+            if piece.finished:
+                reason = piece.finish_reason
+                break
+        return RequestOutput(
+            request_id=self.req.request_id,
+            prompt=self.prompt_text,
+            prompt_token_ids=self.req.prompt_token_ids,
+            outputs=[CompletionOutput(
+                index=0, text=self._decode(toks), token_ids=toks,
+                finish_reason=reason.value if reason else None,
+                logprobs=self.req.logprobs or None)],
+            finished=True)
+
+    def __iter__(self) -> Iterator[RequestOutput]:
+        toks: List[int] = []
+        while True:
+            piece = self.req.out_queue.get()
+            if piece.error:
+                raise RuntimeError(f"generation failed: {piece.error}")
+            toks.extend(piece.new_token_ids)
+            out = RequestOutput(
+                request_id=self.req.request_id,
+                prompt=self.prompt_text,
+                prompt_token_ids=self.req.prompt_token_ids,
+                outputs=[CompletionOutput(
+                    index=0, text=self._decode(toks),
+                    token_ids=list(toks),
+                    finish_reason=(piece.finish_reason.value
+                                   if piece.finish_reason else None))],
+                finished=piece.finished)
+            yield out
+            if piece.finished:
+                return
+
+    def cancel(self):
+        self.llm.executor.cancel(self.req.request_id)
+
+
+def _has_weights(path: str) -> bool:
+    import glob
+    return bool(glob.glob(os.path.join(path, "*.safetensors")))
+
+
+def _safetensors_reader(path: str):
+    """Lazy reader over sharded safetensors (reference: checkpoint loaders,
+    `_torch/models/checkpoints/hf/`)."""
+    import glob
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    index = {}
+    handles = []
+    for f in files:
+        h = safe_open(f, framework="np")
+        handles.append(h)
+        for name in h.keys():
+            index[name] = h
+
+    def get_tensor(name: str):
+        h = index.get(name)
+        if h is None:
+            return None
+        return h.get_tensor(name)
+
+    return get_tensor

@@ -1,0 +1,96 @@
+"""LLM construction arguments.
+
+Counterpart of the reference's pydantic arg system (`llmapi/llm_args.py:2762`
+`TorchLlmArgs` + `KvCacheConfig` :1622 + `SchedulerConfig` :1460) — plain
+dataclasses here; validation happens in __post_init__ and at engine build.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from tensorrt_llm_tpu.parallel.mapping import Mapping
+from tensorrt_llm_tpu.quantization import KvCacheQuantAlgo, QuantAlgo, QuantConfig
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheConfig
+from tensorrt_llm_tpu.runtime.scheduler import CapacitySchedulerPolicy, SchedulerConfig
+
+
+@dataclass
+class LlmArgs:
+    model: Any = None                       # path | hf-config | ModelConfig
+    tokenizer: Any = None                   # path | tokenizer object
+    dtype: Any = jnp.bfloat16
+
+    # parallelism
+    tensor_parallel_size: int = 1
+    pipeline_parallel_size: int = 1
+    data_parallel_size: int = 1
+    moe_expert_parallel_size: int = 1
+
+    # quantization
+    quant_algo: Optional[str] = None        # e.g. "W4A16_AWQ"
+    quant_group_size: int = 128
+    kv_cache_quant: str = "NONE"
+
+    # engine limits
+    max_batch_size: int = 64
+    max_num_tokens: int = 2048
+    max_seq_len: int = 2048
+
+    # kv cache
+    kv_cache_config: Optional[KVCacheConfig] = None
+    kv_block_size: int = 16
+    kv_num_blocks: Optional[int] = None
+    free_mem_fraction: float = 0.85
+    enable_block_reuse: bool = True
+
+    # scheduler
+    scheduler_policy: str = "guaranteed_no_evict"
+    enable_chunked_prefill: bool = True
+
+    # attention
+    attention_backend: str = "auto"
+
+    # misc
+    seed: int = 0
+    skip_tokenizer_init: bool = False
+    enable_iter_perf_stats: bool = True
+
+    def mapping(self) -> Mapping:
+        return Mapping(
+            tp_size=self.tensor_parallel_size,
+            pp_size=self.pipeline_parallel_size,
+            dp_size=self.data_parallel_size,
+            moe_ep_size=self.moe_expert_parallel_size,
+        )
+
+    def quant_config(self) -> Optional[QuantConfig]:
+        if not self.quant_algo:
+            return None
+        return QuantConfig(
+            quant_algo=QuantAlgo(self.quant_algo),
+            kv_cache_quant_algo=KvCacheQuantAlgo(self.kv_cache_quant),
+            group_size=self.quant_group_size,
+        )
+
+    def make_kv_cache_config(self) -> KVCacheConfig:
+        if self.kv_cache_config is not None:
+            return self.kv_cache_config
+        return KVCacheConfig(
+            block_size=self.kv_block_size,
+            num_blocks=self.kv_num_blocks,
+            free_mem_fraction=self.free_mem_fraction,
+            enable_block_reuse=self.enable_block_reuse,
+            kv_quant=KvCacheQuantAlgo(self.kv_cache_quant),
+        )
+
+    def make_scheduler_config(self) -> SchedulerConfig:
+        return SchedulerConfig(
+            policy=CapacitySchedulerPolicy(self.scheduler_policy),
+            max_batch_size=self.max_batch_size,
+            max_num_tokens=self.max_num_tokens,
+            enable_chunked_prefill=self.enable_chunked_prefill,
+        )

@@ -1,0 +1,63 @@
+"""Sampling parameters.
+
+Mirrors the reference's `tensorrt_llm/sampling_params.py` /
+`executor::SamplingConfig` (`cpp/include/.../executor/executor.h:64`) with the
+fields the TPU sampler implements; unsupported knobs raise early rather than
+silently degrade.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
+
+
+@dataclass
+class SamplingParams:
+    max_tokens: int = 32
+    temperature: float = 1.0
+    top_k: int = 0               # 0 => disabled (full softmax)
+    top_p: float = 1.0
+    min_p: float = 0.0
+    repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    frequency_penalty: float = 0.0
+    seed: Optional[int] = None
+    stop: Union[str, List[str], None] = None
+    stop_token_ids: Optional[List[int]] = None
+    include_stop_str_in_output: bool = False
+    ignore_eos: bool = False
+    logprobs: Optional[int] = None      # top-N logprobs per generated token
+    prompt_logprobs: Optional[int] = None
+    n: int = 1
+    best_of: Optional[int] = None
+    use_beam_search: bool = False
+    detokenize: bool = True
+    skip_special_tokens: bool = True
+    # guided decoding (grammar-constrained sampling)
+    guided_decoding: Optional["GuidedDecodingParams"] = None
+    end_id: Optional[int] = None        # overrides tokenizer eos
+
+    def __post_init__(self):
+        assert self.max_tokens >= 1
+        assert self.temperature >= 0.0
+        assert 0.0 < self.top_p <= 1.0
+        if self.use_beam_search:
+            raise NotImplementedError("beam search lands in a later round")
+        if isinstance(self.stop, str):
+            self.stop = [self.stop]
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0 or self.top_k == 1
+
+
+@dataclass
+class GuidedDecodingParams:
+    """Grammar-constrained decoding spec (reference: llmapi GuidedDecodingParams)."""
+
+    json: Optional[Union[str, dict]] = None
+    json_object: bool = False
+    regex: Optional[str] = None
+    grammar: Optional[str] = None
+    choice: Optional[List[str]] = None

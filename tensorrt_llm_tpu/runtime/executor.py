@@ -1,0 +1,255 @@
+"""Continuous-batching executor loop.
+
+Counterpart of the reference's `PyExecutor` (`pyexecutor/py_executor.py:236`;
+loop `_executor_loop` :1473): a background thread that each iteration
+  1. ingests new requests,
+  2. schedules (capacity + micro-batch, chunked prefill),
+  3. allocates paged-KV blocks (with prefix reuse),
+  4. runs prefill chunks + one batched decode step on device,
+  5. samples, applies stop criteria, streams results.
+
+JAX async dispatch plays the role of the reference's overlap scheduler: device
+steps for prefill/decode are enqueued without host sync; the only host sync is
+fetching sampled token ids (the reference syncs the same way in
+`_sample_async`/`update_requests`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheManager
+from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+from tensorrt_llm_tpu.runtime.request import (
+    FinishReason,
+    LlmRequest,
+    RequestState,
+)
+from tensorrt_llm_tpu.runtime.sampler import SamplingState, sample_tokens
+from tensorrt_llm_tpu.runtime.scheduler import Scheduler, SchedulerConfig
+from tensorrt_llm_tpu.utils import logger
+
+
+@dataclass
+class IterationStats:
+    """Reference analog: IterationStats (py_executor.py:806-1019)."""
+
+    iteration: int = 0
+    num_active: int = 0
+    num_waiting: int = 0
+    num_prefill_tokens: int = 0
+    num_decode_tokens: int = 0
+    kv_stats: dict = field(default_factory=dict)
+    step_time_ms: float = 0.0
+    tokens_generated: int = 0
+
+
+class PyExecutor:
+    def __init__(
+        self,
+        engine: ModelEngine,
+        scheduler_cfg: Optional[SchedulerConfig] = None,
+        eos_token_id: Optional[int] = None,
+        max_seq_len: int = 2048,
+    ):
+        self.engine = engine
+        self.kv = engine.kv_manager
+        scheduler_cfg = scheduler_cfg or SchedulerConfig()
+        # prefill chunks can never exceed the largest compiled bucket
+        max_prefill = engine.prefill_buckets[-1]
+        scheduler_cfg.max_chunk_size = min(
+            scheduler_cfg.max_chunk_size or max_prefill, max_prefill)
+        self.scheduler = Scheduler(scheduler_cfg, self.kv)
+        self.eos_token_id = eos_token_id
+        self.max_seq_len = max_seq_len
+
+        self.request_queue: "queue.Queue[LlmRequest]" = queue.Queue()
+        self.active: List[LlmRequest] = []
+        self.waiting: List[LlmRequest] = []
+        self._cancelled: set = set()
+
+        self.iteration = 0
+        self.stats_history: List[IterationStats] = []
+        self.total_tokens_generated = 0
+
+        self._shutdown = threading.Event()
+        self._wake = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    # ---------------------------------------------------------------- lifecycle --
+    def start(self):
+        assert self._thread is None
+        self._thread = threading.Thread(target=self._loop_main, daemon=True,
+                                        name="tllm-tpu-executor")
+        self._thread.start()
+
+    def shutdown(self):
+        self._shutdown.set()
+        self._wake.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    # ---------------------------------------------------------------- submit ----
+    def submit(self, request: LlmRequest) -> LlmRequest:
+        if request.prompt_len == 0:
+            raise ValueError("prompt must contain at least one token")
+        if request.prompt_len >= self.max_seq_len:
+            raise ValueError(
+                f"prompt length {request.prompt_len} exceeds max_seq_len "
+                f"{self.max_seq_len} (need room for at least one new token)")
+        if request.prompt_len + request.sampling_params.max_tokens > self.max_seq_len:
+            request.sampling_params.max_tokens = max(
+                1, self.max_seq_len - request.prompt_len)
+        self.request_queue.put(request)
+        self._wake.set()
+        return request
+
+    def cancel(self, request_id: int):
+        self._cancelled.add(request_id)
+        self._wake.set()
+
+    # ---------------------------------------------------------------- loop ------
+    def _loop_main(self):
+        try:
+            while not self._shutdown.is_set():
+                worked = self._step()
+                if not worked:
+                    self._wake.wait(timeout=0.005)
+                    self._wake.clear()
+        except BaseException as e:  # noqa: BLE001
+            self._error = e
+            logger.error("executor loop died: %s\n%s", e, traceback.format_exc())
+            for req in self.active + self.waiting:
+                req.finish(FinishReason.ERROR)
+                req.emit(finished=True, error=str(e))
+
+    def _fetch_new_requests(self):
+        while True:
+            try:
+                req = self.request_queue.get_nowait()
+            except queue.Empty:
+                break
+            self.waiting.append(req)
+
+    def _handle_cancellations(self):
+        if not self._cancelled:
+            return
+        for req in list(self.active):
+            if req.request_id in self._cancelled:
+                self.kv.free_sequence(req.request_id)
+                self.active.remove(req)
+                req.finish(FinishReason.CANCELLED)
+                req.emit(finished=True)
+                self._cancelled.discard(req.request_id)
+        for req in list(self.waiting):
+            if req.request_id in self._cancelled:
+                self.waiting.remove(req)
+                req.finish(FinishReason.CANCELLED)
+                req.emit(finished=True)
+                self._cancelled.discard(req.request_id)
+
+    def _step(self) -> bool:
+        t0 = time.perf_counter()
+        self._fetch_new_requests()
+        self._handle_cancellations()
+        if not self.active and not self.waiting:
+            return False
+
+        batch = self.scheduler.schedule(self.active, self.waiting)
+        if batch.empty:
+            return False
+        self.iteration += 1
+        stats = IterationStats(iteration=self.iteration,
+                               num_active=len(self.active),
+                               num_waiting=len(self.waiting))
+
+        # ---- prefill chunks -----------------------------------------------------
+        for req, chunk in batch.prefill:
+            if req.state == RequestState.QUEUED:
+                cached = self.kv.add_sequence(req.request_id,
+                                              req.prompt_token_ids,
+                                              req.cache_salt)
+                req.num_cached_tokens = cached
+                req.context_position = cached
+                req.start_context()
+                self.waiting.remove(req)
+                self.active.append(req)
+                # reuse may cover the whole remaining chunk; re-clamp
+                chunk = min(chunk, req.remaining_context)
+                if chunk <= 0:
+                    chunk = req.remaining_context  # defensive; >=1 by manager
+            start = req.context_position
+            self.kv.grow_sequence(req.request_id, start + chunk)
+            inputs = self.engine.prepare_prefill_inputs(req, chunk)
+            logits = self.engine.run_prefill(inputs)
+            req.context_position += chunk
+            self.kv.seal_full_blocks(
+                req.request_id, req.prompt_token_ids[:req.context_position])
+            stats.num_prefill_tokens += chunk
+            if req.remaining_context == 0:
+                req.finish_context()
+                self._sample_and_update([req], logits)
+
+        # ---- decode batch ---------------------------------------------------------
+        decode_reqs = [r for r in batch.decode if r.is_generating]
+        if decode_reqs:
+            for req in decode_reqs:
+                self.kv.grow_sequence(req.request_id, req.num_tokens)
+            inputs = self.engine.prepare_decode_inputs(decode_reqs)
+            logits = self.engine.run_decode(inputs)
+            self._sample_and_update(decode_reqs, logits)
+            stats.num_decode_tokens = len(decode_reqs)
+
+        # ---- cleanup finished -----------------------------------------------------
+        for req in list(self.active):
+            if req.is_finished:
+                self.kv.free_sequence(req.request_id)
+                self.active.remove(req)
+
+        stats.kv_stats = self.kv.stats()
+        stats.step_time_ms = (time.perf_counter() - t0) * 1e3
+        stats.tokens_generated = self.total_tokens_generated
+        self.stats_history.append(stats)
+        if len(self.stats_history) > 1000:
+            self.stats_history = self.stats_history[-1000:]
+        return True
+
+    # ---------------------------------------------------------------- sampling ----
+    def _sample_and_update(self, reqs: List[LlmRequest], logits):
+        """Sample one token per request from logits[:len(reqs)] and apply
+        stop criteria (host side, like the reference's _update_requests)."""
+        sp = [r.sampling_params for r in reqs]
+        state = SamplingState.from_params(sp, step=self.iteration,
+                                          pad_to=logits.shape[0])
+        tokens, logp = sample_tokens(logits, state)
+        tokens = np.asarray(tokens)
+        logp = np.asarray(logp)
+        for i, req in enumerate(reqs):
+            tok = int(tokens[i])
+            req.append_token(tok)
+            self.total_tokens_generated += 1
+            if req.sampling_params.logprobs:
+                req.logprobs.append({tok: float(logp[i])})
+            # KV for this token is written next step; sequence length grows
+            reason = req.check_stop(self.eos_token_id)
+            if reason is None and req.num_tokens >= self.max_seq_len:
+                reason = FinishReason.LENGTH
+            if reason is not None:
+                req.finish(reason)
+                req.emit(finished=True)
+            else:
+                req.emit(finished=False)
+
+    # ---------------------------------------------------------------- stats -------
+    def get_stats(self) -> List[dict]:
+        return [vars(s) for s in self.stats_history[-10:]]

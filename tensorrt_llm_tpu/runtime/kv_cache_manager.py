@@ -1,0 +1,243 @@
+"""Paged KV cache manager with block reuse.
+
+TPU-native counterpart of the reference's C++ `BlockManager`/`KVCacheManager`
+(`cpp/.../batch_manager/kvCacheManager.h:1045,1690`): paged block pool, a
+radix-style reuse index keyed by token-chain hashes
+(reference `BlockKey`, kvCacheManager.h:148-195), LRU eviction of unreferenced
+cached blocks (reference `evictionPolicy.h:29,70`), and free-memory-derived
+pool sizing (reference resource_manager.py:782 `calculate_max_num_blocks`).
+
+Device tensors live here: per layer, K and V pools shaped
+``[num_blocks, block_size, num_kv_heads_local, head_dim]`` (head-sharded under
+TP).  Host bookkeeping is pure Python — profiled fast enough for O(1k) blocks
+per step; the reference keeps this in C++ for the same role.
+
+INT8-quantized KV (reference `KvCacheDataType::INT8`) stores an extra per
+(block, head) scale pool — handled by `kv_quant` here (round 1: BF16 only;
+INT8 wiring in ops/attention lands with the Pallas paged kernel).
+"""
+
+from __future__ import annotations
+
+import collections
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tensorrt_llm_tpu.quantization.mode import KvCacheQuantAlgo
+from tensorrt_llm_tpu.utils import cdiv, logger
+
+
+@dataclass
+class KVCacheConfig:
+    """Mirrors reference `KvCacheConfig` (llm_args.py:1622), TPU fields."""
+
+    block_size: int = 16                  # tokens per block
+    num_blocks: Optional[int] = None      # None => derive from free_mem_fraction
+    free_mem_fraction: float = 0.85
+    enable_block_reuse: bool = True
+    max_tokens: Optional[int] = None
+    kv_quant: KvCacheQuantAlgo = KvCacheQuantAlgo.NONE
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+class SequenceInfo:
+    __slots__ = ("block_ids", "num_tokens", "block_hashes")
+
+    def __init__(self):
+        self.block_ids: List[int] = []
+        self.num_tokens = 0
+        self.block_hashes: List[int] = []
+
+
+class KVCacheManager:
+    def __init__(self, cfg: KVCacheConfig, num_layers: int,
+                 num_kv_heads: int, head_dim: int,
+                 num_blocks: int):
+        """num_kv_heads is the GLOBAL head count — under TP the engine shards
+        the pools over the "tp" mesh axis (each device holds its heads)."""
+        self.cfg = cfg
+        self.block_size = cfg.block_size
+        self.num_layers = num_layers
+        self.num_blocks = num_blocks
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+
+        # ---- host bookkeeping ----
+        # block 0 is reserved as the "null" block (padding rows in block
+        # tables point at it; its contents are garbage but always masked).
+        self.free_blocks = collections.deque(range(1, num_blocks))
+        self.ref_count = [0] * num_blocks
+        # reuse index: chain-hash -> block_id (only FULL immutable blocks)
+        self.cached_blocks: Dict[int, int] = {}
+        self.block_hash: List[Optional[int]] = [None] * num_blocks
+        # LRU of evictable cached blocks (ref==0, in cached_blocks)
+        self.evictable = collections.OrderedDict()  # block_id -> None
+        self.sequences: Dict[int, SequenceInfo] = {}
+
+        # stats (reference kvCacheManager.h:213-236 KvCacheStats)
+        self.num_reused_blocks = 0
+        self.num_allocated_blocks = 0
+        self.num_evicted_blocks = 0
+
+    # ------------------------------------------------------------------ pools --
+    def allocate_pools(self, dtype=None) -> List[Tuple[jax.Array, jax.Array]]:
+        """Create device pools (call under the target mesh/sharding ctx)."""
+        dtype = dtype or self.cfg.dtype
+        shape = (self.num_blocks, self.block_size, self.num_kv_heads,
+                 self.head_dim)
+        caches = []
+        for _ in range(self.num_layers):
+            caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+        return caches
+
+    @staticmethod
+    def blocks_from_memory(bytes_budget: int, num_layers: int,
+                           num_kv_heads: int, head_dim: int,
+                           block_size: int, dtype_bytes: int = 2) -> int:
+        per_block = 2 * num_layers * block_size * num_kv_heads * head_dim * dtype_bytes
+        return max(int(bytes_budget // per_block), 16)
+
+    # ------------------------------------------------------------------ hashing --
+    @staticmethod
+    def _chain_hash(parent: int, tokens: tuple, salt) -> int:
+        return hash((parent, tokens, salt))
+
+    # ------------------------------------------------------------------ queries --
+    @property
+    def num_free_blocks(self) -> int:
+        """Blocks available right now (free list + evictable cached)."""
+        return len(self.free_blocks) + len(self.evictable)
+
+    def blocks_needed(self, num_tokens: int) -> int:
+        return cdiv(num_tokens, self.block_size)
+
+    # ------------------------------------------------------------------ alloc --
+    def _take_block(self) -> int:
+        if self.free_blocks:
+            bid = self.free_blocks.popleft()
+        elif self.evictable:
+            bid, _ = self.evictable.popitem(last=False)  # LRU
+            h = self.block_hash[bid]
+            if h is not None:
+                self.cached_blocks.pop(h, None)
+                self.block_hash[bid] = None
+            self.num_evicted_blocks += 1
+        else:
+            raise RuntimeError("KV cache out of blocks")
+        self.ref_count[bid] = 1
+        self.num_allocated_blocks += 1
+        return bid
+
+    def _ref_block(self, bid: int):
+        if self.ref_count[bid] == 0:
+            self.evictable.pop(bid, None)
+        self.ref_count[bid] += 1
+
+    def _unref_block(self, bid: int):
+        self.ref_count[bid] -= 1
+        assert self.ref_count[bid] >= 0
+        if self.ref_count[bid] == 0:
+            if self.block_hash[bid] is not None and self.cfg.enable_block_reuse:
+                self.evictable[bid] = None  # keep contents, evict LRU later
+            else:
+                self.free_blocks.append(bid)
+
+    def add_sequence(self, seq_id: int, token_ids: List[int],
+                     cache_salt=None) -> int:
+        """Register a sequence; match reusable prefix blocks.
+
+        Returns the number of *tokens* whose KV is already cached (multiple of
+        block_size, and strictly less than len(token_ids) so at least one
+        token is recomputed to produce logits — same rule as the reference's
+        partial-reuse guard).
+        """
+        info = SequenceInfo()
+        self.sequences[seq_id] = info
+        matched_tokens = 0
+        parent = 0
+        if self.cfg.enable_block_reuse:
+            n_full = (len(token_ids) - 1) // self.block_size  # keep last token
+            for b in range(n_full):
+                chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
+                h = self._chain_hash(parent, chunk, cache_salt)
+                bid = self.cached_blocks.get(h)
+                if bid is None:
+                    break
+                self._ref_block(bid)
+                info.block_ids.append(bid)
+                info.block_hashes.append(h)
+                matched_tokens += self.block_size
+                parent = h
+        info.num_tokens = matched_tokens
+        if matched_tokens:
+            self.num_reused_blocks += len(info.block_ids)
+        return matched_tokens
+
+    def grow_sequence(self, seq_id: int, new_total_tokens: int):
+        """Ensure the sequence owns enough blocks for new_total_tokens."""
+        info = self.sequences[seq_id]
+        need = self.blocks_needed(new_total_tokens)
+        while len(info.block_ids) < need:
+            info.block_ids.append(self._take_block())
+        info.num_tokens = new_total_tokens
+
+    def can_grow(self, seq_id: int, new_total_tokens: int) -> bool:
+        info = self.sequences[seq_id]
+        need = self.blocks_needed(new_total_tokens) - len(info.block_ids)
+        return need <= self.num_free_blocks
+
+    def seal_full_blocks(self, seq_id: int, token_ids: List[int]):
+        """Publish completed blocks into the reuse index (called as the
+        sequence crosses block boundaries)."""
+        if not self.cfg.enable_block_reuse:
+            return
+        info = self.sequences[seq_id]
+        n_full = len(token_ids) // self.block_size
+        parent = info.block_hashes[-1] if info.block_hashes else 0
+        for b in range(len(info.block_hashes), n_full):
+            bid = info.block_ids[b]
+            chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
+            h = self._chain_hash(parent, chunk, None)
+            # first writer wins; duplicates keep their private block
+            if h not in self.cached_blocks:
+                self.cached_blocks[h] = bid
+                self.block_hash[bid] = h
+            info.block_hashes.append(h)
+            parent = h
+
+    def free_sequence(self, seq_id: int):
+        info = self.sequences.pop(seq_id, None)
+        if info is None:
+            return
+        for bid in info.block_ids:
+            self._unref_block(bid)
+
+    # ------------------------------------------------------------------ tables --
+    def block_table(self, seq_id: int, max_blocks: int) -> List[int]:
+        ids = self.sequences[seq_id].block_ids[:max_blocks]
+        return ids + [0] * (max_blocks - len(ids))
+
+    def slot_mapping(self, seq_id: int, start_token: int,
+                     num_tokens: int) -> List[int]:
+        """Flat slots (block_id*block_size + offset) for token positions
+        [start_token, start_token+num_tokens)."""
+        info = self.sequences[seq_id]
+        bs = self.block_size
+        out = []
+        for pos in range(start_token, start_token + num_tokens):
+            out.append(info.block_ids[pos // bs] * bs + pos % bs)
+        return out
+
+    def stats(self) -> dict:
+        return {
+            "num_blocks": self.num_blocks,
+            "free_blocks": len(self.free_blocks),
+            "evictable_blocks": len(self.evictable),
+            "reused_blocks": self.num_reused_blocks,
+            "allocated_blocks": self.num_allocated_blocks,
+            "evicted_blocks": self.num_evicted_blocks,
+            "active_sequences": len(self.sequences),
+        }

@@ -1,0 +1,247 @@
+"""Model engine: bucketed, jitted forward steps over the paged KV cache.
+
+Counterpart of the reference's `PyTorchModelEngine`
+(`pyexecutor/model_engine.py:128`) + `CUDAGraphRunner`
+(`cuda_graph_runner.py:83`): where the reference captures CUDA graphs per
+(batch size, mode) and pads batches to the nearest captured size
+(cuda_graph_runner.py:402-474), we jit one XLA executable per (mode, bucket)
+— same padding discipline, with the compiler cache playing the role of the
+graph cache.  KV caches are donated so updates alias in place.
+
+Parallelism: when mapping.world_size > 1 the step function is wrapped in
+shard_map over the device mesh — weights/KV are head- or column-sharded,
+activations replicated, collectives explicit in the layers.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tensorrt_llm_tpu.attention_backend.interface import AttentionMetadata
+from tensorrt_llm_tpu.models.modeling_utils import DecoderModelForCausalLM
+from tensorrt_llm_tpu.parallel.mapping import Mapping
+from tensorrt_llm_tpu.parallel.mesh import make_mesh
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheManager
+from tensorrt_llm_tpu.utils import cdiv, logger, round_up
+
+# Out-of-bounds slot => scatter drops the write (padding rows).
+PAD_SLOT = np.int32(2**30)
+
+DEFAULT_DECODE_BUCKETS = (8, 16, 32, 64, 128, 256)
+DEFAULT_PREFILL_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def prune_specs(specs, params):
+    """Filter a spec pytree down to the keys present in params."""
+    if isinstance(params, dict):
+        return {k: prune_specs(specs[k], v) for k, v in params.items()}
+    if isinstance(params, (list, tuple)):
+        out = [prune_specs(s, p) for s, p in zip(specs, params)]
+        return type(params)(out)
+    return specs
+
+
+@dataclass
+class StepInputs:
+    """Host-assembled step inputs (numpy, padded to bucket)."""
+
+    input_ids: np.ndarray
+    positions: np.ndarray
+    slot_mapping: np.ndarray
+    block_tables: np.ndarray
+    kv_lens: np.ndarray
+    logit_indices: np.ndarray
+    q_offset: np.ndarray
+
+
+class ModelEngine:
+    def __init__(
+        self,
+        model: DecoderModelForCausalLM,
+        params: Dict,
+        kv_manager: KVCacheManager,
+        mapping: Optional[Mapping] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        max_blocks_per_seq: Optional[int] = None,
+        decode_buckets: Sequence[int] = DEFAULT_DECODE_BUCKETS,
+        prefill_buckets: Sequence[int] = DEFAULT_PREFILL_BUCKETS,
+        max_batch_size: int = 64,
+        max_seq_len: int = 2048,
+    ):
+        self.model = model
+        self.kv_manager = kv_manager
+        self.mapping = mapping or Mapping()
+        self.max_seq_len = max_seq_len
+        self.max_blocks_per_seq = max_blocks_per_seq or cdiv(
+            max_seq_len, kv_manager.block_size)
+        self.decode_buckets = tuple(
+            b for b in decode_buckets if b <= max(max_batch_size, decode_buckets[0]))
+        self.prefill_buckets = tuple(prefill_buckets)
+
+        self.mesh = mesh
+        if self.mapping.world_size > 1 and self.mesh is None:
+            self.mesh = make_mesh(self.mapping)
+
+        # place parameters / caches
+        if self.mesh is not None:
+            specs = prune_specs(self.model.param_specs(), params)
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P))
+            self.params = jax.device_put(params, shardings)
+            cache_sharding = NamedSharding(self.mesh, P(None, None, "tp", None))
+            self.kv_caches = [
+                tuple(jax.device_put(c, cache_sharding) for c in layer)
+                for layer in kv_manager.allocate_pools()]
+            self._param_specs = specs
+        else:
+            self.params = jax.device_put(params)
+            self.kv_caches = kv_manager.allocate_pools()
+            self._param_specs = None
+
+        self._fns = {}  # (mode,) -> jitted step
+
+    # ------------------------------------------------------------------ step fns --
+    def _make_step_fn(self, mode: str):
+        model = self.model
+
+        def step(params, kv_caches, input_ids, positions, slot_mapping,
+                 block_tables, kv_lens, q_offset, logit_indices):
+            meta = AttentionMetadata(
+                positions=positions,
+                slot_mapping=slot_mapping,
+                block_tables=block_tables,
+                kv_lens=kv_lens,
+                q_offset=q_offset,
+                mode=mode,
+            )
+            logits, new_caches = model.forward(
+                params, input_ids, kv_caches, meta, logit_indices)
+            return logits, new_caches
+
+        if self.mesh is not None:
+            cache_spec = [(P(None, None, "tp", None),) * 2] * len(self.kv_caches)
+            step = jax.shard_map(
+                step, mesh=self.mesh,
+                in_specs=(self._param_specs, cache_spec,
+                          P(), P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), cache_spec),
+                check_vma=False,
+            )
+        return jax.jit(step, donate_argnums=(1,))
+
+    def _get_fn(self, mode: str):
+        if mode not in self._fns:
+            self._fns[mode] = self._make_step_fn(mode)
+        return self._fns[mode]
+
+    # ------------------------------------------------------------------ exec ----
+    def run_decode(self, inputs: StepInputs) -> np.ndarray:
+        """Run one decode step; returns logits [B_real, V]."""
+        fn = self._get_fn("decode")
+        logits, self.kv_caches = fn(
+            self.params, self.kv_caches,
+            jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+            jnp.asarray(inputs.slot_mapping), jnp.asarray(inputs.block_tables),
+            jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
+            jnp.asarray(inputs.logit_indices))
+        return logits
+
+    def run_prefill(self, inputs: StepInputs) -> jax.Array:
+        """Run one prefill chunk (single sequence); returns logits [1, V]."""
+        fn = self._get_fn("prefill")
+        logits, self.kv_caches = fn(
+            self.params, self.kv_caches,
+            jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+            jnp.asarray(inputs.slot_mapping), jnp.asarray(inputs.block_tables),
+            jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
+            jnp.asarray(inputs.logit_indices))
+        return logits
+
+    # ------------------------------------------------------------------ input prep --
+    def prepare_decode_inputs(self, reqs) -> StepInputs:
+        """Assemble padded decode inputs for a batch of generating requests."""
+        kv = self.kv_manager
+        B = len(reqs)
+        Bp = pick_bucket(B, self.decode_buckets)
+        MB = self.max_blocks_per_seq
+        input_ids = np.zeros(Bp, np.int32)
+        positions = np.zeros(Bp, np.int32)
+        slots = np.full(Bp, PAD_SLOT, np.int32)
+        tables = np.zeros((Bp, MB), np.int32)
+        kv_lens = np.ones(Bp, np.int32)
+        for i, req in enumerate(reqs):
+            toks = req.all_token_ids
+            pos = req.num_tokens - 1          # position of the new token
+            input_ids[i] = toks[-1]
+            positions[i] = pos
+            slots[i] = kv.slot_mapping(req.request_id, pos, 1)[0]
+            tables[i, :] = kv.block_table(req.request_id, MB)
+            kv_lens[i] = pos + 1
+        return StepInputs(
+            input_ids=input_ids, positions=positions, slot_mapping=slots,
+            block_tables=tables, kv_lens=kv_lens,
+            logit_indices=np.arange(Bp, dtype=np.int32),
+            q_offset=np.int32(0))
+
+    def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
+        """Assemble padded inputs for one context chunk of one request."""
+        kv = self.kv_manager
+        start = req.context_position
+        Tp = pick_bucket(chunk, self.prefill_buckets)
+        assert chunk <= Tp, (chunk, self.prefill_buckets)
+        toks = req.prompt_token_ids[start:start + chunk]
+        input_ids = np.zeros(Tp, np.int32)
+        input_ids[:chunk] = toks
+        positions = np.arange(start, start + Tp, dtype=np.int32)
+        positions = np.minimum(positions, self.max_seq_len - 1)
+        slots = np.full(Tp, PAD_SLOT, np.int32)
+        slots[:chunk] = kv.slot_mapping(req.request_id, start, chunk)
+        tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
+        tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
+        kv_lens = np.array([start + chunk], np.int32)
+        return StepInputs(
+            input_ids=input_ids, positions=positions, slot_mapping=slots,
+            block_tables=tables, kv_lens=kv_lens,
+            logit_indices=np.array([chunk - 1], np.int32),
+            q_offset=np.int32(start))
+
+    # ------------------------------------------------------------------ warmup ----
+    def warmup(self, decode: bool = True, prefill: bool = True):
+        """Precompile all buckets (the analog of CUDA-graph capture warmup)."""
+        from tensorrt_llm_tpu.runtime.request import LlmRequest
+        from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+        kv = self.kv_manager
+        if prefill:
+            for T in self.prefill_buckets:
+                if T > self.max_seq_len:
+                    continue
+                req = LlmRequest([1] * min(T, self.max_seq_len),
+                                 SamplingParams(max_tokens=1))
+                kv.add_sequence(req.request_id, req.prompt_token_ids)
+                kv.grow_sequence(req.request_id, req.prompt_len)
+                self.run_prefill(self.prepare_prefill_inputs(req, req.prompt_len))
+                kv.free_sequence(req.request_id)
+        if decode:
+            for B in self.decode_buckets:
+                req = LlmRequest([1, 2], SamplingParams(max_tokens=1))
+                kv.add_sequence(req.request_id, req.prompt_token_ids)
+                kv.grow_sequence(req.request_id, 2)
+                reqs = [req] * B
+                self.run_decode(self.prepare_decode_inputs(reqs))
+                kv.free_sequence(req.request_id)
+        logger.info("engine warmup done (%d executables)", len(self._fns))

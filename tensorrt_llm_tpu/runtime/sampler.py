@@ -1,0 +1,132 @@
+"""Batched token sampler.
+
+Counterpart of the reference's `TorchSampler` (`pyexecutor/sampler.py`, C++
+sampling layers `dynamicDecodeLayer.cpp`): greedy / temperature / top-k /
+top-p / min-p, vectorized over the batch as one jitted device computation,
+with per-request parameters passed as arrays (so one compiled sampler serves
+every batch mix — the analog of the reference's batched sampling kernels).
+
+Penalties (repetition/presence/frequency) are applied on the logits from a
+[B, V] count matrix maintained incrementally by the executor.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SamplingState:
+    """Per-batch-row sampling parameters (device arrays, [B])."""
+
+    temperature: jax.Array
+    top_k: jax.Array
+    top_p: jax.Array
+    min_p: jax.Array
+    greedy: jax.Array        # bool
+    seeds: jax.Array         # uint32 per row
+
+    @staticmethod
+    def from_params(params: List[SamplingParams], step: int,
+                    pad_to: int = 0) -> "SamplingState":
+        """Build the batched state, padded to `pad_to` rows (greedy padding)
+        so one compiled sampler serves each logits bucket."""
+        n_pad = max(pad_to - len(params), 0)
+        temp = np.array([max(p.temperature, 1e-5) for p in params]
+                        + [1.0] * n_pad, np.float32)
+        topk = np.array([p.top_k if p.top_k > 0 else 0 for p in params]
+                        + [0] * n_pad, np.int32)
+        topp = np.array([p.top_p for p in params] + [1.0] * n_pad, np.float32)
+        minp = np.array([p.min_p for p in params] + [0.0] * n_pad, np.float32)
+        greedy = np.array([p.greedy for p in params] + [True] * n_pad, bool)
+        seeds = np.array(
+            [((p.seed if p.seed is not None else 0x9E3779B9 + i)
+              ^ (step * 2654435761)) & 0xFFFFFFFF
+             for i, p in enumerate(params)] + [0] * n_pad, np.uint32)
+        return SamplingState(
+            temperature=jnp.asarray(temp), top_k=jnp.asarray(topk),
+            top_p=jnp.asarray(topp), min_p=jnp.asarray(minp),
+            greedy=jnp.asarray(greedy), seeds=jnp.asarray(seeds))
+
+
+@functools.partial(jax.jit, static_argnames=("max_top_k",))
+def sample_tokens(
+    logits: jax.Array,       # [B, V] f32
+    state: SamplingState,
+    max_top_k: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (token_ids [B], logprobs_of_chosen [B])."""
+    B, V = logits.shape
+    scaled = logits / state.temperature[:, None]
+
+    # top-k mask (bucketed at max_top_k for static shapes)
+    if max_top_k > 0:
+        # per-row k: value of the k-th largest via sorted slice
+        topv = jax.lax.top_k(scaled, max_top_k)[0]          # [B, max_top_k]
+        k_idx = jnp.clip(state.top_k - 1, 0, max_top_k - 1)
+        kth_val = jnp.take_along_axis(topv, k_idx[:, None], axis=1)
+        use_topk = (state.top_k > 0)[:, None]
+        scaled = jnp.where(use_topk & (scaled < kth_val), NEG_INF, scaled)
+
+    # top-p (nucleus): mask tokens beyond cumulative prob p
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sort_idx = jnp.argsort(-probs, axis=-1)
+    sorted_probs = jnp.take_along_axis(probs, sort_idx, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    keep_sorted = cum - sorted_probs < state.top_p[:, None]
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(B)[:, None], sort_idx].set(keep_sorted)
+    scaled = jnp.where(keep, scaled, NEG_INF)
+
+    # min-p
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    scaled = jnp.where(probs < state.min_p[:, None] * pmax, NEG_INF, scaled)
+
+    # gumbel-max sampling (counter-based per-row PRNG)
+    base = jax.random.PRNGKey(0)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(base, state.seeds)
+    gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (V,), jnp.float32))(keys)
+    sampled = jnp.argmax(scaled + gumbel, axis=-1)
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    tokens = jnp.where(state.greedy, greedy_tok, sampled).astype(jnp.int32)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    chosen_logp = jnp.take_along_axis(logp, tokens[:, None], axis=1)[:, 0]
+    return tokens, chosen_logp
+
+
+@jax.jit
+def apply_penalties(
+    logits: jax.Array,        # [B, V]
+    token_counts: jax.Array,  # [B, V] int32 counts of tokens in each sequence
+    repetition: jax.Array,    # [B]
+    presence: jax.Array,      # [B]
+    frequency: jax.Array,     # [B]
+) -> jax.Array:
+    seen = token_counts > 0
+    rep = repetition[:, None]
+    logits = jnp.where(
+        seen & (logits > 0), logits / rep,
+        jnp.where(seen, logits * rep, logits))
+    logits = logits - presence[:, None] * seen.astype(jnp.float32)
+    logits = logits - frequency[:, None] * token_counts.astype(jnp.float32)
+    return logits
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def top_n_logprobs(logits: jax.Array, n: int) -> Tuple[jax.Array, jax.Array]:
+    """Top-n (logprob, token) per row for SamplingParams.logprobs."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    vals, idx = jax.lax.top_k(logp, n)
+    return vals, idx

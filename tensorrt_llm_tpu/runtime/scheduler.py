@@ -1,0 +1,146 @@
+"""Request schedulers: capacity policy + micro-batch (token budget + chunking).
+
+Counterpart of the reference's C++ `CapacityScheduler` policies
+(`batch_manager/capacityScheduler.cpp`: MaxUtilization :341, GuaranteedNoEvict
+:186, StaticBatch :148) and `MicroBatchScheduler` (token/batch budget +
+context chunking, microBatchScheduler.cpp), which Python binds at
+`pyexecutor/scheduler.py:141,186`.  Here both run in-process in Python — the
+inner loops are O(active requests) per step.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheManager
+from tensorrt_llm_tpu.runtime.request import LlmRequest, RequestState
+from tensorrt_llm_tpu.utils import cdiv
+
+
+class CapacitySchedulerPolicy(str, enum.Enum):
+    MAX_UTILIZATION = "max_utilization"
+    GUARANTEED_NO_EVICT = "guaranteed_no_evict"
+    STATIC_BATCH = "static_batch"
+
+
+@dataclass
+class SchedulerConfig:
+    """Mirrors reference SchedulerConfig (llm_args.py:1460)."""
+
+    policy: CapacitySchedulerPolicy = CapacitySchedulerPolicy.GUARANTEED_NO_EVICT
+    max_batch_size: int = 64
+    max_num_tokens: int = 2048          # per-step token budget
+    enable_chunked_prefill: bool = True
+    max_chunk_size: Optional[int] = None
+
+
+@dataclass
+class ScheduledBatch:
+    # (request, chunk_len) pairs — each prefill chunk runs as one model call
+    prefill: List[Tuple[LlmRequest, int]] = field(default_factory=list)
+    decode: List[LlmRequest] = field(default_factory=list)
+    paused: List[LlmRequest] = field(default_factory=list)
+
+    @property
+    def empty(self) -> bool:
+        return not self.prefill and not self.decode
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(c for _, c in self.prefill) + len(self.decode)
+
+
+class Scheduler:
+    """capacity + micro-batch scheduling for one engine step."""
+
+    def __init__(self, cfg: SchedulerConfig, kv: KVCacheManager):
+        self.cfg = cfg
+        self.kv = kv
+
+    # ---- capacity pass -----------------------------------------------------------
+    def _fits_no_evict(self, req: LlmRequest, reserved: int) -> Tuple[bool, int]:
+        """Worst case: blocks to hold the full sequence at max_total_len."""
+        have = len(self.kv.sequences[req.request_id].block_ids) \
+            if req.request_id in self.kv.sequences else 0
+        need = self.kv.blocks_needed(req.max_total_len) - have
+        fits = need + reserved <= self.kv.num_free_blocks
+        return fits, max(need, 0)
+
+    def _fits_next_step(self, req: LlmRequest, reserved: int,
+                        step_tokens: int) -> Tuple[bool, int]:
+        """MaxUtilization: only the blocks needed for this step's tokens."""
+        have = len(self.kv.sequences[req.request_id].block_ids) \
+            if req.request_id in self.kv.sequences else 0
+        target = (req.context_position + step_tokens if req.is_context_init
+                  else req.num_tokens + 1)
+        need = self.kv.blocks_needed(target) - have
+        fits = need + reserved <= self.kv.num_free_blocks
+        return fits, max(need, 0)
+
+    # ---- main ---------------------------------------------------------------------
+    def schedule(self, active: List[LlmRequest],
+                 waiting: List[LlmRequest]) -> ScheduledBatch:
+        cfg = self.cfg
+        batch = ScheduledBatch()
+        token_budget = cfg.max_num_tokens
+        reserved_blocks = 0
+        n_scheduled = 0
+
+        gen_reqs = [r for r in active if r.is_generating]
+        ctx_reqs = [r for r in active if r.is_context_init]
+
+        # 1) decode first (generation requests have priority: in-flight work,
+        #    same order as the reference's scheduler which never starves
+        #    generation)
+        for req in gen_reqs:
+            if n_scheduled >= cfg.max_batch_size or token_budget <= 0:
+                batch.paused.append(req)
+                continue
+            if cfg.policy == CapacitySchedulerPolicy.GUARANTEED_NO_EVICT:
+                fits, need = self._fits_no_evict(req, reserved_blocks)
+            else:
+                fits, need = self._fits_next_step(req, reserved_blocks, 1)
+            if not fits:
+                batch.paused.append(req)
+                continue
+            reserved_blocks += need
+            batch.decode.append(req)
+            token_budget -= 1
+            n_scheduled += 1
+
+        # 2) in-progress context (chunked prefill continuations), then new
+        #    requests from the waiting queue
+        for req in ctx_reqs + list(waiting):
+            if n_scheduled >= cfg.max_batch_size or token_budget <= 0:
+                break
+            remaining = (req.remaining_context if req.is_context_init
+                         else req.prompt_len)
+            if cfg.enable_chunked_prefill:
+                chunk = min(remaining, token_budget)
+                if cfg.max_chunk_size:
+                    chunk = min(chunk, cfg.max_chunk_size)
+                # keep chunk boundaries block-aligned unless it's the final one
+                bs = self.kv.block_size
+                if chunk < remaining:
+                    chunk = (chunk // bs) * bs
+                if chunk <= 0:
+                    continue
+            else:
+                chunk = remaining
+                if chunk > token_budget:
+                    continue
+            # capacity check
+            if cfg.policy == CapacitySchedulerPolicy.GUARANTEED_NO_EVICT:
+                fits, need = self._fits_no_evict(req, reserved_blocks)
+            else:
+                fits, need = self._fits_next_step(req, reserved_blocks, chunk)
+            if not fits:
+                continue
+            reserved_blocks += need
+            batch.prefill.append((req, chunk))
+            token_budget -= chunk
+            n_scheduled += 1
+
+        return batch

@@ -1,0 +1,145 @@
+"""Continuous-batching executor tests (scheduler, reuse, streaming, stops)."""
+
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+from tensorrt_llm_tpu.models import get_model_class
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+from tensorrt_llm_tpu.runtime.executor import PyExecutor
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheConfig, KVCacheManager
+from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+from tensorrt_llm_tpu.runtime.request import FinishReason, LlmRequest
+from tensorrt_llm_tpu.runtime.scheduler import SchedulerConfig
+
+TINY = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=256)
+
+
+@pytest.fixture(scope="module")
+def executor():
+    cfg = ModelConfig(**TINY)
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=128)
+    engine = ModelEngine(model, params, kv, max_seq_len=128,
+                         decode_buckets=(4, 8), prefill_buckets=(16, 32))
+    ex = PyExecutor(engine, SchedulerConfig(max_batch_size=8,
+                                            max_num_tokens=64),
+                    eos_token_id=0, max_seq_len=128)
+    ex.start()
+    yield ex
+    ex.shutdown()
+
+
+def collect(req, timeout=60):
+    toks = []
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        piece = req.out_queue.get(timeout=timeout)
+        assert piece.error is None, piece.error
+        toks.extend(piece.new_token_ids)
+        if piece.finished:
+            return toks, piece.finish_reason
+    raise TimeoutError
+
+
+def test_single_request_completes(executor):
+    req = LlmRequest([5, 6, 7, 8], SamplingParams(max_tokens=8, temperature=0.0,
+                                                  ignore_eos=True))
+    executor.submit(req)
+    toks, reason = collect(req)
+    assert len(toks) == 8
+    assert reason == FinishReason.LENGTH
+
+
+def test_greedy_is_deterministic(executor):
+    outs = []
+    for _ in range(2):
+        req = LlmRequest([9, 10, 11], SamplingParams(max_tokens=6,
+                                                     temperature=0.0,
+                                                     ignore_eos=True))
+        executor.submit(req)
+        toks, _ = collect(req)
+        outs.append(toks)
+    assert outs[0] == outs[1]
+
+
+def test_many_concurrent_requests(executor):
+    rng = np.random.RandomState(0)
+    reqs = []
+    for i in range(12):
+        prompt = list(rng.randint(1, 255, rng.randint(3, 20)))
+        req = LlmRequest(prompt, SamplingParams(max_tokens=5, ignore_eos=True))
+        reqs.append(req)
+        executor.submit(req)
+    for req in reqs:
+        toks, reason = collect(req)
+        assert len(toks) == 5
+
+
+def test_prefix_reuse_kicks_in(executor):
+    base = list(np.random.RandomState(7).randint(1, 255, 32))
+    r1 = LlmRequest(base + [1], SamplingParams(max_tokens=3, ignore_eos=True))
+    executor.submit(r1)
+    collect(r1)
+    before = executor.kv.num_reused_blocks
+    r2 = LlmRequest(base + [2], SamplingParams(max_tokens=3, ignore_eos=True))
+    executor.submit(r2)
+    collect(r2)
+    assert executor.kv.num_reused_blocks > before
+
+
+def test_greedy_same_with_and_without_reuse():
+    """Prefix-reused generation must equal from-scratch generation."""
+    cfg = ModelConfig(**TINY)
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+
+    def fresh_executor(reuse=True):
+        kv = KVCacheManager(KVCacheConfig(block_size=8, enable_block_reuse=reuse),
+                            cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                            num_blocks=128)
+        engine = ModelEngine(model, params, kv, max_seq_len=128,
+                             decode_buckets=(4,), prefill_buckets=(16, 32))
+        ex = PyExecutor(engine, SchedulerConfig(), eos_token_id=0,
+                        max_seq_len=128)
+        ex.start()
+        return ex
+
+    prompt = list(np.random.RandomState(3).randint(1, 255, 20))
+    sp = lambda: SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    ex = fresh_executor(reuse=True)
+    try:
+        r1 = LlmRequest(list(prompt), sp())
+        ex.submit(r1); t1, _ = collect(r1)
+        r2 = LlmRequest(list(prompt), sp())   # full prefix hit
+        ex.submit(r2); t2, _ = collect(r2)
+    finally:
+        ex.shutdown()
+    assert t1 == t2
+
+
+def test_stop_token(executor):
+    req = LlmRequest([1, 2, 3], SamplingParams(max_tokens=20, temperature=0.0,
+                                               stop_token_ids=None))
+    # force eos quickly via greedy? cannot control tokens; instead use
+    # stop_token_ids covering the whole vocab range modulo: pick the token the
+    # model actually produces first.
+    probe = LlmRequest([1, 2, 3], SamplingParams(max_tokens=1, temperature=0.0,
+                                                 ignore_eos=True))
+    executor.submit(probe)
+    first, _ = collect(probe)
+    req = LlmRequest([1, 2, 3], SamplingParams(max_tokens=20, temperature=0.0,
+                                               stop_token_ids=[first[0]]))
+    executor.submit(req)
+    toks, reason = collect(req)
+    assert toks[-1] == first[0]
+    assert reason == FinishReason.EOS
+    assert len(toks) == 1

@@ -1,0 +1,102 @@
+"""Tensor-parallel correctness on a virtual CPU mesh.
+
+The reference needs real GPUs for multi-device tests (SURVEY.md §4.3); we run
+the full TP path — shard_map'd forward, head-sharded KV, column/row-parallel
+projections with psum — on 8 virtual CPU devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+from tensorrt_llm_tpu.models import get_model_class
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+from tensorrt_llm_tpu.parallel.mapping import Mapping
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheConfig, KVCacheManager
+from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+from tensorrt_llm_tpu.runtime.request import LlmRequest
+
+TINY = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=32,
+            max_position=256)
+
+
+def random_hf_state_dict(seed=0):
+    """Random float weights in HF naming/layout ([out, in] linears)."""
+    rng = np.random.RandomState(seed)
+    H, I, V = TINY["hidden_size"], TINY["intermediate_size"], TINY["vocab_size"]
+    nH, nKV, D = TINY["num_heads"], TINY["num_kv_heads"], TINY["head_dim"]
+    w = lambda *s: (rng.randn(*s) * 0.5 / np.sqrt(s[-1])).astype(np.float32)
+    sd = {"model.embed_tokens.weight": (rng.randn(V, H) * 0.02).astype(np.float32),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": w(V, H)}
+    for i in range(TINY["num_layers"]):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "self_attn.q_proj.weight"] = w(nH * D, H)
+        sd[p + "self_attn.k_proj.weight"] = w(nKV * D, H)
+        sd[p + "self_attn.v_proj.weight"] = w(nKV * D, H)
+        sd[p + "self_attn.o_proj.weight"] = w(H, nH * D)
+        sd[p + "mlp.gate_proj.weight"] = w(I, H)
+        sd[p + "mlp.up_proj.weight"] = w(I, H)
+        sd[p + "mlp.down_proj.weight"] = w(H, I)
+    return sd
+
+
+def build(tp: int, sd=None, seed=0):
+    cfg = ModelConfig(**TINY, mapping=Mapping(tp_size=tp))
+    model = get_model_class(cfg.architecture)(cfg)
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=64)
+    sd = sd or random_hf_state_dict(seed)
+    params = model.load_hf_weights(sd.get)
+    engine = ModelEngine(model, params, kv, mapping=cfg.mapping,
+                         max_seq_len=64, decode_buckets=(4,),
+                         prefill_buckets=(16,))
+    return engine, kv
+
+
+def run_prefill_decode(engine, kv, prompt):
+    req = LlmRequest(list(prompt), SamplingParams(max_tokens=4))
+    kv.add_sequence(req.request_id, req.prompt_token_ids)
+    req.start_context()
+    kv.grow_sequence(req.request_id, req.prompt_len)
+    logits_p = engine.run_prefill(
+        engine.prepare_prefill_inputs(req, req.prompt_len))
+    req.context_position = req.prompt_len
+    req.finish_context()
+    req.append_token(int(np.argmax(np.asarray(logits_p[0]))))
+    kv.grow_sequence(req.request_id, req.num_tokens)
+    logits_d = engine.run_decode(engine.prepare_decode_inputs([req]))
+    return np.asarray(logits_p[0], np.float32), np.asarray(logits_d[0], np.float32)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_matches_single_device(tp):
+    if len(jax.devices()) < tp:
+        pytest.skip("not enough devices")
+    prompt = list(np.random.RandomState(0).randint(1, 255, 12))
+    sd = random_hf_state_dict(0)
+
+    e1, kv1 = build(1, sd)
+    lp1, ld1 = run_prefill_decode(e1, kv1, prompt)
+
+    etp, kvtp = build(tp, sd)
+    lptp, ldtp = run_prefill_decode(etp, kvtp, prompt)
+
+    np.testing.assert_allclose(lp1, lptp, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(ld1, ldtp, rtol=3e-2, atol=3e-2)
+
+
+def test_tp_param_sharding_layout():
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    e, kv = build(2, random_hf_state_dict(0))
+    qkv = e.params["layers"][0]["attn"]["qkv"]["weight"]
+    # column-parallel: out dim sharded over 2 devices
+    assert len(qkv.sharding.device_set) == 2
+    k_cache, v_cache = e.kv_caches[0]
+    assert len(k_cache.sharding.device_set) == 2
