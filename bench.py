@@ -1,0 +1,83 @@
+"""Driver benchmark: prints ONE JSON line.
+
+Metric: achieved HBM bandwidth of the fused W4A16 dequant-GEMM across the
+Llama-8B decode GEMM shapes, as a fraction of the chip's HBM roofline.
+Baseline target (BASELINE.md): >=85% of roofline => vs_baseline = pct/85.
+
+Methodology (this machine's TPU is behind a high-latency tunnel — see
+.claude/skills/verify/SKILL.md): dependency-chained kernel calls inside one
+jit, scalar fetch, RTT-subtracted.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _rtt() -> float:
+    t = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x + 1)
+    float(jnp.sum(f(t)))
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(jnp.sum(f(t)))
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[len(samples) // 2]
+
+
+def bench_w4a16_shape(M, K, N, rtt, inner=200):
+    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul
+    from tensorrt_llm_tpu.quantization import pack_w4, quantize_w4
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.bfloat16)
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.1
+    q, s, _ = quantize_w4(w, 128, True)
+    p = pack_w4(q)
+
+    @jax.jit
+    def chained(x0, p, s):
+        def body(i, xx):
+            o = w4a16_matmul(xx, p, s)
+            return xx + (o[:, :1] * 1e-30).astype(xx.dtype)
+        return jnp.sum(jax.lax.fori_loop(0, inner, body, x0))
+
+    float(chained(x, p, s))  # compile+warm
+    t0 = time.perf_counter()
+    float(chained(x, p, s))
+    dt = (time.perf_counter() - t0 - rtt) / inner
+    return (K * N / 2) / dt  # weight-stream bytes/sec
+
+
+def main():
+    from benchmarks.bench_w4a16 import detect_hbm_roofline
+
+    roofline = detect_hbm_roofline()
+    rtt = _rtt()
+    # Llama-8B decode GEMMs: qkv, o, gate_up, down
+    shapes = [(16, 4096, 6144), (16, 4096, 4096),
+              (16, 4096, 28672), (16, 14336, 4096)]
+    weighted = []
+    total_bytes = 0
+    total_time = 0.0
+    for (M, K, N) in shapes:
+        bps = bench_w4a16_shape(M, K, N, rtt)
+        wb = K * N / 2
+        total_bytes += wb
+        total_time += wb / bps
+    agg_bps = total_bytes / total_time
+    pct = 100.0 * agg_bps / roofline
+    print(json.dumps({
+        "metric": "w4a16_gemm_hbm_roofline_pct",
+        "value": round(pct, 2),
+        "unit": "%",
+        "vs_baseline": round(pct / 85.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,8 @@ from jax.sharding import PartitionSpec as P
 
 from tensorrt_llm_tpu.ops.w4a16_gemm import _ACTIVATIONS, w4a16_matmul
 from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
-from tensorrt_llm_tpu.quantization import QuantAlgo, QuantConfig, pack_w4, quantize_w4, quantize_w8
+from tensorrt_llm_tpu.quantization import (
+    QuantAlgo, QuantConfig, pack_group_for, pack_w4, quantize_w4, quantize_w8)
 
 Params = Dict[str, jax.Array]
 
@@ -77,7 +78,8 @@ class W4A16LinearMethod(LinearMethodBase):
     def make_params(self, w, bias, dtype):
         q, scales, zeros = quantize_w4(
             w, self.group_size, symmetric=not self.has_zeros)
-        p = {"qweight": pack_w4(q), "scales": scales}
+        p = {"qweight": pack_w4(q, pack_group_for(w.shape[0], scales.shape[0])),
+             "scales": scales}
         if zeros is not None:
             p["zeros"] = zeros
         if bias is not None:
@@ -88,7 +90,8 @@ class W4A16LinearMethod(LinearMethodBase):
                        zeros: Optional[jax.Array],
                        bias: Optional[jax.Array]) -> Params:
         """Build params from an externally-quantized (AWQ/GPTQ) checkpoint."""
-        p = {"qweight": pack_w4(q), "scales": scales.astype(jnp.float32)}
+        p = {"qweight": pack_w4(q, pack_group_for(q.shape[0], scales.shape[0])),
+             "scales": scales.astype(jnp.float32)}
         if zeros is not None:
             p["zeros"] = zeros.astype(jnp.float32)
         if bias is not None:

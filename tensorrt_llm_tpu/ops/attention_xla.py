@@ -66,10 +66,9 @@ def mha_xla(
     """
     T, Hq, D = q.shape
     S, Hkv, _ = k.shape
-    k = _repeat_kv(k, Hq // Hkv)
-    v = _repeat_kv(v, Hq // Hkv)
-    qf = q.astype(jnp.float32) * scale
-    scores = jnp.einsum("thd,shd->hts", qf, k.astype(jnp.float32))
+    n_rep = Hq // Hkv
+    qf = (q.astype(jnp.float32) * scale).reshape(T, Hkv, n_rep, D)
+    scores = jnp.einsum("thgd,shd->hgts", qf, k.astype(jnp.float32))
     if logit_cap:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
     kv_pos = jnp.arange(S)[None, :]
@@ -81,9 +80,9 @@ def mha_xla(
         mask &= kv_pos < kv_len
     if sliding_window is not None:
         mask &= kv_pos > q_pos - sliding_window
-    probs = _masked_softmax(scores, mask[None])
-    out = jnp.einsum("hts,shd->thd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    probs = _masked_softmax(scores, mask[None, None])
+    out = jnp.einsum("hgts,shd->thgd", probs, v.astype(jnp.float32))
+    return out.reshape(T, Hq, D).astype(q.dtype)
 
 
 def paged_prefill_xla(
@@ -116,7 +115,11 @@ def paged_decode_xla(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
 ) -> jax.Array:
-    """Batched decode attention over paged KV."""
+    """Batched decode attention over paged KV.
+
+    GQA is expressed as a grouped einsum ('g' = query heads per KV head) so
+    the gathered KV is never materialized per query head.
+    """
     nb, bs, hkv, d = k_cache.shape
     B, Hq, _ = q.shape
     n_rep = Hq // hkv
@@ -126,17 +129,15 @@ def paged_decode_xla(
     S = block_tables.shape[1] * bs
     k = k.reshape(B, S, hkv, d)
     v = v.reshape(B, S, hkv, d)
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
 
-    qf = q.astype(jnp.float32) * scale
-    scores = jnp.einsum("bhd,bshd->bhs", qf, k.astype(jnp.float32))
+    qf = (q.astype(jnp.float32) * scale).reshape(B, hkv, n_rep, d)
+    scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32))
     if logit_cap:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
-    kv_pos = jnp.arange(S)[None, None, :]
-    mask = kv_pos < kv_lens[:, None, None]
+    kv_pos = jnp.arange(S)[None, None, None, :]
+    mask = kv_pos < kv_lens[:, None, None, None]
     if sliding_window is not None:
-        mask &= kv_pos >= (kv_lens[:, None, None] - sliding_window)
+        mask &= kv_pos >= (kv_lens[:, None, None, None] - sliding_window)
     probs = _masked_softmax(scores, mask)
-    out = jnp.einsum("bhs,bshd->bhd", probs, v.astype(jnp.float32))
-    return out.astype(q.dtype)
+    out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, Hq, d).astype(q.dtype)

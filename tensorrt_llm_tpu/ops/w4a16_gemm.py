@@ -34,12 +34,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tensorrt_llm_tpu.quantization.quantize import W4_PAIR_WIDTH, dequantize_w4
+from tensorrt_llm_tpu.quantization.quantize import dequantize_w4, pack_group_for
 from tensorrt_llm_tpu.utils import cdiv, is_tpu_backend, round_up
 
-# Output-column block = 2 * pair width: one packed [BK, 128] int8 tile expands
-# to a [BK, 256] weight tile.
-BLOCK_N = 2 * W4_PAIR_WIDTH
+BLOCK_N = 256  # default/fallback output-column block
 
 _ACTIVATIONS = {
     None: lambda x: x,
@@ -51,11 +49,11 @@ _ACTIVATIONS = {
 
 def _w4a16_kernel(
     x_ref,        # [BM, BK] bf16
-    p_ref,        # [BK, 128] int8 (packed nibbles)
-    s_ref,        # [total_groups, BLOCK_N] f32 scales (full group dim)
+    p_ref,        # [BK//2, BN] int8 (K-paired packed nibbles)
+    s_ref,        # [total_groups, BN] f32 scales (full group dim)
     *rest,        # optional z_ref, optional b_ref, then out_ref, acc_ref
-    n_groups: int,
-    group_rows: int,
+    n_chunks: int,
+    pack_group: int,
     per_channel: bool,
     has_zeros: bool,
     has_bias: bool,
@@ -75,22 +73,23 @@ def _w4a16_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Sign-extend nibbles: low = (b << 4) >> 4, high = b >> 4 (arithmetic).
-    p32 = p_ref[:].astype(jnp.int32)
-    lo = jnp.left_shift(p32, 28) >> 28
-    hi = jnp.left_shift(p32, 24) >> 28
-    w = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # [BK, 2*128]
-
     acc = acc_ref[:]
-    for g in range(n_groups):
-        x_g = x_ref[:, g * group_rows:(g + 1) * group_rows]
-        w_g = w[g * group_rows:(g + 1) * group_rows, :]
-        partial = jnp.dot(x_g, w_g, preferred_element_type=jnp.float32)
-        row = 0 if per_channel else k_idx * n_groups + g
-        s_g = s_ref[pl.ds(row, 1), :]  # [1, BLOCK_N]
+    Gp, Gh = pack_group, pack_group // 2
+    for c in range(n_chunks):
+        # Sign-extend nibbles: low = (b << 4) >> 4, high = b >> 4 (arithmetic
+        # shifts); rows land in natural order — lo covers the chunk's first
+        # half rows, hi the second half (see quantize.pack_w4).
+        p32 = p_ref[c * Gh:(c + 1) * Gh, :].astype(jnp.int32)
+        lo = jnp.left_shift(p32, 28) >> 28
+        hi = jnp.left_shift(p32, 24) >> 28
+        w_c = jnp.concatenate([lo, hi], axis=0).astype(jnp.bfloat16)  # [Gp, BN]
+        x_c = x_ref[:, c * Gp:(c + 1) * Gp]
+        partial = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        row = 0 if per_channel else k_idx * n_chunks + c
+        s_g = s_ref[pl.ds(row, 1), :]  # [1, BN]
         acc = acc + partial * s_g
         if has_zeros:
-            xsum = jnp.sum(x_g.astype(jnp.float32), axis=1, keepdims=True)
+            xsum = jnp.sum(x_c.astype(jnp.float32), axis=1, keepdims=True)
             acc = acc - xsum * (s_g * z_ref[pl.ds(row, 1), :])
     acc_ref[:] = acc
 
@@ -103,7 +102,7 @@ def _w4a16_kernel(
         out_ref[:] = r.astype(out_dtype)
 
 
-def _pick_block_k(K: int, G: int, max_block_k: int = 512) -> int:
+def _pick_block_k(K: int, G: int, max_block_k: int = 4096) -> int:
     """Largest multiple of G that divides K, capped at max_block_k."""
     if G >= K:
         # per-channel: any divisor of K that is lane-tile friendly
@@ -121,7 +120,8 @@ def _pick_block_k(K: int, G: int, max_block_k: int = 512) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("activation", "out_dtype", "block_m", "block_k", "interpret"),
+    static_argnames=("activation", "out_dtype", "block_m", "block_k",
+                     "block_n", "interpret"),
 )
 def _w4a16_matmul_pallas(
     x: jax.Array,
@@ -133,21 +133,23 @@ def _w4a16_matmul_pallas(
     out_dtype,
     block_m: int,
     block_k: int,
+    block_n: int,
     interpret: bool,
 ):
     M, K = x.shape
-    N = packed.shape[1] * 2
+    N = packed.shape[1]
     n_scale_groups = scales.shape[0]
     G = K // n_scale_groups
+    Gp = pack_group_for(K, n_scale_groups)
 
-    BM, BK, BN = block_m, block_k, BLOCK_N
-    n_groups = BK // G if G < K else 1
-    group_rows = G if G < K else BK
+    BM, BK, BN = block_m, block_k, block_n
+    assert BK % Gp == 0 and K % BK == 0 and N % BN == 0, (BK, Gp, K, N, BN)
+    n_chunks = BK // Gp
     n_m, n_n, n_k = cdiv(M, BM), N // BN, K // BK
 
     in_specs = [
         pl.BlockSpec((BM, BK), lambda i, j, k: (i, k)),
-        pl.BlockSpec((BK, BN // 2), lambda i, j, k: (k, j)),
+        pl.BlockSpec((BK // 2, BN), lambda i, j, k: (k, j)),
     ]
     # Scales/zeros: TPU blocks need sublane multiples of 8 (or the full dim),
     # so we hand the kernel the *entire* group dim for this column block (it
@@ -165,8 +167,8 @@ def _w4a16_matmul_pallas(
 
     kernel = functools.partial(
         _w4a16_kernel,
-        n_groups=n_groups,
-        group_rows=group_rows,
+        n_chunks=n_chunks,
+        pack_group=Gp,
         per_channel=G >= K,
         has_zeros=zeros is not None,
         has_bias=bias is not None,
@@ -226,13 +228,14 @@ def w4a16_matmul(
     out_dtype=None,
     block_m: Optional[int] = None,
     block_k: Optional[int] = None,
+    block_n: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused dequant-GEMM: ``act(x @ deq(packed, scales, zeros) + bias)``.
 
     Args:
       x: ``[..., K]`` activations (any float dtype; computed in bf16).
-      packed: ``[K, N//2]`` int8 nibble-packed int4 weights (see pack_w4).
+      packed: ``[K//2, N]`` int8 K-paired int4 weights (see pack_w4).
       scales: ``[K//G, N]`` f32 per-group scales (G may equal K: per-channel).
       zeros: optional ``[K//G, N]`` f32 zero points (same signed domain as q).
       bias: optional ``[N]``.
@@ -241,28 +244,30 @@ def w4a16_matmul(
     out_dtype = out_dtype or x.dtype
     lead = x.shape[:-1]
     K = x.shape[-1]
-    N = packed.shape[1] * 2
+    N = packed.shape[1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+    Gp = pack_group_for(K, n_scale_groups)
     use_pallas = is_tpu_backend() if interpret is None else True
-    if N % BLOCK_N != 0 or K % 128 != 0:
+    if N % 128 != 0 or K % max(Gp, 128) != 0 or Gp % 2 != 0:
         use_pallas = False
     if not use_pallas:
         out = w4a16_matmul_xla(x2, packed, scales, zeros, bias, activation,
                                out_dtype)
         return out.reshape(*lead, N)
 
-    n_scale_groups = scales.shape[0]
-    G = K // n_scale_groups
-    bk = block_k or _pick_block_k(K, G)
+    bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
+    bn = block_n or next(b for b in (512, 384, 256, 128) if N % b == 0)
     bm = block_m or min(256, max(16, round_up(M, 16)))
     Mp = round_up(M, bm)
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     out = _w4a16_matmul_pallas(
         x2, packed, scales, zeros, bias, activation, out_dtype,
-        bm, bk, bool(interpret))
+        bm, bk, bn, bool(interpret))
     if Mp != M:
         out = out[:M]
     return out.reshape(*lead, N)

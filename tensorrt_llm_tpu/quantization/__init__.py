@@ -5,5 +5,5 @@ from tensorrt_llm_tpu.quantization.quantize import (  # noqa: F401
     pack_w4,
     unpack_w4,
     dequantize_w4,
-    W4_PAIR_WIDTH,
+    pack_group_for,
 )

@@ -5,13 +5,18 @@ TPU-native counterpart of the reference's offline weight preprocessor
 `preprocess_weights_for_mixed_gemm`, `add_bias_and_interleave_…`): where the
 reference permutes rows and interleaves nibbles to match tensor-core `ldmatrix`
 fetch patterns, we pick a packing whose *unpack* is pure lane-local shift/mask
-on int8 and whose unpacked column order is already correct for the MXU:
+on int8 and whose unpacked row order is already correct for the MXU:
 
-  For every chunk of ``2*P`` logical output columns (P = 128, one lane tile),
-  packed byte ``[k, c]`` holds column ``base+c`` of W in its LOW nibble and
-  column ``base+P+c`` in its HIGH nibble.  A kernel block that reads a
-  ``[BK, P]`` int8 tile recovers the ``[BK, 2P]`` weight tile as
-  ``concat([lo, hi], axis=1)`` — no interleave, no permutation.
+  Rows are paired ALONG K within each quantization group: for a group of G
+  rows, packed byte ``[g*G/2 + r, n]`` holds row ``g*G + r`` of W in its LOW
+  nibble and row ``g*G + G/2 + r`` in its HIGH nibble.  A kernel reading a
+  ``[G/2, BN]`` int8 tile recovers the ``[G, BN]`` weight tile as
+  ``concat([lo, hi], axis=0)`` — rows land in natural order, no interleave.
+
+Why K-pairing (not N-pairing): tensor-parallel sharding slices weights along
+N (column-parallel) at arbitrary 128-column granularity and along K
+(row-parallel) at group granularity — K-pairing inside a group survives both
+without repacking.
 
 Values are stored as *signed* int4 in int8 nibbles (two's complement), so
 in-kernel extraction is ``(b << 4) >> 4`` (low) and ``b >> 4`` (high) with
@@ -25,8 +30,20 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-# Lane-pair width: columns (c, c+P) within each 2P chunk share a byte.
-W4_PAIR_WIDTH = 128
+# Pairing chunk for per-channel (group == K) quantization.
+W4_DEFAULT_PACK_GROUP = 256
+
+
+def pack_group_for(K: int, n_scale_groups: int) -> int:
+    """Row-pairing chunk: the scale group when per-group, else the largest
+    power of two <= 256 dividing K (per-channel)."""
+    G = K // n_scale_groups
+    if G < K:
+        return G
+    gp = W4_DEFAULT_PACK_GROUP
+    while gp > 2 and K % gp:
+        gp //= 2
+    return gp
 
 
 def quantize_w4(
@@ -77,43 +94,45 @@ def quantize_w8(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scales.astype(jnp.float32)
 
 
-def pack_w4(q: jax.Array, pair_width: int = W4_PAIR_WIDTH) -> jax.Array:
-    """Pack signed-int4 values ``[K, N]`` into int8 nibbles ``[K, N//2]``.
+def pack_w4(q: jax.Array, pack_group: int = 128) -> jax.Array:
+    """Pack signed-int4 values ``[K, N]`` into int8 nibbles ``[K//2, N]``.
 
-    Column pairing is block-local (see module docstring): within each chunk of
-    ``2*pair_width`` columns, byte c = (col base+c) | (col base+P+c) << 4.
+    Row pairing per chunk of `pack_group` rows (see module docstring):
+    packed[c*Gp/2 + r, n] = (q[c*Gp + r, n] & 0xF) | (q[c*Gp + Gp/2 + r, n] << 4).
     """
     K, N = q.shape
-    P = pair_width
-    assert N % (2 * P) == 0, f"N={N} must be a multiple of {2*P}"
-    qc = q.reshape(K, N // (2 * P), 2, P)
-    lo = qc[:, :, 0, :].astype(jnp.int32) & 0xF
-    hi = qc[:, :, 1, :].astype(jnp.int32) & 0xF
+    Gp = pack_group
+    assert K % Gp == 0 and Gp % 2 == 0, (K, Gp)
+    qc = q.reshape(K // Gp, 2, Gp // 2, N)
+    lo = qc[:, 0].astype(jnp.int32) & 0xF
+    hi = qc[:, 1].astype(jnp.int32) & 0xF
     packed = (lo | (hi << 4)).astype(jnp.uint8).astype(jnp.int8)
-    return packed.reshape(K, N // 2)
+    return packed.reshape(K // 2, N)
 
 
-def unpack_w4(packed: jax.Array, pair_width: int = W4_PAIR_WIDTH) -> jax.Array:
+def unpack_w4(packed: jax.Array, pack_group: int = 128) -> jax.Array:
     """Inverse of :func:`pack_w4` → signed int8 values in [-8, 7], ``[K, N]``."""
-    K, half = packed.shape
-    P = pair_width
-    assert half % P == 0
-    p32 = packed.astype(jnp.int32).reshape(K, half // P, P)
+    half, N = packed.shape
+    Gp = pack_group
+    assert half % (Gp // 2) == 0
+    p32 = packed.astype(jnp.int32).reshape(half // (Gp // 2), Gp // 2, N)
     lo = jnp.left_shift(p32, 28) >> 28  # arithmetic: sign-extend low nibble
     hi = jnp.left_shift(p32, 24) >> 28  # sign-extend high nibble
-    out = jnp.stack([lo, hi], axis=2)  # [K, chunks, 2, P]
-    return out.reshape(K, 2 * half).astype(jnp.int8)
+    out = jnp.concatenate([lo, hi], axis=1)  # [chunks, Gp, N]
+    return out.reshape(2 * half, N).astype(jnp.int8)
 
 
 def dequantize_w4(
     packed: jax.Array,
     scales: jax.Array,
     zeros: Optional[jax.Array] = None,
-    pair_width: int = W4_PAIR_WIDTH,
+    pack_group: Optional[int] = None,
 ) -> jax.Array:
     """Full dequantization to f32 ``[K, N]`` (reference path for tests)."""
-    q = unpack_w4(packed, pair_width).astype(jnp.float32)
-    K, N = q.shape
+    K = packed.shape[0] * 2
+    Gp = pack_group or pack_group_for(K, scales.shape[0])
+    q = unpack_w4(packed, Gp).astype(jnp.float32)
+    N = q.shape[1]
     G = K // scales.shape[0]
     qg = q.reshape(K // G, G, N)
     if zeros is not None:

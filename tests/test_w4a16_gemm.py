@@ -24,11 +24,12 @@ BF16_MULT = 3.0
 
 
 def make_case(key, M, K, N, group_size, symmetric):
+    from tensorrt_llm_tpu.quantization import pack_group_for
     k1, k2 = jax.random.split(key)
     x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
     w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
     q, scales, zeros = quantize_w4(w, group_size, symmetric=symmetric)
-    packed = pack_w4(q)
+    packed = pack_w4(q, pack_group_for(K, scales.shape[0]))
     return x, w, q, packed, scales, zeros
 
 
@@ -48,7 +49,7 @@ def test_pack_unpack_roundtrip():
     key = jax.random.PRNGKey(0)
     q = jax.random.randint(key, (256, 512), -8, 8, jnp.int8)
     packed = pack_w4(q)
-    assert packed.shape == (256, 256)
+    assert packed.shape == (128, 512)
     assert np.array_equal(np.asarray(unpack_w4(packed)), np.asarray(q))
 
 
