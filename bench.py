@@ -47,9 +47,12 @@ def bench_w4a16_shape(M, K, N, rtt, inner=200):
         return jnp.sum(jax.lax.fori_loop(0, inner, body, x0))
 
     float(chained(x, p, s))  # compile+warm
-    t0 = time.perf_counter()
-    float(chained(x, p, s))
-    dt = (time.perf_counter() - t0 - rtt) / inner
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(x, p, s))
+        times.append((time.perf_counter() - t0 - rtt) / inner)
+    dt = sorted(times)[1]  # median of 3 (the tunnel adds jitter)
     return (K * N / 2) / dt  # weight-stream bytes/sec
 
 

@@ -1,0 +1,43 @@
+"""`trtllm-tpu-serve` — OpenAI-compatible serving CLI.
+
+Counterpart of the reference's `trtllm-serve` (commands/serve.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("trtllm-tpu-serve")
+    p.add_argument("model", help="HF checkpoint path")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--tp-size", type=int, default=1)
+    p.add_argument("--max-batch-size", type=int, default=64)
+    p.add_argument("--max-num-tokens", type=int, default=2048)
+    p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--quant", default=None,
+                   help="W4A16 | W4A16_AWQ | W4A16_GPTQ | W8A16")
+    p.add_argument("--kv-block-size", type=int, default=16)
+    p.add_argument("--served-model-name", default=None)
+    args = p.parse_args(argv)
+
+    from tensorrt_llm_tpu.llmapi import LLM
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    llm = LLM(
+        model=args.model,
+        tensor_parallel_size=args.tp_size,
+        max_batch_size=args.max_batch_size,
+        max_num_tokens=args.max_num_tokens,
+        max_seq_len=args.max_seq_len,
+        quant_algo=args.quant,
+        kv_block_size=args.kv_block_size,
+    )
+    server = OpenAIServer(llm, args.served_model_name or args.model)
+    server.run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

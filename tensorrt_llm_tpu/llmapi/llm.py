@@ -177,6 +177,42 @@ class LLM:
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
 
+    # ------------------------------------------------------------------ scoring ---
+    def score(self, token_ids) -> List[float]:
+        """Teacher-forced log-probs: logprob of token_ids[i+1] given the
+        prefix token_ids[:i+1] (used by the perplexity eval task)."""
+        import jax.nn
+
+        ids = list(token_ids)
+        assert len(ids) >= 2, "need at least 2 tokens to score"
+        engine, kv = self.engine, self.kv_manager
+        req = LlmRequest(ids, SamplingParams(max_tokens=1))
+        kv.add_sequence(req.request_id, ids)
+        req.start_context()
+        out = []
+        try:
+            pos = 0
+            max_chunk = engine.prefill_buckets[-1]
+            while pos < len(ids):
+                chunk = min(len(ids) - pos, max_chunk)
+                kv.grow_sequence(req.request_id, pos + chunk)
+                inputs = engine.prepare_prefill_inputs(req, chunk)
+                # all positions of this chunk, not just the last
+                inputs.logit_indices = np.arange(len(inputs.input_ids),
+                                                 dtype=np.int32)
+                logits = engine.run_prefill(inputs)
+                lp = jax.nn.log_softmax(
+                    jnp.asarray(logits[:chunk], jnp.float32), axis=-1)
+                # logits at row i predict token ids[pos+i+1]
+                nxt = ids[pos + 1: pos + chunk + 1]
+                rows = np.arange(len(nxt))
+                out.extend(np.asarray(lp)[rows, nxt].tolist())
+                req.context_position += chunk
+                pos += chunk
+        finally:
+            kv.free_sequence(req.request_id)
+        return out
+
     # ------------------------------------------------------------------ misc ------
     @property
     def tokenizer(self):

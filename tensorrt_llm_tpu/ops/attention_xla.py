@@ -21,18 +21,22 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def write_kv_cache(
-    k_cache: jax.Array,   # [NB, BS, H, D]
+    k_cache: jax.Array,   # [NB, H, BS, D] (head-major pages)
     v_cache: jax.Array,
     k_new: jax.Array,     # [T, H, D]
     v_new: jax.Array,
     slot_mapping: jax.Array,  # [T] int32 flat slots; OOB slots are dropped
 ) -> Tuple[jax.Array, jax.Array]:
-    nb, bs, h, d = k_cache.shape
-    kf = k_cache.reshape(nb * bs, h, d)
-    vf = v_cache.reshape(nb * bs, h, d)
-    kf = kf.at[slot_mapping].set(k_new.astype(kf.dtype), mode="drop")
-    vf = vf.at[slot_mapping].set(v_new.astype(vf.dtype), mode="drop")
-    return kf.reshape(k_cache.shape), vf.reshape(v_cache.shape)
+    nb, h, bs, d = k_cache.shape
+    pages = slot_mapping // bs
+    offs = slot_mapping % bs
+    # OOB pages (padding rows use a huge slot) are dropped by scatter mode.
+    pages = jnp.where(slot_mapping >= nb * bs, nb, pages)
+    k_cache = k_cache.at[pages, :, offs, :].set(
+        k_new.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[pages, :, offs, :].set(
+        v_new.astype(v_cache.dtype), mode="drop")
+    return k_cache, v_cache
 
 
 def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
@@ -97,9 +101,10 @@ def paged_prefill_xla(
     logit_cap: Optional[float] = None,
 ) -> jax.Array:
     """Chunked-prefill attention for one sequence against its paged KV."""
-    nb, bs, h, d = k_cache.shape
-    k = k_cache[block_table].reshape(-1, h, d)  # [max_blocks*BS, H, D]
-    v = v_cache[block_table].reshape(-1, h, d)
+    nb, h, bs, d = k_cache.shape
+    # [MB, H, BS, D] -> [MB*BS, H, D]
+    k = k_cache[block_table].transpose(0, 2, 1, 3).reshape(-1, h, d)
+    v = v_cache[block_table].transpose(0, 2, 1, 3).reshape(-1, h, d)
     return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
                    kv_len=kv_len, sliding_window=sliding_window,
                    logit_cap=logit_cap)
@@ -120,15 +125,15 @@ def paged_decode_xla(
     GQA is expressed as a grouped einsum ('g' = query heads per KV head) so
     the gathered KV is never materialized per query head.
     """
-    nb, bs, hkv, d = k_cache.shape
+    nb, hkv, bs, d = k_cache.shape
     B, Hq, _ = q.shape
     n_rep = Hq // hkv
 
-    k = k_cache[block_tables]  # [B, MB, BS, Hkv, D]
+    k = k_cache[block_tables]  # [B, MB, Hkv, BS, D]
     v = v_cache[block_tables]
     S = block_tables.shape[1] * bs
-    k = k.reshape(B, S, hkv, d)
-    v = v.reshape(B, S, hkv, d)
+    k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
 
     qf = (q.astype(jnp.float32) * scale).reshape(B, hkv, n_rep, d)
     scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32))

@@ -1,0 +1,230 @@
+"""Pallas paged decode attention.
+
+TPU-native replacement for the reference's decode-time masked MHA / XQA
+kernels (`cpp/.../kernels/decoderMaskedMultiheadAttention/`,
+`DecoderXQARunner` decoderXQARunner.h): one query token per sequence attends
+its paged KV cache.
+
+Design (the Pallas analog of the reference's block-offset tensors):
+  * block tables + kv lens ride as SCALAR-PREFETCH operands, available before
+    the kernel body, so page DMAs are issued from dynamic page ids;
+  * the grid is (batch, kv_tiles); each step DMAs `pages_per_tile` pages
+    (contiguous [Hkv, BS, D] chunks — the cache is stored head-major) into a
+    double-buffered VMEM scratch while the previous tile computes;
+  * online-softmax state (m, l, acc) lives in VMEM scratch and is carried
+    across the kv_tile grid dimension (same revisiting trick as the W4A16
+    accumulator);
+  * GQA: all `G = Hq/Hkv` query heads of a KV head are one MXU row-block.
+
+Tail handling: tiles past a sequence's kv_len are skipped entirely (no DMA,
+no compute); the partial tile masks by absolute kv position.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorrt_llm_tpu.utils import cdiv
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _paged_decode_kernel(
+    # scalar prefetch
+    bt_ref,       # [B, MB] int32 page ids
+    kvlen_ref,    # [B] int32
+    # inputs
+    q_ref,        # [1, Hq, D] VMEM (this sequence's query)
+    k_hbm,        # [NB, Hkv, BS, D] ANY/HBM
+    v_hbm,
+    # outputs
+    o_ref,        # [1, Hq, D] VMEM
+    # scratch
+    k_buf,        # [2, Hkv, TS, D] VMEM
+    v_buf,
+    m_buf,        # [Hq, 128] f32
+    l_buf,        # [Hq, 128] f32
+    acc_buf,      # [Hq, D] f32
+    k_sems,       # DMA sems [2, PPT]
+    v_sems,
+    *,
+    tile_size: int,
+    page_size: int,
+    n_kv_heads: int,
+    scale: float,
+    sliding_window: Optional[int],
+    logit_cap: Optional[float],
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    TS, BS = tile_size, page_size
+    PPT = TS // BS
+    kv_len = kvlen_ref[b]
+    n_tiles = pl.cdiv(kv_len, TS)  # dynamic
+
+    def start_tile_dma(tile, slot):
+        """Issue PPT page DMAs for `tile` into buffer `slot`."""
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            pltpu.make_async_copy(
+                k_hbm.at[page],                       # [Hkv, BS, D]
+                k_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[page],
+                v_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                v_sems.at[slot, p],
+            ).start()
+
+    def wait_tile_dma(tile, slot):
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            pltpu.make_async_copy(
+                k_hbm.at[page], k_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                v_sems.at[slot, p]).wait()
+
+    @pl.when(t == 0)
+    def _init():
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+        start_tile_dma(0, 0)
+
+    # prefetch next tile while this one computes
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch():
+        start_tile_dma(t + 1, (t + 1) % 2)
+
+    @pl.when(t < n_tiles)
+    def _compute():
+        slot = t % 2
+        wait_tile_dma(t, slot)
+
+        Hq = q_ref.shape[1]
+        D = q_ref.shape[2]
+        G = Hq // n_kv_heads
+        q = q_ref[0].astype(jnp.float32) * scale  # [Hq, D]
+
+        kv_pos = t * TS + jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
+        valid = kv_pos < kv_len
+        if sliding_window is not None:
+            valid &= kv_pos >= kv_len - sliding_window
+
+        m_prev = m_buf[:, :1]          # [Hq, 1]
+        l_prev = l_buf[:, :1]
+        acc_prev = acc_buf[:]
+
+        m_rows, l_rows, acc_rows = [], [], []
+        for h in range(n_kv_heads):
+            k_h = k_buf[slot, h]       # [TS, D]
+            v_h = v_buf[slot, h]
+            q_h = q[h * G:(h + 1) * G, :].astype(jnp.bfloat16)  # [G, D]
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, TS]
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_p = m_prev[h * G:(h + 1) * G]
+            l_p = l_prev[h * G:(h + 1) * G]
+            a_p = acc_prev[h * G:(h + 1) * G]
+            m_c = jnp.max(s, axis=1, keepdims=True)          # [G, 1]
+            m_n = jnp.maximum(m_p, m_c)
+            p_ = jnp.exp(s - m_n)                            # [G, TS]
+            alpha = jnp.exp(m_p - m_n)
+            l_n = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
+            pv = jnp.dot(p_.astype(jnp.bfloat16), v_h,
+                         preferred_element_type=jnp.float32)  # [G, D]
+            a_n = a_p * alpha + pv
+            m_rows.append(m_n)
+            l_rows.append(l_n)
+            acc_rows.append(a_n)
+
+        m_buf[:, :1] = jnp.concatenate(m_rows, axis=0)
+        l_buf[:, :1] = jnp.concatenate(l_rows, axis=0)
+        acc_buf[:] = jnp.concatenate(acc_rows, axis=0)
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        l = l_buf[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_buf[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logit_cap", "tile_size",
+                     "interpret"),
+)
+def paged_decode_attention(
+    q: jax.Array,             # [B, Hq, D]
+    k_cache: jax.Array,       # [NB, Hkv, BS, D]
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # [B, MB] int32
+    kv_lens: jax.Array,       # [B] int32
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+    tile_size: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    B, Hq, D = q.shape
+    NB, Hkv, BS, _ = k_cache.shape
+    MB = block_tables.shape[1]
+    TS = min(tile_size, MB * BS)
+    # tile must be a whole number of pages and divide the table
+    TS = max(BS, (TS // BS) * BS)
+    while (MB * BS) % TS:
+        TS -= BS
+    PPT = TS // BS
+    n_tiles = (MB * BS) // TS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hkv, TS, D), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, TS, D), v_cache.dtype),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, 128), jnp.float32),
+            pltpu.VMEM((Hq, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, PPT)),
+            pltpu.SemaphoreType.DMA((2, PPT)),
+        ],
+    )
+    kernel = functools.partial(
+        _paged_decode_kernel,
+        tile_size=TS,
+        page_size=BS,
+        n_kv_heads=Hkv,
+        scale=scale,
+        sliding_window=sliding_window,
+        logit_cap=logit_cap,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_tables, kv_lens, q, k_cache, v_cache)

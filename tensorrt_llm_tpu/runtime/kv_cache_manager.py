@@ -84,9 +84,14 @@ class KVCacheManager:
 
     # ------------------------------------------------------------------ pools --
     def allocate_pools(self, dtype=None) -> List[Tuple[jax.Array, jax.Array]]:
-        """Create device pools (call under the target mesh/sharding ctx)."""
+        """Create device pools (call under the target mesh/sharding ctx).
+
+        Layout is head-major pages ``[NB, Hkv, BS, D]``: one page is a
+        contiguous HBM chunk and each head's slice of a page is a contiguous
+        ``[BS, D]`` tile — what the Pallas paged-attention kernel DMAs.
+        """
         dtype = dtype or self.cfg.dtype
-        shape = (self.num_blocks, self.block_size, self.num_kv_heads,
+        shape = (self.num_blocks, self.num_kv_heads, self.block_size,
                  self.head_dim)
         caches = []
         for _ in range(self.num_layers):

@@ -16,6 +16,7 @@ activations replicated, collectives explicit in the layers.
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -103,7 +104,7 @@ class ModelEngine:
                 lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
             self.params = jax.device_put(params, shardings)
-            cache_sharding = NamedSharding(self.mesh, P(None, None, "tp", None))
+            cache_sharding = NamedSharding(self.mesh, P(None, "tp", None, None))
             self.kv_caches = [
                 tuple(jax.device_put(c, cache_sharding) for c in layer)
                 for layer in kv_manager.allocate_pools()]
@@ -114,6 +115,9 @@ class ModelEngine:
             self._param_specs = None
 
         self._fns = {}  # (mode,) -> jitted step
+        # guards kv_caches swaps between the executor thread and direct
+        # callers (LLM.score, warmup)
+        self.lock = threading.Lock()
 
     # ------------------------------------------------------------------ step fns --
     def _make_step_fn(self, mode: str):
@@ -134,7 +138,7 @@ class ModelEngine:
             return logits, new_caches
 
         if self.mesh is not None:
-            cache_spec = [(P(None, None, "tp", None),) * 2] * len(self.kv_caches)
+            cache_spec = [(P(None, "tp", None, None),) * 2] * len(self.kv_caches)
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
@@ -153,6 +157,10 @@ class ModelEngine:
     def run_decode(self, inputs: StepInputs) -> np.ndarray:
         """Run one decode step; returns logits [B_real, V]."""
         fn = self._get_fn("decode")
+        with self.lock:
+            return self._run(fn, inputs)
+
+    def _run(self, fn, inputs: StepInputs):
         logits, self.kv_caches = fn(
             self.params, self.kv_caches,
             jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
@@ -164,21 +172,27 @@ class ModelEngine:
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
         """Run one prefill chunk (single sequence); returns logits [1, V]."""
         fn = self._get_fn("prefill")
-        logits, self.kv_caches = fn(
-            self.params, self.kv_caches,
-            jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
-            jnp.asarray(inputs.slot_mapping), jnp.asarray(inputs.block_tables),
-            jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
-            jnp.asarray(inputs.logit_indices))
-        return logits
+        with self.lock:
+            return self._run(fn, inputs)
 
     # ------------------------------------------------------------------ input prep --
+    def _table_bucket(self, reqs) -> int:
+        """Pad block tables to a power-of-two page count >= the batch max —
+        cuts the XLA gather's padded-KV waste (the reference pads to the
+        CUDA-graph capture size the same way)."""
+        need = max((cdiv(r.num_tokens, self.kv_manager.block_size)
+                    for r in reqs), default=1)
+        mb = 8
+        while mb < need:
+            mb *= 2
+        return min(mb, self.max_blocks_per_seq)
+
     def prepare_decode_inputs(self, reqs) -> StepInputs:
         """Assemble padded decode inputs for a batch of generating requests."""
         kv = self.kv_manager
         B = len(reqs)
         Bp = pick_bucket(B, self.decode_buckets)
-        MB = self.max_blocks_per_seq
+        MB = self._table_bucket(reqs)
         input_ids = np.zeros(Bp, np.int32)
         positions = np.zeros(Bp, np.int32)
         slots = np.full(Bp, PAD_SLOT, np.int32)

@@ -1,0 +1,204 @@
+"""OpenAI-compatible HTTP server.
+
+Counterpart of the reference's `OpenAIServer` (`serve/openai_server.py:82`,
+routes :255-290): /v1/completions, /v1/chat/completions (+SSE streaming),
+/v1/models, /health, /metrics, /kv_cache_events, /perf_metrics.
+
+Built on aiohttp (this image carries no fastapi); generation runs in the
+executor's background thread, so request handlers only await queue reads.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from tensorrt_llm_tpu.llmapi.llm import LLM
+from tensorrt_llm_tpu.serve.openai_protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    chat_chunk,
+    chat_response,
+    completion_response,
+    random_id,
+)
+from tensorrt_llm_tpu.utils import logger
+
+
+class OpenAIServer:
+    def __init__(self, llm: LLM, model_name: str = "tpu-llm"):
+        self.llm = llm
+        self.model_name = model_name
+        self.app = web.Application()
+        self.started_at = time.time()
+        self.app.add_routes([
+            web.get("/health", self.health),
+            web.get("/v1/models", self.models),
+            web.post("/v1/completions", self.completions),
+            web.post("/v1/chat/completions", self.chat_completions),
+            web.get("/metrics", self.metrics),
+            web.get("/perf_metrics", self.perf_metrics),
+            web.get("/kv_cache_events", self.kv_cache_events),
+        ])
+
+    # ------------------------------------------------------------------ misc ----
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": int(self.started_at),
+                      "owned_by": "tensorrt_llm_tpu"}],
+        })
+
+    async def metrics(self, request):
+        """Prometheus-style metrics (reference: /metrics +
+        metrics/collector.py)."""
+        stats = self.llm.executor.stats_history[-1] if \
+            self.llm.executor.stats_history else None
+        kv = self.llm.get_kv_cache_stats()
+        lines = [
+            f"tllm_tpu_total_tokens_generated {self.llm.executor.total_tokens_generated}",
+            f"tllm_tpu_iterations {self.llm.executor.iteration}",
+            f"tllm_tpu_kv_free_blocks {kv['free_blocks']}",
+            f"tllm_tpu_kv_total_blocks {kv['num_blocks']}",
+            f"tllm_tpu_kv_reused_blocks {kv['reused_blocks']}",
+            f"tllm_tpu_active_sequences {kv['active_sequences']}",
+        ]
+        if stats:
+            lines.append(f"tllm_tpu_last_step_ms {stats.step_time_ms:.3f}")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def perf_metrics(self, request):
+        return web.json_response(self.llm.get_stats())
+
+    async def kv_cache_events(self, request):
+        return web.json_response(self.llm.get_kv_cache_stats())
+
+    # ------------------------------------------------------------------ completions
+    async def completions(self, request: web.Request):
+        try:
+            body = CompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=400)
+        prompts = body.prompt if isinstance(body.prompt, list) and \
+            body.prompt and isinstance(body.prompt[0], (str, list)) else [body.prompt]
+        sp = body.to_sampling_params()
+        try:
+            futures = [self.llm.generate_async(p, sp) for p in prompts]
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+        if body.stream:
+            return await self._stream_completion(request, body, futures[0])
+
+        outs = await asyncio.gather(*[
+            asyncio.to_thread(f.result) for f in futures])
+        texts = [o.outputs[0].text for o in outs]
+        reasons = [o.outputs[0].finish_reason for o in outs]
+        p_toks = sum(len(o.prompt_token_ids) for o in outs)
+        c_toks = sum(len(o.outputs[0].token_ids) for o in outs)
+        return web.json_response(completion_response(
+            body, texts, reasons,
+            {"prompt_tokens": p_toks, "completion_tokens": c_toks,
+             "total_tokens": p_toks + c_toks}))
+
+    async def _stream_completion(self, request, body, future):
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        rid = random_id("cmpl")
+        prev_len = 0
+
+        def pieces():
+            for out in future:
+                yield out
+        loop = asyncio.get_event_loop()
+        it = iter(future)
+        while True:
+            out = await asyncio.to_thread(lambda: next(it, None))
+            if out is None:
+                break
+            text = out.outputs[0].text
+            delta = text[prev_len:]
+            prev_len = len(text)
+            chunk = {
+                "id": rid, "object": "text_completion",
+                "created": int(time.time()), "model": body.model,
+                "choices": [{"index": 0, "text": delta,
+                             "finish_reason": out.outputs[0].finish_reason
+                             if out.finished else None}],
+            }
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            if out.finished:
+                break
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # ------------------------------------------------------------------ chat ------
+    def _apply_chat_template(self, messages):
+        tok = self.llm.tokenizer
+        msgs = [{"role": m.role, "content": m.content} for m in messages]
+        if tok is not None and getattr(tok, "chat_template", None):
+            return tok.apply_chat_template(
+                msgs, tokenize=False, add_generation_prompt=True)
+        # fallback template
+        text = ""
+        for m in msgs:
+            text += f"<|{m['role']}|>\n{m['content']}\n"
+        return text + "<|assistant|>\n"
+
+    async def chat_completions(self, request: web.Request):
+        try:
+            body = ChatCompletionRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=400)
+        prompt = self._apply_chat_template(body.messages)
+        sp = body.to_sampling_params()
+        try:
+            future = self.llm.generate_async(prompt, sp, streaming=body.stream)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+
+        if body.stream:
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"})
+            await resp.prepare(request)
+            rid = random_id("chatcmpl")
+            await resp.write(
+                f"data: {json.dumps(chat_chunk(rid, body.model, {'role': 'assistant'}))}\n\n".encode())
+            prev_len = 0
+            it = iter(future)
+            while True:
+                out = await asyncio.to_thread(lambda: next(it, None))
+                if out is None:
+                    break
+                text = out.outputs[0].text
+                delta = text[prev_len:]
+                prev_len = len(text)
+                fr = out.outputs[0].finish_reason if out.finished else None
+                await resp.write(
+                    f"data: {json.dumps(chat_chunk(rid, body.model, {'content': delta}, fr))}\n\n".encode())
+                if out.finished:
+                    break
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        out = await asyncio.to_thread(future.result)
+        p, c = len(out.prompt_token_ids), len(out.outputs[0].token_ids)
+        return web.json_response(chat_response(
+            body, out.outputs[0].text, out.outputs[0].finish_reason,
+            {"prompt_tokens": p, "completion_tokens": c, "total_tokens": p + c}))
+
+    # ------------------------------------------------------------------ run -------
+    def run(self, host: str = "0.0.0.0", port: int = 8000):
+        logger.info("serving OpenAI API on %s:%d", host, port)
+        web.run_app(self.app, host=host, port=port, print=None)

@@ -1,0 +1,65 @@
+"""Pallas paged decode attention vs the XLA gather reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.ops.attention_xla import paged_decode_xla, write_kv_cache
+from tensorrt_llm_tpu.ops.paged_attention import paged_decode_attention
+
+
+def make_cache(key, NB, Hkv, BS, D, dtype=jnp.bfloat16):
+    k1, k2 = jax.random.split(key)
+    k = jax.random.normal(k1, (NB, Hkv, BS, D), dtype)
+    v = jax.random.normal(k2, (NB, Hkv, BS, D), dtype)
+    return k, v
+
+
+@pytest.mark.parametrize("B,Hq,Hkv,D,BS,MB", [
+    (2, 8, 2, 64, 16, 8),
+    (4, 4, 4, 128, 16, 4),
+    (1, 8, 1, 128, 8, 16),
+])
+def test_paged_decode_matches_xla(B, Hq, Hkv, D, BS, MB):
+    key = jax.random.PRNGKey(0)
+    NB = B * MB + 1
+    k_cache, v_cache = make_cache(key, NB, Hkv, BS, D)
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Hq, D), jnp.bfloat16)
+    # each sequence gets its own pages, variable kv lens
+    rng = np.random.RandomState(0)
+    tables = np.zeros((B, MB), np.int32)
+    used = list(range(1, NB))
+    rng.shuffle(used)
+    for b in range(B):
+        tables[b] = used[b * MB:(b + 1) * MB]
+    kv_lens = np.array([rng.randint(1, MB * BS + 1) for _ in range(B)],
+                       np.int32)
+    tables = jnp.asarray(tables)
+    kv_lens_j = jnp.asarray(kv_lens)
+
+    ref = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens_j, scale=0.125)
+    out = paged_decode_attention(q, k_cache, v_cache, tables, kv_lens_j,
+                                 scale=0.125, tile_size=2 * BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_paged_decode_sliding_window():
+    key = jax.random.PRNGKey(2)
+    B, Hq, Hkv, D, BS, MB = 2, 4, 2, 64, 8, 8
+    NB = B * MB + 1
+    k_cache, v_cache = make_cache(key, NB, Hkv, BS, D)
+    q = jax.random.normal(jax.random.PRNGKey(3), (B, Hq, D), jnp.bfloat16)
+    tables = jnp.asarray(
+        np.arange(1, NB).reshape(B, MB).astype(np.int32))
+    kv_lens = jnp.asarray(np.array([40, 64], np.int32))
+    ref = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens, scale=0.125,
+                           sliding_window=16)
+    out = paged_decode_attention(q, k_cache, v_cache, tables, kv_lens,
+                                 scale=0.125, sliding_window=16,
+                                 tile_size=2 * BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)

@@ -1,0 +1,138 @@
+"""OpenAI server + eval harness tests (aiohttp test client, tiny model)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+TINY = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=256)
+
+
+class FakeTokenizer:
+    eos_token_id = 0
+    chat_template = None
+
+    def encode(self, text):
+        return [max(1, min(255, ord(c) % 256)) for c in text[:32]] or [1]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(min(i, 127)) for i in ids)
+
+    def apply_chat_template(self, msgs, tokenize=False,
+                            add_generation_prompt=True):
+        return "\n".join(str(m["content"]) for m in msgs)
+
+
+@pytest.fixture(scope="module")
+def llm():
+    cfg = ModelConfig(**TINY)
+    llm = LLM(model=cfg, tokenizer=FakeTokenizer(), max_seq_len=128,
+              max_batch_size=8, kv_num_blocks=128, kv_block_size=8)
+    yield llm
+    llm.shutdown()
+
+
+@pytest.fixture()
+def client(llm, event_loop=None):
+    from aiohttp.test_utils import TestClient, TestServer
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+    import asyncio
+
+    server = OpenAIServer(llm, "tiny")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    yield tc, loop
+    loop.run_until_complete(tc.close())
+    loop.close()
+
+
+def test_health_and_models(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.get("/health"))
+    assert r.status == 200
+    r = loop.run_until_complete(tc.get("/v1/models"))
+    body = loop.run_until_complete(r.json())
+    assert body["data"][0]["id"] == "tiny"
+
+
+def test_completions(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny", "prompt": "hello", "max_tokens": 5,
+        "ignore_eos": True}))
+    assert r.status == 200, loop.run_until_complete(r.text())
+    body = loop.run_until_complete(r.json())
+    assert body["usage"]["completion_tokens"] == 5
+    assert body["choices"][0]["finish_reason"] == "length"
+
+
+def test_chat_completions(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+        "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "ignore_eos": True}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    assert body["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_chat_streaming(client):
+    tc, loop = client
+
+    async def run():
+        r = await tc.post("/v1/chat/completions", json={
+            "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "stream": True, "ignore_eos": True})
+        assert r.status == 200
+        text = (await r.read()).decode()
+        return text
+    text = loop.run_until_complete(run())
+    chunks = [l for l in text.splitlines() if l.startswith("data: ")]
+    assert chunks[-1] == "data: [DONE]"
+    assert len(chunks) >= 3
+
+
+def test_bad_request(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny"}))  # missing prompt
+    assert r.status == 400
+
+
+def test_metrics(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.get("/metrics"))
+    text = loop.run_until_complete(r.text())
+    assert "tllm_tpu_kv_total_blocks" in text
+
+
+def test_score_and_perplexity(llm, tmp_path):
+    ids = list(np.random.RandomState(0).randint(1, 255, 20))
+    lps = llm.score(ids)
+    assert len(lps) == 19
+    assert all(lp <= 0 for lp in lps)
+
+    # perplexity task end to end
+    from tensorrt_llm_tpu.evaluate import get_task
+    data = tmp_path / "ppl.jsonl"
+    with open(data, "w") as f:
+        for i in range(3):
+            f.write(json.dumps({"token_ids": [
+                int(t) for t in np.random.RandomState(i).randint(1, 255, 16)]}) + "\n")
+    result = get_task("perplexity").evaluate(llm, data_path=str(data),
+                                             num_samples=3)
+    assert result["perplexity"] > 1.0
+
+
+def test_compute_threshold():
+    from tensorrt_llm_tpu.evaluate import compute_threshold
+    t = compute_threshold(num_samples=512, ref_accuracy=75.0)
+    assert 65.0 < t < 75.0
+    # more samples -> tighter threshold
+    assert compute_threshold(4096, 75.0) > t
