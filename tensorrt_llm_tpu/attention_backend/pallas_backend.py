@@ -27,6 +27,7 @@ from tensorrt_llm_tpu.attention_backend.interface import (
 )
 from tensorrt_llm_tpu.attention_backend.xla_backend import XlaAttention
 from tensorrt_llm_tpu.ops.attention_xla import write_kv_cache
+from tensorrt_llm_tpu.ops.flash_prefill import flash_prefill_attention
 from tensorrt_llm_tpu.ops.paged_attention import paged_decode_attention
 
 
@@ -36,6 +37,19 @@ class PallasAttention(XlaAttention):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if meta.mode == "prefill" and os.environ.get("TLLM_FLASH_PREFILL", "1") == "1":
+            k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
+                                              meta.slot_mapping)
+            out = flash_prefill_attention(
+                q, k_cache, v_cache,
+                block_table=meta.block_tables[0],
+                kv_len=meta.kv_lens[0],
+                q_offset=meta.q_offset,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                logit_cap=self.logit_cap,
+            )
+            return out, k_cache, v_cache
         if meta.mode != "decode" or os.environ.get("TLLM_PAGED_KERNEL") != "1":
             return super().__call__(q, k, v, k_cache, v_cache, meta)
         k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+from tensorrt_llm_tpu.parallel.ops import TP_AXES, tp_all_reduce
 
 
 @dataclass
@@ -36,14 +36,14 @@ class Embedding:
 
     def param_specs(self) -> Dict[str, P]:
         if self.vocab_sharded and self.tp_size > 1:
-            return {"weight": P("tp", None)}
+            return {"weight": P(TP_AXES, None)}
         return {"weight": P(None, None)}
 
     def __call__(self, params, token_ids: jax.Array) -> jax.Array:
         w = params["weight"]
         if self.vocab_sharded and self.tp_size > 1:
             per_rank = self.vocab_size // self.tp_size
-            rank = jax.lax.axis_index("tp")
+            rank = jax.lax.axis_index(TP_AXES)
             local = token_ids - rank * per_rank
             in_range = (local >= 0) & (local < per_rank)
             local = jnp.clip(local, 0, per_rank - 1)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tensorrt_llm_tpu.ops.w4a16_gemm import _ACTIVATIONS, w4a16_matmul
-from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+from tensorrt_llm_tpu.parallel.ops import TP_AXES, tp_all_reduce
 from tensorrt_llm_tpu.quantization import (
     QuantAlgo, QuantConfig, pack_group_for, pack_w4, quantize_w4, quantize_w8)
 
@@ -46,7 +46,7 @@ class LinearMethodBase:
 
     @staticmethod
     def _bias_spec(tp_mode: str) -> P:
-        return P("tp") if tp_mode == "column" else P(None)
+        return P(TP_AXES) if tp_mode == "column" else P(None)
 
 
 class UnquantizedLinearMethod(LinearMethodBase):
@@ -64,7 +64,7 @@ class UnquantizedLinearMethod(LinearMethodBase):
         return _ACTIVATIONS[activation](out).astype(x.dtype)
 
     def param_specs(self, tp_mode):
-        wspec = {"column": P(None, "tp"), "row": P("tp", None)}.get(tp_mode, P(None, None))
+        wspec = {"column": P(None, TP_AXES), "row": P(TP_AXES, None)}.get(tp_mode, P(None, None))
         return {"weight": wspec, "bias": self._bias_spec(tp_mode)}
 
 
@@ -111,9 +111,9 @@ class W4A16LinearMethod(LinearMethodBase):
 
     def param_specs(self, tp_mode):
         if tp_mode == "column":
-            w, s = P(None, "tp"), P(None, "tp")
+            w, s = P(None, TP_AXES), P(None, TP_AXES)
         elif tp_mode == "row":
-            w, s = P("tp", None), P("tp", None)
+            w, s = P(TP_AXES, None), P(TP_AXES, None)
         else:
             w, s = P(None, None), P(None, None)
         return {"qweight": w, "scales": s, "zeros": s,
@@ -141,9 +141,9 @@ class W8A16LinearMethod(LinearMethodBase):
 
     def param_specs(self, tp_mode):
         if tp_mode == "column":
-            w, s = P(None, "tp"), P("tp")
+            w, s = P(None, TP_AXES), P(TP_AXES)
         elif tp_mode == "row":
-            w, s = P("tp", None), P(None)
+            w, s = P(TP_AXES, None), P(None)
         else:
             w, s = P(None, None), P(None)
         return {"qweight": w, "scales": s, "bias": self._bias_spec(tp_mode)}

@@ -1,0 +1,172 @@
+"""Mixture-of-Experts layer.
+
+TPU-native counterpart of the reference's fused-MoE stack
+(`_torch/modules/fused_moe/` — `CutlassFusedMoE` fused_moe_cutlass.py:30,
+routing routing.py, grouped GEMM `cutlass_kernels/moe_gemm/`): instead of a
+CUTLASS grouped GEMM + permute/expand/finalize CUDA kernels, tokens are sorted
+by expert on-device and the expert FFNs run as two `jax.lax.ragged_dot` calls
+(XLA's grouped-GEMM primitive, which tiles ragged groups onto the MXU), with
+the scatter-add finalize fused by XLA.
+
+Parallel factorization mirrors the reference's TPxEP (mapping.py:79-122) as
+mesh structure (parallel/mapping.py):
+  * experts sharded over the "ep" axis — each rank computes only tokens
+    routed to its local experts (others contribute zero),
+  * each expert's intermediate dim sharded over "tp",
+  * one all-reduce over ("ep","tp") combines both (shared with the dense
+    residual stream's reduction — same placement as the reference's
+    MoE AllReduce fusion).
+
+Routing variants cover Mixtral (softmax->topk->renorm), Qwen3-MoE
+(norm_topk_prob), DeepSeek-style sigmoid scoring; optional shared expert.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tensorrt_llm_tpu.layers.mlp import GatedMLP
+from tensorrt_llm_tpu.ops.w4a16_gemm import _ACTIVATIONS
+from tensorrt_llm_tpu.parallel.ops import TP_AXES, tp_all_reduce
+from tensorrt_llm_tpu.quantization import QuantConfig
+
+
+@dataclass
+class MoE:
+    hidden_size: int
+    intermediate_size: int          # per expert
+    num_experts: int
+    top_k: int
+    activation: str = "silu"
+    score_func: str = "softmax"     # softmax | sigmoid
+    renormalize: bool = True        # renormalize top-k weights to sum 1
+    n_shared_experts: int = 0       # DeepSeek/Qwen2-MoE style dense branch
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[QuantConfig] = None   # expert weights stay bf16 round-1
+    ep_size: int = 1
+    tp_size: int = 1                # per-expert intermediate sharding
+
+    def __post_init__(self):
+        assert self.num_experts % self.ep_size == 0
+        assert self.intermediate_size % self.tp_size == 0
+        self.experts_local = self.num_experts // self.ep_size
+        self.inter_local = self.intermediate_size // self.tp_size
+        if self.n_shared_experts:
+            self.shared = GatedMLP(
+                self.hidden_size,
+                self.n_shared_experts * self.intermediate_size,
+                self.activation, dtype=self.dtype, quant=self.quant,
+                tp_size=self.ep_size * self.tp_size)
+
+    # ---- params ------------------------------------------------------------------
+    def init(self, key) -> Dict:
+        keys = jax.random.split(key, 5)
+        E, H, I = self.num_experts, self.hidden_size, self.intermediate_size
+        std = 0.5 / (H ** 0.5)
+        p = self.from_float(
+            jax.random.normal(keys[0], (H, E), jnp.float32) * std,
+            jax.random.normal(keys[1], (E, H, I), jnp.float32) * std,
+            jax.random.normal(keys[2], (E, H, I), jnp.float32) * std,
+            jax.random.normal(keys[3], (E, I, H), jnp.float32) * (0.5 / I ** 0.5),
+        )
+        if self.n_shared_experts:
+            p["shared"] = self.shared.init(keys[4])
+        return p
+
+    def from_float(self, router_w, gate_w, up_w, down_w, shared=None) -> Dict:
+        """router_w [H, E]; gate/up [E, H, I]; down [E, I, H] (full float).
+
+        gate/up are interleaved per tp shard (like GatedMLP.from_float) so the
+        "tp"-sharded fused dim keeps [gate_r | up_r] aligned within each rank.
+        """
+        per = self.inter_local
+        cols = []
+        for r in range(self.tp_size):
+            cols.append(gate_w[:, :, r * per:(r + 1) * per])
+            cols.append(up_w[:, :, r * per:(r + 1) * per])
+        p = {
+            "router": router_w.astype(jnp.float32),
+            "w_gate_up": jnp.concatenate(cols, axis=2).astype(self.dtype),
+            "w_down": down_w.astype(self.dtype),
+        }
+        if shared is not None:
+            p["shared"] = shared
+        return p
+
+    def param_specs(self) -> Dict:
+        specs = {
+            "router": P(None, None),
+            # interleave-free: gate|up concat is per-expert along dim 2; tp
+            # shards the I halves jointly via the fused layout below
+            "w_gate_up": P("ep", None, "tp"),
+            "w_down": P("ep", "tp", None),
+        }
+        if self.n_shared_experts:
+            specs["shared"] = self.shared.param_specs()
+        return specs
+
+    # ---- routing -------------------------------------------------------------------
+    def route(self, params, x) -> tuple:
+        """Returns (topk_ids [T,k] int32, topk_weights [T,k] f32)."""
+        logits = jnp.dot(x.astype(jnp.float32), params["router"],
+                         preferred_element_type=jnp.float32)  # [T, E]
+        if self.score_func == "softmax":
+            scores = jax.nn.softmax(logits, axis=-1)
+        else:
+            scores = jax.nn.sigmoid(logits)
+        w, ids = jax.lax.top_k(scores, self.top_k)  # [T, k]
+        if self.renormalize:
+            w = w / jnp.sum(w, axis=-1, keepdims=True)
+        return ids.astype(jnp.int32), w
+
+    # ---- forward --------------------------------------------------------------------
+    def __call__(self, params: Dict, x: jax.Array) -> jax.Array:
+        T, H = x.shape
+        k = self.top_k
+        El = self.experts_local
+        ids, weights = self.route(params, x)             # [T, k]
+
+        flat_ids = ids.reshape(-1)                       # [T*k]
+        flat_w = weights.reshape(-1)
+        token_idx = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+
+        if self.ep_size > 1:
+            ep_rank = jax.lax.axis_index("ep")
+            local = flat_ids - ep_rank * El
+            valid = (local >= 0) & (local < El)
+            # invalid tokens are parked on the last local expert and zeroed
+            local = jnp.where(valid, local, El - 1)
+        else:
+            local = flat_ids
+            valid = jnp.ones_like(flat_ids, dtype=bool)
+
+        # sort (token, k) pairs by local expert — the reference's
+        # permute/sort kernels (moe_kernels.cu) as one argsort
+        order = jnp.argsort(local)
+        sorted_local = local[order]
+        sorted_tok = token_idx[order]
+        sorted_w = flat_w[order] * valid[order].astype(jnp.float32)
+
+        group_sizes = jnp.bincount(sorted_local, length=El)
+
+        xs = x[sorted_tok].astype(self.dtype)            # [T*k, H]
+        h = jax.lax.ragged_dot(xs, params["w_gate_up"], group_sizes)
+        Il = self.inter_local
+        gate, up = h[:, :Il], h[:, Il:]
+        h = (_ACTIVATIONS[self.activation](gate.astype(jnp.float32))
+             * up.astype(jnp.float32)).astype(self.dtype)
+        out_sorted = jax.lax.ragged_dot(h, params["w_down"], group_sizes)
+
+        out = jnp.zeros((T, H), jnp.float32)
+        out = out.at[sorted_tok].add(
+            out_sorted.astype(jnp.float32) * sorted_w[:, None])
+
+        out = tp_all_reduce(out, enabled=self.ep_size * self.tp_size > 1)
+        if self.n_shared_experts:
+            out = out + self.shared(params["shared"], x).astype(jnp.float32)
+        return out.astype(x.dtype)

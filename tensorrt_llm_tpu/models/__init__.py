@@ -5,3 +5,4 @@ from tensorrt_llm_tpu.models.modeling_utils import (  # noqa: F401
     get_model_class,
 )
 import tensorrt_llm_tpu.models.llama  # noqa: F401  (registers architectures)
+import tensorrt_llm_tpu.models.mixtral  # noqa: F401

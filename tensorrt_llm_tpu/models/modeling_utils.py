@@ -52,6 +52,15 @@ class ModelConfig:
     qk_norm: bool = False
     activation: str = "silu"
     sliding_window: Optional[int] = None
+    # MoE (0 experts => dense MLP everywhere)
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True
+    moe_score_func: str = "softmax"
+    n_shared_experts: int = 0
+    decoder_sparse_step: int = 1
+    mlp_only_layers: tuple = ()
     dtype: Any = jnp.bfloat16
     quant: Optional[QuantConfig] = None
     mapping: Mapping = field(default_factory=Mapping)
@@ -60,6 +69,12 @@ class ModelConfig:
     def __post_init__(self):
         if self.head_dim is None:
             self.head_dim = self.hidden_size // self.num_heads
+        if self.moe_intermediate_size is None:
+            self.moe_intermediate_size = self.intermediate_size
+
+    def is_moe_layer(self, idx: int) -> bool:
+        return (self.num_experts > 0 and idx not in self.mlp_only_layers
+                and (idx + 1) % self.decoder_sparse_step == 0)
 
     @property
     def rope(self) -> RopeConfig:
@@ -85,7 +100,14 @@ class ModelConfig:
         get = (lambda k, d=None: getattr(hf, k, d)) if not isinstance(hf, dict) \
             else (lambda k, d=None: hf.get(k, d))
         arch = (get("architectures") or ["LlamaForCausalLM"])[0]
+        num_experts = get("num_local_experts") or get("num_experts") or 0
         return cls(
+            num_experts=num_experts,
+            num_experts_per_tok=get("num_experts_per_tok", 2),
+            moe_intermediate_size=get("moe_intermediate_size"),
+            norm_topk_prob=bool(get("norm_topk_prob", True)),
+            decoder_sparse_step=get("decoder_sparse_step", 1),
+            mlp_only_layers=tuple(get("mlp_only_layers") or ()),
             architecture=arch,
             vocab_size=get("vocab_size", 32000),
             hidden_size=get("hidden_size", 4096),
@@ -129,14 +151,31 @@ class DecoderLayer:
             quant=cfg.quant,
             tp_size=tp,
         )
-        self.mlp = GatedMLP(
-            hidden_size=cfg.hidden_size,
-            intermediate_size=cfg.intermediate_size,
-            activation=cfg.activation,
-            dtype=cfg.dtype,
-            quant=cfg.quant,
-            tp_size=tp,
-        )
+        if cfg.is_moe_layer(layer_idx):
+            from tensorrt_llm_tpu.layers.moe import MoE
+            self.mlp = MoE(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.moe_intermediate_size,
+                num_experts=cfg.num_experts,
+                top_k=cfg.num_experts_per_tok,
+                activation=cfg.activation,
+                score_func=cfg.moe_score_func,
+                renormalize=cfg.norm_topk_prob,
+                n_shared_experts=cfg.n_shared_experts,
+                dtype=cfg.dtype,
+                quant=cfg.quant,
+                ep_size=cfg.mapping.moe_ep_size,
+                tp_size=cfg.mapping.moe_tp_size,
+            )
+        else:
+            self.mlp = GatedMLP(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                activation=cfg.activation,
+                dtype=cfg.dtype,
+                quant=cfg.quant,
+                tp_size=tp,
+            )
 
     def init(self, key) -> Dict:
         k1, k2 = jax.random.split(key)
@@ -186,6 +225,13 @@ def get_model_class(architecture: str) -> type:
 
 class DecoderModelForCausalLM:
     """Llama-family causal LM. Subclasses tweak config defaults + weight maps."""
+
+    # HF weight-name templates for MoE layers (Qwen-MoE style defaults;
+    # Mixtral overrides in models/mixtral.py) — the analog of the reference's
+    # per-model weight mappers (_torch/models/checkpoints/hf/*_weight_mapper.py)
+    MOE_ROUTER_KEY = "mlp.gate.weight"
+    MOE_EXPERT_KEY = "mlp.experts.{j}.{proj}.weight"
+    MOE_PROJ_NAMES = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
@@ -297,14 +343,33 @@ class DecoderModelForCausalLM:
                     q_norm=vec(pre + "self_attn.q_norm.weight") if cfg.qk_norm else None,
                     k_norm=vec(pre + "self_attn.k_norm.weight") if cfg.qk_norm else None,
                 ),
-                "mlp": layer.mlp.from_float(
-                    t(pre + "mlp.gate_proj.weight"),
-                    t(pre + "mlp.up_proj.weight"),
-                    t(pre + "mlp.down_proj.weight"),
-                ),
+                "mlp": self._load_mlp(layer, get_tensor, pre, t),
             }
             params["layers"].append(lp)
         if not cfg.tie_word_embeddings:
             params["lm_head"] = self.lm_head.quantize_from_float(
                 t("lm_head.weight"))
         return params
+
+    def _load_mlp(self, layer, get_tensor, pre: str, t):
+        """Load one layer's MLP params (dense or MoE) from HF names."""
+        import numpy as np
+        from tensorrt_llm_tpu.layers.moe import MoE
+        if not isinstance(layer.mlp, MoE):
+            return layer.mlp.from_float(
+                t(pre + "mlp.gate_proj.weight"),
+                t(pre + "mlp.up_proj.weight"),
+                t(pre + "mlp.down_proj.weight"))
+        cfg = self.cfg
+        router = t(pre + self.MOE_ROUTER_KEY)  # [H, E] after transpose
+        stacks = {}
+        for kind in ("gate", "up", "down"):
+            proj = self.MOE_PROJ_NAMES[kind]
+            mats = []
+            for j in range(cfg.num_experts):
+                name = pre + self.MOE_EXPERT_KEY.format(j=j, proj=proj)
+                mats.append(jnp.asarray(
+                    np.asarray(get_tensor(name))).astype(jnp.float32).T)
+            stacks[kind] = jnp.stack(mats)  # [E, in, out]
+        return layer.mlp.from_float(router, stacks["gate"], stacks["up"],
+                                    stacks["down"])

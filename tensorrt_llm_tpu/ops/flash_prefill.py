@@ -1,0 +1,223 @@
+"""Pallas flash attention for (chunked) prefill over paged KV.
+
+TPU-native replacement for the reference's context FMHA
+(`cpp/.../kernels/contextFusedMultiHeadAttention/`, `FusedMHARunnerV2`):
+one sequence's chunk of T query tokens attends its paged KV cache —
+prefix + chunk — with online softmax (no O(T*S) materialization).
+
+Structure:
+  * grid (Hkv, q_tiles, kv_tiles), kv innermost; per KV head, all of its
+    G = Hq/Hkv query heads ride in the same MXU row block (rows = TQ*G);
+  * the block table is a scalar-prefetch operand; each kv step DMAs that
+    head's [BS, D] slices of `pages_per_tile` pages (head-major cache layout)
+    into double-buffered VMEM;
+  * causal early-exit: kv tiles entirely after this q tile's last position
+    are skipped (no DMA, no compute) — the triangular traffic shape the
+    reference gets from its tiled masks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensorrt_llm_tpu.utils import cdiv
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _flash_prefill_kernel(
+    # scalar prefetch
+    bt_ref,       # [1, MB] int32
+    meta_ref,     # [2] int32: (kv_len, q_offset)
+    # inputs
+    q_ref,        # [TQ, 1, G, D] VMEM
+    k_hbm,        # [NB, Hkv, BS, D] ANY
+    v_hbm,
+    # outputs
+    o_ref,        # [TQ, 1, G, D] VMEM
+    # scratch
+    k_buf,        # [2, TS, D]
+    v_buf,
+    m_buf,        # [R, 128] f32
+    l_buf,
+    acc_buf,      # [R, D] f32
+    k_sems,       # [2, PPT]
+    v_sems,
+    *,
+    tile_size: int,
+    page_size: int,
+    q_tile: int,
+    scale: float,
+    sliding_window: Optional[int],
+    logit_cap: Optional[float],
+):
+    h = pl.program_id(0)
+    qt = pl.program_id(1)
+    t = pl.program_id(2)
+    n_t = pl.num_programs(2)
+    TS, BS, TQ = tile_size, page_size, q_tile
+    PPT = TS // BS
+    G = q_ref.shape[2]
+    D = q_ref.shape[3]
+    R = TQ * G
+
+    kv_len = meta_ref[0]
+    q_off = meta_ref[1]
+    # last kv position this q tile may attend (causal) — also bounded by kv_len
+    q_end = jnp.minimum(q_off + (qt + 1) * TQ, kv_len)
+    n_need = pl.cdiv(q_end, TS)  # dynamic number of kv tiles for this q tile
+
+    def tile_dma(tile, slot):
+        copies = []
+        for p in range(PPT):
+            page = bt_ref[0, tile * PPT + p]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[page, h], k_buf.at[slot, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[page, h], v_buf.at[slot, pl.ds(p * BS, BS), :],
+                v_sems.at[slot, p]))
+        return copies
+
+    @pl.when(t == 0)
+    def _init():
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+        for c in tile_dma(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < n_need)
+    def _prefetch():
+        for c in tile_dma(t + 1, (t + 1) % 2):
+            c.start()
+
+    @pl.when(t < n_need)
+    def _compute():
+        slot = t % 2
+        for c in tile_dma(t, slot):
+            c.wait()
+
+        q = q_ref[:, 0].reshape(R, D).astype(jnp.bfloat16)  # rows (tq, g)
+        k_t = k_buf[slot]
+        v_t = v_buf[slot]
+        s = jax.lax.dot_general(
+            q, k_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [R, TS]
+        if logit_cap:
+            s = logit_cap * jnp.tanh(s / logit_cap)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 1)
+        q_pos = q_off + qt * TQ + row // G
+        kv_pos = t * TS + col
+        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        if sliding_window is not None:
+            valid &= kv_pos > q_pos - sliding_window
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_p = m_buf[:, :1]
+        l_p = l_buf[:, :1]
+        m_c = jnp.max(s, axis=1, keepdims=True)
+        m_n = jnp.maximum(m_p, m_c)
+        p_ = jnp.exp(s - m_n)
+        alpha = jnp.exp(m_p - m_n)
+        l_buf[:, :1] = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
+        pv = jnp.dot(p_.astype(jnp.bfloat16), v_t,
+                     preferred_element_type=jnp.float32)  # [R, D]
+        acc_buf[:] = acc_buf[:] * alpha + pv
+        m_buf[:, :1] = m_n
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        l = l_buf[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[:, 0] = (acc_buf[:] / safe_l).reshape(TQ, G, D).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "sliding_window", "logit_cap", "tile_size",
+                     "q_tile", "interpret"),
+)
+def flash_prefill_attention(
+    q: jax.Array,             # [T, Hq, D] (one sequence's chunk)
+    k_cache: jax.Array,       # [NB, Hkv, BS, D]
+    v_cache: jax.Array,
+    block_table: jax.Array,   # [MB] int32
+    kv_len: jax.Array,        # scalar int32 (prefix + chunk)
+    q_offset: jax.Array,      # scalar int32 (position of q[0])
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+    tile_size: int = 256,
+    q_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    T, Hq, D = q.shape
+    NB, Hkv, BS, _ = k_cache.shape
+    G = Hq // Hkv
+    MB = block_table.shape[0]
+
+    TS = min(tile_size, MB * BS)
+    TS = max(BS, (TS // BS) * BS)
+    while (MB * BS) % TS:
+        TS -= BS
+    PPT = TS // BS
+    n_kv_tiles = (MB * BS) // TS
+
+    TQ = q_tile or max(8, min(T, 512 // G))
+    while T % TQ:
+        TQ //= 2
+    TQ = max(TQ, 1)
+    n_q_tiles = T // TQ
+    R = TQ * G
+
+    q4 = q.reshape(T, Hkv, G, D)
+    meta = jnp.stack([kv_len.astype(jnp.int32),
+                      q_offset.astype(jnp.int32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Hkv, n_q_tiles, n_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((TQ, 1, G, D), lambda h, qt, t, *_: (qt, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TQ, 1, G, D), lambda h, qt, t, *_: (qt, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TS, D), k_cache.dtype),
+            pltpu.VMEM((2, TS, D), v_cache.dtype),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, PPT)),
+            pltpu.SemaphoreType.DMA((2, PPT)),
+        ],
+    )
+    kernel = functools.partial(
+        _flash_prefill_kernel,
+        tile_size=TS,
+        page_size=BS,
+        q_tile=TQ,
+        scale=scale,
+        sliding_window=sliding_window,
+        logit_cap=logit_cap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, Hkv, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_table.reshape(1, MB), meta, q4, k_cache, v_cache)
+    return out.reshape(T, Hq, D)

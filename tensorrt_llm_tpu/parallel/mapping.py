@@ -8,8 +8,11 @@ device mesh is the single source of truth.
 Axis names:
   "dp" — data parallel / attention-DP replicas
   "pp" — pipeline stages
-  "tp" — tensor parallel (also reused for EP in MoE layers, like the
-          reference's MoE TPxEP factorization, mapping.py:79-122)
+  "ep" — MoE expert parallel (experts sharded over this axis)
+  "tp" — MoE per-expert tensor parallel
+Dense layers shard over the COMBINED ("ep", "tp") axes — the reference's
+MoE TPxEP factorization of the tensor-parallel group (mapping.py:79-122)
+expressed as mesh structure.
 """
 
 from __future__ import annotations
@@ -53,11 +56,11 @@ class Mapping:
 
     @property
     def mesh_shape(self):
-        return (self.dp_size, self.pp_size, self.tp_size)
+        return (self.dp_size, self.pp_size, self.moe_ep_size, self.moe_tp_size)
 
     @property
     def mesh_axis_names(self):
-        return ("dp", "pp", "tp")
+        return ("dp", "pp", "ep", "tp")
 
     @classmethod
     def single(cls) -> "Mapping":

@@ -9,6 +9,9 @@ layer level and fused by XLA; a Pallas custom collective remains a perf escape
 hatch.
 
 All helpers are no-ops when the axis is absent (single-chip path).
+
+Dense tensor parallelism spans the COMBINED ("ep", "tp") mesh axes (see
+parallel/mapping.py); TP_AXES is the canonical axis tuple.
 """
 
 from __future__ import annotations
@@ -16,37 +19,30 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-
-def _axis_present(axis_name: str) -> bool:
-    try:
-        jax.lax.axis_index(axis_name)
-        return True
-    except NameError:
-        return False
-    except Exception:
-        return False
+# dense-TP = expert-parallel x per-expert-TP axes combined
+TP_AXES = ("ep", "tp")
 
 
-def tp_all_reduce(x, axis_name: str = "tp", enabled: bool = True):
+def tp_all_reduce(x, axis_name=TP_AXES, enabled: bool = True):
     if not enabled:
         return x
     return jax.lax.psum(x, axis_name)
 
 
-def tp_all_gather(x, axis_name: str = "tp", axis: int = -1, *, tiled: bool = True,
+def tp_all_gather(x, axis_name=TP_AXES, axis: int = -1, *, tiled: bool = True,
                   enabled: bool = True):
     if not enabled:
         return x
     return jax.lax.all_gather(x, axis_name, axis=axis, tiled=tiled)
 
 
-def tp_reduce_scatter(x, axis_name: str = "tp", axis: int = -1, *, enabled: bool = True):
+def tp_reduce_scatter(x, axis_name=TP_AXES, axis: int = -1, *, enabled: bool = True):
     if not enabled:
         return x
     return jax.lax.psum_scatter(x, axis_name, scatter_dimension=axis, tiled=True)
 
 
-def tp_all_to_all(x, axis_name: str = "tp", split_axis: int = 0,
+def tp_all_to_all(x, axis_name=TP_AXES, split_axis: int = 0,
                   concat_axis: int = 0, *, enabled: bool = True):
     if not enabled:
         return x

@@ -104,7 +104,7 @@ class ModelEngine:
                 lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
             self.params = jax.device_put(params, shardings)
-            cache_sharding = NamedSharding(self.mesh, P(None, "tp", None, None))
+            cache_sharding = NamedSharding(self.mesh, P(None, ("ep", "tp"), None, None))
             self.kv_caches = [
                 tuple(jax.device_put(c, cache_sharding) for c in layer)
                 for layer in kv_manager.allocate_pools()]
@@ -138,7 +138,7 @@ class ModelEngine:
             return logits, new_caches
 
         if self.mesh is not None:
-            cache_spec = [(P(None, "tp", None, None),) * 2] * len(self.kv_caches)
+            cache_spec = [(P(None, ("ep", "tp"), None, None),) * 2] * len(self.kv_caches)
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,

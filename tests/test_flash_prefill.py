@@ -1,0 +1,59 @@
+"""Pallas flash prefill vs the XLA gather reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.ops.attention_xla import paged_prefill_xla, write_kv_cache
+from tensorrt_llm_tpu.ops.flash_prefill import flash_prefill_attention
+
+
+def build_seq(key, T_prefix, T_chunk, Hq, Hkv, D, BS, MB):
+    """Fill a paged cache with a prefix + chunk, return q for the chunk."""
+    NB = MB + 1
+    keys = jax.random.split(key, 4)
+    k_cache = jnp.zeros((NB, Hkv, BS, D), jnp.bfloat16)
+    v_cache = jnp.zeros((NB, Hkv, BS, D), jnp.bfloat16)
+    total = T_prefix + T_chunk
+    k_all = jax.random.normal(keys[0], (total, Hkv, D), jnp.bfloat16)
+    v_all = jax.random.normal(keys[1], (total, Hkv, D), jnp.bfloat16)
+    block_table = jnp.arange(1, NB, dtype=jnp.int32)
+    slots = block_table[jnp.arange(total) // BS] * BS + jnp.arange(total) % BS
+    k_cache, v_cache = write_kv_cache(k_cache, v_cache, k_all, v_all, slots)
+    q = jax.random.normal(keys[2], (T_chunk, Hq, D), jnp.bfloat16)
+    return q, k_cache, v_cache, block_table
+
+
+@pytest.mark.parametrize("T_prefix,T_chunk,Hq,Hkv,D,BS,MB", [
+    (0, 32, 8, 2, 64, 16, 4),      # plain prefill, GQA
+    (24, 16, 4, 4, 128, 8, 8),     # chunked continuation, MHA
+    (16, 48, 8, 1, 64, 16, 8),     # MQA
+])
+def test_flash_prefill_matches_xla(T_prefix, T_chunk, Hq, Hkv, D, BS, MB):
+    q, k_cache, v_cache, bt = build_seq(
+        jax.random.PRNGKey(0), T_prefix, T_chunk, Hq, Hkv, D, BS, MB)
+    kv_len = jnp.int32(T_prefix + T_chunk)
+    q_off = jnp.int32(T_prefix)
+    ref = paged_prefill_xla(q, k_cache, v_cache, bt, kv_len, q_off,
+                            scale=D ** -0.5)
+    out = flash_prefill_attention(q, k_cache, v_cache, bt, kv_len, q_off,
+                                  scale=D ** -0.5, tile_size=2 * BS,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_flash_prefill_sliding_window():
+    q, k_cache, v_cache, bt = build_seq(
+        jax.random.PRNGKey(1), 32, 32, 4, 2, 64, 16, 4)
+    kv_len, q_off = jnp.int32(64), jnp.int32(32)
+    ref = paged_prefill_xla(q, k_cache, v_cache, bt, kv_len, q_off,
+                            scale=0.125, sliding_window=24)
+    out = flash_prefill_attention(q, k_cache, v_cache, bt, kv_len, q_off,
+                                  scale=0.125, sliding_window=24,
+                                  tile_size=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
