@@ -59,7 +59,11 @@ class PyExecutor:
         scheduler_cfg: Optional[SchedulerConfig] = None,
         eos_token_id: Optional[int] = None,
         max_seq_len: int = 2048,
+        max_decode_steps: int = 4,
     ):
+        # fused multi-step decode (one dispatch = up to N tokens/seq); the
+        # TPU analog of multi-iteration CUDA-graph capture
+        self.max_decode_steps = max(1, max_decode_steps)
         self.engine = engine
         self.kv = engine.kv_manager
         scheduler_cfg = scheduler_cfg or SchedulerConfig()
@@ -203,12 +207,17 @@ class PyExecutor:
         # ---- decode batch ---------------------------------------------------------
         decode_reqs = [r for r in batch.decode if r.is_generating]
         if decode_reqs:
-            for req in decode_reqs:
-                self.kv.grow_sequence(req.request_id, req.num_tokens)
-            inputs = self.engine.prepare_decode_inputs(decode_reqs)
-            logits = self.engine.run_decode(inputs)
-            self._sample_and_update(decode_reqs, logits)
-            stats.num_decode_tokens = len(decode_reqs)
+            k = self._decode_steps_for(decode_reqs)
+            if k > 1:
+                self._decode_multi(decode_reqs, k)
+                stats.num_decode_tokens = len(decode_reqs) * k
+            else:
+                for req in decode_reqs:
+                    self.kv.grow_sequence(req.request_id, req.num_tokens)
+                inputs = self.engine.prepare_decode_inputs(decode_reqs)
+                logits = self.engine.run_decode(inputs)
+                self._sample_and_update(decode_reqs, logits)
+                stats.num_decode_tokens = len(decode_reqs)
 
         # ---- cleanup finished -----------------------------------------------------
         for req in list(self.active):
@@ -223,6 +232,64 @@ class PyExecutor:
         if len(self.stats_history) > 1000:
             self.stats_history = self.stats_history[-1000:]
         return True
+
+    def _decode_steps_for(self, reqs: List[LlmRequest]) -> int:
+        """How many decode steps can be fused without overshooting any
+        request's budget (stops are checked after the fused chunk)."""
+        k = self.max_decode_steps
+        for r in reqs:
+            sp = r.sampling_params
+            remaining = sp.max_tokens - r.num_output_tokens
+            remaining = min(remaining, self.max_seq_len - r.num_tokens + 1)
+            k = min(k, max(remaining, 1))
+            if not sp.ignore_eos or sp.stop_token_ids:
+                # could stop early on eos: cap overshoot at 4 wasted steps
+                k = min(k, 4)
+        k = max(k, 1)
+        # shrink until the extra KV blocks for k-1 lookahead positions fit
+        while k > 1:
+            extra = sum(
+                self.kv.blocks_needed(r.num_tokens + k - 1)
+                - len(self.kv.sequences[r.request_id].block_ids)
+                for r in reqs)
+            if extra <= self.kv.num_free_blocks:
+                break
+            k -= 1
+        return k
+
+    def _decode_multi(self, reqs: List[LlmRequest], k: int):
+        """One fused k-step decode dispatch + host-side stop handling."""
+        # grow blocks for all k positions up front
+        for req in reqs:
+            self.kv.grow_sequence(req.request_id, req.num_tokens + k - 1)
+        inputs = self.engine.prepare_decode_inputs(reqs, extra_tokens=k - 1)
+        B = len(inputs.input_ids)
+        slot_table = np.full((k, B), np.int64(2**30), np.int32)
+        for i, req in enumerate(reqs):
+            start = req.num_tokens - 1
+            slot_table[:, i] = self.kv.slot_mapping(req.request_id, start, k)
+        sp = [r.sampling_params for r in reqs]
+        state = SamplingState.from_params(sp, step=self.iteration, pad_to=B)
+        toks, logps = self.engine.run_decode_multi(inputs, k, state, slot_table)
+        toks = np.asarray(toks)   # [k, B]
+        logps = np.asarray(logps)
+        for i, req in enumerate(reqs):
+            for j in range(k):
+                if not req.is_generating:
+                    break
+                tok = int(toks[j, i])
+                req.append_token(tok)
+                self.total_tokens_generated += 1
+                if req.sampling_params.logprobs:
+                    req.logprobs.append({tok: float(logps[j, i])})
+                reason = req.check_stop(self.eos_token_id)
+                if reason is None and req.num_tokens >= self.max_seq_len:
+                    reason = FinishReason.LENGTH
+                if reason is not None:
+                    req.finish(reason)
+                    req.emit(finished=True)
+            if req.is_generating:
+                req.emit(finished=False)
 
     # ---------------------------------------------------------------- sampling ----
     def _sample_and_update(self, reqs: List[LlmRequest], logits):

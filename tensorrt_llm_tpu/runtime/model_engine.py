@@ -120,6 +120,74 @@ class ModelEngine:
         self.lock = threading.Lock()
 
     # ------------------------------------------------------------------ step fns --
+    def _make_multi_step_fn(self, num_steps: int):
+        """k fused decode steps with on-device sampling (lax.scan).
+
+        The TPU analog of capturing several decode iterations in one CUDA
+        graph: one dispatch produces `num_steps` tokens per sequence, with
+        sampling (temperature/top-k/top-p) running on device between steps.
+        Slot mappings for future positions are precomputed on host
+        (blocks are pre-grown), so the scan is fully static-shaped.
+        """
+        from tensorrt_llm_tpu.runtime.sampler import sample_tokens
+
+        model = self.model
+
+        def steps(params, kv_caches, first_ids, positions0, slot_table,
+                  block_tables, kv_lens0, sampling_state):
+            B = first_ids.shape[0]
+
+            def body(carry, step_slots):
+                caches, ids, pos, kv_lens, key_step = carry
+                meta = AttentionMetadata(
+                    positions=pos,
+                    slot_mapping=step_slots,
+                    block_tables=block_tables,
+                    kv_lens=kv_lens,
+                    q_offset=jnp.int32(0),
+                    mode="decode",
+                )
+                logits, caches = model.forward(
+                    params, ids, caches, meta,
+                    jnp.arange(B, dtype=jnp.int32))
+                tokens, logp = sample_tokens(logits, sampling_state,
+                                             step_offset=key_step)
+                return ((caches, tokens, pos + 1, kv_lens + 1, key_step + 1),
+                        (tokens, logp))
+
+            (kv_caches, _, _, _, _), (toks, logps) = jax.lax.scan(
+                body, (kv_caches, first_ids, positions0, kv_lens0,
+                       jnp.int32(0)),
+                slot_table)  # [k, B]
+            return toks, logps, kv_caches
+
+        if self.mesh is not None:
+            cache_spec = [(P(None, ("ep", "tp"), None, None),) * 2] * len(self.kv_caches)
+            steps = jax.shard_map(
+                steps, mesh=self.mesh,
+                in_specs=(self._param_specs, cache_spec,
+                          P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), cache_spec),
+                check_vma=False,
+            )
+        return jax.jit(steps, donate_argnums=(1,))
+
+    def run_decode_multi(self, inputs: StepInputs, num_steps: int,
+                         sampling_state, slot_table: np.ndarray):
+        """Run `num_steps` fused decode steps. Returns (tokens [k, B],
+        logprobs [k, B]) as device arrays."""
+        key = ("multi", num_steps)
+        if key not in self._fns:
+            self._fns[key] = self._make_multi_step_fn(num_steps)
+        fn = self._fns[key]
+        with self.lock:
+            toks, logps, self.kv_caches = fn(
+                self.params, self.kv_caches,
+                jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+                jnp.asarray(slot_table), jnp.asarray(inputs.block_tables),
+                jnp.asarray(inputs.kv_lens), sampling_state)
+        return toks, logps
+
     def _make_step_fn(self, mode: str):
         model = self.model
 
@@ -176,23 +244,25 @@ class ModelEngine:
             return self._run(fn, inputs)
 
     # ------------------------------------------------------------------ input prep --
-    def _table_bucket(self, reqs) -> int:
+    def _table_bucket(self, reqs, extra_tokens: int = 0) -> int:
         """Pad block tables to a power-of-two page count >= the batch max —
         cuts the XLA gather's padded-KV waste (the reference pads to the
         CUDA-graph capture size the same way)."""
-        need = max((cdiv(r.num_tokens, self.kv_manager.block_size)
+        need = max((cdiv(r.num_tokens + extra_tokens, self.kv_manager.block_size)
                     for r in reqs), default=1)
         mb = 8
         while mb < need:
             mb *= 2
         return min(mb, self.max_blocks_per_seq)
 
-    def prepare_decode_inputs(self, reqs) -> StepInputs:
-        """Assemble padded decode inputs for a batch of generating requests."""
+    def prepare_decode_inputs(self, reqs, extra_tokens: int = 0) -> StepInputs:
+        """Assemble padded decode inputs for a batch of generating requests.
+        extra_tokens widens the block-table bucket for fused multi-step
+        decode (positions num_tokens..num_tokens+extra-1 must be gatherable)."""
         kv = self.kv_manager
         B = len(reqs)
         Bp = pick_bucket(B, self.decode_buckets)
-        MB = self._table_bucket(reqs)
+        MB = self._table_bucket(reqs, extra_tokens)
         input_ids = np.zeros(Bp, np.int32)
         positions = np.zeros(Bp, np.int32)
         slots = np.full(Bp, PAD_SLOT, np.int32)

@@ -65,6 +65,7 @@ def sample_tokens(
     logits: jax.Array,       # [B, V] f32
     state: SamplingState,
     max_top_k: int = 64,
+    step_offset=0,           # extra PRNG fold (multi-step fused decode)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (token_ids [B], logprobs_of_chosen [B])."""
     B, V = logits.shape
@@ -95,7 +96,8 @@ def sample_tokens(
 
     # gumbel-max sampling (counter-based per-row PRNG)
     base = jax.random.PRNGKey(0)
-    keys = jax.vmap(jax.random.fold_in, (None, 0))(base, state.seeds)
+    seeds = state.seeds + jnp.uint32(step_offset) * jnp.uint32(2654435761)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(base, seeds)
     gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (V,), jnp.float32))(keys)
     sampled = jnp.argmax(scaled + gumbel, axis=-1)
     greedy_tok = jnp.argmax(logits, axis=-1)
