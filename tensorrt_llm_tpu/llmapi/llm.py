@@ -118,9 +118,14 @@ class LLM:
         eos = None
         if self._tokenizer is not None:
             eos = self._tokenizer.eos_token_id
+        drafter = None
+        if a.speculative_config is not None:
+            from tensorrt_llm_tpu.speculative import get_drafter
+            drafter = get_drafter(a.speculative_config, a)
         self.executor = PyExecutor(
             self.engine, a.make_scheduler_config(), eos_token_id=eos,
-            max_seq_len=a.max_seq_len)
+            max_seq_len=a.max_seq_len, max_decode_steps=a.max_decode_steps,
+            drafter=drafter)
         self.executor.start()
 
     @staticmethod
@@ -149,9 +154,10 @@ class LLM:
         sampling_params: Union[SamplingParams, Sequence[SamplingParams], None] = None,
         use_tqdm: bool = False,
     ) -> List[RequestOutput]:
+        import numbers
         single = isinstance(prompts, str) or (
             isinstance(prompts, (list, tuple)) and prompts
-            and isinstance(prompts[0], int))
+            and isinstance(prompts[0], numbers.Integral))
         if single:
             prompts = [prompts]
         n = len(prompts)
@@ -171,7 +177,7 @@ class LLM:
             token_ids = self._tokenizer.encode(prompt)
             text = prompt
         else:
-            token_ids = list(prompt)
+            token_ids = [int(t) for t in prompt]
             text = None
         req = LlmRequest(token_ids, sampling_params)
         self.executor.submit(req)

@@ -54,6 +54,12 @@ class LlmArgs:
     # attention
     attention_backend: str = "auto"
 
+    # speculative decoding
+    speculative_config: Optional[Any] = None   # SpeculativeConfig
+
+    # fused multi-step decode (1 disables)
+    max_decode_steps: int = 4
+
     # misc
     seed: int = 0
     skip_tokenizer_init: bool = False

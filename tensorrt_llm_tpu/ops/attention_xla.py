@@ -20,23 +20,55 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def write_kv_cache(
-    k_cache: jax.Array,   # [NB, H, BS, D] (head-major pages)
-    v_cache: jax.Array,
-    k_new: jax.Array,     # [T, H, D]
-    v_new: jax.Array,
-    slot_mapping: jax.Array,  # [T] int32 flat slots; OOB slots are dropped
-) -> Tuple[jax.Array, jax.Array]:
-    nb, h, bs, d = k_cache.shape
+def quantize_kv_token(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-(token, head) symmetric int8 quantization of [T, H, D]."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [T, H]
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _scatter_pages(cache, new, slot_mapping, bs, nb):
     pages = slot_mapping // bs
     offs = slot_mapping % bs
     # OOB pages (padding rows use a huge slot) are dropped by scatter mode.
     pages = jnp.where(slot_mapping >= nb * bs, nb, pages)
-    k_cache = k_cache.at[pages, :, offs, :].set(
-        k_new.astype(k_cache.dtype), mode="drop")
-    v_cache = v_cache.at[pages, :, offs, :].set(
-        v_new.astype(v_cache.dtype), mode="drop")
+    return cache.at[pages, :, offs].set(new.astype(cache.dtype), mode="drop")
+
+
+def write_kv_cache(
+    k_cache,              # [NB, H, BS, D] array OR (int8 data, [NB,H,BS] scale)
+    v_cache,
+    k_new: jax.Array,     # [T, H, D]
+    v_new: jax.Array,
+    slot_mapping: jax.Array,  # [T] int32 flat slots; OOB slots are dropped
+):
+    """Append new KV; supports BF16 pools and INT8+per-token-scale pools
+    (reference `KvCacheDataType::INT8`, unfusedAttentionKernels.h:63-69)."""
+    if isinstance(k_cache, tuple):
+        (kd, ks), (vd, vs) = k_cache, v_cache
+        nb, h, bs, d = kd.shape
+        kq, ksc = quantize_kv_token(k_new)
+        vq, vsc = quantize_kv_token(v_new)
+        kd = _scatter_pages(kd, kq, slot_mapping, bs, nb)
+        vd = _scatter_pages(vd, vq, slot_mapping, bs, nb)
+        ks = _scatter_pages(ks, ksc, slot_mapping, bs, nb)
+        vs = _scatter_pages(vs, vsc, slot_mapping, bs, nb)
+        return (kd, ks), (vd, vs)
+    nb, h, bs, d = k_cache.shape
+    k_cache = _scatter_pages(k_cache, k_new, slot_mapping, bs, nb)
+    v_cache = _scatter_pages(v_cache, v_new, slot_mapping, bs, nb)
     return k_cache, v_cache
+
+
+def gather_dequant(cache, idx, out_dtype=jnp.bfloat16):
+    """cache[idx] with int8->float dequant fused after the (half-size) gather."""
+    if isinstance(cache, tuple):
+        data, scale = cache
+        g = data[idx].astype(jnp.float32) * scale[idx][..., None]
+        return g.astype(out_dtype)
+    return cache[idx]
 
 
 def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
@@ -101,10 +133,10 @@ def paged_prefill_xla(
     logit_cap: Optional[float] = None,
 ) -> jax.Array:
     """Chunked-prefill attention for one sequence against its paged KV."""
-    nb, h, bs, d = k_cache.shape
+    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
     # [MB, H, BS, D] -> [MB*BS, H, D]
-    k = k_cache[block_table].transpose(0, 2, 1, 3).reshape(-1, h, d)
-    v = v_cache[block_table].transpose(0, 2, 1, 3).reshape(-1, h, d)
+    k = gather_dequant(k_cache, block_table, q.dtype).transpose(0, 2, 1, 3).reshape(-1, h, d)
+    v = gather_dequant(v_cache, block_table, q.dtype).transpose(0, 2, 1, 3).reshape(-1, h, d)
     return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
                    kv_len=kv_len, sliding_window=sliding_window,
                    logit_cap=logit_cap)
@@ -125,12 +157,12 @@ def paged_decode_xla(
     GQA is expressed as a grouped einsum ('g' = query heads per KV head) so
     the gathered KV is never materialized per query head.
     """
-    nb, hkv, bs, d = k_cache.shape
+    nb, hkv, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
     B, Hq, _ = q.shape
     n_rep = Hq // hkv
 
-    k = k_cache[block_tables]  # [B, MB, Hkv, BS, D]
-    v = v_cache[block_tables]
+    k = gather_dequant(k_cache, block_tables, q.dtype)  # [B, MB, Hkv, BS, D]
+    v = gather_dequant(v_cache, block_tables, q.dtype)
     S = block_tables.shape[1] * bs
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
     v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)

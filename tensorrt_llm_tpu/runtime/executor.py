@@ -60,10 +60,14 @@ class PyExecutor:
         eos_token_id: Optional[int] = None,
         max_seq_len: int = 2048,
         max_decode_steps: int = 4,
+        drafter=None,
     ):
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
         self.max_decode_steps = max(1, max_decode_steps)
+        # speculative decoding (reference: _torch/speculative/)
+        self.drafter = drafter
+        self.spec_stats = {"proposed": 0, "accepted": 0, "rounds": 0}
         self.engine = engine
         self.kv = engine.kv_manager
         scheduler_cfg = scheduler_cfg or SchedulerConfig()
@@ -204,8 +208,18 @@ class PyExecutor:
                 req.finish_context()
                 self._sample_and_update([req], logits)
 
-        # ---- decode batch ---------------------------------------------------------
+        # ---- speculative decode (greedy requests, when a drafter is set) ----
         decode_reqs = [r for r in batch.decode if r.is_generating]
+        if self.drafter is not None:
+            remaining = []
+            for req in decode_reqs:
+                if req.sampling_params.greedy and self._spec_decode(req):
+                    stats.num_decode_tokens += 1
+                else:
+                    remaining.append(req)
+            decode_reqs = remaining
+
+        # ---- decode batch ---------------------------------------------------------
         if decode_reqs:
             k = self._decode_steps_for(decode_reqs)
             if k > 1:
@@ -231,6 +245,53 @@ class PyExecutor:
         self.stats_history.append(stats)
         if len(self.stats_history) > 1000:
             self.stats_history = self.stats_history[-1000:]
+        return True
+
+    def _spec_decode(self, req: LlmRequest) -> bool:
+        """Draft -> single verify forward -> accept longest matching prefix
+        plus one bonus token.  Returns False to fall back to normal decode."""
+        budget = min(req.sampling_params.max_tokens - req.num_output_tokens,
+                     self.max_seq_len - req.num_tokens) - 1
+        if budget < 1:
+            return False
+        draft = self.drafter.propose(req)[:budget]
+        if not draft:
+            return False
+        k = len(draft)
+        need = self.kv.blocks_needed(req.num_tokens + k) - \
+            len(self.kv.sequences[req.request_id].block_ids)
+        if need > self.kv.num_free_blocks:
+            return False
+        self.kv.grow_sequence(req.request_id, req.num_tokens + k)
+        inputs = self.engine.prepare_verify_inputs(req, draft)
+        logits = self.engine.run_prefill(inputs)
+        greedy = np.asarray(np.argmax(np.asarray(logits[:k + 1]), axis=-1))
+        accepted: List[int] = []
+        for j in range(k):
+            if draft[j] == int(greedy[j]):
+                accepted.append(draft[j])
+            else:
+                break
+        accepted.append(int(greedy[len(accepted)]))  # bonus / correction
+        self.spec_stats["proposed"] += k
+        self.spec_stats["accepted"] += len(accepted) - 1
+        self.spec_stats["rounds"] += 1
+        for tok in accepted:
+            if not req.is_generating:
+                break
+            req.append_token(tok)
+            self.total_tokens_generated += 1
+            reason = req.check_stop(self.eos_token_id)
+            if reason is None and req.num_tokens >= self.max_seq_len:
+                reason = FinishReason.LENGTH
+            if reason is not None:
+                req.finish(reason)
+        self.drafter.on_accepted(req, accepted)
+        if req.is_finished:
+            self.drafter.on_request_finished(req)
+            req.emit(finished=True)
+        else:
+            req.emit(finished=False)
         return True
 
     def _decode_steps_for(self, reqs: List[LlmRequest]) -> int:

@@ -94,6 +94,16 @@ class KVCacheManager:
         shape = (self.num_blocks, self.num_kv_heads, self.block_size,
                  self.head_dim)
         caches = []
+        if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
+            # int8 data + per-(token, head) scale pools (reference
+            # KvCacheDataType::INT8); halves KV HBM footprint + gather traffic
+            sshape = shape[:3]
+            for _ in range(self.num_layers):
+                caches.append((
+                    (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
+                    (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
+                ))
+            return caches
         for _ in range(self.num_layers):
             caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
         return caches

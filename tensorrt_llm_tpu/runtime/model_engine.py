@@ -104,20 +104,30 @@ class ModelEngine:
                 lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
             self.params = jax.device_put(params, shardings)
-            cache_sharding = NamedSharding(self.mesh, P(None, ("ep", "tp"), None, None))
-            self.kv_caches = [
-                tuple(jax.device_put(c, cache_sharding) for c in layer)
-                for layer in kv_manager.allocate_pools()]
+            pools = kv_manager.allocate_pools()
+            self._cache_specs = jax.tree.map(self._cache_leaf_spec, pools)
+            cache_shardings = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), self._cache_specs,
+                is_leaf=lambda x: isinstance(x, P))
+            self.kv_caches = jax.device_put(pools, cache_shardings)
             self._param_specs = specs
         else:
             self.params = jax.device_put(params)
             self.kv_caches = kv_manager.allocate_pools()
             self._param_specs = None
+            self._cache_specs = None
 
         self._fns = {}  # (mode,) -> jitted step
         # guards kv_caches swaps between the executor thread and direct
         # callers (LLM.score, warmup)
         self.lock = threading.Lock()
+
+    @staticmethod
+    def _cache_leaf_spec(leaf) -> P:
+        """Head axis ("ep","tp")-sharded; data pools are 4D, scale pools 3D."""
+        if leaf.ndim == 4:
+            return P(None, ("ep", "tp"), None, None)
+        return P(None, ("ep", "tp"), None)
 
     # ------------------------------------------------------------------ step fns --
     def _make_multi_step_fn(self, num_steps: int):
@@ -162,7 +172,7 @@ class ModelEngine:
             return toks, logps, kv_caches
 
         if self.mesh is not None:
-            cache_spec = [(P(None, ("ep", "tp"), None, None),) * 2] * len(self.kv_caches)
+            cache_spec = self._cache_specs
             steps = jax.shard_map(
                 steps, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
@@ -206,7 +216,7 @@ class ModelEngine:
             return logits, new_caches
 
         if self.mesh is not None:
-            cache_spec = [(P(None, ("ep", "tp"), None, None),) * 2] * len(self.kv_caches)
+            cache_spec = self._cache_specs
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
@@ -302,6 +312,30 @@ class ModelEngine:
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.array([chunk - 1], np.int32),
+            q_offset=np.int32(start))
+
+    def prepare_verify_inputs(self, req, draft_tokens) -> StepInputs:
+        """Inputs for a speculative verify pass: the last accepted token plus
+        the draft chunk, with logits at every row (reference: draft-token
+        verification in the spec-dec flow, _torch/speculative/)."""
+        kv = self.kv_manager
+        n = req.num_tokens
+        toks = [req.all_token_ids[-1]] + list(draft_tokens)
+        chunk = len(toks)
+        Tp = pick_bucket(chunk, self.prefill_buckets)
+        input_ids = np.zeros(Tp, np.int32)
+        input_ids[:chunk] = toks
+        start = n - 1
+        positions = np.minimum(np.arange(start, start + Tp, dtype=np.int32),
+                               self.max_seq_len - 1)
+        slots = np.full(Tp, PAD_SLOT, np.int32)
+        slots[:chunk] = kv.slot_mapping(req.request_id, start, chunk)
+        tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
+        tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
+        return StepInputs(
+            input_ids=input_ids, positions=positions, slot_mapping=slots,
+            block_tables=tables, kv_lens=np.array([start + chunk], np.int32),
+            logit_indices=np.arange(Tp, dtype=np.int32),
             q_offset=np.int32(start))
 
     # ------------------------------------------------------------------ warmup ----

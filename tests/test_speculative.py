@@ -1,0 +1,83 @@
+"""Speculative decoding tests: outputs must be IDENTICAL to plain greedy."""
+
+import jax
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+from tensorrt_llm_tpu.speculative import SpeculativeConfig, SpeculativeMode
+
+TINY = dict(vocab_size=64, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=256)
+
+
+def make_llm(spec=None, seed=0):
+    cfg = ModelConfig(**TINY)
+    return LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+               max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
+               speculative_config=spec, seed=seed)
+
+
+def greedy(llm, prompt, n=24):
+    out = llm.generate(list(prompt),
+                       SamplingParams(max_tokens=n, temperature=0.0,
+                                      ignore_eos=True))
+    return out[0].outputs[0].token_ids
+
+
+def test_ngram_spec_matches_plain_greedy():
+    # small vocab => repetitive sequences => ngram hits
+    prompt = [3, 5, 3, 5, 3, 5, 7]
+    base = make_llm()
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    spec = SpeculativeConfig(mode=SpeculativeMode.NGRAM, max_draft_len=4)
+    llm = make_llm(spec=spec)
+    try:
+        got = greedy(llm, prompt)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want
+    assert stats["rounds"] > 0, stats
+
+
+def test_draft_target_spec_matches_plain_greedy():
+    prompt = [9, 2, 9, 2, 11]
+    base = make_llm()
+    try:
+        want = greedy(base, prompt, n=16)
+    finally:
+        base.shutdown()
+
+    # draft model == target architecture with the same seed weights: the
+    # proposals should nearly always be accepted
+    spec = SpeculativeConfig(mode=SpeculativeMode.DRAFT_TARGET,
+                             max_draft_len=3,
+                             draft_model=ModelConfig(**TINY))
+    llm = make_llm(spec=spec)
+    try:
+        got = greedy(llm, prompt, n=16)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want
+    assert stats["rounds"] > 0
+    # note: draft weights are random-initialized separately, so acceptance
+    # may be low — correctness (exact greedy match) is the invariant.
+
+
+def test_spec_skipped_for_sampled_requests():
+    spec = SpeculativeConfig(mode=SpeculativeMode.NGRAM, max_draft_len=4)
+    llm = make_llm(spec=spec)
+    try:
+        out = llm.generate([1, 2, 1, 2, 1], SamplingParams(
+            max_tokens=8, temperature=1.0, ignore_eos=True))
+        assert len(out[0].outputs[0].token_ids) == 8
+    finally:
+        llm.shutdown()
