@@ -37,9 +37,11 @@ class PallasAttention(XlaAttention):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        if isinstance(k_cache, tuple):
+        if isinstance(k_cache, tuple) or self.head_dim % 128 != 0:
             # INT8 KV pools: the Pallas kernels read bf16 pages; use the XLA
-            # dequant-at-gather path (in-kernel int8 dequant lands next round)
+            # dequant-at-gather path (in-kernel int8 dequant lands next round).
+            # head_dim < 128: Mosaic pads the trailing HBM dim to the lane
+            # width, which breaks page-slice DMA — XLA path instead.
             return super().__call__(q, k, v, k_cache, v_cache, meta)
         if meta.mode == "prefill" and os.environ.get("TLLM_FLASH_PREFILL", "1") == "1":
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,

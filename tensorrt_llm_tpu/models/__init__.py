@@ -6,3 +6,5 @@ from tensorrt_llm_tpu.models.modeling_utils import (  # noqa: F401
 )
 import tensorrt_llm_tpu.models.llama  # noqa: F401  (registers architectures)
 import tensorrt_llm_tpu.models.mixtral  # noqa: F401
+import tensorrt_llm_tpu.models.gemma  # noqa: F401
+import tensorrt_llm_tpu.models.phi  # noqa: F401

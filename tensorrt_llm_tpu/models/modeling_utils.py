@@ -52,6 +52,15 @@ class ModelConfig:
     qk_norm: bool = False
     activation: str = "silu"
     sliding_window: Optional[int] = None
+    # Gemma-family extras
+    post_norms: bool = False              # post-attn/post-ffw norms
+    gemma_norm: bool = False              # RMSNorm uses (1 + w) convention
+    embedding_multiplier: Optional[float] = None   # sqrt(hidden) for gemma
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
+    sliding_window_pattern: int = 1       # every Nth layer is global
+    rope_local_theta: Optional[float] = None  # separate rope for local layers
     # MoE (0 experts => dense MLP everywhere)
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -75,6 +84,23 @@ class ModelConfig:
     def is_moe_layer(self, idx: int) -> bool:
         return (self.num_experts > 0 and idx not in self.mlp_only_layers
                 and (idx + 1) % self.decoder_sparse_step == 0)
+
+    def is_sliding_layer(self, idx: int) -> bool:
+        """Gemma-style pattern: every sliding_window_pattern-th layer is
+        global; all others use the sliding window (pattern 1 => all sliding
+        when a window is set, Mistral-style)."""
+        if self.sliding_window is None:
+            return False
+        if self.sliding_window_pattern <= 1:
+            return True
+        return (idx + 1) % self.sliding_window_pattern != 0
+
+    @property
+    def rope_local(self) -> Optional[RopeConfig]:
+        if self.rope_local_theta is None:
+            return None
+        return dataclasses.replace(self.rope, theta=self.rope_local_theta,
+                                   scaling_type=None)
 
     @property
     def rope(self) -> RopeConfig:
@@ -127,6 +153,13 @@ class ModelConfig:
             dtype=dtype,
             quant=quant,
             mapping=mapping or Mapping(),
+            extra={k: get(k) for k in (
+                "query_pre_attn_scalar", "attn_logit_softcapping",
+                "final_logit_softcapping", "sliding_window_pattern",
+                "hidden_activation", "rope_local_base_freq", "layer_types",
+                "norm_topk_prob", "shared_expert_intermediate_size",
+                "partial_rotary_factor",
+            ) if get(k) is not None},
         )
 
 
@@ -136,6 +169,7 @@ class DecoderLayer:
     def __init__(self, cfg: ModelConfig, layer_idx: int):
         self.cfg = cfg
         self.layer_idx = layer_idx
+        self.sliding = cfg.is_sliding_layer(layer_idx)
         tp = cfg.mapping.tp_size
         self.attn = Attention(
             hidden_size=cfg.hidden_size,
@@ -146,7 +180,10 @@ class DecoderLayer:
             has_bias=cfg.attention_bias,
             has_qk_norm=cfg.qk_norm,
             rms_eps=cfg.rms_eps,
-            sliding_window=cfg.sliding_window,
+            scale=(cfg.query_pre_attn_scalar ** -0.5
+                   if cfg.query_pre_attn_scalar else None),
+            sliding_window=cfg.sliding_window if self.sliding else None,
+            logit_cap=cfg.attn_logit_softcap,
             dtype=cfg.dtype,
             quant=cfg.quant,
             tp_size=tp,
@@ -179,27 +216,47 @@ class DecoderLayer:
 
     def init(self, key) -> Dict:
         k1, k2 = jax.random.split(key)
-        return {
-            "input_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
-            "post_attn_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
+        ones = lambda: jnp.ones((self.cfg.hidden_size,), jnp.float32)
+        p = {
+            "input_norm": ones(),
+            "post_attn_norm": ones(),
             "attn": self.attn.init(k1),
             "mlp": self.mlp.init(k2),
         }
+        if self.cfg.post_norms:
+            p["pre_ffw_norm"] = ones()
+            p["post_ffw_norm"] = ones()
+        return p
 
     def param_specs(self) -> Dict:
-        return {
+        p = {
             "input_norm": P(None),
             "post_attn_norm": P(None),
             "attn": self.attn.param_specs(),
             "mlp": self.mlp.param_specs(),
         }
+        if self.cfg.post_norms:
+            p["pre_ffw_norm"] = P(None)
+            p["post_ffw_norm"] = P(None)
+        return p
 
     def __call__(self, params, x, residual, rope_tables, kv_cache, meta):
-        h, residual = add_rms_norm(x, residual, params["input_norm"],
-                                   self.cfg.rms_eps)
-        h, kv_cache = self.attn(params["attn"], h, rope_tables, kv_cache, meta)
-        h2, residual = add_rms_norm(h, residual, params["post_attn_norm"],
-                                    self.cfg.rms_eps)
+        """rope_tables: ((cos, sin) global, optional (cos, sin) local)."""
+        global_t, local_t = rope_tables
+        tables = local_t if (self.sliding and local_t is not None) else global_t
+        eps = self.cfg.rms_eps
+        if self.cfg.post_norms:
+            # Gemma2/3: x += post_norm(attn(pre_norm(x))); same for ffw
+            h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
+            h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
+            h = rms_norm(h, params["post_attn_norm"], eps)
+            h2, residual = add_rms_norm(h, residual, params["pre_ffw_norm"], eps)
+            out = self.mlp(params["mlp"], h2)
+            out = rms_norm(out, params["post_ffw_norm"], eps)
+            return out, residual, kv_cache
+        h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
+        h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
+        h2, residual = add_rms_norm(h, residual, params["post_attn_norm"], eps)
         out = self.mlp(params["mlp"], h2)
         return out, residual, kv_cache
 
@@ -255,6 +312,8 @@ class DecoderModelForCausalLM:
             "final_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
             "rope": tuple(make_rope_tables(self.cfg.rope)),
         }
+        if self.cfg.rope_local is not None:
+            params["rope_local"] = tuple(make_rope_tables(self.cfg.rope_local))
         if not self.cfg.tie_word_embeddings:
             params["lm_head"] = self.lm_head.init(keys[-1])
         return params
@@ -265,6 +324,7 @@ class DecoderModelForCausalLM:
             "layers": [l.param_specs() for l in self.layers],
             "final_norm": P(None),
             "rope": (P(None, None), P(None, None)),
+            "rope_local": (P(None, None), P(None, None)),
         }
         if not self.cfg.tie_word_embeddings:
             specs["lm_head"] = self.lm_head.param_specs()
@@ -281,8 +341,10 @@ class DecoderModelForCausalLM:
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
         cfg = self.cfg
         x = self.embedding(params["embedding"], input_ids)
+        if cfg.embedding_multiplier:
+            x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
         residual = None
-        rope_tables = params["rope"]
+        rope_tables = (params["rope"], params.get("rope_local"))
         new_caches = []
         for i, layer in enumerate(self.layers):
             x, residual, cache = layer(
@@ -300,6 +362,9 @@ class DecoderModelForCausalLM:
         if self.lm_head.tp_mode == "column" and cfg.mapping.tp_size > 1 \
                 and not cfg.tie_word_embeddings:
             logits = tp_all_gather(logits, axis=-1)
+        if cfg.final_logit_softcap:
+            c = cfg.final_logit_softcap
+            logits = c * jnp.tanh(logits / c)
         return logits, new_caches
 
     # ---- HF weight loading ------------------------------------------------------
@@ -326,12 +391,17 @@ class DecoderModelForCausalLM:
             "rope": tuple(make_rope_tables(cfg.rope)),
             "layers": [],
         }
+        if cfg.rope_local is not None:
+            params["rope_local"] = tuple(make_rope_tables(cfg.rope_local))
         for i, layer in enumerate(self.layers):
             pre = f"model.layers.{i}."
             has_b = cfg.attention_bias
             lp = {
                 "input_norm": vec(pre + "input_layernorm.weight"),
                 "post_attn_norm": vec(pre + "post_attention_layernorm.weight"),
+                **({"pre_ffw_norm": vec(pre + "pre_feedforward_layernorm.weight"),
+                    "post_ffw_norm": vec(pre + "post_feedforward_layernorm.weight")}
+                   if cfg.post_norms else {}),
                 "attn": layer.attn.from_float(
                     t(pre + "self_attn.q_proj.weight"),
                     t(pre + "self_attn.k_proj.weight"),

@@ -6,14 +6,18 @@ one sequence's chunk of T query tokens attends its paged KV cache —
 prefix + chunk — with online softmax (no O(T*S) materialization).
 
 Structure:
-  * grid (Hkv, q_tiles, kv_tiles), kv innermost; per KV head, all of its
-    G = Hq/Hkv query heads ride in the same MXU row block (rows = TQ*G);
-  * the block table is a scalar-prefetch operand; each kv step DMAs that
-    head's [BS, D] slices of `pages_per_tile` pages (head-major cache layout)
-    into double-buffered VMEM;
+  * grid (q_tiles, kv_tiles), kv innermost; the block table is a
+    scalar-prefetch operand; each kv step DMAs `pages_per_tile` WHOLE pages
+    (contiguous [Hkv, BS, D] chunks — head-major cache layout; per-head HBM
+    slicing trips Mosaic when D < 128) into double-buffered VMEM;
+  * all KV heads are processed inside the step, each head's G = Hq/Hkv query
+    heads stacked with the q tile into one [TQ*G, D] MXU row block;
   * causal early-exit: kv tiles entirely after this q tile's last position
     are skipped (no DMA, no compute) — the triangular traffic shape the
     reference gets from its tiled masks.
+
+Layouts: q and out ride as [Hkv, T, G, D] so per-head slices are contiguous;
+the wrapper does the (cheap, XLA-fused) transposes.
 """
 
 from __future__ import annotations
@@ -36,52 +40,49 @@ def _flash_prefill_kernel(
     bt_ref,       # [1, MB] int32
     meta_ref,     # [2] int32: (kv_len, q_offset)
     # inputs
-    q_ref,        # [TQ, 1, G, D] VMEM
+    q_ref,        # [Hkv, TQ, G, D] VMEM
     k_hbm,        # [NB, Hkv, BS, D] ANY
     v_hbm,
     # outputs
-    o_ref,        # [TQ, 1, G, D] VMEM
+    o_ref,        # [Hkv, TQ, G, D] VMEM
     # scratch
-    k_buf,        # [2, TS, D]
+    k_buf,        # [2, Hkv, TS, D]
     v_buf,
-    m_buf,        # [R, 128] f32
+    m_buf,        # [Hkv*TQ*G, 128] f32
     l_buf,
-    acc_buf,      # [R, D] f32
+    acc_buf,      # [Hkv*TQ*G, D] f32
     k_sems,       # [2, PPT]
     v_sems,
     *,
     tile_size: int,
     page_size: int,
-    q_tile: int,
     scale: float,
     sliding_window: Optional[int],
     logit_cap: Optional[float],
 ):
-    h = pl.program_id(0)
-    qt = pl.program_id(1)
-    t = pl.program_id(2)
-    n_t = pl.num_programs(2)
-    TS, BS, TQ = tile_size, page_size, q_tile
+    qt = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    TS, BS = tile_size, page_size
     PPT = TS // BS
-    G = q_ref.shape[2]
-    D = q_ref.shape[3]
+    Hkv, TQ, G, D = q_ref.shape
     R = TQ * G
 
     kv_len = meta_ref[0]
     q_off = meta_ref[1]
-    # last kv position this q tile may attend (causal) — also bounded by kv_len
+    # last kv position this q tile may attend (causal), bounded by kv_len
     q_end = jnp.minimum(q_off + (qt + 1) * TQ, kv_len)
-    n_need = pl.cdiv(q_end, TS)  # dynamic number of kv tiles for this q tile
+    n_need = pl.cdiv(q_end, TS)
 
     def tile_dma(tile, slot):
         copies = []
         for p in range(PPT):
             page = bt_ref[0, tile * PPT + p]
             copies.append(pltpu.make_async_copy(
-                k_hbm.at[page, h], k_buf.at[slot, pl.ds(p * BS, BS), :],
+                k_hbm.at[page], k_buf.at[slot, :, pl.ds(p * BS, BS), :],
                 k_sems.at[slot, p]))
             copies.append(pltpu.make_async_copy(
-                v_hbm.at[page, h], v_buf.at[slot, pl.ds(p * BS, BS), :],
+                v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
                 v_sems.at[slot, p]))
         return copies
 
@@ -104,15 +105,6 @@ def _flash_prefill_kernel(
         for c in tile_dma(t, slot):
             c.wait()
 
-        q = q_ref[:, 0].reshape(R, D).astype(jnp.bfloat16)  # rows (tq, g)
-        k_t = k_buf[slot]
-        v_t = v_buf[slot]
-        s = jax.lax.dot_general(
-            q, k_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [R, TS]
-        if logit_cap:
-            s = logit_cap * jnp.tanh(s / logit_cap)
-
         row = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 1)
         q_pos = q_off + qt * TQ + row // G
@@ -120,25 +112,39 @@ def _flash_prefill_kernel(
         valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
         if sliding_window is not None:
             valid &= kv_pos > q_pos - sliding_window
-        s = jnp.where(valid, s, NEG_INF)
 
-        m_p = m_buf[:, :1]
-        l_p = l_buf[:, :1]
-        m_c = jnp.max(s, axis=1, keepdims=True)
-        m_n = jnp.maximum(m_p, m_c)
-        p_ = jnp.exp(s - m_n)
-        alpha = jnp.exp(m_p - m_n)
-        l_buf[:, :1] = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
-        pv = jnp.dot(p_.astype(jnp.bfloat16), v_t,
-                     preferred_element_type=jnp.float32)  # [R, D]
-        acc_buf[:] = acc_buf[:] * alpha + pv
-        m_buf[:, :1] = m_n
+        for h in range(Hkv):
+            q_h = q_ref[h].reshape(R, D).astype(jnp.bfloat16)
+            k_t = k_buf[slot, h]       # [TS, D]
+            v_t = v_buf[slot, h]
+            s = jax.lax.dot_general(
+                q_h, k_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [R, TS]
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            rs = pl.ds(h * R, R)
+            m_p = m_buf[rs, :1]
+            l_p = l_buf[rs, :1]
+            m_c = jnp.max(s, axis=1, keepdims=True)
+            m_n = jnp.maximum(m_p, m_c)
+            p_ = jnp.exp(s - m_n)
+            alpha = jnp.exp(m_p - m_n)
+            l_buf[rs, :1] = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
+            pv = jnp.dot(p_.astype(jnp.bfloat16), v_t,
+                         preferred_element_type=jnp.float32)  # [R, D]
+            acc_buf[rs, :] = acc_buf[rs, :] * alpha + pv
+            m_buf[rs, :1] = m_n
 
     @pl.when(t == n_t - 1)
     def _finalize():
-        l = l_buf[:, :1]
-        safe_l = jnp.where(l > 0, l, 1.0)
-        o_ref[:, 0] = (acc_buf[:] / safe_l).reshape(TQ, G, D).astype(o_ref.dtype)
+        for h in range(Hkv):
+            rs = pl.ds(h * R, R)
+            l = l_buf[rs, :1]
+            safe_l = jnp.where(l > 0, l, 1.0)
+            o_ref[h] = (acc_buf[rs, :] / safe_l).reshape(TQ, G, D).astype(
+                o_ref.dtype)
 
 
 @functools.partial(
@@ -179,25 +185,25 @@ def flash_prefill_attention(
     n_q_tiles = T // TQ
     R = TQ * G
 
-    q4 = q.reshape(T, Hkv, G, D)
-    meta = jnp.stack([kv_len.astype(jnp.int32),
-                      q_offset.astype(jnp.int32)])
+    # [T, Hq, D] -> [Hkv, T, G, D]: contiguous per-head slices in the kernel
+    q4 = q.reshape(T, Hkv, G, D).transpose(1, 0, 2, 3)
+    meta = jnp.stack([kv_len.astype(jnp.int32), q_offset.astype(jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Hkv, n_q_tiles, n_kv_tiles),
+        grid=(n_q_tiles, n_kv_tiles),
         in_specs=[
-            pl.BlockSpec((TQ, 1, G, D), lambda h, qt, t, *_: (qt, h, 0, 0)),
+            pl.BlockSpec((Hkv, TQ, G, D), lambda qt, t, *_: (0, qt, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((TQ, 1, G, D), lambda h, qt, t, *_: (qt, h, 0, 0)),
+        out_specs=pl.BlockSpec((Hkv, TQ, G, D), lambda qt, t, *_: (0, qt, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, TS, D), k_cache.dtype),
-            pltpu.VMEM((2, TS, D), v_cache.dtype),
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.VMEM((R, D), jnp.float32),
+            pltpu.VMEM((2, Hkv, TS, D), k_cache.dtype),
+            pltpu.VMEM((2, Hkv, TS, D), v_cache.dtype),
+            pltpu.VMEM((Hkv * R, 128), jnp.float32),
+            pltpu.VMEM((Hkv * R, 128), jnp.float32),
+            pltpu.VMEM((Hkv * R, D), jnp.float32),
             pltpu.SemaphoreType.DMA((2, PPT)),
             pltpu.SemaphoreType.DMA((2, PPT)),
         ],
@@ -206,7 +212,6 @@ def flash_prefill_attention(
         _flash_prefill_kernel,
         tile_size=TS,
         page_size=BS,
-        q_tile=TQ,
         scale=scale,
         sliding_window=sliding_window,
         logit_cap=logit_cap,
@@ -214,10 +219,10 @@ def flash_prefill_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, Hkv, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Hkv, T, G, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(block_table.reshape(1, MB), meta, q4, k_cache, v_cache)
-    return out.reshape(T, Hq, D)
+    return out.transpose(1, 0, 2, 3).reshape(T, Hq, D)

@@ -1,0 +1,99 @@
+"""HF-parity tests across the model zoo (random tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.models import get_model_class
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheConfig, KVCacheManager
+from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+from tensorrt_llm_tpu.runtime.request import LlmRequest
+from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+
+COMMON = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+              num_hidden_layers=2, num_attention_heads=4,
+              num_key_value_heads=2, head_dim=32,
+              max_position_embeddings=256, attention_dropout=0.0)
+
+
+def hf_parity(hf_cfg, arch, prompt_len=12, corr_min=0.99):
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    torch.manual_seed(0)
+    hf_model = transformers.AutoModelForCausalLM.from_config(hf_cfg)
+    hf_model.eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf_model.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = arch
+    model = get_model_class(arch)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+
+    prompt = list(np.random.RandomState(0).randint(1, 255, prompt_len))
+    with torch.no_grad():
+        hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].numpy()
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=32)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(16,))
+    req = LlmRequest(prompt, SamplingParams(max_tokens=1))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    ours = np.asarray(
+        engine.run_prefill(engine.prepare_prefill_inputs(req, len(prompt)))[0],
+        np.float32)
+
+    assert np.argmax(ours) == np.argmax(hf_logits), (
+        np.argsort(ours)[-3:], np.argsort(hf_logits)[-3:])
+    corr = np.corrcoef(ours, hf_logits)[0, 1]
+    assert corr > corr_min, corr
+
+
+def test_gemma2_parity():
+    import transformers
+    hf_cfg = transformers.Gemma2Config(
+        **COMMON, hidden_activation="gelu_pytorch_tanh",
+        query_pre_attn_scalar=32, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=16,
+        tie_word_embeddings=True)
+    hf_parity(hf_cfg, "Gemma2ForCausalLM")
+
+
+def test_gemma3_parity():
+    import transformers
+    hf_cfg = transformers.Gemma3TextConfig(
+        **COMMON, hidden_activation="gelu_pytorch_tanh",
+        query_pre_attn_scalar=32, sliding_window=16,
+        sliding_window_pattern=2, rope_local_base_freq=10000.0,
+        rope_theta=1000000.0, tie_word_embeddings=True)
+    hf_parity(hf_cfg, "Gemma3ForCausalLM")
+
+
+def test_phi3_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.Phi3Config(**common, tie_word_embeddings=False,
+                                     pad_token_id=0)
+    hf_parity(hf_cfg, "Phi3ForCausalLM")
+
+
+def test_mixtral_parity():
+    import transformers
+    hf_cfg = transformers.MixtralConfig(
+        **COMMON, num_local_experts=4, num_experts_per_tok=2,
+        tie_word_embeddings=False)
+    hf_parity(hf_cfg, "MixtralForCausalLM", corr_min=0.98)
+
+
+def test_qwen3_moe_parity():
+    import transformers
+    hf_cfg = transformers.Qwen3MoeConfig(
+        **COMMON, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=128, decoder_sparse_step=1,
+        norm_topk_prob=True, tie_word_embeddings=False)
+    hf_parity(hf_cfg, "Qwen3MoeForCausalLM", corr_min=0.98)
