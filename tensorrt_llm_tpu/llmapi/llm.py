@@ -125,7 +125,8 @@ class LLM:
         self.executor = PyExecutor(
             self.engine, a.make_scheduler_config(), eos_token_id=eos,
             max_seq_len=a.max_seq_len, max_decode_steps=a.max_decode_steps,
-            drafter=drafter)
+            drafter=drafter, tokenizer=self._tokenizer,
+            vocab_size=cfg.vocab_size)
         self.executor.start()
 
     @staticmethod

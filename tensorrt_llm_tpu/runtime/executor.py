@@ -61,6 +61,8 @@ class PyExecutor:
         max_seq_len: int = 2048,
         max_decode_steps: int = 4,
         drafter=None,
+        tokenizer=None,
+        vocab_size: Optional[int] = None,
     ):
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
@@ -68,6 +70,11 @@ class PyExecutor:
         # speculative decoding (reference: _torch/speculative/)
         self.drafter = drafter
         self.spec_stats = {"proposed": 0, "accepted": 0, "rounds": 0}
+        # guided decoding (reference: pyexecutor/guided_decoder.py)
+        from tensorrt_llm_tpu.runtime.guided_decoder import GuidedDecoder
+        self.tokenizer = tokenizer
+        self.guided = GuidedDecoder(
+            vocab_size or engine.model.cfg.vocab_size)
         self.engine = engine
         self.kv = engine.kv_manager
         scheduler_cfg = scheduler_cfg or SchedulerConfig()
@@ -190,6 +197,11 @@ class PyExecutor:
                 req.num_cached_tokens = cached
                 req.context_position = cached
                 req.start_context()
+                if req.sampling_params.guided_decoding is not None:
+                    from tensorrt_llm_tpu.runtime.guided_decoder import create_matcher
+                    self.guided.register(req.request_id, create_matcher(
+                        req.sampling_params.guided_decoding, self.tokenizer,
+                        self.eos_token_id))
                 self.waiting.remove(req)
                 self.active.append(req)
                 # reuse may cover the whole remaining chunk; re-clamp
@@ -213,7 +225,9 @@ class PyExecutor:
         if self.drafter is not None:
             remaining = []
             for req in decode_reqs:
-                if req.sampling_params.greedy and self._spec_decode(req):
+                if req.sampling_params.greedy and \
+                        not self.guided.has(req.request_id) and \
+                        self._spec_decode(req):
                     stats.num_decode_tokens += 1
                 else:
                     remaining.append(req)
@@ -237,6 +251,7 @@ class PyExecutor:
         for req in list(self.active):
             if req.is_finished:
                 self.kv.free_sequence(req.request_id)
+                self.guided.drop(req.request_id)
                 self.active.remove(req)
 
         stats.kv_stats = self.kv.stats()
@@ -297,6 +312,8 @@ class PyExecutor:
     def _decode_steps_for(self, reqs: List[LlmRequest]) -> int:
         """How many decode steps can be fused without overshooting any
         request's budget (stops are checked after the fused chunk)."""
+        if self.guided.any_active(reqs):
+            return 1  # per-token host masks can't ride the fused scan
         k = self.max_decode_steps
         for r in reqs:
             sp = r.sampling_params
@@ -357,6 +374,9 @@ class PyExecutor:
         """Sample one token per request from logits[:len(reqs)] and apply
         stop criteria (host side, like the reference's _update_requests)."""
         sp = [r.sampling_params for r in reqs]
+        mask = self.guided.build_mask(reqs, logits.shape[0])
+        if mask is not None:
+            logits = logits + mask
         state = SamplingState.from_params(sp, step=self.iteration,
                                           pad_to=logits.shape[0])
         tokens, logp = sample_tokens(logits, state)
@@ -368,6 +388,10 @@ class PyExecutor:
             self.total_tokens_generated += 1
             if req.sampling_params.logprobs:
                 req.logprobs.append({tok: float(logp[i])})
+            if not self.guided.advance(req, tok):
+                req.finish(FinishReason.ERROR)
+                req.emit(finished=True, error="guided decoding: dead end")
+                continue
             # KV for this token is written next step; sequence length grows
             reason = req.check_stop(self.eos_token_id)
             if reason is None and req.num_tokens >= self.max_seq_len:

@@ -1,0 +1,125 @@
+"""Guided (grammar-constrained) decoding.
+
+Counterpart of the reference's `pyexecutor/guided_decoder.py` +
+`grammar_matcher.py` (xgrammar/llguidance token bitmasks applied via
+`logitsBitmask.cu`): a per-request GrammarMatcher produces an allowed-token
+mask on the host; the executor adds the mask to the logits before sampling.
+
+Round-1 matchers: `choice` (token-trie over a fixed set of strings) and
+`stop-regex-free json_object` is deferred (needs a tokenizer-aware FSM;
+reference uses xgrammar, absent in this image).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tensorrt_llm_tpu.llmapi.sampling_params import GuidedDecodingParams
+
+NEG_INF = np.float32(np.finfo(np.float32).min)
+
+
+class GrammarMatcher:
+    """Tracks grammar state for one request."""
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        """int32 array of allowed token ids (None => everything allowed)."""
+        raise NotImplementedError
+
+    def advance(self, token_id: int) -> bool:
+        """Consume a sampled token; returns False on grammar violation."""
+        raise NotImplementedError
+
+    @property
+    def completed(self) -> bool:
+        raise NotImplementedError
+
+
+class ChoiceMatcher(GrammarMatcher):
+    """Constrain output to one of N strings (token trie)."""
+
+    def __init__(self, choices: List[str], tokenizer, eos_token_id: int):
+        self.eos = eos_token_id
+        self._paths = [tuple(tokenizer.encode(c)) for c in choices]
+        # strip a possible BOS that encode() may prepend
+        bos = getattr(tokenizer, "bos_token_id", None)
+        self._paths = [p[1:] if bos is not None and p and p[0] == bos else p
+                       for p in self._paths]
+        self._pos = 0
+        self._alive = list(self._paths)
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        nxt = {p[self._pos] for p in self._alive if len(p) > self._pos}
+        done = any(len(p) == self._pos for p in self._alive)
+        if done and self.eos is not None:
+            nxt.add(self.eos)
+        return np.array(sorted(nxt), np.int32)
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos:
+            self._alive = [p for p in self._alive if len(p) == self._pos]
+            return bool(self._alive)
+        self._alive = [p for p in self._alive
+                       if len(p) > self._pos and p[self._pos] == token_id]
+        self._pos += 1
+        return bool(self._alive)
+
+    @property
+    def completed(self) -> bool:
+        return any(len(p) == self._pos for p in self._alive)
+
+
+def create_matcher(params: GuidedDecodingParams, tokenizer,
+                   eos_token_id) -> Optional[GrammarMatcher]:
+    if params is None:
+        return None
+    if params.choice:
+        assert tokenizer is not None, "choice-guided decoding needs a tokenizer"
+        return ChoiceMatcher(params.choice, tokenizer, eos_token_id)
+    raise NotImplementedError(
+        "json/regex/grammar-guided decoding requires the grammar FSM backend "
+        "(round 2); 'choice' is available now")
+
+
+class GuidedDecoder:
+    """Builds the additive [B, V] logits mask for a decode batch."""
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+        self.matchers: Dict[int, GrammarMatcher] = {}
+
+    def register(self, request_id: int, matcher: GrammarMatcher):
+        self.matchers[request_id] = matcher
+
+    def drop(self, request_id: int):
+        self.matchers.pop(request_id, None)
+
+    def has(self, request_id: int) -> bool:
+        return request_id in self.matchers
+
+    def any_active(self, reqs) -> bool:
+        return any(r.request_id in self.matchers for r in reqs)
+
+    def build_mask(self, reqs, padded_b: int) -> Optional[np.ndarray]:
+        """Additive mask [padded_b, V] (0 allowed / -inf banned)."""
+        if not self.any_active(reqs):
+            return None
+        mask = np.zeros((padded_b, self.vocab_size), np.float32)
+        for i, r in enumerate(reqs):
+            m = self.matchers.get(r.request_id)
+            if m is None:
+                continue
+            allowed = m.allowed_tokens()
+            if allowed is None:
+                continue
+            mask[i, :] = NEG_INF
+            mask[i, allowed] = 0.0
+        return mask
+
+    def advance(self, req, token_id: int) -> bool:
+        m = self.matchers.get(req.request_id)
+        if m is None:
+            return True
+        return m.advance(token_id)
