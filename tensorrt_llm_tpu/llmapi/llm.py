@@ -101,6 +101,10 @@ class LLM:
 
         if model_path is not None and _has_weights(model_path):
             get_tensor = _safetensors_reader(model_path)
+            if a.lora_path:
+                from tensorrt_llm_tpu.lora import load_lora_adapter, merge_lora_into_state
+                get_tensor = merge_lora_into_state(
+                    get_tensor, load_lora_adapter(a.lora_path))
             params = self.model.load_hf_weights(get_tensor, dtype=a.dtype)
         elif params is None:
             logger.warning("no checkpoint found — random-initializing weights")

@@ -54,6 +54,10 @@ class LlmArgs:
     # attention
     attention_backend: str = "auto"
 
+    # LoRA: adapter directory merged into base weights at load (round-1;
+    # runtime multi-LoRA in round 2)
+    lora_path: Optional[str] = None
+
     # speculative decoding
     speculative_config: Optional[Any] = None   # SpeculativeConfig
 

@@ -1,0 +1,84 @@
+"""LoRA adapter loading + merging.
+
+Counterpart of the reference's `lora_manager.py` (HF/NeMo adapter loading
+:250,372) — round 1 supports HF PEFT checkpoints merged into the base weights
+at load time (before quantization, so W4A16 bases stay quantized):
+
+    W' = W + (alpha / r) * B @ A
+
+Runtime multi-LoRA (the reference's PeftCacheManager + grouped LoRA GEMM,
+`kernels/lora/`) lands in round 2 — it needs per-row adapter selection inside
+the batched engine step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from tensorrt_llm_tpu.utils import logger
+
+
+@dataclass
+class LoraAdapter:
+    rank: int
+    alpha: float
+    # module path (HF naming, e.g. "model.layers.0.self_attn.q_proj")
+    #   -> (A [r, in], B [out, r])
+    weights: Dict[str, tuple] = field(default_factory=dict)
+
+    @property
+    def scaling(self) -> float:
+        return self.alpha / self.rank
+
+
+def load_lora_adapter(path: str) -> LoraAdapter:
+    """Load an HF PEFT adapter directory."""
+    cfg_path = os.path.join(path, "adapter_config.json")
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    tensors = {}
+    st = os.path.join(path, "adapter_model.safetensors")
+    if os.path.exists(st):
+        from safetensors import safe_open
+        with safe_open(st, framework="np") as f:
+            for k in f.keys():
+                tensors[k] = f.get_tensor(k)
+    else:  # torch .bin fallback
+        import torch
+        bin_path = os.path.join(path, "adapter_model.bin")
+        for k, v in torch.load(bin_path, map_location="cpu").items():
+            tensors[k] = v.float().numpy()
+
+    adapter = LoraAdapter(rank=cfg["r"], alpha=cfg.get("lora_alpha", cfg["r"]))
+    pat = re.compile(r"^base_model\.model\.(.+)\.lora_(A|B)\.weight$")
+    pairs: Dict[str, dict] = {}
+    for name, arr in tensors.items():
+        m = pat.match(name)
+        if not m:
+            continue
+        pairs.setdefault(m.group(1), {})[m.group(2)] = np.asarray(arr, np.float32)
+    for mod, ab in pairs.items():
+        if "A" in ab and "B" in ab:
+            adapter.weights[mod] = (ab["A"], ab["B"])
+    logger.info("loaded LoRA adapter: rank=%d alpha=%s modules=%d",
+                adapter.rank, adapter.alpha, len(adapter.weights))
+    return adapter
+
+
+def merge_lora_into_state(get_tensor, adapter: LoraAdapter):
+    """Wrap a checkpoint reader so targeted linear weights come back with the
+    adapter delta merged in ([out, in] HF layout)."""
+    def wrapped(name: str):
+        arr = get_tensor(name)
+        mod = name[:-len(".weight")] if name.endswith(".weight") else None
+        if arr is not None and mod in adapter.weights:
+            A, B = adapter.weights[mod]
+            arr = np.asarray(arr, np.float32) + adapter.scaling * (B @ A)
+        return arr
+    return wrapped
