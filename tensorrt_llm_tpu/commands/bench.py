@@ -16,13 +16,22 @@ import numpy as np
 
 
 def run_throughput(llm, isl: int, osl: int, num_requests: int,
-                   concurrency: int, vocab: int) -> dict:
+                   concurrency: int, vocab: int, warmup: bool = True) -> dict:
     from tensorrt_llm_tpu.llmapi import SamplingParams
 
     rng = np.random.RandomState(0)
     prompts = [list(rng.randint(10, max(vocab - 10, 11), isl))
                for _ in range(num_requests)]
     sp = SamplingParams(max_tokens=osl, ignore_eos=True)
+
+    if warmup:
+        # compile pass: full concurrency (reaches the same batch/table
+        # buckets as the measured pass) but few output tokens
+        wf = [llm.generate_async(p, SamplingParams(max_tokens=8,
+                                                   ignore_eos=True))
+              for p in prompts]
+        for f in wf:
+            f.result()
 
     t0 = time.perf_counter()
     futures = [llm.generate_async(p, sp) for p in prompts]

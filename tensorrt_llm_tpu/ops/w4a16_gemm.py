@@ -260,7 +260,10 @@ def w4a16_matmul(
         return out.reshape(*lead, N)
 
     bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
-    bn = block_n or next(b for b in (256, 384, 512, 128) if N % b == 0)
+    bn = block_n or 512
+    while N % bn:  # fall back to the next dividing width
+        bn -= 128
+    bn = max(bn, 128)
     bm = block_m or min(256, max(16, round_up(M, 16)))
     Mp = round_up(M, bm)
     if Mp != M:

@@ -35,8 +35,11 @@ from tensorrt_llm_tpu.utils import cdiv, logger, round_up
 # Out-of-bounds slot => scatter drops the write (padding rows).
 PAD_SLOT = np.int32(2**30)
 
-DEFAULT_DECODE_BUCKETS = (8, 16, 32, 64, 128, 256)
-DEFAULT_PREFILL_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+# Coarse buckets: every (bucket, table-width) pair is one compiled
+# executable; compile time is expensive (minutes through a remote-compile
+# tunnel), so fewer/larger buckets with padding waste beat many tight ones.
+DEFAULT_DECODE_BUCKETS = (16, 64, 256)
+DEFAULT_PREFILL_BUCKETS = (128, 512, 2048)
 
 
 def pick_bucket(n: int, buckets: Sequence[int]) -> int:
@@ -260,9 +263,9 @@ class ModelEngine:
         CUDA-graph capture size the same way)."""
         need = max((cdiv(r.num_tokens + extra_tokens, self.kv_manager.block_size)
                     for r in reqs), default=1)
-        mb = 8
+        mb = 16
         while mb < need:
-            mb *= 2
+            mb *= 4
         return min(mb, self.max_blocks_per_seq)
 
     def prepare_decode_inputs(self, reqs, extra_tokens: int = 0) -> StepInputs:
