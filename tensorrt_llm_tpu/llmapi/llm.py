@@ -267,10 +267,15 @@ class GenerationFuture:
 
     def _decode(self, token_ids: List[int]) -> str:
         tok = self.llm.tokenizer
-        if tok is None or not self.req.sampling_params.detokenize:
+        sp = self.req.sampling_params
+        if tok is None or not sp.detokenize:
             return ""
-        return tok.decode(token_ids,
-                          skip_special_tokens=self.req.sampling_params.skip_special_tokens)
+        text = tok.decode(token_ids,
+                          skip_special_tokens=sp.skip_special_tokens)
+        stop = self.req.stop_string
+        if stop and not sp.include_stop_str_in_output and stop in text:
+            text = text[:text.index(stop)]
+        return text
 
     def result(self, timeout: Optional[float] = None) -> RequestOutput:
         toks: List[int] = []

@@ -314,6 +314,12 @@ class PyExecutor:
         request's budget (stops are checked after the fused chunk)."""
         if self.guided.any_active(reqs):
             return 1  # per-token host masks can't ride the fused scan
+        if any(r.sampling_params.repetition_penalty != 1.0
+               or r.sampling_params.presence_penalty != 0.0
+               or r.sampling_params.frequency_penalty != 0.0
+               or r.sampling_params.stop
+               for r in reqs):
+            return 1  # penalties/stop-strings need per-token host state
         k = self.max_decode_steps
         for r in reqs:
             sp = r.sampling_params
@@ -377,6 +383,7 @@ class PyExecutor:
         mask = self.guided.build_mask(reqs, logits.shape[0])
         if mask is not None:
             logits = logits + mask
+        logits = self._apply_penalties(reqs, logits)
         state = SamplingState.from_params(sp, step=self.iteration,
                                           pad_to=logits.shape[0])
         tokens, logp = sample_tokens(logits, state)
@@ -394,6 +401,8 @@ class PyExecutor:
                 continue
             # KV for this token is written next step; sequence length grows
             reason = req.check_stop(self.eos_token_id)
+            if reason is None:
+                reason = self._check_stop_strings(req)
             if reason is None and req.num_tokens >= self.max_seq_len:
                 reason = FinishReason.LENGTH
             if reason is not None:
@@ -401,6 +410,45 @@ class PyExecutor:
                 req.emit(finished=True)
             else:
                 req.emit(finished=False)
+
+    def _apply_penalties(self, reqs, logits):
+        """Repetition/presence/frequency penalties from host token counts
+        (reference: penalty kernels applied pre-sampling)."""
+        active = [r for r in reqs if (
+            r.sampling_params.repetition_penalty != 1.0
+            or r.sampling_params.presence_penalty != 0.0
+            or r.sampling_params.frequency_penalty != 0.0)]
+        if not active:
+            return logits
+        from tensorrt_llm_tpu.runtime.sampler import apply_penalties
+        B = logits.shape[0]
+        V = self.engine.model.cfg.vocab_size
+        counts = np.zeros((B, V), np.int32)
+        rep = np.ones(B, np.float32)
+        pres = np.zeros(B, np.float32)
+        freq = np.zeros(B, np.float32)
+        for i, r in enumerate(reqs):
+            sp = r.sampling_params
+            rep[i], pres[i], freq[i] = (sp.repetition_penalty,
+                                        sp.presence_penalty,
+                                        sp.frequency_penalty)
+            if rep[i] != 1.0 or pres[i] != 0.0 or freq[i] != 0.0:
+                ids, c = np.unique(
+                    np.asarray(r.all_token_ids, np.int64) % V,
+                    return_counts=True)
+                counts[i, ids] = c
+        return apply_penalties(logits, counts, rep, pres, freq)
+
+    def _check_stop_strings(self, req: LlmRequest):
+        sp = req.sampling_params
+        if not sp.stop or self.tokenizer is None:
+            return None
+        tail = self.tokenizer.decode(req.output_token_ids[-24:])
+        for s_ in sp.stop:
+            if s_ in tail:
+                req.stop_string = s_
+                return FinishReason.STOP_STRING
+        return None
 
     # ---------------------------------------------------------------- stats -------
     def get_stats(self) -> List[dict]:

@@ -88,6 +88,7 @@ class LlmRequest:
         self.end_time: Optional[float] = None
 
         self.logprobs: List[dict] = []
+        self.stop_string: Optional[str] = None  # which stop string matched
 
     # ---- derived ---------------------------------------------------------------
     @property
