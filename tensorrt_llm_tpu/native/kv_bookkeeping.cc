@@ -1,0 +1,269 @@
+// Host-side paged-KV block bookkeeping (native backend).
+//
+// TPU-native counterpart of the reference's C++ BlockManager / KVCacheManager
+// host logic (cpp/tensorrt_llm/batch_manager/kvCacheManager.{h,cpp}:
+// BlockManager kvCacheManager.h:1045, KVCacheManager :1690): a block pool
+// with ref counts, a chain-hash prefix-reuse index (the radix-tree analog of
+// BlockKey, kvCacheManager.h:148-195) and LRU eviction of unreferenced
+// cached blocks (evictionPolicy.h:29,70).  The reference keeps exactly this
+// bookkeeping in C++ because it runs on the host every scheduler iteration;
+// we do the same.  Exposed through a plain C ABI loaded with ctypes
+// (tensorrt_llm_tpu/native/__init__.py).  Semantics are kept in lockstep
+// with the pure-Python fallback in runtime/kv_cache_manager.py — the parity
+// test (tests/test_native_kv.py) drives both with identical op sequences and
+// requires identical block tables.
+//
+// Device memory never appears here: pools are JAX arrays owned by the Python
+// side; this module only decides *which* block ids hold which tokens.
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <list>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint64_t kFnvOffset = 1469598103934665603ull;
+constexpr uint64_t kFnvPrime = 1099511628211ull;
+
+inline uint64_t fnv_mix(uint64_t h, uint64_t v) {
+  h ^= v;
+  h *= kFnvPrime;
+  return h;
+}
+
+// Chain hash of (parent_hash, token block, salt). Mirrors the Python
+// fallback's _chain_hash contract: any deterministic 64-bit mix works — only
+// equality matters, and both sides always use their own hash space.
+uint64_t chain_hash(uint64_t parent, const int32_t* toks, int64_t n,
+                    uint64_t salt, int has_salt) {
+  uint64_t h = fnv_mix(kFnvOffset, parent);
+  for (int64_t i = 0; i < n; ++i) h = fnv_mix(h, (uint64_t)(uint32_t)toks[i]);
+  h = fnv_mix(h, has_salt ? salt : 0x9e3779b97f4a7c15ull);
+  h = fnv_mix(h, (uint64_t)has_salt);
+  return h;
+}
+
+struct SeqInfo {
+  std::vector<int32_t> block_ids;
+  std::vector<uint64_t> block_hashes;
+  int64_t num_tokens = 0;
+  uint64_t salt = 0;
+  int has_salt = 0;
+};
+
+struct Manager {
+  int32_t num_blocks;
+  int32_t block_size;
+  bool enable_reuse;
+
+  // free list: FIFO like the Python deque (popleft / append)
+  std::deque<int32_t> free_blocks;
+  std::vector<int32_t> ref_count;
+  std::vector<uint64_t> block_hash;
+  std::vector<uint8_t> has_hash;
+  std::unordered_map<uint64_t, int32_t> cached;  // full-block reuse index
+  // LRU of evictable cached blocks: least-recently-inserted first
+  std::list<int32_t> evict_order;
+  std::unordered_map<int32_t, std::list<int32_t>::iterator> evict_pos;
+  std::unordered_map<int64_t, SeqInfo> sequences;
+
+  // stats (reference KvCacheStats, kvCacheManager.h:213-236)
+  int64_t num_reused = 0;
+  int64_t num_allocated = 0;
+  int64_t num_evicted = 0;
+
+  explicit Manager(int32_t nb, int32_t bs, bool reuse)
+      : num_blocks(nb), block_size(bs), enable_reuse(reuse),
+        ref_count(nb, 0), block_hash(nb, 0), has_hash(nb, 0) {
+    // block 0 is the reserved null block (padding rows in block tables)
+    for (int32_t i = 1; i < nb; ++i) free_blocks.push_back(i);
+  }
+
+  int64_t num_free() const {
+    return (int64_t)free_blocks.size() + (int64_t)evict_order.size();
+  }
+
+  int32_t take_block() {
+    int32_t bid;
+    if (!free_blocks.empty()) {
+      bid = free_blocks.front();
+      free_blocks.pop_front();
+    } else if (!evict_order.empty()) {
+      bid = evict_order.front();
+      evict_order.pop_front();
+      evict_pos.erase(bid);
+      if (has_hash[bid]) {
+        cached.erase(block_hash[bid]);
+        has_hash[bid] = 0;
+      }
+      ++num_evicted;
+    } else {
+      return -1;  // out of blocks
+    }
+    ref_count[bid] = 1;
+    ++num_allocated;
+    return bid;
+  }
+
+  void ref_block(int32_t bid) {
+    if (ref_count[bid] == 0) {
+      auto it = evict_pos.find(bid);
+      if (it != evict_pos.end()) {
+        evict_order.erase(it->second);
+        evict_pos.erase(it);
+      }
+    }
+    ++ref_count[bid];
+  }
+
+  void unref_block(int32_t bid) {
+    --ref_count[bid];
+    if (ref_count[bid] == 0) {
+      if (has_hash[bid] && enable_reuse) {
+        evict_order.push_back(bid);
+        evict_pos[bid] = std::prev(evict_order.end());
+      } else {
+        free_blocks.push_back(bid);
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* tllm_kvbm_create(int32_t num_blocks, int32_t block_size,
+                       int32_t enable_reuse) {
+  return new Manager(num_blocks, block_size, enable_reuse != 0);
+}
+
+void tllm_kvbm_destroy(void* h) { delete static_cast<Manager*>(h); }
+
+// Register a sequence and match reusable full prefix blocks. Returns the
+// number of prefix TOKENS already cached (strictly < n: the last prompt
+// token is always recomputed, same partial-reuse guard as the reference).
+int64_t tllm_kvbm_add_sequence(void* h, int64_t seq, const int32_t* toks,
+                               int64_t n, uint64_t salt, int32_t has_salt) {
+  Manager& m = *static_cast<Manager*>(h);
+  SeqInfo& info = m.sequences[seq];
+  info.salt = salt;
+  info.has_salt = has_salt;
+  int64_t matched = 0;
+  uint64_t parent = 0;
+  if (m.enable_reuse) {
+    int64_t n_full = (n - 1) / m.block_size;  // keep the last token
+    for (int64_t b = 0; b < n_full; ++b) {
+      uint64_t hh = chain_hash(parent, toks + b * m.block_size, m.block_size,
+                               salt, has_salt);
+      auto it = m.cached.find(hh);
+      if (it == m.cached.end()) break;
+      m.ref_block(it->second);
+      info.block_ids.push_back(it->second);
+      info.block_hashes.push_back(hh);
+      matched += m.block_size;
+      parent = hh;
+    }
+  }
+  info.num_tokens = matched;
+  if (matched) m.num_reused += (int64_t)info.block_ids.size();
+  return matched;
+}
+
+// Ensure the sequence owns enough blocks for new_total tokens.
+// Returns 0 on success, -1 when the pool is exhausted (no state rollback:
+// callers gate with can-grow checks first, as the Python side does).
+int32_t tllm_kvbm_grow(void* h, int64_t seq, int64_t new_total) {
+  Manager& m = *static_cast<Manager*>(h);
+  SeqInfo& info = m.sequences[seq];
+  int64_t need = (new_total + m.block_size - 1) / m.block_size;
+  while ((int64_t)info.block_ids.size() < need) {
+    int32_t bid = m.take_block();
+    if (bid < 0) return -1;
+    info.block_ids.push_back(bid);
+  }
+  info.num_tokens = new_total;
+  return 0;
+}
+
+int64_t tllm_kvbm_seq_num_blocks(void* h, int64_t seq) {
+  Manager& m = *static_cast<Manager*>(h);
+  auto it = m.sequences.find(seq);
+  return it == m.sequences.end() ? -1 : (int64_t)it->second.block_ids.size();
+}
+
+// Publish completed full blocks into the reuse index (first writer wins).
+void tllm_kvbm_seal(void* h, int64_t seq, const int32_t* toks, int64_t n) {
+  Manager& m = *static_cast<Manager*>(h);
+  if (!m.enable_reuse) return;
+  SeqInfo& info = m.sequences[seq];
+  int64_t n_full = n / m.block_size;
+  uint64_t parent = info.block_hashes.empty() ? 0 : info.block_hashes.back();
+  for (int64_t b = (int64_t)info.block_hashes.size(); b < n_full; ++b) {
+    int32_t bid = info.block_ids[b];
+    uint64_t hh = chain_hash(parent, toks + b * m.block_size, m.block_size,
+                             info.salt, info.has_salt);
+    if (m.cached.find(hh) == m.cached.end()) {
+      m.cached[hh] = bid;
+      m.block_hash[bid] = hh;
+      m.has_hash[bid] = 1;
+    }
+    info.block_hashes.push_back(hh);
+    parent = hh;
+  }
+}
+
+void tllm_kvbm_free_seq(void* h, int64_t seq) {
+  Manager& m = *static_cast<Manager*>(h);
+  auto it = m.sequences.find(seq);
+  if (it == m.sequences.end()) return;
+  for (int32_t bid : it->second.block_ids) m.unref_block(bid);
+  m.sequences.erase(it);
+}
+
+// Fill out[0:max_blocks] with the sequence's block ids, 0-padded.
+void tllm_kvbm_block_table(void* h, int64_t seq, int32_t* out,
+                           int64_t max_blocks) {
+  Manager& m = *static_cast<Manager*>(h);
+  const auto& ids = m.sequences[seq].block_ids;
+  int64_t n = (int64_t)ids.size() < max_blocks ? (int64_t)ids.size()
+                                               : max_blocks;
+  for (int64_t i = 0; i < n; ++i) out[i] = ids[i];
+  for (int64_t i = n; i < max_blocks; ++i) out[i] = 0;
+}
+
+// Flat slots (block_id*block_size + offset) for [start, start+n).
+int32_t tllm_kvbm_slot_mapping(void* h, int64_t seq, int64_t start, int64_t n,
+                               int32_t* out) {
+  Manager& m = *static_cast<Manager*>(h);
+  const auto& ids = m.sequences[seq].block_ids;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t pos = start + i;
+    int64_t b = pos / m.block_size;
+    if (b >= (int64_t)ids.size()) return -1;
+    out[i] = ids[b] * m.block_size + (int32_t)(pos % m.block_size);
+  }
+  return 0;
+}
+
+int64_t tllm_kvbm_num_free(void* h) {
+  return static_cast<Manager*>(h)->num_free();
+}
+
+// out[7] = {free, evictable, reused, allocated, evicted, active_seqs,
+//           num_blocks}
+void tllm_kvbm_stats(void* h, int64_t* out) {
+  Manager& m = *static_cast<Manager*>(h);
+  out[0] = (int64_t)m.free_blocks.size();
+  out[1] = (int64_t)m.evict_order.size();
+  out[2] = m.num_reused;
+  out[3] = m.num_allocated;
+  out[4] = m.num_evicted;
+  out[5] = (int64_t)m.sequences.size();
+  out[6] = m.num_blocks;
+}
+
+}  // extern "C"

@@ -274,7 +274,7 @@ class PyExecutor:
             return False
         k = len(draft)
         need = self.kv.blocks_needed(req.num_tokens + k) - \
-            len(self.kv.sequences[req.request_id].block_ids)
+            self.kv.num_seq_blocks(req.request_id)
         if need > self.kv.num_free_blocks:
             return False
         self.kv.grow_sequence(req.request_id, req.num_tokens + k)
@@ -334,7 +334,7 @@ class PyExecutor:
         while k > 1:
             extra = sum(
                 self.kv.blocks_needed(r.num_tokens + k - 1)
-                - len(self.kv.sequences[r.request_id].block_ids)
+                - self.kv.num_seq_blocks(r.request_id)
                 for r in reqs)
             if extra <= self.kv.num_free_blocks:
                 break

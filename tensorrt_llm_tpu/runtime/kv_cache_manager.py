@@ -8,19 +8,22 @@ cached blocks (reference `evictionPolicy.h:29,70`), and free-memory-derived
 pool sizing (reference resource_manager.py:782 `calculate_max_num_blocks`).
 
 Device tensors live here: per layer, K and V pools shaped
-``[num_blocks, block_size, num_kv_heads_local, head_dim]`` (head-sharded under
-TP).  Host bookkeeping is pure Python — profiled fast enough for O(1k) blocks
-per step; the reference keeps this in C++ for the same role.
+``[num_blocks, num_kv_heads, block_size, head_dim]`` (head-sharded under TP).
+Host bookkeeping runs in the C++ extension (`native/kv_bookkeeping.cc`) when a
+compiler is available — the same split as the reference, which keeps this
+per-iteration-hot path in `batch_manager/` C++ — with a pure-Python fallback
+kept in semantic lockstep (tests/test_native_kv.py enforces identical block
+tables for identical op sequences).
 
-INT8-quantized KV (reference `KvCacheDataType::INT8`) stores an extra per
-(block, head) scale pool — handled by `kv_quant` here (round 1: BF16 only;
-INT8 wiring in ops/attention lands with the Pallas paged kernel).
+Quantized KV (reference `KvCacheDataType::{INT8,FP8}`) stores int8/fp8 data
+pools; INT8 adds a per-(token, head) scale pool, FP8 (e4m3) needs none.
 """
 
 from __future__ import annotations
 
 import collections
-from dataclasses import dataclass, field
+import os
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -44,28 +47,21 @@ class KVCacheConfig:
 
 
 class SequenceInfo:
-    __slots__ = ("block_ids", "num_tokens", "block_hashes")
+    __slots__ = ("block_ids", "num_tokens", "block_hashes", "salt")
 
     def __init__(self):
         self.block_ids: List[int] = []
         self.num_tokens = 0
         self.block_hashes: List[int] = []
+        self.salt = None
 
 
-class KVCacheManager:
-    def __init__(self, cfg: KVCacheConfig, num_layers: int,
-                 num_kv_heads: int, head_dim: int,
-                 num_blocks: int):
-        """num_kv_heads is the GLOBAL head count — under TP the engine shards
-        the pools over the "tp" mesh axis (each device holds its heads)."""
-        self.cfg = cfg
-        self.block_size = cfg.block_size
-        self.num_layers = num_layers
-        self.num_blocks = num_blocks
-        self.num_kv_heads = num_kv_heads
-        self.head_dim = head_dim
+class _PyBookkeeping:
+    """Pure-Python host bookkeeping (fallback when g++ is unavailable)."""
 
-        # ---- host bookkeeping ----
+    def __init__(self, num_blocks: int, block_size: int, enable_reuse: bool):
+        self.block_size = block_size
+        self.enable_reuse = enable_reuse
         # block 0 is reserved as the "null" block (padding rows in block
         # tables point at it; its contents are garbage but always masked).
         self.free_blocks = collections.deque(range(1, num_blocks))
@@ -76,60 +72,14 @@ class KVCacheManager:
         # LRU of evictable cached blocks (ref==0, in cached_blocks)
         self.evictable = collections.OrderedDict()  # block_id -> None
         self.sequences: Dict[int, SequenceInfo] = {}
-
-        # stats (reference kvCacheManager.h:213-236 KvCacheStats)
         self.num_reused_blocks = 0
         self.num_allocated_blocks = 0
         self.num_evicted_blocks = 0
 
-    # ------------------------------------------------------------------ pools --
-    def allocate_pools(self, dtype=None) -> List[Tuple[jax.Array, jax.Array]]:
-        """Create device pools (call under the target mesh/sharding ctx).
-
-        Layout is head-major pages ``[NB, Hkv, BS, D]``: one page is a
-        contiguous HBM chunk and each head's slice of a page is a contiguous
-        ``[BS, D]`` tile — what the Pallas paged-attention kernel DMAs.
-        """
-        dtype = dtype or self.cfg.dtype
-        shape = (self.num_blocks, self.num_kv_heads, self.block_size,
-                 self.head_dim)
-        caches = []
-        if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
-            # int8 data + per-(token, head) scale pools (reference
-            # KvCacheDataType::INT8); halves KV HBM footprint + gather traffic
-            sshape = shape[:3]
-            for _ in range(self.num_layers):
-                caches.append((
-                    (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
-                    (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
-                ))
-            return caches
-        for _ in range(self.num_layers):
-            caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
-        return caches
-
-    @staticmethod
-    def blocks_from_memory(bytes_budget: int, num_layers: int,
-                           num_kv_heads: int, head_dim: int,
-                           block_size: int, dtype_bytes: int = 2) -> int:
-        per_block = 2 * num_layers * block_size * num_kv_heads * head_dim * dtype_bytes
-        return max(int(bytes_budget // per_block), 16)
-
-    # ------------------------------------------------------------------ hashing --
     @staticmethod
     def _chain_hash(parent: int, tokens: tuple, salt) -> int:
         return hash((parent, tokens, salt))
 
-    # ------------------------------------------------------------------ queries --
-    @property
-    def num_free_blocks(self) -> int:
-        """Blocks available right now (free list + evictable cached)."""
-        return len(self.free_blocks) + len(self.evictable)
-
-    def blocks_needed(self, num_tokens: int) -> int:
-        return cdiv(num_tokens, self.block_size)
-
-    # ------------------------------------------------------------------ alloc --
     def _take_block(self) -> int:
         if self.free_blocks:
             bid = self.free_blocks.popleft()
@@ -155,25 +105,23 @@ class KVCacheManager:
         self.ref_count[bid] -= 1
         assert self.ref_count[bid] >= 0
         if self.ref_count[bid] == 0:
-            if self.block_hash[bid] is not None and self.cfg.enable_block_reuse:
+            if self.block_hash[bid] is not None and self.enable_reuse:
                 self.evictable[bid] = None  # keep contents, evict LRU later
             else:
                 self.free_blocks.append(bid)
 
+    # ---- ops mirrored by the native backend ---------------------------------
+    def num_free_blocks(self) -> int:
+        return len(self.free_blocks) + len(self.evictable)
+
     def add_sequence(self, seq_id: int, token_ids: List[int],
                      cache_salt=None) -> int:
-        """Register a sequence; match reusable prefix blocks.
-
-        Returns the number of *tokens* whose KV is already cached (multiple of
-        block_size, and strictly less than len(token_ids) so at least one
-        token is recomputed to produce logits — same rule as the reference's
-        partial-reuse guard).
-        """
         info = SequenceInfo()
+        info.salt = cache_salt
         self.sequences[seq_id] = info
         matched_tokens = 0
         parent = 0
-        if self.cfg.enable_block_reuse:
+        if self.enable_reuse:
             n_full = (len(token_ids) - 1) // self.block_size  # keep last token
             for b in range(n_full):
                 chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
@@ -192,22 +140,18 @@ class KVCacheManager:
         return matched_tokens
 
     def grow_sequence(self, seq_id: int, new_total_tokens: int):
-        """Ensure the sequence owns enough blocks for new_total_tokens."""
         info = self.sequences[seq_id]
-        need = self.blocks_needed(new_total_tokens)
+        need = cdiv(new_total_tokens, self.block_size)
         while len(info.block_ids) < need:
             info.block_ids.append(self._take_block())
         info.num_tokens = new_total_tokens
 
-    def can_grow(self, seq_id: int, new_total_tokens: int) -> bool:
-        info = self.sequences[seq_id]
-        need = self.blocks_needed(new_total_tokens) - len(info.block_ids)
-        return need <= self.num_free_blocks
+    def num_seq_blocks(self, seq_id: int) -> int:
+        info = self.sequences.get(seq_id)
+        return -1 if info is None else len(info.block_ids)
 
     def seal_full_blocks(self, seq_id: int, token_ids: List[int]):
-        """Publish completed blocks into the reuse index (called as the
-        sequence crosses block boundaries)."""
-        if not self.cfg.enable_block_reuse:
+        if not self.enable_reuse:
             return
         info = self.sequences[seq_id]
         n_full = len(token_ids) // self.block_size
@@ -215,7 +159,7 @@ class KVCacheManager:
         for b in range(len(info.block_hashes), n_full):
             bid = info.block_ids[b]
             chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
-            h = self._chain_hash(parent, chunk, None)
+            h = self._chain_hash(parent, chunk, info.salt)
             # first writer wins; duplicates keep their private block
             if h not in self.cached_blocks:
                 self.cached_blocks[h] = bid
@@ -230,15 +174,12 @@ class KVCacheManager:
         for bid in info.block_ids:
             self._unref_block(bid)
 
-    # ------------------------------------------------------------------ tables --
     def block_table(self, seq_id: int, max_blocks: int) -> List[int]:
         ids = self.sequences[seq_id].block_ids[:max_blocks]
         return ids + [0] * (max_blocks - len(ids))
 
     def slot_mapping(self, seq_id: int, start_token: int,
                      num_tokens: int) -> List[int]:
-        """Flat slots (block_id*block_size + offset) for token positions
-        [start_token, start_token+num_tokens)."""
         info = self.sequences[seq_id]
         bs = self.block_size
         out = []
@@ -248,7 +189,6 @@ class KVCacheManager:
 
     def stats(self) -> dict:
         return {
-            "num_blocks": self.num_blocks,
             "free_blocks": len(self.free_blocks),
             "evictable_blocks": len(self.evictable),
             "reused_blocks": self.num_reused_blocks,
@@ -256,3 +196,221 @@ class KVCacheManager:
             "evicted_blocks": self.num_evicted_blocks,
             "active_sequences": len(self.sequences),
         }
+
+
+class _NativeBookkeeping:
+    """ctypes wrapper over native/kv_bookkeeping.cc (same op surface)."""
+
+    def __init__(self, lib, num_blocks: int, block_size: int,
+                 enable_reuse: bool):
+        import ctypes
+
+        self._ct = ctypes
+        self._lib = lib
+        self.block_size = block_size
+        self._h = lib.tllm_kvbm_create(num_blocks, block_size,
+                                       1 if enable_reuse else 0)
+
+    def __del__(self):
+        try:
+            self._lib.tllm_kvbm_destroy(self._h)
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+    def _tok_buf(self, token_ids):
+        import numpy as np
+        arr = np.asarray(token_ids, dtype=np.int32)
+        return arr, arr.ctypes.data_as(self._ct.POINTER(self._ct.c_int32))
+
+    def num_free_blocks(self) -> int:
+        return int(self._lib.tllm_kvbm_num_free(self._h))
+
+    def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
+        _keep, ptr = self._tok_buf(token_ids)
+        salt = 0 if cache_salt is None else hash(cache_salt) & (2**64 - 1)
+        return int(self._lib.tllm_kvbm_add_sequence(
+            self._h, seq_id, ptr, len(token_ids), salt,
+            0 if cache_salt is None else 1))
+
+    def grow_sequence(self, seq_id: int, new_total_tokens: int):
+        if self._lib.tllm_kvbm_grow(self._h, seq_id, new_total_tokens) != 0:
+            raise RuntimeError("KV cache out of blocks")
+
+    def num_seq_blocks(self, seq_id: int) -> int:
+        return int(self._lib.tllm_kvbm_seq_num_blocks(self._h, seq_id))
+
+    def seal_full_blocks(self, seq_id: int, token_ids):
+        _keep, ptr = self._tok_buf(token_ids)
+        self._lib.tllm_kvbm_seal(self._h, seq_id, ptr, len(token_ids))
+
+    def free_sequence(self, seq_id: int):
+        self._lib.tllm_kvbm_free_seq(self._h, seq_id)
+
+    def block_table(self, seq_id: int, max_blocks: int) -> List[int]:
+        import numpy as np
+        out = np.zeros(max_blocks, np.int32)
+        self._lib.tllm_kvbm_block_table(
+            self._h, seq_id,
+            out.ctypes.data_as(self._ct.POINTER(self._ct.c_int32)), max_blocks)
+        return out.tolist()
+
+    def slot_mapping(self, seq_id: int, start_token: int,
+                     num_tokens: int) -> List[int]:
+        import numpy as np
+        out = np.zeros(num_tokens, np.int32)
+        rc = self._lib.tllm_kvbm_slot_mapping(
+            self._h, seq_id, start_token, num_tokens,
+            out.ctypes.data_as(self._ct.POINTER(self._ct.c_int32)))
+        if rc != 0:
+            raise IndexError("slot_mapping past allocated blocks")
+        return out.tolist()
+
+    def stats(self) -> dict:
+        out = (self._ct.c_int64 * 7)()
+        self._lib.tllm_kvbm_stats(self._h, out)
+        return {
+            "free_blocks": int(out[0]),
+            "evictable_blocks": int(out[1]),
+            "reused_blocks": int(out[2]),
+            "allocated_blocks": int(out[3]),
+            "evicted_blocks": int(out[4]),
+            "active_sequences": int(out[5]),
+        }
+
+
+def _make_bookkeeping(num_blocks: int, block_size: int, enable_reuse: bool,
+                      backend: str = "auto"):
+    """backend: "auto" (native if buildable), "native", or "python"."""
+    backend = os.environ.get("TLLM_KV_BOOKKEEPING", backend)
+    if backend != "python":
+        from tensorrt_llm_tpu.native import load_native
+        lib = load_native()
+        if lib is not None:
+            return _NativeBookkeeping(lib, num_blocks, block_size, enable_reuse)
+        if backend == "native":
+            raise RuntimeError("native KV bookkeeping requested but the "
+                               "extension could not be built")
+        logger.info("using pure-Python KV bookkeeping")
+    return _PyBookkeeping(num_blocks, block_size, enable_reuse)
+
+
+class KVCacheManager:
+    def __init__(self, cfg: KVCacheConfig, num_layers: int,
+                 num_kv_heads: int, head_dim: int,
+                 num_blocks: int, bookkeeping: str = "auto"):
+        """num_kv_heads is the GLOBAL head count — under TP the engine shards
+        the pools over the "tp" mesh axis (each device holds its heads)."""
+        self.cfg = cfg
+        self.block_size = cfg.block_size
+        self.num_layers = num_layers
+        self.num_blocks = num_blocks
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self._bk = _make_bookkeeping(num_blocks, cfg.block_size,
+                                     cfg.enable_block_reuse, bookkeeping)
+
+    @property
+    def is_native(self) -> bool:
+        return isinstance(self._bk, _NativeBookkeeping)
+
+    # ------------------------------------------------------------------ pools --
+    def allocate_pools(self, dtype=None) -> List[Tuple[jax.Array, jax.Array]]:
+        """Create device pools (call under the target mesh/sharding ctx).
+
+        Layout is head-major pages ``[NB, Hkv, BS, D]``: one page is a
+        contiguous HBM chunk and each head's slice of a page is a contiguous
+        ``[BS, D]`` tile — what the Pallas paged-attention kernel DMAs.
+        """
+        dtype = dtype or self.cfg.dtype
+        shape = (self.num_blocks, self.num_kv_heads, self.block_size,
+                 self.head_dim)
+        caches = []
+        if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
+            # int8 data + per-(token, head) scale pools (reference
+            # KvCacheDataType::INT8); halves KV HBM footprint + gather traffic
+            sshape = shape[:3]
+            for _ in range(self.num_layers):
+                caches.append((
+                    (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
+                    (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
+                ))
+            return caches
+        if self.cfg.kv_quant == KvCacheQuantAlgo.FP8:
+            # fp8 e4m3 data pools, no scales (reference KvCacheDataType::FP8
+            # with unit scale — e4m3's dynamic range covers bf16 KV values
+            # post-RMSNorm); halves KV HBM footprint like INT8 but dequant is
+            # a pure dtype convert
+            for _ in range(self.num_layers):
+                caches.append((jnp.zeros(shape, jnp.float8_e4m3fn),
+                               jnp.zeros(shape, jnp.float8_e4m3fn)))
+            return caches
+        for _ in range(self.num_layers):
+            caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+        return caches
+
+    @staticmethod
+    def blocks_from_memory(bytes_budget: int, num_layers: int,
+                           num_kv_heads: int, head_dim: int,
+                           block_size: int, dtype_bytes: int = 2) -> int:
+        per_block = 2 * num_layers * block_size * num_kv_heads * head_dim * dtype_bytes
+        return max(int(bytes_budget // per_block), 16)
+
+    # ------------------------------------------------------------------ queries --
+    @property
+    def num_free_blocks(self) -> int:
+        """Blocks available right now (free list + evictable cached)."""
+        return self._bk.num_free_blocks()
+
+    def blocks_needed(self, num_tokens: int) -> int:
+        return cdiv(num_tokens, self.block_size)
+
+    def num_seq_blocks(self, seq_id: int) -> int:
+        """Blocks currently owned by seq_id (0 if unknown)."""
+        n = self._bk.num_seq_blocks(seq_id)
+        return 0 if n < 0 else n
+
+    def has_sequence(self, seq_id: int) -> bool:
+        return self._bk.num_seq_blocks(seq_id) >= 0
+
+    # ------------------------------------------------------------------ ops -----
+    def add_sequence(self, seq_id: int, token_ids: List[int],
+                     cache_salt=None) -> int:
+        """Register a sequence; match reusable prefix blocks.
+
+        Returns the number of *tokens* whose KV is already cached (multiple of
+        block_size, and strictly less than len(token_ids) so at least one
+        token is recomputed to produce logits — same rule as the reference's
+        partial-reuse guard).
+        """
+        return self._bk.add_sequence(seq_id, token_ids, cache_salt)
+
+    def grow_sequence(self, seq_id: int, new_total_tokens: int):
+        """Ensure the sequence owns enough blocks for new_total_tokens."""
+        self._bk.grow_sequence(seq_id, new_total_tokens)
+
+    def can_grow(self, seq_id: int, new_total_tokens: int) -> bool:
+        need = self.blocks_needed(new_total_tokens) - self.num_seq_blocks(seq_id)
+        return need <= self.num_free_blocks
+
+    def seal_full_blocks(self, seq_id: int, token_ids: List[int]):
+        """Publish completed blocks into the reuse index (called as the
+        sequence crosses block boundaries)."""
+        self._bk.seal_full_blocks(seq_id, token_ids)
+
+    def free_sequence(self, seq_id: int):
+        self._bk.free_sequence(seq_id)
+
+    # ------------------------------------------------------------------ tables --
+    def block_table(self, seq_id: int, max_blocks: int) -> List[int]:
+        return self._bk.block_table(seq_id, max_blocks)
+
+    def slot_mapping(self, seq_id: int, start_token: int,
+                     num_tokens: int) -> List[int]:
+        """Flat slots (block_id*block_size + offset) for token positions
+        [start_token, start_token+num_tokens)."""
+        return self._bk.slot_mapping(seq_id, start_token, num_tokens)
+
+    def stats(self) -> dict:
+        s = self._bk.stats()
+        s["num_blocks"] = self.num_blocks
+        return s

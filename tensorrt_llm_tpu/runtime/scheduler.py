@@ -62,8 +62,7 @@ class Scheduler:
     # ---- capacity pass -----------------------------------------------------------
     def _fits_no_evict(self, req: LlmRequest, reserved: int) -> Tuple[bool, int]:
         """Worst case: blocks to hold the full sequence at max_total_len."""
-        have = len(self.kv.sequences[req.request_id].block_ids) \
-            if req.request_id in self.kv.sequences else 0
+        have = self.kv.num_seq_blocks(req.request_id)
         need = self.kv.blocks_needed(req.max_total_len) - have
         fits = need + reserved <= self.kv.num_free_blocks
         return fits, max(need, 0)
@@ -71,8 +70,7 @@ class Scheduler:
     def _fits_next_step(self, req: LlmRequest, reserved: int,
                         step_tokens: int) -> Tuple[bool, int]:
         """MaxUtilization: only the blocks needed for this step's tokens."""
-        have = len(self.kv.sequences[req.request_id].block_ids) \
-            if req.request_id in self.kv.sequences else 0
+        have = self.kv.num_seq_blocks(req.request_id)
         target = (req.context_position + step_tokens if req.is_context_init
                   else req.num_tokens + 1)
         need = self.kv.blocks_needed(target) - have

@@ -88,11 +88,11 @@ def test_prefix_reuse_kicks_in(executor):
     r1 = LlmRequest(base + [1], SamplingParams(max_tokens=3, ignore_eos=True))
     executor.submit(r1)
     collect(r1)
-    before = executor.kv.num_reused_blocks
+    before = executor.kv.stats()["reused_blocks"]
     r2 = LlmRequest(base + [2], SamplingParams(max_tokens=3, ignore_eos=True))
     executor.submit(r2)
     collect(r2)
-    assert executor.kv.num_reused_blocks > before
+    assert executor.kv.stats()["reused_blocks"] > before
 
 
 def test_greedy_same_with_and_without_reuse():
