@@ -1,0 +1,194 @@
+"""Multi-head Latent Attention module (DeepSeek V2/V3).
+
+Counterpart of the reference's `MLA` module (`_torch/modules/attention.py:1217`)
+and its weight-absorption path: Q is (optionally) low-rank projected, KV is
+compressed to ``kv_lora_rank`` latent channels plus a head-shared rope key,
+and the per-head up-projections from `kv_b_proj` are *absorbed* into the query
+and output sides so the paged cache stores only latents (ops/mla.py).
+
+TP semantics: query heads (q_b / absorbed W_uk / W_uv, o_proj) shard over the
+"tp" mesh axis; the latent path (q_a, kv_a, norms) and the latent cache are
+replicated — MLA's latent is MQA-like, shared by all heads, so there is no
+head axis to shard and its cache is small (L+R channels/token).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tensorrt_llm_tpu.attention_backend.interface import AttentionMetadata
+from tensorrt_llm_tpu.layers.linear import Linear, make_linear_method
+from tensorrt_llm_tpu.ops.mla import (
+    mla_decode_xla,
+    mla_prefill_xla,
+    write_latent_cache,
+)
+from tensorrt_llm_tpu.ops.norms import rms_norm
+from tensorrt_llm_tpu.ops.rope import RopeConfig, apply_rope
+from tensorrt_llm_tpu.quantization import QuantConfig
+
+
+@dataclass
+class MLA:
+    hidden_size: int
+    num_heads: int
+    q_lora_rank: Optional[int]      # None => direct q_proj (V2-Lite)
+    kv_lora_rank: int
+    qk_nope_head_dim: int
+    qk_rope_head_dim: int
+    v_head_dim: int
+    rope: RopeConfig
+    scale: float                    # qk_head_dim^-0.5 (x yarn mscale^2)
+    rms_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[QuantConfig] = None
+    tp_size: int = 1
+
+    def __post_init__(self):
+        assert self.num_heads % self.tp_size == 0
+        self.n_local_heads = self.num_heads // self.tp_size
+        self.qk_head_dim = self.qk_nope_head_dim + self.qk_rope_head_dim
+        method = lambda name: make_linear_method(self.quant, name)
+        H = self.hidden_size
+        if self.q_lora_rank is not None:
+            self.q_a = Linear(H, self.q_lora_rank, False, self.dtype,
+                              method("q_a_proj"), tp_mode="none")
+            self.q_b = Linear(self.q_lora_rank,
+                              self.num_heads * self.qk_head_dim, False,
+                              self.dtype, method("q_b_proj"),
+                              tp_mode="column", tp_size=self.tp_size)
+        else:
+            self.q_proj = Linear(H, self.num_heads * self.qk_head_dim, False,
+                                 self.dtype, method("q_proj"),
+                                 tp_mode="column", tp_size=self.tp_size)
+        self.kv_a = Linear(H, self.kv_lora_rank + self.qk_rope_head_dim,
+                           False, self.dtype, method("kv_a_proj"),
+                           tp_mode="none")
+        self.o = Linear(self.num_heads * self.v_head_dim, H, False,
+                        self.dtype, method("o_proj"), tp_mode="row",
+                        tp_size=self.tp_size)
+
+    # ---- params ---------------------------------------------------------------
+    def init(self, key) -> Dict:
+        keys = jax.random.split(key, 5)
+        H = self.hidden_size
+        L, R, N, V = (self.kv_lora_rank, self.qk_rope_head_dim,
+                      self.qk_nope_head_dim, self.v_head_dim)
+        std = 0.5 / (H ** 0.5)
+        rnd = lambda k, shape, s=std: jax.random.normal(
+            k, shape, jnp.float32) * s
+        kv_a_w = rnd(keys[1], (H, L + R))
+        kv_b_w = rnd(keys[2], (L, self.num_heads * (N + V)), 0.5 / L ** 0.5)
+        o_w = rnd(keys[3], (self.num_heads * V, H))
+        if self.q_lora_rank is not None:
+            qa = rnd(keys[4], (H, self.q_lora_rank))
+            qb = rnd(keys[0], (self.q_lora_rank,
+                               self.num_heads * self.qk_head_dim),
+                     0.5 / self.q_lora_rank ** 0.5)
+            return self.from_float(kv_a_w, kv_b_w, o_w,
+                                   jnp.ones((L,), jnp.float32),
+                                   q_a_w=qa, q_b_w=qb,
+                                   q_norm=jnp.ones((self.q_lora_rank,),
+                                                   jnp.float32))
+        q_w = rnd(keys[0], (H, self.num_heads * self.qk_head_dim))
+        return self.from_float(kv_a_w, kv_b_w, o_w,
+                               jnp.ones((L,), jnp.float32), q_w=q_w)
+
+    def from_float(self, kv_a_w, kv_b_w, o_w, kv_norm, q_w=None, q_a_w=None,
+                   q_b_w=None, q_norm=None) -> Dict:
+        """All weights [in, out] float.  kv_b_w [L, H*(N+V)] is split into the
+        absorbed per-head factors W_uk [H, N, L] / W_uv [H, L, V]."""
+        L, N, V = self.kv_lora_rank, self.qk_nope_head_dim, self.v_head_dim
+        kv_b = kv_b_w.reshape(L, self.num_heads, N + V)
+        w_uk = jnp.transpose(kv_b[:, :, :N], (1, 2, 0))   # [H, N, L]
+        w_uv = jnp.transpose(kv_b[:, :, N:], (1, 0, 2))   # [H, L, V]
+        p = {
+            "kv_a": self.kv_a.quantize_from_float(kv_a_w),
+            "kv_norm": kv_norm.astype(jnp.float32),
+            "w_uk": w_uk.astype(self.dtype),
+            "w_uv": w_uv.astype(self.dtype),
+            "o": self.o.quantize_from_float(o_w),
+        }
+        if self.q_lora_rank is not None:
+            p["q_a"] = self.q_a.quantize_from_float(q_a_w)
+            p["q_norm"] = q_norm.astype(jnp.float32)
+            p["q_b"] = self.q_b.quantize_from_float(q_b_w)
+        else:
+            p["q"] = self.q_proj.quantize_from_float(q_w)
+        return p
+
+    def param_specs(self) -> Dict:
+        p = {
+            "kv_a": self.kv_a.param_specs(),
+            "kv_norm": P(None),
+            "w_uk": P("tp", None, None),
+            "w_uv": P("tp", None, None),
+            "o": self.o.param_specs(),
+        }
+        if self.q_lora_rank is not None:
+            p["q_a"] = self.q_a.param_specs()
+            p["q_norm"] = P(None)
+            p["q_b"] = self.q_b.param_specs()
+        else:
+            p["q"] = self.q_proj.param_specs()
+        return p
+
+    # ---- forward ----------------------------------------------------------------
+    def __call__(
+        self,
+        params: Dict,
+        x: jax.Array,                 # [T, hidden]
+        rope_tables: Tuple[jax.Array, jax.Array],
+        kv_cache: jax.Array,          # latent pool [NB, 1, BS, L+R]
+        meta: AttentionMetadata,
+    ) -> Tuple[jax.Array, jax.Array]:
+        T = x.shape[0]
+        Hl = self.n_local_heads
+        L, R, N = self.kv_lora_rank, self.qk_rope_head_dim, self.qk_nope_head_dim
+
+        if self.q_lora_rank is not None:
+            cq = rms_norm(self.q_a(params["q_a"], x), params["q_norm"],
+                          self.rms_eps)
+            q = self.q_b(params["q_b"], cq)
+        else:
+            q = self.q_proj(params["q"], x)
+        q = q.reshape(T, Hl, self.qk_head_dim)
+        q_nope, q_pe = q[..., :N], q[..., N:]
+
+        ckv_full = self.kv_a(params["kv_a"], x)           # [T, L+R]
+        ckv = rms_norm(ckv_full[:, :L], params["kv_norm"], self.rms_eps)
+        k_pe = ckv_full[:, None, L:]                      # [T, 1, R]
+
+        cos_t, sin_t = rope_tables
+        q_pe, k_pe = apply_rope(q_pe, k_pe, meta.positions, cos_t, sin_t,
+                                interleaved=self.rope.interleaved)
+
+        # absorb W_uk into the query: [T,H,N] x [H,N,L] -> [T,H,L]
+        q_lat = jnp.einsum("thn,hnl->thl", q_nope.astype(jnp.float32),
+                           params["w_uk"].astype(jnp.float32))
+        q_eff = jnp.concatenate([q_lat.astype(x.dtype),
+                                 q_pe.astype(x.dtype)], axis=-1)
+
+        latents = jnp.concatenate(
+            [ckv.astype(kv_cache.dtype), k_pe[:, 0].astype(kv_cache.dtype)],
+            axis=-1)
+        kv_cache = write_latent_cache(kv_cache, latents, meta.slot_mapping)
+
+        if meta.mode == "prefill":
+            out_lat = mla_prefill_xla(q_eff, kv_cache, meta.block_tables[0],
+                                      meta.kv_lens[0], meta.q_offset,
+                                      self.scale, L)
+        else:
+            out_lat = mla_decode_xla(q_eff, kv_cache, meta.block_tables,
+                                     meta.kv_lens, self.scale, L)
+
+        # absorb W_uv on the output side: [T,H,L] x [H,L,V] -> [T,H,V]
+        out = jnp.einsum("thl,hlv->thv", out_lat.astype(jnp.float32),
+                         params["w_uv"].astype(jnp.float32)).astype(x.dtype)
+        out = out.reshape(T, Hl * self.v_head_dim)
+        return self.o(params["o"], out), kv_cache

@@ -46,6 +46,14 @@ class MoE:
     score_func: str = "softmax"     # softmax | sigmoid
     renormalize: bool = True        # renormalize top-k weights to sum 1
     n_shared_experts: int = 0       # DeepSeek/Qwen2-MoE style dense branch
+    # DeepSeek V3 noaux-tc routing (HF DeepseekV3TopkRouter): sigmoid scores
+    # + e_score_correction_bias for *selection only*, group-limited top-k
+    # (n_group groups, best topk_group kept by top-2 sums), weights taken
+    # from the raw sigmoid scores then renormalized and scaled
+    has_score_bias: bool = False
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None   # expert weights stay bf16 round-1
     ep_size: int = 1
@@ -78,7 +86,8 @@ class MoE:
             p["shared"] = self.shared.init(keys[4])
         return p
 
-    def from_float(self, router_w, gate_w, up_w, down_w, shared=None) -> Dict:
+    def from_float(self, router_w, gate_w, up_w, down_w, shared=None,
+                   score_bias=None) -> Dict:
         """router_w [H, E]; gate/up [E, H, I]; down [E, I, H] (full float).
 
         gate/up are interleaved per tp shard (like GatedMLP.from_float) so the
@@ -94,6 +103,10 @@ class MoE:
             "w_gate_up": jnp.concatenate(cols, axis=2).astype(self.dtype),
             "w_down": down_w.astype(self.dtype),
         }
+        if self.has_score_bias:
+            p["score_bias"] = (jnp.zeros((self.num_experts,), jnp.float32)
+                               if score_bias is None
+                               else score_bias.astype(jnp.float32))
         if shared is not None:
             p["shared"] = shared
         return p
@@ -106,6 +119,8 @@ class MoE:
             "w_gate_up": P("ep", None, "tp"),
             "w_down": P("ep", "tp", None),
         }
+        if self.has_score_bias:
+            specs["score_bias"] = P(None)
         if self.n_shared_experts:
             specs["shared"] = self.shared.param_specs()
         return specs
@@ -119,10 +134,35 @@ class MoE:
             scores = jax.nn.softmax(logits, axis=-1)
         else:
             scores = jax.nn.sigmoid(logits)
+        if self.has_score_bias or self.n_group > 1:
+            return self._route_noaux_tc(params, scores)
         w, ids = jax.lax.top_k(scores, self.top_k)  # [T, k]
         if self.renormalize:
             w = w / jnp.sum(w, axis=-1, keepdims=True)
-        return ids.astype(jnp.int32), w
+        return ids.astype(jnp.int32), w * self.routed_scaling
+
+    def _route_noaux_tc(self, params, scores):
+        """DeepSeek V3 routing (HF DeepseekV3TopkRouter.get_topk_indices):
+        selection uses bias-corrected scores with group limits; weights use
+        the raw scores."""
+        T, E = scores.shape
+        g, per_g = self.n_group, E // self.n_group
+        choice = scores + params.get("score_bias", jnp.zeros((E,)))[None, :]
+        if g > 1:
+            grouped = choice.reshape(T, g, per_g)
+            top2, _ = jax.lax.top_k(grouped, min(2, per_g))
+            group_scores = jnp.sum(top2, axis=-1)                  # [T, g]
+            _, gidx = jax.lax.top_k(group_scores, self.topk_group)
+            gmask = jnp.zeros((T, g), bool).at[
+                jnp.arange(T)[:, None], gidx].set(True)
+            # HF zero-fills masked groups (not -inf); match it exactly
+            choice = jnp.where(
+                jnp.repeat(gmask, per_g, axis=-1), choice, 0.0)
+        _, ids = jax.lax.top_k(choice, self.top_k)                 # [T, k]
+        w = jnp.take_along_axis(scores, ids, axis=-1)
+        if self.renormalize:
+            w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-20)
+        return ids.astype(jnp.int32), w * self.routed_scaling
 
     # ---- forward --------------------------------------------------------------------
     def __call__(self, params: Dict, x: jax.Array) -> jax.Array:

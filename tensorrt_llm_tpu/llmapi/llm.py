@@ -111,9 +111,12 @@ class LLM:
             params = self.model.init(jax.random.PRNGKey(a.seed))
 
         kvcfg = a.make_kv_cache_config()
+        if cfg.is_mla:
+            kvcfg.layout = "latent"
         num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
         self.kv_manager = KVCacheManager(
-            kvcfg, cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, num_blocks)
+            kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+            num_blocks)
 
         self.engine = ModelEngine(
             self.model, params, self.kv_manager, mapping=mapping,
@@ -145,9 +148,11 @@ class LLM:
         except Exception:
             budget = 4 << 30
         tp = cfg.mapping.tp_size
+        heads = (1 if cfg.is_mla
+                 else max(cfg.kv_pool_heads // tp, 1))
         n = KVCacheManager.blocks_from_memory(
-            budget, cfg.num_layers, max(cfg.num_kv_heads // tp, 1),
-            cfg.head_dim, kvcfg.block_size)
+            budget, cfg.num_layers, heads, cfg.kv_pool_dim, kvcfg.block_size,
+            num_pools=1 if cfg.is_mla else 2)
         # at least enough for max_batch_size sequences of max_seq_len
         need = a.max_batch_size * cdiv(a.max_seq_len, kvcfg.block_size)
         return min(max(n, 64), max(need * 2, 64) * 8)

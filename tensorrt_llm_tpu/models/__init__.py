@@ -8,3 +8,4 @@ import tensorrt_llm_tpu.models.llama  # noqa: F401  (registers architectures)
 import tensorrt_llm_tpu.models.mixtral  # noqa: F401
 import tensorrt_llm_tpu.models.gemma  # noqa: F401
 import tensorrt_llm_tpu.models.phi  # noqa: F401
+import tensorrt_llm_tpu.models.deepseek  # noqa: F401

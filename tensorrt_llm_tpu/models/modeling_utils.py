@@ -70,6 +70,18 @@ class ModelConfig:
     n_shared_experts: int = 0
     decoder_sparse_step: int = 1
     mlp_only_layers: tuple = ()
+    # DeepSeek-style noaux-tc routing (sigmoid + correction bias + group topk)
+    moe_has_score_bias: bool = False
+    n_group: int = 1
+    topk_group: int = 1
+    routed_scaling_factor: float = 1.0
+    # MLA (DeepSeek V2/V3) — kv_lora_rank set => MLA attention
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    rope_interleave: bool = True
     dtype: Any = jnp.bfloat16
     quant: Optional[QuantConfig] = None
     mapping: Mapping = field(default_factory=Mapping)
@@ -102,12 +114,41 @@ class ModelConfig:
         return dataclasses.replace(self.rope, theta=self.rope_local_theta,
                                    scaling_type=None)
 
+    # ---- MLA helpers ----------------------------------------------------------
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank is not None
+
+    @property
+    def kv_pool_heads(self) -> int:
+        """KV-head count of the paged pools (1 latent "head" under MLA)."""
+        return 1 if self.is_mla else self.num_kv_heads
+
+    @property
+    def kv_pool_dim(self) -> int:
+        return (self.kv_lora_rank + self.qk_rope_head_dim if self.is_mla
+                else self.head_dim)
+
+    @property
+    def mla_scale(self) -> float:
+        """Softmax scale for MLA: qk_head_dim^-0.5 x yarn mscale^2 (the HF
+        DeepseekV3Attention convention)."""
+        import math
+        scale = (self.qk_nope_head_dim + self.qk_rope_head_dim) ** -0.5
+        scaling = self.rope_scaling or {}
+        msc_all = scaling.get("mscale_all_dim", 0)
+        if msc_all:
+            f = scaling.get("factor", 1.0)
+            m = 0.1 * msc_all * math.log(f) + 1.0 if f > 1 else 1.0
+            scale *= m * m
+        return scale
+
     @property
     def rope(self) -> RopeConfig:
         scaling = self.rope_scaling or {}
         stype = scaling.get("rope_type") or scaling.get("type")
         return RopeConfig(
-            head_dim=self.head_dim,
+            head_dim=self.qk_rope_head_dim if self.is_mla else self.head_dim,
             theta=self.rope_theta,
             max_position=self.max_position,
             scaling_type=stype,
@@ -116,6 +157,12 @@ class ModelConfig:
             high_freq_factor=scaling.get("high_freq_factor", 4.0),
             original_max_position=scaling.get(
                 "original_max_position_embeddings", self.max_position),
+            beta_fast=scaling.get("beta_fast") or 32.0,
+            beta_slow=scaling.get("beta_slow") or 1.0,
+            mscale=scaling.get("mscale"),
+            mscale_all_dim=scaling.get("mscale_all_dim"),
+            attention_factor=scaling.get("attention_factor"),
+            interleaved=self.rope_interleave and self.is_mla,
         )
 
     @classmethod
@@ -125,15 +172,41 @@ class ModelConfig:
         """Build from a transformers PretrainedConfig (or plain dict)."""
         get = (lambda k, d=None: getattr(hf, k, d)) if not isinstance(hf, dict) \
             else (lambda k, d=None: hf.get(k, d))
-        arch = (get("architectures") or ["LlamaForCausalLM"])[0]
-        num_experts = get("num_local_experts") or get("num_experts") or 0
+        archs = get("architectures")
+        if archs:
+            arch = archs[0]
+        elif get("model_type"):
+            # derive "deepseek_v3" -> "DeepseekV3ForCausalLM" etc.
+            mt = get("model_type")
+            arch = "".join(w.capitalize() for w in mt.split("_")) + "ForCausalLM"
+        else:
+            arch = "LlamaForCausalLM"
+        num_experts = (get("num_local_experts") or get("num_experts")
+                       or get("n_routed_experts") or 0)
+        # DeepSeek: first_k_dense_replace leading dense layers
+        mlp_only = tuple(get("mlp_only_layers") or ())
+        if get("first_k_dense_replace"):
+            mlp_only = tuple(range(get("first_k_dense_replace")))
+        is_deepseek = get("kv_lora_rank") is not None
         return cls(
             num_experts=num_experts,
             num_experts_per_tok=get("num_experts_per_tok", 2),
             moe_intermediate_size=get("moe_intermediate_size"),
             norm_topk_prob=bool(get("norm_topk_prob", True)),
             decoder_sparse_step=get("decoder_sparse_step", 1),
-            mlp_only_layers=tuple(get("mlp_only_layers") or ()),
+            mlp_only_layers=mlp_only,
+            moe_score_func="sigmoid" if is_deepseek else "softmax",
+            moe_has_score_bias=is_deepseek,
+            n_shared_experts=get("n_shared_experts") or 0,
+            n_group=get("n_group") or 1,
+            topk_group=get("topk_group") or 1,
+            routed_scaling_factor=get("routed_scaling_factor") or 1.0,
+            q_lora_rank=get("q_lora_rank"),
+            kv_lora_rank=get("kv_lora_rank"),
+            qk_nope_head_dim=get("qk_nope_head_dim") or 128,
+            qk_rope_head_dim=get("qk_rope_head_dim") or 64,
+            v_head_dim=get("v_head_dim") or 128,
+            rope_interleave=bool(get("rope_interleave", True)),
             architecture=arch,
             vocab_size=get("vocab_size", 32000),
             hidden_size=get("hidden_size", 4096),
@@ -171,7 +244,57 @@ class DecoderLayer:
         self.layer_idx = layer_idx
         self.sliding = cfg.is_sliding_layer(layer_idx)
         tp = cfg.mapping.tp_size
-        self.attn = Attention(
+        if cfg.is_mla:
+            from tensorrt_llm_tpu.layers.mla import MLA
+            self.attn = MLA(
+                hidden_size=cfg.hidden_size,
+                num_heads=cfg.num_heads,
+                q_lora_rank=cfg.q_lora_rank,
+                kv_lora_rank=cfg.kv_lora_rank,
+                qk_nope_head_dim=cfg.qk_nope_head_dim,
+                qk_rope_head_dim=cfg.qk_rope_head_dim,
+                v_head_dim=cfg.v_head_dim,
+                rope=cfg.rope,
+                scale=cfg.mla_scale,
+                rms_eps=cfg.rms_eps,
+                dtype=cfg.dtype,
+                quant=cfg.quant,
+                tp_size=tp,
+            )
+        else:
+            self.attn = self._make_gqa(cfg, tp)
+        if cfg.is_moe_layer(layer_idx):
+            from tensorrt_llm_tpu.layers.moe import MoE
+            self.mlp = MoE(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.moe_intermediate_size,
+                num_experts=cfg.num_experts,
+                top_k=cfg.num_experts_per_tok,
+                activation=cfg.activation,
+                score_func=cfg.moe_score_func,
+                renormalize=cfg.norm_topk_prob,
+                n_shared_experts=cfg.n_shared_experts,
+                has_score_bias=cfg.moe_has_score_bias,
+                n_group=cfg.n_group,
+                topk_group=cfg.topk_group,
+                routed_scaling=cfg.routed_scaling_factor,
+                dtype=cfg.dtype,
+                quant=cfg.quant,
+                ep_size=cfg.mapping.moe_ep_size,
+                tp_size=cfg.mapping.moe_tp_size,
+            )
+        else:
+            self.mlp = GatedMLP(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                activation=cfg.activation,
+                dtype=cfg.dtype,
+                quant=cfg.quant,
+                tp_size=tp,
+            )
+
+    def _make_gqa(self, cfg: ModelConfig, tp: int) -> Attention:
+        return Attention(
             hidden_size=cfg.hidden_size,
             num_heads=cfg.num_heads,
             num_kv_heads=cfg.num_kv_heads,
@@ -188,31 +311,6 @@ class DecoderLayer:
             quant=cfg.quant,
             tp_size=tp,
         )
-        if cfg.is_moe_layer(layer_idx):
-            from tensorrt_llm_tpu.layers.moe import MoE
-            self.mlp = MoE(
-                hidden_size=cfg.hidden_size,
-                intermediate_size=cfg.moe_intermediate_size,
-                num_experts=cfg.num_experts,
-                top_k=cfg.num_experts_per_tok,
-                activation=cfg.activation,
-                score_func=cfg.moe_score_func,
-                renormalize=cfg.norm_topk_prob,
-                n_shared_experts=cfg.n_shared_experts,
-                dtype=cfg.dtype,
-                quant=cfg.quant,
-                ep_size=cfg.mapping.moe_ep_size,
-                tp_size=cfg.mapping.moe_tp_size,
-            )
-        else:
-            self.mlp = GatedMLP(
-                hidden_size=cfg.hidden_size,
-                intermediate_size=cfg.intermediate_size,
-                activation=cfg.activation,
-                dtype=cfg.dtype,
-                quant=cfg.quant,
-                tp_size=tp,
-            )
 
     def init(self, key) -> Dict:
         k1, k2 = jax.random.split(key)
@@ -289,6 +387,8 @@ class DecoderModelForCausalLM:
     MOE_ROUTER_KEY = "mlp.gate.weight"
     MOE_EXPERT_KEY = "mlp.experts.{j}.{proj}.weight"
     MOE_PROJ_NAMES = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
+    MOE_SHARED_PREFIX = "mlp.shared_experts."
+    MOE_BIAS_KEY = "mlp.gate.e_score_correction_bias"
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
@@ -395,24 +495,13 @@ class DecoderModelForCausalLM:
             params["rope_local"] = tuple(make_rope_tables(cfg.rope_local))
         for i, layer in enumerate(self.layers):
             pre = f"model.layers.{i}."
-            has_b = cfg.attention_bias
             lp = {
                 "input_norm": vec(pre + "input_layernorm.weight"),
                 "post_attn_norm": vec(pre + "post_attention_layernorm.weight"),
                 **({"pre_ffw_norm": vec(pre + "pre_feedforward_layernorm.weight"),
                     "post_ffw_norm": vec(pre + "post_feedforward_layernorm.weight")}
                    if cfg.post_norms else {}),
-                "attn": layer.attn.from_float(
-                    t(pre + "self_attn.q_proj.weight"),
-                    t(pre + "self_attn.k_proj.weight"),
-                    t(pre + "self_attn.v_proj.weight"),
-                    t(pre + "self_attn.o_proj.weight"),
-                    q_b=vec(pre + "self_attn.q_proj.bias") if has_b else None,
-                    k_b=vec(pre + "self_attn.k_proj.bias") if has_b else None,
-                    v_b=vec(pre + "self_attn.v_proj.bias") if has_b else None,
-                    q_norm=vec(pre + "self_attn.q_norm.weight") if cfg.qk_norm else None,
-                    k_norm=vec(pre + "self_attn.k_norm.weight") if cfg.qk_norm else None,
-                ),
+                "attn": self._load_attn(layer, pre, t, vec),
                 "mlp": self._load_mlp(layer, get_tensor, pre, t),
             }
             params["layers"].append(lp)
@@ -420,6 +509,23 @@ class DecoderModelForCausalLM:
             params["lm_head"] = self.lm_head.quantize_from_float(
                 t("lm_head.weight"))
         return params
+
+    def _load_attn(self, layer, pre: str, t, vec):
+        """Load one layer's attention params from HF names (GQA default;
+        DeepSeek overrides for MLA)."""
+        cfg = self.cfg
+        has_b = cfg.attention_bias
+        return layer.attn.from_float(
+            t(pre + "self_attn.q_proj.weight"),
+            t(pre + "self_attn.k_proj.weight"),
+            t(pre + "self_attn.v_proj.weight"),
+            t(pre + "self_attn.o_proj.weight"),
+            q_b=vec(pre + "self_attn.q_proj.bias") if has_b else None,
+            k_b=vec(pre + "self_attn.k_proj.bias") if has_b else None,
+            v_b=vec(pre + "self_attn.v_proj.bias") if has_b else None,
+            q_norm=vec(pre + "self_attn.q_norm.weight") if cfg.qk_norm else None,
+            k_norm=vec(pre + "self_attn.k_norm.weight") if cfg.qk_norm else None,
+        )
 
     def _load_mlp(self, layer, get_tensor, pre: str, t):
         """Load one layer's MLP params (dense or MoE) from HF names."""
@@ -441,5 +547,17 @@ class DecoderModelForCausalLM:
                 mats.append(jnp.asarray(
                     np.asarray(get_tensor(name))).astype(jnp.float32).T)
             stacks[kind] = jnp.stack(mats)  # [E, in, out]
+        shared = None
+        if layer.mlp.n_shared_experts:
+            sp = pre + self.MOE_SHARED_PREFIX
+            shared = layer.mlp.shared.from_float(
+                t(sp + "gate_proj.weight"), t(sp + "up_proj.weight"),
+                t(sp + "down_proj.weight"))
+        bias = None
+        if layer.mlp.has_score_bias:
+            arr = get_tensor(pre + self.MOE_BIAS_KEY)
+            if arr is not None:
+                bias = jnp.asarray(np.asarray(arr)).astype(jnp.float32)
         return layer.mlp.from_float(router, stacks["gate"], stacks["up"],
-                                    stacks["down"])
+                                    stacks["down"], shared=shared,
+                                    score_bias=bias)

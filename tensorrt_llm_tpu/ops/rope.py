@@ -32,6 +32,15 @@ class RopeConfig:
     original_max_position: int = 8192
     # partial rotary (e.g. GPT-NeoX style models)
     rotary_dim: Optional[int] = None
+    # yarn-specific (DeepSeek): NTK-by-parts ramp + attention temperature
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    mscale: Optional[float] = None
+    mscale_all_dim: Optional[float] = None
+    attention_factor: Optional[float] = None
+    # DeepSeek checkpoints store rope pairs interleaved (x0,y0,x1,y1,…);
+    # apply de-interleaves before the rotate-half math
+    interleaved: bool = False
 
 
 def _base_inv_freq(cfg: RopeConfig) -> jnp.ndarray:
@@ -52,19 +61,62 @@ def _llama3_scale(cfg: RopeConfig, inv_freq: jnp.ndarray) -> jnp.ndarray:
                      jnp.where(wavelen < high_wl, inv_freq, mid))
 
 
+def _yarn_mscale(scale: float, mscale: float = 1.0) -> float:
+    if scale <= 1:
+        return 1.0
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def _yarn_inv_freq(cfg: RopeConfig) -> Tuple[jnp.ndarray, float]:
+    """NTK-by-parts inverse frequencies + attention temperature (YaRN,
+    arXiv:2309.00071) — matches HF `_compute_yarn_parameters` so DeepSeek
+    checkpoints reproduce bit-for-bit."""
+    dim = cfg.rotary_dim or cfg.head_dim
+    base, factor = cfg.theta, cfg.scaling_factor
+    orig_max = cfg.original_max_position
+
+    att = cfg.attention_factor
+    if att is None:
+        if cfg.mscale and cfg.mscale_all_dim:
+            att = float(_yarn_mscale(factor, cfg.mscale)
+                        / _yarn_mscale(factor, cfg.mscale_all_dim))
+        else:
+            att = _yarn_mscale(factor)
+
+    def corr_dim(num_rot):
+        return (dim * math.log(orig_max / (num_rot * 2 * math.pi))) / (
+            2 * math.log(base))
+
+    low = max(math.floor(corr_dim(cfg.beta_fast)), 0)
+    high = min(math.ceil(corr_dim(cfg.beta_slow)), dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip(
+        (jnp.arange(dim // 2, dtype=jnp.float32) - low) / (high - low), 0, 1)
+    extrap_factor = 1.0 - ramp
+    pos_freqs = cfg.theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    inv_extrap = 1.0 / pos_freqs
+    inv_interp = 1.0 / (factor * pos_freqs)
+    return inv_interp * (1 - extrap_factor) + inv_extrap * extrap_factor, att
+
+
 def make_rope_tables(cfg: RopeConfig) -> Tuple[jax.Array, jax.Array]:
-    """Returns (cos, sin) tables of shape [max_position, rotary_dim//2], f32."""
-    inv_freq = _base_inv_freq(cfg)
-    if cfg.scaling_type == "linear":
-        inv_freq = inv_freq / cfg.scaling_factor
-    elif cfg.scaling_type == "llama3":
-        inv_freq = _llama3_scale(cfg, inv_freq)
-    elif cfg.scaling_type == "yarn":
-        # simplified NTK-by-parts (yarn without attention-temperature term)
-        inv_freq = _llama3_scale(cfg, inv_freq)
+    """Returns (cos, sin) tables of shape [max_position, rotary_dim//2], f32.
+
+    YaRN's attention-temperature factor is folded into the tables (the HF
+    convention: cos/sin scaled by `attention_scaling`)."""
+    att = 1.0
+    if cfg.scaling_type == "yarn":
+        inv_freq, att = _yarn_inv_freq(cfg)
+    else:
+        inv_freq = _base_inv_freq(cfg)
+        if cfg.scaling_type == "linear":
+            inv_freq = inv_freq / cfg.scaling_factor
+        elif cfg.scaling_type == "llama3":
+            inv_freq = _llama3_scale(cfg, inv_freq)
     pos = jnp.arange(cfg.max_position, dtype=jnp.float32)
     freqs = jnp.outer(pos, inv_freq)  # [P, D/2]
-    return jnp.cos(freqs), jnp.sin(freqs)
+    return jnp.cos(freqs) * att, jnp.sin(freqs) * att
 
 
 def apply_rope(
@@ -73,8 +125,14 @@ def apply_rope(
     positions: jax.Array,   # [T] int32
     cos_table: jax.Array,   # [P, D/2]
     sin_table: jax.Array,
+    interleaved: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """NeoX rotate-half RoPE applied in f32."""
+    """NeoX rotate-half RoPE applied in f32.
+
+    interleaved: input pairs are stored (x0,y0,x1,y1,…) — DeepSeek checkpoint
+    layout (HF `apply_rotary_pos_emb_interleave`); de-interleave first, the
+    output stays in the de-interleaved order exactly as HF's does.
+    """
     rot = cos_table.shape[-1] * 2
     cos = cos_table[positions][:, None, :]  # [T, 1, D/2]
     sin = sin_table[positions][:, None, :]
@@ -82,6 +140,10 @@ def apply_rope(
     def rotate(x):
         dtype = x.dtype
         xr, xtail = x[..., :rot], x[..., rot:]
+        if interleaved:
+            s = xr.shape
+            xr = xr.reshape(*s[:-1], rot // 2, 2)
+            xr = jnp.swapaxes(xr, -1, -2).reshape(s)
         x1 = xr[..., : rot // 2].astype(jnp.float32)
         x2 = xr[..., rot // 2:].astype(jnp.float32)
         o1 = x1 * cos - x2 * sin

@@ -44,6 +44,9 @@ class KVCacheConfig:
     max_tokens: Optional[int] = None
     kv_quant: KvCacheQuantAlgo = KvCacheQuantAlgo.NONE
     dtype: jnp.dtype = jnp.bfloat16
+    # "kv": separate K and V pools per layer; "latent": one pool per layer
+    # (MLA compressed KV + rope key — reference mlaCacheFormatter layout)
+    layout: str = "kv"
 
 
 class SequenceInfo:
@@ -325,6 +328,10 @@ class KVCacheManager:
         shape = (self.num_blocks, self.num_kv_heads, self.block_size,
                  self.head_dim)
         caches = []
+        if self.cfg.layout == "latent":
+            # MLA: one latent pool per layer (no separate V); quantized
+            # latent caches are a later round
+            return [jnp.zeros(shape, dtype) for _ in range(self.num_layers)]
         if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
             # int8 data + per-(token, head) scale pools (reference
             # KvCacheDataType::INT8); halves KV HBM footprint + gather traffic
@@ -351,8 +358,11 @@ class KVCacheManager:
     @staticmethod
     def blocks_from_memory(bytes_budget: int, num_layers: int,
                            num_kv_heads: int, head_dim: int,
-                           block_size: int, dtype_bytes: int = 2) -> int:
-        per_block = 2 * num_layers * block_size * num_kv_heads * head_dim * dtype_bytes
+                           block_size: int, dtype_bytes: int = 2,
+                           num_pools: int = 2) -> int:
+        """num_pools: 2 for K+V layouts, 1 for the MLA latent layout."""
+        per_block = (num_pools * num_layers * block_size * num_kv_heads
+                     * head_dim * dtype_bytes)
         return max(int(bytes_budget // per_block), 16)
 
     # ------------------------------------------------------------------ queries --

@@ -127,7 +127,10 @@ class ModelEngine:
 
     @staticmethod
     def _cache_leaf_spec(leaf) -> P:
-        """Head axis ("ep","tp")-sharded; data pools are 4D, scale pools 3D."""
+        """Head axis ("ep","tp")-sharded; data pools are 4D, scale pools 3D.
+        Single-head pools (MLA latents, shared by all query heads) replicate."""
+        if leaf.shape[1] == 1:
+            return P(*([None] * leaf.ndim))
         if leaf.ndim == 4:
             return P(None, ("ep", "tp"), None, None)
         return P(None, ("ep", "tp"), None)

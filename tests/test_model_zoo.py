@@ -36,10 +36,12 @@ def hf_parity(hf_cfg, arch, prompt_len=12, corr_min=0.99):
     with torch.no_grad():
         hf_logits = hf_model(torch.tensor([prompt])).logits[0, -1].numpy()
 
-    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
-                        cfg.num_kv_heads, cfg.head_dim, num_blocks=32)
+    kv = KVCacheManager(
+        KVCacheConfig(block_size=8, layout="latent" if cfg.is_mla else "kv"),
+        cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim, num_blocks=32)
     engine = ModelEngine(model, params, kv, max_seq_len=64,
-                         decode_buckets=(4,), prefill_buckets=(16,))
+                         decode_buckets=(4,),
+                         prefill_buckets=(max(16, prompt_len),))
     req = LlmRequest(prompt, SamplingParams(max_tokens=1))
     kv.add_sequence(req.request_id, prompt)
     req.start_context()
@@ -97,3 +99,85 @@ def test_qwen3_moe_parity():
         moe_intermediate_size=128, decoder_sparse_step=1,
         norm_topk_prob=True, tie_word_embeddings=False)
     hf_parity(hf_cfg, "Qwen3MoeForCausalLM", corr_min=0.98)
+
+
+def test_deepseek_v3_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.DeepseekV3Config(
+        **common, q_lora_rank=48, kv_lora_rank=32,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=2, topk_group=1, routed_scaling_factor=2.5,
+        first_k_dense_replace=1, moe_intermediate_size=64,
+        norm_topk_prob=True, tie_word_embeddings=False)
+    hf_parity(hf_cfg, "DeepseekV3ForCausalLM", corr_min=0.98)
+
+
+def test_deepseek_v3_yarn_parity():
+    """YaRN rope scaling + mscale attention temperature, long-ish prompt."""
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.DeepseekV3Config(
+        **common, q_lora_rank=None, kv_lora_rank=32,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=1, topk_group=1, first_k_dense_replace=0,
+        moe_intermediate_size=64,
+        rope_scaling={"type": "yarn", "factor": 4.0, "beta_fast": 32,
+                      "beta_slow": 1, "mscale": 1.0, "mscale_all_dim": 1.0,
+                      "original_max_position_embeddings": 64},
+        tie_word_embeddings=False)
+    hf_parity(hf_cfg, "DeepseekV3ForCausalLM", prompt_len=24, corr_min=0.98)
+
+
+def test_deepseek_v3_decode_greedy_matches_hf():
+    """Greedy decode over the paged latent cache matches HF token-for-token."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.DeepseekV3Config(
+        **common, q_lora_rank=48, kv_lora_rank=32,
+        qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        n_group=2, topk_group=1, routed_scaling_factor=2.5,
+        first_k_dense_replace=1, moe_intermediate_size=64,
+        tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf_model = transformers.AutoModelForCausalLM.from_config(hf_cfg)
+    hf_model.eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf_model.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+
+    prompt = list(np.random.RandomState(5).randint(1, 255, 10))
+    n_new = 5
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False)
+    hf_toks = hf_out[0, len(prompt):].tolist()
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8, layout="latent"),
+                        cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+                        num_blocks=32)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(16,))
+    req = LlmRequest(prompt, SamplingParams(max_tokens=n_new))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    logits = engine.run_prefill(engine.prepare_prefill_inputs(req, len(prompt)))
+    req.context_position = len(prompt)
+    req.finish_context()
+    ours = [int(np.argmax(np.asarray(logits[0])))]
+    req.append_token(ours[-1])
+    for _ in range(n_new - 1):
+        kv.grow_sequence(req.request_id, req.num_tokens)
+        logits = engine.run_decode(engine.prepare_decode_inputs([req]))
+        tok = int(np.argmax(np.asarray(logits[0])))
+        ours.append(tok)
+        req.append_token(tok)
+    assert ours == hf_toks, (ours, hf_toks)

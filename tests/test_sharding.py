@@ -100,3 +100,62 @@ def test_tp_param_sharding_layout():
     assert len(qkv.sharding.device_set) == 2
     k_cache, v_cache = e.kv_caches[0]
     assert len(k_cache.sharding.device_set) == 2
+
+
+def random_mla_state_dict(seed=0, H=128, nH=8, ql=48, kvl=32, nope=32,
+                          rope=16, vd=32, I=256, V=256, layers=2):
+    rng = np.random.RandomState(seed)
+    w = lambda *s: (rng.randn(*s) * 0.5 / np.sqrt(s[-1])).astype(np.float32)
+    sd = {"model.embed_tokens.weight": (rng.randn(V, H) * 0.02).astype(np.float32),
+          "model.norm.weight": np.ones(H, np.float32),
+          "lm_head.weight": w(V, H)}
+    for i in range(layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "post_attention_layernorm.weight"] = np.ones(H, np.float32)
+        sd[p + "self_attn.q_a_proj.weight"] = w(ql, H)
+        sd[p + "self_attn.q_a_layernorm.weight"] = np.ones(ql, np.float32)
+        sd[p + "self_attn.q_b_proj.weight"] = w(nH * (nope + rope), ql)
+        sd[p + "self_attn.kv_a_proj_with_mqa.weight"] = w(kvl + rope, H)
+        sd[p + "self_attn.kv_a_layernorm.weight"] = np.ones(kvl, np.float32)
+        sd[p + "self_attn.kv_b_proj.weight"] = w(nH * (nope + vd), kvl)
+        sd[p + "self_attn.o_proj.weight"] = w(H, nH * vd)
+        sd[p + "mlp.gate_proj.weight"] = w(I, H)
+        sd[p + "mlp.up_proj.weight"] = w(I, H)
+        sd[p + "mlp.down_proj.weight"] = w(H, I)
+    return sd
+
+
+def build_mla(tp: int, sd):
+    cfg = ModelConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256, num_layers=2,
+        num_heads=8, num_kv_heads=8, max_position=256,
+        architecture="DeepseekV3ForCausalLM",
+        q_lora_rank=48, kv_lora_rank=32, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, mapping=Mapping(tp_size=tp))
+    model = get_model_class(cfg.architecture)(cfg)
+    kv = KVCacheManager(KVCacheConfig(block_size=8, layout="latent"),
+                        cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+                        num_blocks=64)
+    params = model.load_hf_weights(sd.get)
+    engine = ModelEngine(model, params, kv, mapping=cfg.mapping,
+                         max_seq_len=64, decode_buckets=(4,),
+                         prefill_buckets=(16,))
+    return engine, kv
+
+
+def test_mla_tp_matches_single_device():
+    """MLA under TP: query heads sharded, latent cache replicated."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    prompt = list(np.random.RandomState(0).randint(1, 255, 12))
+    sd = random_mla_state_dict(0)
+
+    e1, kv1 = build_mla(1, sd)
+    lp1, ld1 = run_prefill_decode(e1, kv1, prompt)
+
+    e2, kv2 = build_mla(2, sd)
+    lp2, ld2 = run_prefill_decode(e2, kv2, prompt)
+
+    np.testing.assert_allclose(lp1, lp2, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(ld1, ld2, rtol=3e-2, atol=3e-2)
