@@ -149,6 +149,91 @@ class W8A16LinearMethod(LinearMethodBase):
         return {"qweight": w, "scales": s, "bias": self._bias_spec(tp_mode)}
 
 
+class FP8LinearMethod(LinearMethodBase):
+    """FP8 (e4m3) weights with a per-channel dequant scale (reference
+    `FP8_LinearMethod`, modules/linear.py).  Storage is fp8 — halving weight
+    HBM traffic, the bandwidth-bound decode win — while compute upcasts to
+    bf16 for the MXU.  ``dynamic_act=True`` additionally models
+    FP8_PER_CHANNEL_PER_TOKEN: activations are faithfully quantized to e4m3
+    per token before the matmul (reference `cudaScaledMM`)."""
+
+    E4M3_MAX = 448.0
+
+    def __init__(self, dynamic_act: bool = False):
+        self.dynamic_act = dynamic_act
+
+    def make_params(self, w, bias, dtype):
+        absmax = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-12)
+        scales = (absmax / self.E4M3_MAX).astype(jnp.float32)
+        q = (w / scales[None, :]).astype(jnp.float8_e4m3fn)
+        p = {"qweight": q, "scales": scales}
+        if bias is not None:
+            p["bias"] = bias.astype(jnp.float32)
+        return p
+
+    def apply(self, params, x, activation=None):
+        if self.dynamic_act:
+            amax = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                       axis=-1, keepdims=True), 1e-12)
+            s_act = amax / self.E4M3_MAX
+            x = (x.astype(jnp.float32) / s_act).astype(jnp.float8_e4m3fn)
+            out = jnp.dot(x.astype(jnp.bfloat16),
+                          params["qweight"].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            out = out * s_act
+        else:
+            out = jnp.dot(x, params["qweight"].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+        out = out * params["scales"][None, :]
+        if "bias" in params:
+            out = out + params["bias"]
+        return _ACTIVATIONS[activation](out).astype(
+            x.dtype if x.dtype != jnp.float8_e4m3fn else jnp.bfloat16)
+
+    def param_specs(self, tp_mode):
+        if tp_mode == "column":
+            w, s = P(None, TP_AXES), P(TP_AXES)
+        elif tp_mode == "row":
+            w, s = P(TP_AXES, None), P(None)
+        else:
+            w, s = P(None, None), P(None)
+        return {"qweight": w, "scales": s, "bias": self._bias_spec(tp_mode)}
+
+
+class W8A8LinearMethod(LinearMethodBase):
+    """SmoothQuant-style W8A8: per-channel int8 weights, dynamic per-token
+    int8 activations, int8xint8->int32 matmul on the MXU (reference
+    `int8 SmoothQuant GEMM`, cutlass_kernels/int8_gemm)."""
+
+    def make_params(self, w, bias, dtype):
+        q, scales = quantize_w8(w)
+        p = {"qweight": q, "scales": scales}
+        if bias is not None:
+            p["bias"] = bias.astype(jnp.float32)
+        return p
+
+    def apply(self, params, x, activation=None):
+        xf = x.astype(jnp.float32)
+        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+        s_act = amax / 127.0
+        xq = jnp.clip(jnp.round(xf / s_act), -127, 127).astype(jnp.int8)
+        acc = jnp.dot(xq, params["qweight"],
+                      preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * s_act * params["scales"][None, :]
+        if "bias" in params:
+            out = out + params["bias"]
+        return _ACTIVATIONS[activation](out).astype(x.dtype)
+
+    def param_specs(self, tp_mode):
+        if tp_mode == "column":
+            w, s = P(None, TP_AXES), P(TP_AXES)
+        elif tp_mode == "row":
+            w, s = P(TP_AXES, None), P(None)
+        else:
+            w, s = P(None, None), P(None)
+        return {"qweight": w, "scales": s, "bias": self._bias_spec(tp_mode)}
+
+
 def make_linear_method(quant: Optional[QuantConfig],
                        layer_name: str = "") -> LinearMethodBase:
     """Factory mirroring the reference's quant-method selection
@@ -161,6 +246,12 @@ def make_linear_method(quant: Optional[QuantConfig],
         return W4A16LinearMethod(quant.group_size, has_zeros)
     if quant.quant_algo == QuantAlgo.W8A16:
         return W8A16LinearMethod()
+    if quant.quant_algo == QuantAlgo.FP8:
+        return FP8LinearMethod()
+    if quant.quant_algo == QuantAlgo.FP8_PER_CHANNEL_PER_TOKEN:
+        return FP8LinearMethod(dynamic_act=True)
+    if quant.quant_algo == QuantAlgo.W8A8_SQ_PER_CHANNEL:
+        return W8A8LinearMethod()
     raise NotImplementedError(f"quant algo {quant.quant_algo} not yet supported")
 
 

@@ -62,3 +62,28 @@ def test_int8_kv_end_to_end_close_to_bf16():
             break
         common += 1
     assert common >= 4, (bf16, int8)
+
+
+def test_fp8_kv_end_to_end_close_to_bf16():
+    """FP8 (e4m3) KV pools: same harness as INT8 (reference KvCacheDataType::FP8)."""
+    prompt = list(np.random.RandomState(4).randint(1, 127, 16))
+
+    def run(kv_quant):
+        llm = LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+                  max_seq_len=128, max_batch_size=4, kv_num_blocks=64,
+                  kv_block_size=8, kv_cache_quant=kv_quant, seed=3)
+        try:
+            out = llm.generate(list(prompt), SamplingParams(
+                max_tokens=8, temperature=0.0, ignore_eos=True))
+            return out[0].outputs[0].token_ids
+        finally:
+            llm.shutdown()
+
+    bf16 = run("NONE")
+    fp8 = run("FP8")
+    common = 0
+    for a, b in zip(bf16, fp8):
+        if a != b:
+            break
+        common += 1
+    assert common >= 4, (bf16, fp8)
