@@ -38,6 +38,7 @@ class CompletionOutput:
     token_ids: List[int]
     finish_reason: Optional[str] = None
     logprobs: Optional[list] = None
+    cumulative_logprob: Optional[float] = None
 
 
 @dataclass
@@ -293,14 +294,25 @@ class GenerationFuture:
             if piece.finished:
                 reason = piece.finish_reason
                 break
+        beams = getattr(self.req, "beam_outputs", None)
+        if beams:
+            # beam search: one CompletionOutput per returned beam
+            outputs = [CompletionOutput(
+                index=i, text=self._decode(b["token_ids"]),
+                token_ids=b["token_ids"],
+                finish_reason=reason.value if reason else None,
+                cumulative_logprob=b["cumulative_logprob"])
+                for i, b in enumerate(beams)]
+        else:
+            outputs = [CompletionOutput(
+                index=0, text=self._decode(toks), token_ids=toks,
+                finish_reason=reason.value if reason else None,
+                logprobs=self.req.logprobs or None)]
         return RequestOutput(
             request_id=self.req.request_id,
             prompt=self.prompt_text,
             prompt_token_ids=self.req.prompt_token_ids,
-            outputs=[CompletionOutput(
-                index=0, text=self._decode(toks), token_ids=toks,
-                finish_reason=reason.value if reason else None,
-                logprobs=self.req.logprobs or None)],
+            outputs=outputs,
             finished=True)
 
     def __iter__(self) -> Iterator[RequestOutput]:

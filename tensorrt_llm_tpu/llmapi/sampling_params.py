@@ -32,6 +32,9 @@ class SamplingParams:
     n: int = 1
     best_of: Optional[int] = None
     use_beam_search: bool = False
+    # beam score = cum_logp / out_len**length_penalty (0 => raw sum, the
+    # reference SamplingConfig lengthPenalty default)
+    length_penalty: float = 0.0
     detokenize: bool = True
     skip_special_tokens: bool = True
     # guided decoding (grammar-constrained sampling)
@@ -43,7 +46,10 @@ class SamplingParams:
         assert self.temperature >= 0.0
         assert 0.0 < self.top_p <= 1.0
         if self.use_beam_search:
-            raise NotImplementedError("beam search lands in a later round")
+            if (self.best_of or self.n) < 2:
+                raise ValueError("beam search needs n/best_of >= 2")
+            if self.guided_decoding is not None:
+                raise ValueError("beam search + guided decoding unsupported")
         if isinstance(self.stop, str):
             self.stop = [self.stop]
 

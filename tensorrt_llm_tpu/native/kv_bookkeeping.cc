@@ -216,6 +216,42 @@ void tllm_kvbm_seal(void* h, int64_t seq, const int32_t* toks, int64_t n) {
   }
 }
 
+// Fork dst from src for beam search: blocks whose KV is fully written
+// (indices < (num_tokens-1)/block_size) are shared by ref count; the
+// remaining tail blocks are freshly allocated and must be device-copied.
+// Writes up to max_pairs (src,dst) copy pairs; returns the pair count,
+// -1 when the pool is exhausted (dst is left unregistered).
+int64_t tllm_kvbm_fork(void* h, int64_t src, int64_t dst, int32_t* out_src,
+                       int32_t* out_dst, int64_t max_pairs) {
+  Manager& m = *static_cast<Manager*>(h);
+  auto it = m.sequences.find(src);
+  if (it == m.sequences.end()) return -1;
+  SeqInfo s = it->second;  // copy: sequences map may rehash on insert below
+  int64_t shared = s.num_tokens > 0 ? (s.num_tokens - 1) / m.block_size : 0;
+  if (shared > (int64_t)s.block_ids.size())
+    shared = (int64_t)s.block_ids.size();
+  int64_t tail = (int64_t)s.block_ids.size() - shared;
+  if (tail > m.num_free() || tail > max_pairs) return -1;
+  SeqInfo d;
+  d.num_tokens = s.num_tokens;
+  d.salt = s.salt;
+  d.has_salt = s.has_salt;
+  for (int64_t i = 0; i < shared; ++i) {
+    m.ref_block(s.block_ids[i]);
+    d.block_ids.push_back(s.block_ids[i]);
+  }
+  int64_t n_pairs = 0;
+  for (int64_t i = shared; i < (int64_t)s.block_ids.size(); ++i) {
+    int32_t bid = m.take_block();
+    d.block_ids.push_back(bid);
+    out_src[n_pairs] = s.block_ids[i];
+    out_dst[n_pairs] = bid;
+    ++n_pairs;
+  }
+  m.sequences[dst] = std::move(d);
+  return n_pairs;
+}
+
 void tllm_kvbm_free_seq(void* h, int64_t seq) {
   Manager& m = *static_cast<Manager*>(h);
   auto it = m.sequences.find(seq);

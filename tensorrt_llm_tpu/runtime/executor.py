@@ -218,10 +218,29 @@ class PyExecutor:
             stats.num_prefill_tokens += chunk
             if req.remaining_context == 0:
                 req.finish_context()
-                self._sample_and_update([req], logits)
+                if req.sampling_params.use_beam_search:
+                    from tensorrt_llm_tpu.runtime.beam_search import BeamSearch
+                    req._beam = BeamSearch(req, self.kv, self.engine,
+                                           self.eos_token_id,
+                                           self.max_seq_len)
+                    req._beam.init_from_logits(np.asarray(logits)[0])
+                    if req._beam.done:
+                        req._beam.apply_to_request()
+                else:
+                    self._sample_and_update([req], logits)
+
+        # ---- beam-search requests: one fused step over all live beams ----
+        beam_reqs = [r for r in batch.decode
+                     if r.is_generating and getattr(r, "_beam", None)]
+        for req in beam_reqs:
+            req._beam.step()
+            stats.num_decode_tokens += len(req._beam.live)
+            if req._beam.done:
+                req._beam.apply_to_request()
 
         # ---- speculative decode (greedy requests, when a drafter is set) ----
-        decode_reqs = [r for r in batch.decode if r.is_generating]
+        decode_reqs = [r for r in batch.decode
+                       if r.is_generating and not getattr(r, "_beam", None)]
         if self.drafter is not None:
             remaining = []
             for req in decode_reqs:

@@ -170,6 +170,29 @@ class _PyBookkeeping:
             info.block_hashes.append(h)
             parent = h
 
+    def fork_sequence(self, src_id: int, dst_id: int):
+        """Beam-search fork: share fully-written blocks by ref count,
+        allocate fresh tail blocks. Returns [(src_block, dst_block)] pairs
+        whose contents the caller must device-copy."""
+        src = self.sequences[src_id]
+        shared = min(max((src.num_tokens - 1) // self.block_size, 0),
+                     len(src.block_ids))
+        if len(src.block_ids) - shared > self.num_free_blocks():
+            raise RuntimeError("KV cache out of blocks")
+        dst = SequenceInfo()
+        dst.num_tokens = src.num_tokens
+        dst.salt = src.salt
+        pairs = []
+        for bid in src.block_ids[:shared]:
+            self._ref_block(bid)
+            dst.block_ids.append(bid)
+        for bid in src.block_ids[shared:]:
+            nb = self._take_block()
+            dst.block_ids.append(nb)
+            pairs.append((bid, nb))
+        self.sequences[dst_id] = dst
+        return pairs
+
     def free_sequence(self, seq_id: int):
         info = self.sequences.pop(seq_id, None)
         if info is None:
@@ -245,6 +268,19 @@ class _NativeBookkeeping:
     def seal_full_blocks(self, seq_id: int, token_ids):
         _keep, ptr = self._tok_buf(token_ids)
         self._lib.tllm_kvbm_seal(self._h, seq_id, ptr, len(token_ids))
+
+    def fork_sequence(self, src_id: int, dst_id: int):
+        import numpy as np
+        max_pairs = 64
+        src_b = np.zeros(max_pairs, np.int32)
+        dst_b = np.zeros(max_pairs, np.int32)
+        pi32 = self._ct.POINTER(self._ct.c_int32)
+        n = self._lib.tllm_kvbm_fork(
+            self._h, src_id, dst_id,
+            src_b.ctypes.data_as(pi32), dst_b.ctypes.data_as(pi32), max_pairs)
+        if n < 0:
+            raise RuntimeError("KV cache out of blocks (fork)")
+        return list(zip(src_b[:n].tolist(), dst_b[:n].tolist()))
 
     def free_sequence(self, seq_id: int):
         self._lib.tllm_kvbm_free_seq(self._h, seq_id)
@@ -406,6 +442,13 @@ class KVCacheManager:
         """Publish completed blocks into the reuse index (called as the
         sequence crosses block boundaries)."""
         self._bk.seal_full_blocks(seq_id, token_ids)
+
+    def fork_sequence(self, src_id: int, dst_id: int):
+        """Fork dst from src (beam search): share immutable blocks, allocate
+        private tail blocks. Returns (src_block, dst_block) pairs that the
+        engine must copy on device (reference: KV block sharing for beams,
+        kvCacheManager.h GenerationRequest per-beam block tables)."""
+        return self._bk.fork_sequence(src_id, dst_id)
 
     def free_sequence(self, seq_id: int):
         self._bk.free_sequence(seq_id)

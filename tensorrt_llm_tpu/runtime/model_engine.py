@@ -237,6 +237,37 @@ class ModelEngine:
             self._fns[mode] = self._make_step_fn(mode)
         return self._fns[mode]
 
+    # ------------------------------------------------------------------ blocks ---
+    def copy_kv_blocks(self, pairs):
+        """Device-copy KV pages src->dst in every layer pool (beam-search
+        fork tails).  Pairs are padded to a small bucket; (0,0) pads copy the
+        null block onto itself."""
+        if not pairs:
+            return
+        n = 8
+        while n < len(pairs):
+            n *= 2
+        src = np.zeros(n, np.int32)
+        dst = np.zeros(n, np.int32)
+        for i, (s, d) in enumerate(pairs):
+            src[i], dst[i] = s, d
+
+        key = ("copy_blocks", n)
+        if key not in self._fns:
+            def copy(caches, src_ids, dst_ids):
+                return jax.tree.map(
+                    lambda c: c.at[dst_ids].set(c[src_ids]), caches)
+            if self.mesh is not None:
+                cache_spec = self._cache_specs
+                copy = jax.shard_map(
+                    copy, mesh=self.mesh,
+                    in_specs=(cache_spec, P(), P()),
+                    out_specs=cache_spec, check_vma=False)
+            self._fns[key] = jax.jit(copy, donate_argnums=(0,))
+        with self.lock:
+            self.kv_caches = self._fns[key](
+                self.kv_caches, jnp.asarray(src), jnp.asarray(dst))
+
     # ------------------------------------------------------------------ exec ----
     def run_decode(self, inputs: StepInputs) -> np.ndarray:
         """Run one decode step; returns logits [B_real, V]."""
