@@ -438,7 +438,12 @@ class DecoderModelForCausalLM:
         kv_caches: List[Tuple[jax.Array, jax.Array]],
         meta: AttentionMetadata,
         logit_indices: Optional[jax.Array] = None,  # [B] rows to project
+        return_hidden: bool = False,
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+        """return_hidden: additionally return the final-norm hidden states at
+        logit_indices rows — the tap one-model speculative drafters (MTP /
+        EAGLE-class, reference _torch/speculative/mtp.py, eagle3.py) feed on.
+        """
         cfg = self.cfg
         x = self.embedding(params["embedding"], input_ids)
         if cfg.embedding_multiplier:
@@ -454,6 +459,7 @@ class DecoderModelForCausalLM:
         x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
         if logit_indices is not None:
             x = x[logit_indices]
+        hidden = x if return_hidden else None
         if cfg.tie_word_embeddings:
             logits = jnp.dot(x, params["embedding"]["weight"].T.astype(x.dtype),
                              preferred_element_type=jnp.float32)
@@ -465,6 +471,8 @@ class DecoderModelForCausalLM:
         if cfg.final_logit_softcap:
             c = cfg.final_logit_softcap
             logits = c * jnp.tanh(logits / c)
+        if return_hidden:
+            return logits, hidden, new_caches
         return logits, new_caches
 
     # ---- HF weight loading ------------------------------------------------------

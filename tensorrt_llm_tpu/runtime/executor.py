@@ -69,6 +69,10 @@ class PyExecutor:
         self.max_decode_steps = max(1, max_decode_steps)
         # speculative decoding (reference: _torch/speculative/)
         self.drafter = drafter
+        if drafter is not None:
+            drafter.bind(engine, engine.kv_manager)
+        self._needs_hidden = bool(drafter is not None
+                                  and getattr(drafter, "needs_hidden", False))
         self.spec_stats = {"proposed": 0, "accepted": 0, "rounds": 0}
         # guided decoding (reference: pyexecutor/guided_decoder.py)
         from tensorrt_llm_tpu.runtime.guided_decoder import GuidedDecoder
@@ -211,7 +215,17 @@ class PyExecutor:
             start = req.context_position
             self.kv.grow_sequence(req.request_id, start + chunk)
             inputs = self.engine.prepare_prefill_inputs(req, chunk)
-            logits = self.engine.run_prefill(inputs)
+            if self._needs_hidden and req.sampling_params.greedy:
+                # one-model drafters need the hidden of every prompt row
+                inputs.logit_indices = np.arange(
+                    inputs.input_ids.shape[0], dtype=np.int32)
+                all_logits, hidden = self.engine.run_with_hidden(
+                    "prefill", inputs)
+                self.drafter.on_hidden(
+                    req, start, np.asarray(hidden)[:chunk])
+                logits = all_logits[chunk - 1:chunk]
+            else:
+                logits = self.engine.run_prefill(inputs)
             req.context_position += chunk
             self.kv.seal_full_blocks(
                 req.request_id, req.prompt_token_ids[:req.context_position])
@@ -262,7 +276,16 @@ class PyExecutor:
                 for req in decode_reqs:
                     self.kv.grow_sequence(req.request_id, req.num_tokens)
                 inputs = self.engine.prepare_decode_inputs(decode_reqs)
-                logits = self.engine.run_decode(inputs)
+                if self._needs_hidden:
+                    logits, hidden = self.engine.run_with_hidden(
+                        "decode", inputs)
+                    hidden = np.asarray(hidden)
+                    for i, req in enumerate(decode_reqs):
+                        if req.sampling_params.greedy:
+                            self.drafter.on_hidden(
+                                req, req.num_tokens - 1, hidden[i:i + 1])
+                else:
+                    logits = self.engine.run_decode(inputs)
                 self._sample_and_update(decode_reqs, logits)
                 stats.num_decode_tokens = len(decode_reqs)
 
@@ -298,7 +321,10 @@ class PyExecutor:
             return False
         self.kv.grow_sequence(req.request_id, req.num_tokens + k)
         inputs = self.engine.prepare_verify_inputs(req, draft)
-        logits = self.engine.run_prefill(inputs)
+        if self._needs_hidden:
+            logits, hidden = self.engine.run_with_hidden("prefill", inputs)
+        else:
+            logits, hidden = self.engine.run_prefill(inputs), None
         greedy = np.asarray(np.argmax(np.asarray(logits[:k + 1]), axis=-1))
         accepted: List[int] = []
         for j in range(k):
@@ -307,6 +333,12 @@ class PyExecutor:
             else:
                 break
         accepted.append(int(greedy[len(accepted)]))  # bonus / correction
+        if hidden is not None:
+            # rows 0..a are fed by real tokens (last accepted + matched
+            # drafts) => their hiddens at positions num_tokens-1.. are valid
+            a = len(accepted) - 1
+            self.drafter.on_hidden(req, req.num_tokens - 1,
+                                   np.asarray(hidden)[:a + 1])
         self.spec_stats["proposed"] += k
         self.spec_stats["accepted"] += len(accepted) - 1
         self.spec_stats["rounds"] += 1
@@ -333,6 +365,8 @@ class PyExecutor:
         request's budget (stops are checked after the fused chunk)."""
         if self.guided.any_active(reqs):
             return 1  # per-token host masks can't ride the fused scan
+        if self._needs_hidden and any(r.sampling_params.greedy for r in reqs):
+            return 1  # one-model drafter taps each step's hidden states
         if any(r.sampling_params.repetition_penalty != 1.0
                or r.sampling_params.presence_penalty != 0.0
                or r.sampling_params.frequency_penalty != 0.0

@@ -204,7 +204,7 @@ class ModelEngine:
                 jnp.asarray(inputs.kv_lens), sampling_state)
         return toks, logps
 
-    def _make_step_fn(self, mode: str):
+    def _make_step_fn(self, mode: str, with_hidden: bool = False):
         model = self.model
 
         def step(params, kv_caches, input_ids, positions, slot_mapping,
@@ -217,17 +217,22 @@ class ModelEngine:
                 q_offset=q_offset,
                 mode=mode,
             )
+            if with_hidden:
+                return model.forward(params, input_ids, kv_caches, meta,
+                                     logit_indices, return_hidden=True)
             logits, new_caches = model.forward(
                 params, input_ids, kv_caches, meta, logit_indices)
             return logits, new_caches
 
         if self.mesh is not None:
             cache_spec = self._cache_specs
+            out_specs = ((P(), P(), cache_spec) if with_hidden
+                         else (P(), cache_spec))
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
                           P(), P(), P(), P(), P(), P(), P()),
-                out_specs=(P(), cache_spec),
+                out_specs=out_specs,
                 check_vma=False,
             )
         return jax.jit(step, donate_argnums=(1,))
@@ -289,6 +294,23 @@ class ModelEngine:
         fn = self._get_fn("prefill")
         with self.lock:
             return self._run(fn, inputs)
+
+    def run_with_hidden(self, mode: str, inputs: StepInputs):
+        """Step returning (logits, hidden) at logit_indices rows — the tap
+        used by one-model speculative drafters."""
+        key = (mode, "hidden")
+        if key not in self._fns:
+            self._fns[key] = self._make_step_fn(mode, with_hidden=True)
+        fn = self._fns[key]
+        with self.lock:
+            logits, hidden, self.kv_caches = fn(
+                self.params, self.kv_caches,
+                jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+                jnp.asarray(inputs.slot_mapping),
+                jnp.asarray(inputs.block_tables),
+                jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
+                jnp.asarray(inputs.logit_indices))
+        return logits, hidden
 
     # ------------------------------------------------------------------ input prep --
     def _table_bucket(self, reqs, extra_tokens: int = 0) -> int:

@@ -22,6 +22,8 @@ class SpeculativeMode(str, enum.Enum):
     NONE = "NONE"
     NGRAM = "NGRAM"
     DRAFT_TARGET = "DRAFT_TARGET"
+    MTP = "MTP"                      # one-model, hidden-state tap
+    USER_PROVIDED = "USER_PROVIDED"  # user callable proposes drafts
 
 
 @dataclass
@@ -32,6 +34,11 @@ class SpeculativeConfig:
     max_matching_ngram_size: int = 3
     # draft-target
     draft_model: Any = None          # path | ModelConfig
+    # MTP: weight source (get_tensor callable or None => random init / load
+    # from the main checkpoint's extra layer)
+    mtp_weights: Any = None
+    # user-provided: callable(request) -> List[int]
+    proposer: Any = None
     # only greedy requests use speculation (rejection sampling lands later)
     greedy_only: bool = True
 
@@ -39,8 +46,18 @@ class SpeculativeConfig:
 class Drafter:
     """Proposes draft tokens for one request."""
 
+    # one-model drafters tap the target's hidden states; the executor then
+    # runs hidden-returning step functions and feeds on_hidden
+    needs_hidden = False
+
+    def bind(self, engine, kv):
+        """Called once by the executor with the target engine + KV manager."""
+
     def propose(self, request) -> List[int]:
         raise NotImplementedError
+
+    def on_hidden(self, request, start_pos: int, hiddens):
+        """Target hidden states for positions start_pos..start_pos+len-1."""
 
     def on_accepted(self, request, accepted_tokens: List[int]):
         """Called after verification with the tokens actually accepted."""
@@ -49,11 +66,28 @@ class Drafter:
         pass
 
 
+class UserProvidedDrafter(Drafter):
+    """Reference SpeculativeDecodingMode.USER_PROVIDED: an arbitrary host
+    callable proposes draft tokens."""
+
+    def __init__(self, cfg: SpeculativeConfig):
+        assert callable(cfg.proposer), "USER_PROVIDED needs cfg.proposer"
+        self.cfg = cfg
+
+    def propose(self, request) -> List[int]:
+        return list(self.cfg.proposer(request))[: self.cfg.max_draft_len]
+
+
 def get_drafter(cfg: SpeculativeConfig, llm_args=None) -> Drafter:
     from tensorrt_llm_tpu.speculative.ngram import NGramDrafter
     from tensorrt_llm_tpu.speculative.draft_target import DraftTargetDrafter
+    from tensorrt_llm_tpu.speculative.mtp import MTPDrafter
     if cfg.mode == SpeculativeMode.NGRAM:
         return NGramDrafter(cfg)
     if cfg.mode == SpeculativeMode.DRAFT_TARGET:
         return DraftTargetDrafter(cfg, llm_args)
+    if cfg.mode == SpeculativeMode.MTP:
+        return MTPDrafter(cfg, llm_args)
+    if cfg.mode == SpeculativeMode.USER_PROVIDED:
+        return UserProvidedDrafter(cfg)
     raise ValueError(cfg.mode)

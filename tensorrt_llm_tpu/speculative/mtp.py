@@ -1,0 +1,258 @@
+"""One-model MTP (multi-token prediction) speculative decoding.
+
+Counterpart of the reference's MTP path (`_torch/speculative/mtp.py`,
+`modeling_deepseekv3.py:717` MTP head; DeepSeek-V3 technical report §2.2):
+the target model's final hidden states feed a single extra decoder block
+
+    x_p = eh_proj( [enorm(emb(token_p)) ; hnorm(h_{p-1})] )
+
+whose output predicts token_{p+1}.  The MTP block keeps its own single-layer
+paged KV pool but *shares the main sequence's block tables and slot
+mapping* — the block allocator already reserved those pages, so the drafter
+adds zero bookkeeping.  Draft chaining feeds the block its own output hidden
+(the reference's "MTP Eagle" chain style).
+
+Rejected-draft KV hygiene: chain steps write MTP KV at future positions;
+when drafts are rejected those entries are garbage, but every position is
+re-written with the real (hidden, token) pair as the accepted stream passes
+it, and zero-initialized pages are benign to attend — correctness is always
+enforced by target verification, the drafter only affects acceptance rate.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tensorrt_llm_tpu.speculative.interface import Drafter, SpeculativeConfig
+from tensorrt_llm_tpu.utils import logger
+
+_BUCKETS = (8, 64, 512)
+
+
+class _MtpSeq:
+    __slots__ = ("next_query", "hid")
+
+    def __init__(self):
+        self.next_query = 1    # first MTP query position
+        self.hid: Dict[int, np.ndarray] = {}  # position -> target hidden
+
+
+class MTPDrafter(Drafter):
+    needs_hidden = True
+
+    def __init__(self, cfg: SpeculativeConfig, llm_args=None):
+        self.cfg = cfg
+        self._seqs: Dict[int, _MtpSeq] = {}
+        self._fns = {}
+        self.engine = None
+
+    # ---- binding -------------------------------------------------------------
+    def bind(self, engine, kv):
+        """Build the MTP block against the target model's config; called by
+        PyExecutor once the engine exists."""
+        import jax
+        import jax.numpy as jnp
+        from tensorrt_llm_tpu.models.modeling_utils import DecoderLayer
+
+        if engine.mesh is not None:
+            raise NotImplementedError(
+                "one-model MTP under TP/mesh lands in a later round")
+        self.engine = engine
+        self.kv = kv
+        cfg = engine.model.cfg
+        self.model_cfg = cfg
+        self.layer = DecoderLayer(cfg, cfg.num_layers)  # extra block
+        key = jax.random.PRNGKey(7)
+        k1, k2 = jax.random.split(key)
+        H = cfg.hidden_size
+        self.params = {
+            "enorm": jnp.ones((H,), jnp.float32),
+            "hnorm": jnp.ones((H,), jnp.float32),
+            "eh_proj": (jax.random.normal(k1, (2 * H, H), jnp.float32)
+                        * (0.5 / (2 * H) ** 0.5)).astype(cfg.dtype),
+            "final_norm": jnp.ones((H,), jnp.float32),
+            "layer": self.layer.init(k2),
+        }
+        if self.cfg.mtp_weights is not None:
+            self.load_weights(self.cfg.mtp_weights)
+        # single-layer pool sharing the main pool geometry
+        if cfg.is_mla:
+            shape = (kv.num_blocks, 1, kv.block_size, cfg.kv_pool_dim)
+            self.pool = jnp.zeros(shape, jnp.bfloat16)
+        else:
+            shape = (kv.num_blocks, cfg.num_kv_heads, kv.block_size,
+                     cfg.head_dim)
+            self.pool = (jnp.zeros(shape, jnp.bfloat16),
+                         jnp.zeros(shape, jnp.bfloat16))
+
+    def load_weights(self, get_tensor, layer_prefix: Optional[str] = None):
+        """Load MTP weights from a DeepSeek checkpoint (stored as the extra
+        layer `model.layers.{num_hidden_layers}.` with enorm/hnorm/eh_proj)."""
+        import jax.numpy as jnp
+        cfg = self.model_cfg
+        pre = layer_prefix or f"model.layers.{cfg.num_layers}."
+
+        def t(name):
+            arr = get_tensor(pre + name)
+            return None if arr is None else jnp.asarray(
+                np.asarray(arr)).astype(jnp.float32).T
+
+        def vec(name):
+            arr = get_tensor(pre + name)
+            return None if arr is None else jnp.asarray(
+                np.asarray(arr)).astype(jnp.float32)
+
+        eh = t("eh_proj.weight")
+        if eh is None:
+            logger.warning("MTP weights not found at %s*", pre)
+            return
+        from tensorrt_llm_tpu.models import get_model_class
+        loader = get_model_class(cfg.architecture)(cfg)
+        self.params.update({
+            "enorm": vec("enorm.weight"),
+            "hnorm": vec("hnorm.weight"),
+            "eh_proj": eh.astype(cfg.dtype),
+            "final_norm": vec("shared_head.norm.weight"),
+            "layer": {
+                "input_norm": vec("input_layernorm.weight"),
+                "post_attn_norm": vec("post_attention_layernorm.weight"),
+                "attn": loader._load_attn(
+                    self.layer, pre,
+                    lambda n: t(n[len(pre):]), lambda n: vec(n[len(pre):])),
+                "mlp": loader._load_mlp(
+                    self.layer, lambda n: get_tensor(n), pre, t=lambda n: t(
+                        n[len(pre):])),
+            },
+        })
+
+    # ---- jitted forward --------------------------------------------------------
+    def _get_fn(self, m: int):
+        import jax
+        import jax.numpy as jnp
+        from tensorrt_llm_tpu.attention_backend.interface import AttentionMetadata
+        from tensorrt_llm_tpu.ops.norms import add_rms_norm, rms_norm
+
+        if m in self._fns:
+            return self._fns[m]
+        model = self.engine.model
+        cfg = self.model_cfg
+        layer = self.layer
+        eps = cfg.rms_eps
+
+        def fwd(main_params, mtp_params, pool, hiddens, tokens, positions,
+                slots, block_table, kv_len, q_offset, last_idx):
+            emb = model.embedding(main_params["embedding"], tokens)
+            e = rms_norm(emb, mtp_params["enorm"], eps)
+            h = rms_norm(hiddens.astype(emb.dtype), mtp_params["hnorm"], eps)
+            x = jnp.dot(jnp.concatenate([e, h], axis=-1),
+                        mtp_params["eh_proj"].astype(emb.dtype),
+                        preferred_element_type=jnp.float32).astype(emb.dtype)
+            meta = AttentionMetadata(
+                positions=positions, slot_mapping=slots,
+                block_tables=block_table[None, :], kv_lens=kv_len[None],
+                q_offset=q_offset, mode="prefill")
+            rope_tables = (main_params["rope"], main_params.get("rope_local"))
+            out, residual, pool = layer(
+                mtp_params["layer"], x, None, rope_tables, pool, meta)
+            hfin, _ = add_rms_norm(out, residual, mtp_params["final_norm"], eps)
+            h_last = hfin[last_idx]
+            if cfg.tie_word_embeddings:
+                logits = jnp.dot(
+                    h_last[None],
+                    main_params["embedding"]["weight"].T.astype(h_last.dtype),
+                    preferred_element_type=jnp.float32)
+            else:
+                logits = model.lm_head(
+                    main_params["lm_head"], h_last[None]).astype(jnp.float32)
+            return logits[0], h_last, pool
+
+        self._fns[m] = jax.jit(fwd, donate_argnums=(2,))
+        return self._fns[m]
+
+    def _run(self, hiddens, tokens, positions, rid):
+        """One MTP pass over contiguous query positions; returns
+        (greedy_token, hidden_out)."""
+        import jax.numpy as jnp
+        m = len(tokens)
+        mp = next(b for b in _BUCKETS if b >= min(m, _BUCKETS[-1]))
+        H = self.model_cfg.hidden_size
+        hid = np.zeros((mp, H), np.float32)
+        hid[:m] = np.asarray(hiddens, np.float32)
+        tok = np.zeros(mp, np.int32)
+        tok[:m] = tokens
+        pos = np.minimum(positions[0] + np.arange(mp, dtype=np.int32),
+                         self.engine.max_seq_len - 1)
+        slots = np.full(mp, np.int32(2**30), np.int32)
+        slots[:m] = self.kv.slot_mapping(rid, int(positions[0]), m)
+        mb = self.engine.max_blocks_per_seq
+        table = np.asarray(self.kv.block_table(rid, mb), np.int32)
+        fn = self._get_fn(mp)
+        logits, h_last, self.pool = fn(
+            self.engine.params, self.params, self.pool,
+            jnp.asarray(hid), jnp.asarray(tok), jnp.asarray(pos),
+            jnp.asarray(slots), jnp.asarray(table),
+            jnp.asarray(np.int32(positions[0] + m)),
+            jnp.asarray(np.int32(positions[0])),
+            jnp.asarray(np.int32(m - 1)))
+        return int(np.argmax(np.asarray(logits))), np.asarray(h_last, np.float32)
+
+    # ---- executor hooks -----------------------------------------------------------
+    def on_hidden(self, request, start_pos: int, hiddens: np.ndarray):
+        """Target hiddens for positions start_pos..start_pos+len-1."""
+        seq = self._seqs.setdefault(request.request_id, _MtpSeq())
+        for j in range(hiddens.shape[0]):
+            seq.hid[start_pos + j] = hiddens[j]
+
+    def propose(self, request) -> List[int]:
+        if self.engine is None:
+            return []
+        rid = request.request_id
+        seq = self._seqs.get(rid)
+        if seq is None or not seq.hid:
+            return []
+        toks = request.all_token_ids
+        n = len(toks)
+        # catch-up: the contiguous run of query positions ending at n-1 whose
+        # pair (h_{p-1}, t_p) is known.  A hidden gap below the run (e.g.
+        # prefix-reuse skipped rows) only leaves stale MTP KV behind — that
+        # costs acceptance rate, never correctness.
+        if n < 2 or (n - 2) not in seq.hid:
+            return []  # freshest pair missing; nothing to chain from
+        lo = n - 1
+        while lo > max(seq.next_query, 1) and (lo - 2) in seq.hid:
+            lo -= 1
+        queries = list(range(lo, n))
+        k = self.cfg.max_draft_len
+        need_tokens = n + k - 1
+        if self.kv.blocks_needed(need_tokens) - self.kv.num_seq_blocks(rid) \
+                > self.kv.num_free_blocks:
+            return []
+        self.kv.grow_sequence(rid, need_tokens)
+
+        draft = []
+        hs = [seq.hid[p - 1] for p in queries]
+        ts = [toks[p] for p in queries]
+        ps = np.array(queries, np.int32)
+        # long catch-ups in chunks of the largest bucket
+        step = _BUCKETS[-1]
+        tok_out, h_out = -1, None
+        for lo in range(0, len(queries), step):
+            tok_out, h_out = self._run(
+                np.stack(hs[lo:lo + step]), ts[lo:lo + step],
+                ps[lo:lo + step], rid)
+        seq.next_query = n
+        # keep only the last hidden (chain seeds from MTP's own outputs)
+        seq.hid = {p: v for p, v in seq.hid.items() if p >= n - 2}
+        draft.append(tok_out)
+        pos = n
+        while len(draft) < k and pos < self.engine.max_seq_len - 1:
+            tok_out, h_out = self._run(
+                h_out[None], [draft[-1]], np.array([pos], np.int32), rid)
+            draft.append(tok_out)
+            pos += 1
+        return draft
+
+    def on_request_finished(self, request):
+        self._seqs.pop(request.request_id, None)

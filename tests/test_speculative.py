@@ -81,3 +81,64 @@ def test_spec_skipped_for_sampled_requests():
         assert len(out[0].outputs[0].token_ids) == 8
     finally:
         llm.shutdown()
+
+
+def test_mtp_spec_matches_plain_greedy():
+    """One-model MTP: output identical to plain greedy even with an
+    untrained (random) MTP head — verification enforces correctness."""
+    prompt = [2, 9, 2, 9, 2, 9, 11]
+    base = make_llm(seed=5)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    spec = SpeculativeConfig(mode=SpeculativeMode.MTP, max_draft_len=3)
+    llm = make_llm(spec=spec, seed=5)
+    try:
+        got = greedy(llm, prompt)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+    assert stats["rounds"] > 0, stats
+
+
+def test_mtp_spec_with_chunked_prefill_and_batch():
+    """MTP hidden bookkeeping survives chunked prefill + batched requests."""
+    spec = SpeculativeConfig(mode=SpeculativeMode.MTP, max_draft_len=4)
+    base = make_llm(seed=6)
+    prompts = [list(np.random.RandomState(i).randint(1, 60, 20 + i))
+               for i in range(4)]
+    try:
+        want = [greedy(base, p, n=10) for p in prompts]
+    finally:
+        base.shutdown()
+    llm = make_llm(spec=spec, seed=6)
+    try:
+        outs = llm.generate(prompts, SamplingParams(
+            max_tokens=10, temperature=0.0, ignore_eos=True))
+        got = [o.outputs[0].token_ids for o in outs]
+    finally:
+        llm.shutdown()
+    assert got == want
+
+
+def test_user_provided_spec_matches_plain_greedy():
+    prompt = [4, 8, 4, 8, 4, 8, 15]
+    base = make_llm(seed=2)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    # adversarially bad proposer: repeats the last token
+    spec = SpeculativeConfig(
+        mode=SpeculativeMode.USER_PROVIDED, max_draft_len=3,
+        proposer=lambda req: [req.all_token_ids[-1]] * 3)
+    llm = make_llm(spec=spec, seed=2)
+    try:
+        got = greedy(llm, prompt)
+    finally:
+        llm.shutdown()
+    assert got == want
