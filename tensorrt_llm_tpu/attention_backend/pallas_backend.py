@@ -35,8 +35,13 @@ from tensorrt_llm_tpu.ops.paged_attention import paged_decode_attention
 class PallasAttention(XlaAttention):
     name = "pallas"
 
-    def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
+                 sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if sinks is not None:
+            # attention sinks (GPT-OSS): Pallas kernels don't carry the sink
+            # logit yet; the XLA path does (in-kernel sinks land next round)
+            return super().__call__(q, k, v, k_cache, v_cache, meta,
+                                    sinks=sinks)
         if isinstance(k_cache, tuple) or self.head_dim % 128 != 0:
             # INT8 KV pools: the Pallas kernels read bf16 pages; use the XLA
             # dequant-at-gather path (in-kernel int8 dequant lands next round).

@@ -27,8 +27,8 @@ from tensorrt_llm_tpu.ops.attention_xla import (
 class XlaAttention(AttentionBackend):
     name = "xla"
 
-    def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
+                 sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
         k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                           meta.slot_mapping)
         if meta.mode == "prefill":
@@ -40,6 +40,7 @@ class XlaAttention(AttentionBackend):
                 scale=self.scale,
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
+                sinks=sinks,
             )
         else:
             out = paged_decode_xla(
@@ -49,5 +50,6 @@ class XlaAttention(AttentionBackend):
                 scale=self.scale,
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
+                sinks=sinks,
             )
         return out, k_cache, v_cache

@@ -32,6 +32,8 @@ class Attention:
     head_dim: int
     rope: RopeConfig
     has_bias: bool = False        # qkv bias (Qwen2 style)
+    has_o_bias: bool = False      # o_proj bias (GPT-OSS)
+    has_sinks: bool = False       # per-head attention-sink logits (GPT-OSS)
     has_qk_norm: bool = False     # per-head q/k RMSNorm (Qwen3)
     rms_eps: float = 1e-6
     scale: Optional[float] = None
@@ -55,8 +57,8 @@ class Attention:
                           method("qkv_proj"), tp_mode="column",
                           tp_size=self.tp_size)
         self.o = Linear(self.num_heads * self.head_dim, self.hidden_size,
-                        False, self.dtype, method("o_proj"), tp_mode="row",
-                        tp_size=self.tp_size)
+                        self.has_o_bias, self.dtype, method("o_proj"),
+                        tp_mode="row", tp_size=self.tp_size)
         if self.backend_cls is None:
             from tensorrt_llm_tpu.attention_backend import get_attention_backend
             self.backend_cls = get_attention_backend("auto")
@@ -79,11 +81,14 @@ class Attention:
             if self.has_bias else (None, None, None)
         return self.from_float(
             q_w, k_w, v_w, o_w, q_b=zeros[0], k_b=zeros[1], v_b=zeros[2],
+            o_b=jnp.zeros((self.hidden_size,), jnp.float32) if self.has_o_bias else None,
             q_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None,
-            k_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None)
+            k_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None,
+            sinks=(jax.random.normal(keys[0], (self.num_heads,), jnp.float32)
+                   * 0.5 if self.has_sinks else None))
 
     def from_float(self, q_w, k_w, v_w, o_w, q_b=None, k_b=None, v_b=None,
-                   q_norm=None, k_norm=None) -> Dict:
+                   o_b=None, q_norm=None, k_norm=None, sinks=None) -> Dict:
         """Fuse full [in, out] float Q/K/V weights, interleaved per TP shard."""
         tp = self.tp_size
         D = self.head_dim
@@ -100,7 +105,13 @@ class Attention:
         fused_w = jnp.concatenate(cols, axis=1)
         fused_b = jnp.concatenate(bcols) if bcols else None
         p = {"qkv": self.qkv.quantize_from_float(fused_w, fused_b),
-             "o": self.o.quantize_from_float(o_w)}
+             "o": self.o.quantize_from_float(o_w, o_b)}
+        if self.has_sinks:
+            # sinks shard with the query heads: interleave per tp rank
+            qh = self.n_local_heads
+            p["sinks"] = jnp.concatenate(
+                [sinks[r * qh:(r + 1) * qh] for r in range(self.tp_size)]
+            ).astype(jnp.float32)
         if self.has_qk_norm:
             p["q_norm"] = q_norm.astype(jnp.float32)
             p["k_norm"] = k_norm.astype(jnp.float32)
@@ -108,6 +119,8 @@ class Attention:
 
     def param_specs(self) -> Dict:
         p = {"qkv": self.qkv.param_specs(), "o": self.o.param_specs()}
+        if self.has_sinks:
+            p["sinks"] = P("tp")
         if self.has_qk_norm:
             p["q_norm"] = P(None)
             p["k_norm"] = P(None)
@@ -139,6 +152,7 @@ class Attention:
         q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
 
         k_cache, v_cache = kv_cache
-        out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta)
+        out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
+                                             sinks=params.get("sinks"))
         out = out.reshape(T, qh * D)
         return self.o(params["o"], out), (k_cache, v_cache)

@@ -54,6 +54,11 @@ class MoE:
     n_group: int = 1
     topk_group: int = 1
     routed_scaling: float = 1.0
+    # GPT-OSS: router linear bias; topk-then-softmax routing; per-expert
+    # biases on gate_up/down; clamped swiglu (alpha=1.702, limit=7)
+    has_router_bias: bool = False
+    topk_then_softmax: bool = False
+    has_expert_bias: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None   # expert weights stay bf16 round-1
     ep_size: int = 1
@@ -87,7 +92,8 @@ class MoE:
         return p
 
     def from_float(self, router_w, gate_w, up_w, down_w, shared=None,
-                   score_bias=None) -> Dict:
+                   score_bias=None, router_bias=None, gate_b=None, up_b=None,
+                   down_b=None) -> Dict:
         """router_w [H, E]; gate/up [E, H, I]; down [E, I, H] (full float).
 
         gate/up are interleaved per tp shard (like GatedMLP.from_float) so the
@@ -103,6 +109,23 @@ class MoE:
             "w_gate_up": jnp.concatenate(cols, axis=2).astype(self.dtype),
             "w_down": down_w.astype(self.dtype),
         }
+        if self.has_router_bias:
+            p["router_bias"] = (jnp.zeros((self.num_experts,), jnp.float32)
+                                if router_bias is None
+                                else router_bias.astype(jnp.float32))
+        if self.has_expert_bias:
+            E = self.num_experts
+            if gate_b is None:
+                gate_b = jnp.zeros((E, self.intermediate_size), jnp.float32)
+                up_b = jnp.zeros((E, self.intermediate_size), jnp.float32)
+            if down_b is None:
+                down_b = jnp.zeros((E, self.hidden_size), jnp.float32)
+            bcols = []
+            for r in range(self.tp_size):
+                bcols.append(gate_b[:, r * per:(r + 1) * per])
+                bcols.append(up_b[:, r * per:(r + 1) * per])
+            p["b_gate_up"] = jnp.concatenate(bcols, axis=1).astype(jnp.float32)
+            p["b_down"] = down_b.astype(jnp.float32)
         if self.has_score_bias:
             p["score_bias"] = (jnp.zeros((self.num_experts,), jnp.float32)
                                if score_bias is None
@@ -119,6 +142,11 @@ class MoE:
             "w_gate_up": P("ep", None, "tp"),
             "w_down": P("ep", "tp", None),
         }
+        if self.has_router_bias:
+            specs["router_bias"] = P(None)
+        if self.has_expert_bias:
+            specs["b_gate_up"] = P("ep", "tp")
+            specs["b_down"] = P("ep", None)
         if self.has_score_bias:
             specs["score_bias"] = P(None)
         if self.n_shared_experts:
@@ -130,6 +158,13 @@ class MoE:
         """Returns (topk_ids [T,k] int32, topk_weights [T,k] f32)."""
         logits = jnp.dot(x.astype(jnp.float32), params["router"],
                          preferred_element_type=jnp.float32)  # [T, E]
+        if self.has_router_bias:
+            logits = logits + params["router_bias"][None, :]
+        if self.topk_then_softmax:
+            # GPT-OSS router: top-k on raw logits, softmax over the k values
+            vals, ids = jax.lax.top_k(logits, self.top_k)
+            w = jax.nn.softmax(vals, axis=-1)
+            return ids.astype(jnp.int32), w
         if self.score_func == "softmax":
             scores = jax.nn.softmax(logits, axis=-1)
         else:
@@ -197,14 +232,32 @@ class MoE:
         xs = x[sorted_tok].astype(self.dtype)            # [T*k, H]
         h = jax.lax.ragged_dot(xs, params["w_gate_up"], group_sizes)
         Il = self.inter_local
+        if self.has_expert_bias:
+            h = (h.astype(jnp.float32)
+                 + params["b_gate_up"][sorted_local]).astype(h.dtype)
         gate, up = h[:, :Il], h[:, Il:]
-        h = (_ACTIVATIONS[self.activation](gate.astype(jnp.float32))
-             * up.astype(jnp.float32)).astype(self.dtype)
+        if self.activation == "swiglu_oai":
+            # GPT-OSS clamped swiglu: (up+1) * gate*sigmoid(alpha*gate)
+            g = jnp.minimum(gate.astype(jnp.float32), 7.0)
+            u = jnp.clip(up.astype(jnp.float32), -7.0, 7.0)
+            h = ((u + 1.0) * g * jax.nn.sigmoid(1.702 * g)).astype(self.dtype)
+        else:
+            h = (_ACTIVATIONS[self.activation](gate.astype(jnp.float32))
+                 * up.astype(jnp.float32)).astype(self.dtype)
         out_sorted = jax.lax.ragged_dot(h, params["w_down"], group_sizes)
+        out_sorted = out_sorted.astype(jnp.float32)
+        if self.has_expert_bias:
+            # the reference adds the down bias once per (token, expert) pair
+            # before the routing weight, matching HF GptOssExperts; under tp
+            # sharding the bias is added on every shard then divided by the
+            # reduction width at finalize (psum restores it once)
+            b = params["b_down"][sorted_local]
+            if self.tp_size > 1:
+                b = b / self.tp_size
+            out_sorted = out_sorted + b
 
         out = jnp.zeros((T, H), jnp.float32)
-        out = out.at[sorted_tok].add(
-            out_sorted.astype(jnp.float32) * sorted_w[:, None])
+        out = out.at[sorted_tok].add(out_sorted * sorted_w[:, None])
 
         out = tp_all_reduce(out, enabled=self.ep_size * self.tp_size > 1)
         if self.n_shared_experts:

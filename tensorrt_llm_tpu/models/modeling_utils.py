@@ -49,6 +49,9 @@ class ModelConfig:
     max_position: int = 4096
     tie_word_embeddings: bool = False
     attention_bias: bool = False
+    o_bias: bool = False                  # o_proj bias (GPT-OSS)
+    has_sinks: bool = False               # attention-sink logits (GPT-OSS)
+    layer_types: Optional[tuple] = None   # per-layer "sliding_attention"/"full_attention"
     qk_norm: bool = False
     activation: str = "silu"
     sliding_window: Optional[int] = None
@@ -70,6 +73,10 @@ class ModelConfig:
     n_shared_experts: int = 0
     decoder_sparse_step: int = 1
     mlp_only_layers: tuple = ()
+    # GPT-OSS MoE: biased router, topk-then-softmax, per-expert biases
+    moe_router_bias: bool = False
+    moe_topk_then_softmax: bool = False
+    moe_expert_bias: bool = False
     # DeepSeek-style noaux-tc routing (sigmoid + correction bias + group topk)
     moe_has_score_bias: bool = False
     n_group: int = 1
@@ -100,7 +107,10 @@ class ModelConfig:
     def is_sliding_layer(self, idx: int) -> bool:
         """Gemma-style pattern: every sliding_window_pattern-th layer is
         global; all others use the sliding window (pattern 1 => all sliding
-        when a window is set, Mistral-style)."""
+        when a window is set, Mistral-style).  An explicit per-layer
+        layer_types list (GPT-OSS/Gemma3 HF convention) wins."""
+        if self.layer_types is not None:
+            return self.layer_types[idx] == "sliding_attention"
         if self.sliding_window is None:
             return False
         if self.sliding_window_pattern <= 1:
@@ -157,6 +167,7 @@ class ModelConfig:
             high_freq_factor=scaling.get("high_freq_factor", 4.0),
             original_max_position=scaling.get(
                 "original_max_position_embeddings", self.max_position),
+            truncate=bool(scaling.get("truncate", True)),
             beta_fast=scaling.get("beta_fast") or 32.0,
             beta_slow=scaling.get("beta_slow") or 1.0,
             mscale=scaling.get("mscale"),
@@ -188,6 +199,7 @@ class ModelConfig:
         if get("first_k_dense_replace"):
             mlp_only = tuple(range(get("first_k_dense_replace")))
         is_deepseek = get("kv_lora_rank") is not None
+        is_gpt_oss = arch == "GptOssForCausalLM"
         return cls(
             num_experts=num_experts,
             num_experts_per_tok=get("num_experts_per_tok", 2),
@@ -197,6 +209,13 @@ class ModelConfig:
             mlp_only_layers=mlp_only,
             moe_score_func="sigmoid" if is_deepseek else "softmax",
             moe_has_score_bias=is_deepseek,
+            activation="swiglu_oai" if is_gpt_oss else "silu",
+            moe_router_bias=is_gpt_oss,
+            moe_topk_then_softmax=is_gpt_oss,
+            moe_expert_bias=is_gpt_oss,
+            has_sinks=is_gpt_oss,
+            o_bias=is_gpt_oss and bool(get("attention_bias", False)),
+            layer_types=tuple(get("layer_types")) if get("layer_types") else None,
             n_shared_experts=get("n_shared_experts") or 0,
             n_group=get("n_group") or 1,
             topk_group=get("topk_group") or 1,
@@ -275,6 +294,9 @@ class DecoderLayer:
                 renormalize=cfg.norm_topk_prob,
                 n_shared_experts=cfg.n_shared_experts,
                 has_score_bias=cfg.moe_has_score_bias,
+                has_router_bias=cfg.moe_router_bias,
+                topk_then_softmax=cfg.moe_topk_then_softmax,
+                has_expert_bias=cfg.moe_expert_bias,
                 n_group=cfg.n_group,
                 topk_group=cfg.topk_group,
                 routed_scaling=cfg.routed_scaling_factor,
@@ -301,6 +323,8 @@ class DecoderLayer:
             head_dim=cfg.head_dim,
             rope=cfg.rope,
             has_bias=cfg.attention_bias,
+            has_o_bias=cfg.o_bias,
+            has_sinks=cfg.has_sinks,
             has_qk_norm=cfg.qk_norm,
             rms_eps=cfg.rms_eps,
             scale=(cfg.query_pre_attn_scalar ** -0.5
@@ -531,8 +555,10 @@ class DecoderModelForCausalLM:
             q_b=vec(pre + "self_attn.q_proj.bias") if has_b else None,
             k_b=vec(pre + "self_attn.k_proj.bias") if has_b else None,
             v_b=vec(pre + "self_attn.v_proj.bias") if has_b else None,
+            o_b=vec(pre + "self_attn.o_proj.bias") if cfg.o_bias else None,
             q_norm=vec(pre + "self_attn.q_norm.weight") if cfg.qk_norm else None,
             k_norm=vec(pre + "self_attn.k_norm.weight") if cfg.qk_norm else None,
+            sinks=vec(pre + "self_attn.sinks") if cfg.has_sinks else None,
         )
 
     def _load_mlp(self, layer, get_tensor, pre: str, t):

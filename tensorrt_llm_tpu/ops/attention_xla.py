@@ -78,9 +78,18 @@ def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
     return jnp.repeat(x, n_rep, axis=-2)
 
 
-def _masked_softmax(scores: jax.Array, mask: jax.Array) -> jax.Array:
+def _masked_softmax(scores: jax.Array, mask: jax.Array,
+                    sinks: Optional[jax.Array] = None) -> jax.Array:
+    """Softmax over the last axis; `sinks` adds a per-head learned logit to
+    the denominator only (GPT-OSS attention sinks — reference: sink handling
+    in the attention kernels / HF GptOss eager_attention_forward)."""
     scores = jnp.where(mask, scores, NEG_INF)
-    return jax.nn.softmax(scores, axis=-1)
+    if sinks is None:
+        return jax.nn.softmax(scores, axis=-1)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sinks)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(sinks - m)
+    return p / denom
 
 
 def mha_xla(
@@ -93,6 +102,7 @@ def mha_xla(
     kv_len: Optional[jax.Array] = None,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,   # [Hq] per-head sink logits
 ) -> jax.Array:
     """Dense attention for one sequence.
 
@@ -116,7 +126,9 @@ def mha_xla(
         mask &= kv_pos < kv_len
     if sliding_window is not None:
         mask &= kv_pos > q_pos - sliding_window
-    probs = _masked_softmax(scores, mask[None, None])
+    sink_r = (sinks.reshape(Hkv, n_rep, 1, 1).astype(jnp.float32)
+              if sinks is not None else None)
+    probs = _masked_softmax(scores, mask[None, None], sink_r)
     out = jnp.einsum("hgts,shd->thgd", probs, v.astype(jnp.float32))
     return out.reshape(T, Hq, D).astype(q.dtype)
 
@@ -131,6 +143,7 @@ def paged_prefill_xla(
     scale: float,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Chunked-prefill attention for one sequence against its paged KV."""
     nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
@@ -139,7 +152,7 @@ def paged_prefill_xla(
     v = gather_dequant(v_cache, block_table, q.dtype).transpose(0, 2, 1, 3).reshape(-1, h, d)
     return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
                    kv_len=kv_len, sliding_window=sliding_window,
-                   logit_cap=logit_cap)
+                   logit_cap=logit_cap, sinks=sinks)
 
 
 def paged_decode_xla(
@@ -151,6 +164,7 @@ def paged_decode_xla(
     scale: float,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,   # [Hq]
 ) -> jax.Array:
     """Batched decode attention over paged KV.
 
@@ -175,6 +189,8 @@ def paged_decode_xla(
     mask = kv_pos < kv_lens[:, None, None, None]
     if sliding_window is not None:
         mask &= kv_pos >= (kv_lens[:, None, None, None] - sliding_window)
-    probs = _masked_softmax(scores, mask)
+    sink_r = (sinks.reshape(1, hkv, n_rep, 1).astype(jnp.float32)
+              if sinks is not None else None)
+    probs = _masked_softmax(scores, mask, sink_r)
     out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32))
     return out.reshape(B, Hq, d).astype(q.dtype)

@@ -38,6 +38,7 @@ class RopeConfig:
     mscale: Optional[float] = None
     mscale_all_dim: Optional[float] = None
     attention_factor: Optional[float] = None
+    truncate: bool = True   # floor/ceil the yarn correction range (HF flag)
     # DeepSeek checkpoints store rope pairs interleaved (x0,y0,x1,y1,…);
     # apply de-interleaves before the rotate-half math
     interleaved: bool = False
@@ -87,8 +88,10 @@ def _yarn_inv_freq(cfg: RopeConfig) -> Tuple[jnp.ndarray, float]:
         return (dim * math.log(orig_max / (num_rot * 2 * math.pi))) / (
             2 * math.log(base))
 
-    low = max(math.floor(corr_dim(cfg.beta_fast)), 0)
-    high = min(math.ceil(corr_dim(cfg.beta_slow)), dim - 1)
+    low, high = corr_dim(cfg.beta_fast), corr_dim(cfg.beta_slow)
+    if cfg.truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, dim - 1)
     if low == high:
         high += 0.001
     ramp = jnp.clip(

@@ -181,3 +181,79 @@ def test_deepseek_v3_decode_greedy_matches_hf():
         ours.append(tok)
         req.append_token(tok)
     assert ours == hf_toks, (ours, hf_toks)
+
+
+def test_gpt_oss_parity():
+    import transformers
+    hf_cfg = transformers.GptOssConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, sliding_window=16,
+        layer_types=["sliding_attention", "full_attention"],
+        rope_scaling={"rope_type": "yarn", "factor": 8.0, "beta_fast": 32.0,
+                      "beta_slow": 1.0, "truncate": False,
+                      "original_max_position_embeddings": 32},
+        rope_theta=150000.0, attention_bias=True, attention_dropout=0.0,
+        tie_word_embeddings=False)
+    hf_parity(hf_cfg, "GptOssForCausalLM", prompt_len=20, corr_min=0.98)
+
+
+def test_gpt_oss_decode_greedy_matches_hf():
+    """Sinks + sliding/full alternation through the batched decode path."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    hf_cfg = transformers.GptOssConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"],
+        rope_theta=150000.0, attention_bias=True, attention_dropout=0.0,
+        tie_word_embeddings=False)
+    torch.manual_seed(1)
+    hf_model = transformers.AutoModelForCausalLM.from_config(hf_cfg)
+    hf_model.eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf_model.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+
+    prompt = list(np.random.RandomState(8).randint(1, 255, 12))
+    n_new = 6
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False)
+    hf_toks = hf_out[0, len(prompt):].tolist()
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.kv_pool_heads, cfg.kv_pool_dim, num_blocks=32)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(16,))
+    req = LlmRequest(prompt, SamplingParams(max_tokens=n_new))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    logits = engine.run_prefill(engine.prepare_prefill_inputs(req, len(prompt)))
+    req.context_position = len(prompt)
+    req.finish_context()
+    # teacher-force HF's greedy tokens through OUR decode path: each step's
+    # logits must rank HF's pick in our top-2 (random-weight models have
+    # near-tie logits that bf16 can flip) with high correlation
+    with torch.no_grad():
+        hf_logits_all = hf_model(
+            torch.tensor([prompt + hf_toks])).logits[0].numpy()
+    row = np.asarray(logits[0], np.float32)
+    for j, tok in enumerate(hf_toks):
+        hf_row = hf_logits_all[len(prompt) - 1 + j]
+        assert np.corrcoef(row, hf_row)[0, 1] > 0.99
+        assert tok in np.argsort(row)[::-1][:2], (j, tok)
+        req.append_token(int(tok))
+        if j == len(hf_toks) - 1:
+            break
+        kv.grow_sequence(req.request_id, req.num_tokens)
+        row = np.asarray(
+            engine.run_decode(engine.prepare_decode_inputs([req]))[0],
+            np.float32)
