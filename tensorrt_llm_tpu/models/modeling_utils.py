@@ -499,6 +499,64 @@ class DecoderModelForCausalLM:
             return logits, hidden, new_caches
         return logits, new_caches
 
+    # ---- pipeline-parallel stage decomposition -----------------------------------
+    # The layer loop is cut into contiguous stages; the residual stream is
+    # materialized (x + residual) at stage boundaries so each stage restarts
+    # with residual=None — numerically identical to the fused loop.
+    def forward_first_stage(self, params, input_ids, kv_caches, meta,
+                            layer_hi: int):
+        cfg = self.cfg
+        x = self.embedding(params["embedding"], input_ids)
+        if cfg.embedding_multiplier:
+            x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
+        return self._run_layers(params, x, None, kv_caches, meta, 0, layer_hi)
+
+    def forward_mid_stage(self, params, h, kv_caches, meta,
+                          layer_lo: int, layer_hi: int):
+        return self._run_layers(params, h, None, kv_caches, meta,
+                                layer_lo, layer_hi)
+
+    def forward_last_stage(self, params, h, kv_caches, meta, layer_lo: int,
+                           logit_indices):
+        cfg = self.cfg
+        h, new_caches = self._run_layers(params, h, None, kv_caches, meta,
+                                         layer_lo, cfg.num_layers,
+                                         materialize=False)
+        x, residual = h
+        x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
+        if logit_indices is not None:
+            x = x[logit_indices]
+        if cfg.tie_word_embeddings:
+            logits = jnp.dot(x, params["embedding"]["weight"].T.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+        else:
+            logits = self.lm_head(params["lm_head"], x).astype(jnp.float32)
+        if self.lm_head.tp_mode == "column" and cfg.mapping.tp_size > 1 \
+                and not cfg.tie_word_embeddings:
+            logits = tp_all_gather(logits, axis=-1)
+        if cfg.final_logit_softcap:
+            c = cfg.final_logit_softcap
+            logits = c * jnp.tanh(logits / c)
+        return logits, new_caches
+
+    def _run_layers(self, params, x, residual, kv_caches, meta,
+                    lo: int, hi: int, materialize: bool = True):
+        """Run layers [lo, hi); kv_caches/params['layers'] are indexed
+        RELATIVE to lo (a stage holds only its own slice)."""
+        rope_tables = (params["rope"], params.get("rope_local"))
+        new_caches = []
+        for i in range(lo, hi):
+            x, residual, cache = self.layers[i](
+                params["layers"][i - lo], x, residual, rope_tables,
+                kv_caches[i - lo], meta)
+            new_caches.append(cache)
+        if not materialize:
+            return (x, residual), new_caches
+        out = x if residual is None else (
+            x.astype(jnp.float32) + residual.astype(jnp.float32)
+        ).astype(x.dtype)
+        return out, new_caches
+
     # ---- HF weight loading ------------------------------------------------------
     def load_hf_weights(self, get_tensor, dtype=None) -> Dict:
         """Build params from an HF checkpoint.

@@ -367,6 +367,8 @@ class PyExecutor:
             return 1  # per-token host masks can't ride the fused scan
         if self._needs_hidden and any(r.sampling_params.greedy for r in reqs):
             return 1  # one-model drafter taps each step's hidden states
+        if self.engine.pp_size > 1:
+            return 1  # PP runs single steps; async dispatch pipelines stages
         if any(r.sampling_params.repetition_penalty != 1.0
                or r.sampling_params.presence_penalty != 0.0
                or r.sampling_params.frequency_penalty != 0.0

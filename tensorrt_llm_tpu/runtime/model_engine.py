@@ -97,6 +97,14 @@ class ModelEngine:
         self.prefill_buckets = tuple(prefill_buckets)
 
         self.mesh = mesh
+        self.pp_size = self.mapping.pp_size
+        if self.pp_size > 1:
+            # pipeline parallel: per-stage sub-meshes, layer slices and KV
+            # pools live on their stage's devices (see _init_pp)
+            self._fns = {}
+            self.lock = threading.Lock()
+            self._init_pp(params)
+            return
         if self.mapping.world_size > 1 and self.mesh is None:
             self.mesh = make_mesh(self.mapping)
 
@@ -124,6 +132,124 @@ class ModelEngine:
         # guards kv_caches swaps between the executor thread and direct
         # callers (LLM.score, warmup)
         self.lock = threading.Lock()
+
+    # ------------------------------------------------------------------ pipeline --
+    def _init_pp(self, params):
+        """Pipeline parallelism, single-controller style (the TPU analog of
+        the reference's `_executor_loop_pp`, py_executor.py:1101): layers are
+        cut into contiguous stages, each stage's params + KV pools live on
+        its own sub-mesh (TP/EP axes inside the stage), activations hop
+        stages via device_put over ICI, and JAX async dispatch overlaps
+        microbatches — stage s of batch m runs while stage s+1 runs batch
+        m-1, with no host sync in between."""
+        m = self.mapping
+        devs = np.array(jax.devices()[:m.world_size]).reshape(
+            m.dp_size, m.pp_size, m.moe_ep_size, m.moe_tp_size)
+        L = self.model.cfg.num_layers
+        base, rem = divmod(L, m.pp_size)
+        full_specs = self.model.param_specs()
+        pools = self.kv_manager.allocate_pools()
+        tied = self.model.cfg.tie_word_embeddings
+
+        self.mesh = None
+        self.pp_stages = []
+        lo = 0
+        for s in range(m.pp_size):
+            hi = lo + base + (1 if s < rem else 0)
+            mesh = jax.sharding.Mesh(
+                np.moveaxis(devs[:, s], 0, 0), ("dp", "ep", "tp"))
+            p = {"rope": params["rope"], "layers": list(params["layers"][lo:hi])}
+            spec = {"rope": full_specs["rope"],
+                    "layers": list(full_specs["layers"][lo:hi])}
+            if "rope_local" in params:
+                p["rope_local"] = params["rope_local"]
+                spec["rope_local"] = full_specs["rope_local"]
+            if s == 0 or (s == m.pp_size - 1 and tied):
+                p["embedding"] = params["embedding"]
+                spec["embedding"] = full_specs["embedding"]
+            if s == m.pp_size - 1:
+                p["final_norm"] = params["final_norm"]
+                spec["final_norm"] = full_specs["final_norm"]
+                if not tied:
+                    p["lm_head"] = params["lm_head"]
+                    spec["lm_head"] = full_specs["lm_head"]
+            shardings = jax.tree.map(lambda sp: NamedSharding(mesh, sp),
+                                     prune_specs(spec, p),
+                                     is_leaf=lambda x: isinstance(x, P))
+            stage_pools = pools[lo:hi]
+            cache_specs = jax.tree.map(self._cache_leaf_spec, stage_pools)
+            cache_shardings = jax.tree.map(
+                lambda sp: NamedSharding(mesh, sp), cache_specs,
+                is_leaf=lambda x: isinstance(x, P))
+            self.pp_stages.append({
+                "mesh": mesh,
+                "lo": lo, "hi": hi,
+                "params": jax.device_put(p, shardings),
+                "specs": prune_specs(spec, p),
+                "caches": jax.device_put(stage_pools, cache_shardings),
+                "cache_specs": cache_specs,
+                "fns": {},
+            })
+            lo = hi
+
+    def _make_pp_stage_fn(self, mode: str, s: int):
+        model = self.model
+        st = self.pp_stages[s]
+        lo, hi = st["lo"], st["hi"]
+        first, last = s == 0, s == len(self.pp_stages) - 1
+
+        def step(params, caches, x_or_ids, positions, slot_mapping,
+                 block_tables, kv_lens, q_offset, logit_indices):
+            meta = AttentionMetadata(
+                positions=positions, slot_mapping=slot_mapping,
+                block_tables=block_tables, kv_lens=kv_lens,
+                q_offset=q_offset, mode=mode)
+            if first and last:
+                raise AssertionError("pp_size must be > 1 here")
+            if first:
+                return model.forward_first_stage(params, x_or_ids, caches,
+                                                 meta, hi)
+            if last:
+                return model.forward_last_stage(params, x_or_ids, caches,
+                                                meta, lo, logit_indices)
+            return model.forward_mid_stage(params, x_or_ids, caches, meta,
+                                           lo, hi)
+
+        step = jax.shard_map(
+            step, mesh=st["mesh"],
+            in_specs=(st["specs"], st["cache_specs"],
+                      P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), st["cache_specs"]),
+            check_vma=False)
+        return jax.jit(step, donate_argnums=(1,))
+
+    def _run_pp(self, mode: str, inputs: StepInputs):
+        with self.lock:
+            h = jnp.asarray(inputs.input_ids)
+            common = (jnp.asarray(inputs.positions),
+                      jnp.asarray(inputs.slot_mapping),
+                      jnp.asarray(inputs.block_tables),
+                      jnp.asarray(inputs.kv_lens),
+                      jnp.asarray(inputs.q_offset),
+                      jnp.asarray(inputs.logit_indices))
+            for s, st in enumerate(self.pp_stages):
+                if mode not in st["fns"]:
+                    st["fns"][mode] = self._make_pp_stage_fn(mode, s)
+                if s > 0:
+                    # stage handoff: ICI transfer, no host sync
+                    h = jax.device_put(
+                        h, NamedSharding(st["mesh"], P()))
+                h, st["caches"] = st["fns"][mode](
+                    st["params"], st["caches"], h, *common)
+            return h
+
+    def _copy_kv_blocks_pp(self, pairs):
+        src = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+        dst = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+        with self.lock:
+            for st in self.pp_stages:
+                st["caches"] = jax.tree.map(
+                    lambda c: c.at[dst].set(c[src]), st["caches"])
 
     @staticmethod
     def _cache_leaf_spec(leaf) -> P:
@@ -192,6 +318,7 @@ class ModelEngine:
                          sampling_state, slot_table: np.ndarray):
         """Run `num_steps` fused decode steps. Returns (tokens [k, B],
         logprobs [k, B]) as device arrays."""
+        assert self.pp_size == 1, "fused multi-step decode is gated off under PP"
         key = ("multi", num_steps)
         if key not in self._fns:
             self._fns[key] = self._make_multi_step_fn(num_steps)
@@ -249,6 +376,9 @@ class ModelEngine:
         null block onto itself."""
         if not pairs:
             return
+        if self.pp_size > 1:
+            self._copy_kv_blocks_pp(pairs)
+            return
         n = 8
         while n < len(pairs):
             n *= 2
@@ -276,6 +406,8 @@ class ModelEngine:
     # ------------------------------------------------------------------ exec ----
     def run_decode(self, inputs: StepInputs) -> np.ndarray:
         """Run one decode step; returns logits [B_real, V]."""
+        if self.pp_size > 1:
+            return self._run_pp("decode", inputs)
         fn = self._get_fn("decode")
         with self.lock:
             return self._run(fn, inputs)
@@ -291,6 +423,8 @@ class ModelEngine:
 
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
         """Run one prefill chunk (single sequence); returns logits [1, V]."""
+        if self.pp_size > 1:
+            return self._run_pp("prefill", inputs)
         fn = self._get_fn("prefill")
         with self.lock:
             return self._run(fn, inputs)

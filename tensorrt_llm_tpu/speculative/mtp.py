@@ -56,9 +56,9 @@ class MTPDrafter(Drafter):
         import jax.numpy as jnp
         from tensorrt_llm_tpu.models.modeling_utils import DecoderLayer
 
-        if engine.mesh is not None:
+        if engine.mesh is not None or getattr(engine, "pp_size", 1) > 1:
             raise NotImplementedError(
-                "one-model MTP under TP/mesh lands in a later round")
+                "one-model MTP under TP/PP mesh lands in a later round")
         self.engine = engine
         self.kv = kv
         cfg = engine.model.cfg

@@ -159,3 +159,30 @@ def test_mla_tp_matches_single_device():
 
     np.testing.assert_allclose(lp1, lp2, rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(ld1, ld2, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 1), (2, 2), (4, 1)])
+def test_pp_matches_single_device(pp, tp):
+    """Pipeline stages on sub-meshes reproduce the fused single-device
+    forward exactly (residual materialization at stage cuts is lossless)."""
+    if len(jax.devices()) < pp * tp:
+        pytest.skip("not enough devices")
+    prompt = list(np.random.RandomState(4).randint(1, 255, 12))
+    sd = random_hf_state_dict(0)
+
+    e1, kv1 = build(1, sd)
+    lp1, ld1 = run_prefill_decode(e1, kv1, prompt)
+
+    cfg = ModelConfig(**TINY, mapping=Mapping(pp_size=pp, tp_size=tp))
+    from tensorrt_llm_tpu.models import get_model_class as gmc
+    model = gmc(cfg.architecture)(cfg)
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=64)
+    params = model.load_hf_weights(sd.get)
+    epp = ModelEngine(model, params, kv, mapping=cfg.mapping,
+                      max_seq_len=64, decode_buckets=(4,),
+                      prefill_buckets=(16,))
+    lpp, ldp = run_prefill_decode(epp, kv, prompt)
+
+    np.testing.assert_allclose(lp1, lpp, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(ld1, ldp, rtol=3e-2, atol=3e-2)
