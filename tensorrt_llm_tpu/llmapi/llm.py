@@ -134,7 +134,9 @@ class LLM:
             self.engine, a.make_scheduler_config(), eos_token_id=eos,
             max_seq_len=a.max_seq_len, max_decode_steps=a.max_decode_steps,
             drafter=drafter, tokenizer=self._tokenizer,
-            vocab_size=cfg.vocab_size)
+            vocab_size=cfg.vocab_size,
+            watchdog_timeout=a.watchdog_timeout,
+            profile_start_stop=a.profile_start_stop)
         self.executor.start()
 
     @staticmethod
@@ -157,6 +159,22 @@ class LLM:
         # at least enough for max_batch_size sequences of max_seq_len
         need = a.max_batch_size * cdiv(a.max_seq_len, kvcfg.block_size)
         return min(max(n, 64), max(need * 2, 64) * 8)
+
+    # ------------------------------------------------------------------ weights ---
+    def update_weights(self, source) -> None:
+        """Hot-swap model weights at runtime (RLHF rollout support —
+        reference /update_weights endpoint, serve/openai_server.py:290 +
+        llmapi/rlhf_utils.py).  `source` is a checkpoint directory or a
+        get_tensor(name) callable; shapes/architecture must match."""
+        import os as _os
+        if isinstance(source, (str, _os.PathLike)):
+            get_tensor = _safetensors_reader(str(source))
+        elif callable(source):
+            get_tensor = source
+        else:
+            raise TypeError("source must be a path or get_tensor callable")
+        params = self.model.load_hf_weights(get_tensor, dtype=self.args.dtype)
+        self.engine.update_params(params)
 
     # ------------------------------------------------------------------ generate --
     def generate(

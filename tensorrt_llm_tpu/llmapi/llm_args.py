@@ -64,17 +64,48 @@ class LlmArgs:
     # fused multi-step decode (1 disables)
     max_decode_steps: int = 4
 
+    # executor hang watchdog (reference pyexecutor/hang_detector.py); 0 = off
+    watchdog_timeout: float = 300.0
+
+    # iteration-window profiling: "start,stop" iteration numbers
+    # (reference env TLLM_PROFILE_START_STOP, py_executor.py:63)
+    profile_start_stop: Optional[str] = None
+
+    # YAML overrides applied on top of constructor kwargs
+    # (reference --extra_llm_api_options)
+    extra_llm_api_options: Optional[str] = None
+
     # misc
     seed: int = 0
     skip_tokenizer_init: bool = False
     enable_iter_perf_stats: bool = True
 
+    def __post_init__(self):
+        if self.extra_llm_api_options:
+            self.apply_yaml_overrides(self.extra_llm_api_options)
+
+    def apply_yaml_overrides(self, path_or_dict):
+        """Layer a YAML file (or dict) of field overrides onto this args
+        object — the reference's `--extra_llm_api_options` escape hatch."""
+        if isinstance(path_or_dict, dict):
+            data = path_or_dict
+        else:
+            import yaml
+            with open(path_or_dict) as f:
+                data = yaml.safe_load(f) or {}
+        for k, v in data.items():
+            if not hasattr(self, k):
+                raise ValueError(f"unknown LlmArgs field in overrides: {k!r}")
+            setattr(self, k, v)
+
     def mapping(self) -> Mapping:
+        ep = self.moe_expert_parallel_size
         return Mapping(
             tp_size=self.tensor_parallel_size,
             pp_size=self.pipeline_parallel_size,
             dp_size=self.data_parallel_size,
-            moe_ep_size=self.moe_expert_parallel_size,
+            moe_ep_size=ep,
+            moe_tp_size=(self.tensor_parallel_size // ep if ep > 1 else 1),
         )
 
     def quant_config(self) -> Optional[QuantConfig]:

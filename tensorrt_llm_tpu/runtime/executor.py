@@ -63,6 +63,9 @@ class PyExecutor:
         drafter=None,
         tokenizer=None,
         vocab_size: Optional[int] = None,
+        watchdog_timeout: float = 300.0,
+        profile_start_stop: Optional[str] = None,
+        tracer=None,
     ):
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
@@ -99,6 +102,23 @@ class PyExecutor:
         self.stats_history: List[IterationStats] = []
         self.total_tokens_generated = 0
 
+        # hang detection (reference pyexecutor/hang_detector.py)
+        from tensorrt_llm_tpu.runtime.watchdog import HangDetector
+        self.watchdog = HangDetector(watchdog_timeout)
+        # request tracing (reference llmapi/tracing.py)
+        if tracer is None:
+            from tensorrt_llm_tpu.llmapi.tracing import RequestTracer
+            tracer = RequestTracer()
+        self.tracer = tracer
+        # iteration-window device profiling (reference TLLM_PROFILE_START_STOP)
+        import os as _os
+        pss = profile_start_stop or _os.environ.get("TLLM_PROFILE_START_STOP")
+        self._profile_window = None
+        if pss:
+            a, b = (int(x) for x in pss.split(","))
+            self._profile_window = (a, b)
+            self._profiling = False
+
         self._shutdown = threading.Event()
         self._wake = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -110,10 +130,12 @@ class PyExecutor:
         self._thread = threading.Thread(target=self._loop_main, daemon=True,
                                         name="tllm-tpu-executor")
         self._thread.start()
+        self.watchdog.start()
 
     def shutdown(self):
         self._shutdown.set()
         self._wake.set()
+        self.watchdog.stop()
         if self._thread:
             self._thread.join(timeout=30)
             self._thread = None
@@ -142,6 +164,8 @@ class PyExecutor:
         try:
             while not self._shutdown.is_set():
                 worked = self._step()
+                self.watchdog.heartbeat(
+                    busy=bool(self.active or self.waiting))
                 if not worked:
                     self._wake.wait(timeout=0.005)
                     self._wake.clear()
@@ -188,6 +212,7 @@ class PyExecutor:
         if batch.empty:
             return False
         self.iteration += 1
+        self._maybe_profile()
         stats = IterationStats(iteration=self.iteration,
                                num_active=len(self.active),
                                num_waiting=len(self.waiting))
@@ -295,6 +320,7 @@ class PyExecutor:
                 self.kv.free_sequence(req.request_id)
                 self.guided.drop(req.request_id)
                 self.active.remove(req)
+                self.tracer.record_request(req)
 
         stats.kv_stats = self.kv.stats()
         stats.step_time_ms = (time.perf_counter() - t0) * 1e3
@@ -359,6 +385,26 @@ class PyExecutor:
         else:
             req.emit(finished=False)
         return True
+
+    def _maybe_profile(self):
+        """Capture a device trace for iterations [start, stop) — the analog
+        of the reference's cudaProfilerStart/torch.profiler window."""
+        if self._profile_window is None:
+            return
+        import jax
+        start, stop = self._profile_window
+        if self.iteration == start and not self._profiling:
+            import tempfile
+            self._profile_dir = tempfile.mkdtemp(prefix="tllm_tpu_trace_")
+            jax.profiler.start_trace(self._profile_dir)
+            self._profiling = True
+            logger.info("profiling started (iter %d) -> %s", start,
+                        self._profile_dir)
+        elif self.iteration >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logger.info("profiling stopped (iter %d); trace in %s",
+                        self.iteration, self._profile_dir)
 
     def _decode_steps_for(self, reqs: List[LlmRequest]) -> int:
         """How many decode steps can be fused without overshooting any

@@ -192,6 +192,37 @@ class ModelEngine:
             })
             lo = hi
 
+    def update_params(self, params: Dict):
+        """Hot-swap weights under the engine lock (RLHF weight update —
+        reference /update_weights). Placement mirrors __init__."""
+        with self.lock:
+            if self.pp_size > 1:
+                tied = self.model.cfg.tie_word_embeddings
+                last = len(self.pp_stages) - 1
+                for s, st in enumerate(self.pp_stages):
+                    p = {"rope": params["rope"],
+                         "layers": list(params["layers"][st["lo"]:st["hi"]])}
+                    if "rope_local" in params:
+                        p["rope_local"] = params["rope_local"]
+                    if s == 0 or (s == last and tied):
+                        p["embedding"] = params["embedding"]
+                    if s == last:
+                        p["final_norm"] = params["final_norm"]
+                        if not tied:
+                            p["lm_head"] = params["lm_head"]
+                    shardings = jax.tree.map(
+                        lambda sp, m=st["mesh"]: NamedSharding(m, sp),
+                        st["specs"], is_leaf=lambda x: isinstance(x, P))
+                    st["params"] = jax.device_put(p, shardings)
+                return
+            if self.mesh is not None:
+                shardings = jax.tree.map(
+                    lambda s: NamedSharding(self.mesh, s), self._param_specs,
+                    is_leaf=lambda x: isinstance(x, P))
+                self.params = jax.device_put(params, shardings)
+            else:
+                self.params = jax.device_put(params)
+
     def _make_pp_stage_fn(self, mode: str, s: int):
         model = self.model
         st = self.pp_stages[s]

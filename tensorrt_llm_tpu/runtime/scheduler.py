@@ -89,6 +89,11 @@ class Scheduler:
         gen_reqs = [r for r in active if r.is_generating]
         ctx_reqs = [r for r in active if r.is_context_init]
 
+        # STATIC_BATCH (reference capacityScheduler.cpp:148): the current
+        # batch runs to completion before any new request is admitted
+        if cfg.policy == CapacitySchedulerPolicy.STATIC_BATCH and active:
+            waiting = []
+
         # 1) decode first (generation requests have priority: in-flight work,
         #    same order as the reference's scheduler which never starves
         #    generation)

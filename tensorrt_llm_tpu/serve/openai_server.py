@@ -43,6 +43,8 @@ class OpenAIServer:
             web.get("/metrics", self.metrics),
             web.get("/perf_metrics", self.perf_metrics),
             web.get("/kv_cache_events", self.kv_cache_events),
+            web.get("/traces", self.traces),
+            web.post("/update_weights", self.update_weights),
         ])
 
     # ------------------------------------------------------------------ misc ----
@@ -81,6 +83,21 @@ class OpenAIServer:
 
     async def kv_cache_events(self, request):
         return web.json_response(self.llm.get_kv_cache_stats())
+
+    async def traces(self, request):
+        """Per-request trace records (queue time, TTFT, e2e — reference
+        OTLP span attributes, llmapi/tracing.py)."""
+        return web.json_response(list(self.llm.executor.tracer.records))
+
+    async def update_weights(self, request: web.Request):
+        """RLHF weight hot-swap (reference serve/openai_server.py:290):
+        body {"checkpoint_dir": "/path/to/hf/checkpoint"}."""
+        try:
+            body = await request.json()
+            self.llm.update_weights(body["checkpoint_dir"])
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"status": "ok"})
 
     # ------------------------------------------------------------------ completions
     async def completions(self, request: web.Request):

@@ -17,6 +17,7 @@ EXPECTED_SAMPLING_PARAMS = {
     "stop", "stop_token_ids", "include_stop_str_in_output", "ignore_eos",
     "logprobs", "prompt_logprobs", "n", "best_of", "use_beam_search",
     "detokenize", "skip_special_tokens", "guided_decoding", "end_id",
+    "length_penalty",
 }
 
 EXPECTED_LLM_ARGS_SUPERSET = {
@@ -28,12 +29,13 @@ EXPECTED_LLM_ARGS_SUPERSET = {
     "enable_block_reuse", "scheduler_policy", "enable_chunked_prefill",
     "attention_backend", "lora_path", "speculative_config",
     "max_decode_steps", "seed", "skip_tokenizer_init",
-    "enable_iter_perf_stats",
+    "enable_iter_perf_stats", "watchdog_timeout", "profile_start_stop",
+    "extra_llm_api_options",
 }
 
 EXPECTED_LLM_METHODS = {
     "generate", "generate_async", "score", "get_stats",
-    "get_kv_cache_stats", "shutdown", "tokenizer",
+    "get_kv_cache_stats", "shutdown", "tokenizer", "update_weights",
 }
 
 
