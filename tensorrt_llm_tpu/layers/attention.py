@@ -42,6 +42,7 @@ class Attention:
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None
     tp_size: int = 1
+    cp_size: int = 1              # Ulysses context parallel (seq-sharded)
     backend_cls: type = None
 
     def __post_init__(self):
@@ -51,6 +52,11 @@ class Attention:
         self.scale = self.scale or self.head_dim ** -0.5
         self.n_local_heads = self.num_heads // self.tp_size
         self.n_local_kv = self.num_kv_heads // self.tp_size
+        if self.cp_size > 1:
+            assert self.n_local_heads % self.cp_size == 0, (
+                "Ulysses CP needs query heads divisible by cp x tp")
+            assert self.n_local_kv % self.cp_size == 0, (
+                "Ulysses CP needs kv heads divisible by cp x tp")
         method = lambda name: make_linear_method(self.quant, name)
         qkv_out = (self.num_heads + 2 * self.num_kv_heads) * self.head_dim
         self.qkv = Linear(self.hidden_size, qkv_out, self.has_bias, self.dtype,
@@ -149,10 +155,72 @@ class Attention:
             k = rms_norm(k, params["k_norm"], self.rms_eps)
 
         cos_t, sin_t = rope_tables
-        q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+        sinks = params.get("sinks")
 
+        if self.cp_size > 1:
+            return self._forward_cp(params, q, k, v, kv_cache, meta,
+                                    cos_t, sin_t, sinks)
+
+        q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
         k_cache, v_cache = kv_cache
         out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
-                                             sinks=params.get("sinks"))
+                                             sinks=sinks)
         out = out.reshape(T, qh * D)
         return self.o(params["o"], out), (k_cache, v_cache)
+
+    def _forward_cp(self, params, q, k, v, kv_cache, meta, cos_t, sin_t,
+                    sinks):
+        """Ulysses context parallelism (reference CpType.ULYSSES,
+        mapping.py:67; head-scatter/seq-gather alltoall around attention):
+
+        prefill — activations arrive SEQUENCE-sharded over "cp"; an
+        all_to_all regroups q/k/v to all-tokens x (heads/cp), attention runs
+        on the full sequence with a head subset, and a reverse all_to_all
+        restores sequence sharding before the tp-row-parallel o_proj.
+
+        decode — one token per sequence (nothing to shard in seq): each cp
+        rank processes its 1/cp slice of the local heads and an all_gather
+        over "cp" reassembles heads before o_proj.  KV pools are
+        head-sharded over ("cp","ep","tp") so both paths write disjoint
+        head slices for all tokens.
+        """
+        import jax.lax as lax
+
+        D = self.head_dim
+        cp = self.cp_size
+        qh, kvh = self.n_local_heads, self.n_local_kv
+        k_cache, v_cache = kv_cache
+
+        if meta.mode == "prefill":
+            # [T/cp, h, D] -> [T, h/cp, D]: gather seq, scatter heads
+            q = lax.all_to_all(q, "cp", split_axis=1, concat_axis=0, tiled=True)
+            k = lax.all_to_all(k, "cp", split_axis=1, concat_axis=0, tiled=True)
+            v = lax.all_to_all(v, "cp", split_axis=1, concat_axis=0, tiled=True)
+            if sinks is not None:
+                idx = lax.axis_index("cp")
+                sinks = lax.dynamic_slice_in_dim(
+                    sinks, idx * (qh // cp), qh // cp)
+            q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+            out, k_cache, v_cache = self.backend(
+                q, k, v, k_cache, v_cache, meta, sinks=sinks)
+            # [T, h/cp, D] -> [T/cp, h, D]
+            out = lax.all_to_all(out, "cp", split_axis=0, concat_axis=1,
+                                 tiled=True)
+            Tl = out.shape[0]
+            return (self.o(params["o"], out.reshape(Tl, qh * D)),
+                    (k_cache, v_cache))
+
+        # decode: slice this rank's head subset
+        idx = lax.axis_index("cp")
+        q = lax.dynamic_slice_in_dim(q, idx * (qh // cp), qh // cp, axis=1)
+        k = lax.dynamic_slice_in_dim(k, idx * (kvh // cp), kvh // cp, axis=1)
+        v = lax.dynamic_slice_in_dim(v, idx * (kvh // cp), kvh // cp, axis=1)
+        if sinks is not None:
+            sinks = lax.dynamic_slice_in_dim(sinks, idx * (qh // cp), qh // cp)
+        q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+        out, k_cache, v_cache = self.backend(
+            q, k, v, k_cache, v_cache, meta, sinks=sinks)
+        out = lax.all_gather(out, "cp", axis=1, tiled=True)  # heads back
+        B = out.shape[0]
+        return (self.o(params["o"], out.reshape(B, qh * D)),
+                (k_cache, v_cache))

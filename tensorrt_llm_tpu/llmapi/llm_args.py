@@ -28,6 +28,7 @@ class LlmArgs:
     tensor_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     data_parallel_size: int = 1
+    context_parallel_size: int = 1          # Ulysses sequence parallelism
     moe_expert_parallel_size: int = 1
 
     # quantization
@@ -104,6 +105,7 @@ class LlmArgs:
             tp_size=self.tensor_parallel_size,
             pp_size=self.pipeline_parallel_size,
             dp_size=self.data_parallel_size,
+            cp_size=self.context_parallel_size,
             moe_ep_size=ep,
             moe_tp_size=(self.tensor_parallel_size // ep if ep > 1 else 1),
         )

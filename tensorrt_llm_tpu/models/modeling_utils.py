@@ -334,6 +334,7 @@ class DecoderLayer:
             dtype=cfg.dtype,
             quant=cfg.quant,
             tp_size=tp,
+            cp_size=cfg.mapping.cp_size,
         )
 
     def init(self, key) -> Dict:
@@ -481,6 +482,10 @@ class DecoderModelForCausalLM:
                 meta)
             new_caches.append(cache)
         x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
+        if cfg.mapping.cp_size > 1 and meta.mode == "prefill":
+            # Ulysses: the residual stream is sequence-sharded over "cp";
+            # regather the full sequence before logit extraction
+            x = jax.lax.all_gather(x, "cp", axis=0, tiled=True)
         if logit_indices is not None:
             x = x[logit_indices]
         hidden = x if return_hidden else None

@@ -55,12 +55,17 @@ class Mapping:
         return self.pp_size > 1
 
     @property
+    def has_cp(self) -> bool:
+        return self.cp_size > 1
+
+    @property
     def mesh_shape(self):
-        return (self.dp_size, self.pp_size, self.moe_ep_size, self.moe_tp_size)
+        return (self.dp_size, self.pp_size, self.cp_size,
+                self.moe_ep_size, self.moe_tp_size)
 
     @property
     def mesh_axis_names(self):
-        return ("dp", "pp", "ep", "tp")
+        return ("dp", "pp", "cp", "ep", "tp")
 
     @classmethod
     def single(cls) -> "Mapping":

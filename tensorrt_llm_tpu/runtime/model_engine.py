@@ -144,7 +144,7 @@ class ModelEngine:
         m-1, with no host sync in between."""
         m = self.mapping
         devs = np.array(jax.devices()[:m.world_size]).reshape(
-            m.dp_size, m.pp_size, m.moe_ep_size, m.moe_tp_size)
+            m.dp_size, m.pp_size, m.cp_size, m.moe_ep_size, m.moe_tp_size)
         L = self.model.cfg.num_layers
         base, rem = divmod(L, m.pp_size)
         full_specs = self.model.param_specs()
@@ -156,8 +156,7 @@ class ModelEngine:
         lo = 0
         for s in range(m.pp_size):
             hi = lo + base + (1 if s < rem else 0)
-            mesh = jax.sharding.Mesh(
-                np.moveaxis(devs[:, s], 0, 0), ("dp", "ep", "tp"))
+            mesh = jax.sharding.Mesh(devs[:, s], ("dp", "cp", "ep", "tp"))
             p = {"rope": params["rope"], "layers": list(params["layers"][lo:hi])}
             spec = {"rope": full_specs["rope"],
                     "layers": list(full_specs["layers"][lo:hi])}
@@ -289,8 +288,8 @@ class ModelEngine:
         if leaf.shape[1] == 1:
             return P(*([None] * leaf.ndim))
         if leaf.ndim == 4:
-            return P(None, ("ep", "tp"), None, None)
-        return P(None, ("ep", "tp"), None)
+            return P(None, ("cp", "ep", "tp"), None, None)
+        return P(None, ("cp", "ep", "tp"), None)
 
     # ------------------------------------------------------------------ step fns --
     def _make_multi_step_fn(self, num_steps: int):
@@ -386,10 +385,15 @@ class ModelEngine:
             cache_spec = self._cache_specs
             out_specs = ((P(), P(), cache_spec) if with_hidden
                          else (P(), cache_spec))
+            # Ulysses prefill: input token ids arrive sequence-sharded over
+            # "cp"; everything else (positions, slots, tables) is replicated
+            # since every rank writes its head slice for all tokens
+            ids_spec = (P("cp") if (self.mapping.cp_size > 1
+                                    and mode == "prefill") else P())
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          P(), P(), P(), P(), P(), P(), P()),
+                          ids_spec, P(), P(), P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
             )

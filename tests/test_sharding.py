@@ -186,3 +186,31 @@ def test_pp_matches_single_device(pp, tp):
 
     np.testing.assert_allclose(lp1, lpp, rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(ld1, ldp, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("cp,tp", [(2, 1), (2, 2), (4, 1)])
+def test_ulysses_cp_matches_single_device(cp, tp):
+    """Ulysses sequence parallelism: seq-sharded prefill with
+    head-scatter/seq-gather all_to_all and head-sliced decode must match the
+    single-device forward."""
+    if len(jax.devices()) < cp * tp:
+        pytest.skip("not enough devices")
+    prompt = list(np.random.RandomState(9).randint(1, 255, 12))
+    sd = random_hf_state_dict(1)
+
+    e1, kv1 = build(1, sd, seed=1)
+    lp1, ld1 = run_prefill_decode(e1, kv1, prompt)
+
+    cfg = ModelConfig(**TINY, mapping=Mapping(cp_size=cp, tp_size=tp))
+    from tensorrt_llm_tpu.models import get_model_class as gmc
+    model = gmc(cfg.architecture)(cfg)
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=64)
+    params = model.load_hf_weights(sd.get)
+    ecp = ModelEngine(model, params, kv, mapping=cfg.mapping,
+                      max_seq_len=64, decode_buckets=(4,),
+                      prefill_buckets=(16,))
+    lcp, ldc = run_prefill_decode(ecp, kv, prompt)
+
+    np.testing.assert_allclose(lp1, lcp, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(ld1, ldc, rtol=3e-2, atol=3e-2)
