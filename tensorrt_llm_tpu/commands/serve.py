@@ -9,6 +9,10 @@ import argparse
 
 
 def main(argv=None):
+    import sys
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    if argv and argv[0] == "disaggregated":
+        return main_disaggregated(argv[1:])
     p = argparse.ArgumentParser("trtllm-tpu-serve")
     p.add_argument("model", help="HF checkpoint path")
     p.add_argument("--host", default="0.0.0.0")
@@ -21,6 +25,8 @@ def main(argv=None):
                    help="W4A16 | W4A16_AWQ | W4A16_GPTQ | W8A16")
     p.add_argument("--kv-block-size", type=int, default=16)
     p.add_argument("--served-model-name", default=None)
+    p.add_argument("--extra-llm-api-options", default=None,
+                   help="YAML file with LlmArgs overrides")
     args = p.parse_args(argv)
 
     from tensorrt_llm_tpu.llmapi import LLM
@@ -34,9 +40,29 @@ def main(argv=None):
         max_seq_len=args.max_seq_len,
         quant_algo=args.quant,
         kv_block_size=args.kv_block_size,
+        extra_llm_api_options=args.extra_llm_api_options,
     )
     server = OpenAIServer(llm, args.served_model_name or args.model)
     server.run(args.host, args.port)
+
+
+def main_disaggregated(argv):
+    """`trtllm-tpu-serve disaggregated` — the two-pool front end
+    (reference: trtllm-serve disaggregated, serve/openai_disagg_server.py)."""
+    p = argparse.ArgumentParser("trtllm-tpu-serve disaggregated")
+    p.add_argument("--ctx-servers", nargs="+", required=True,
+                   help="context (prefill) worker base URLs")
+    p.add_argument("--gen-servers", nargs="+", required=True,
+                   help="generation (decode) worker base URLs")
+    p.add_argument("--router", default="round_robin",
+                   choices=["round_robin", "load_based"])
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+
+    from tensorrt_llm_tpu.serve.disagg_server import OpenAIDisaggServer
+    OpenAIDisaggServer(args.ctx_servers, args.gen_servers,
+                       args.router).run(args.host, args.port)
 
 
 if __name__ == "__main__":

@@ -199,7 +199,8 @@ class LLM:
         return results
 
     def generate_async(self, prompt, sampling_params: Optional[SamplingParams] = None,
-                       streaming: bool = False) -> "GenerationFuture":
+                       streaming: bool = False,
+                       disaggregated_params=None) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
         if isinstance(prompt, str):
             assert self._tokenizer is not None, "tokenizer required for text prompts"
@@ -208,9 +209,30 @@ class LLM:
         else:
             token_ids = [int(t) for t in prompt]
             text = None
-        req = LlmRequest(token_ids, sampling_params)
+        rtype = "full"
+        if disaggregated_params is not None:
+            rtype = disaggregated_params.request_type
+            if rtype == "context_only":
+                sampling_params.max_tokens = 1
+        req = LlmRequest(token_ids, sampling_params, request_type=rtype,
+                         disagg_params=disaggregated_params)
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
+
+    # ------------------------------------------------------------------ disagg ----
+    def generate_context_only(self, prompt, sampling_params=None):
+        """Disaggregated prefill side: run the context phase, return
+        (first token ids, DisaggregatedParams for the decode server)."""
+        from tensorrt_llm_tpu.llmapi.disagg_params import DisaggregatedParams
+        fut = self.generate_async(
+            prompt, sampling_params,
+            disaggregated_params=DisaggregatedParams(
+                request_type="context_only"))
+        out = fut.result()
+        first = out.outputs[0].token_ids
+        return out, DisaggregatedParams(
+            request_type="generation_only", first_gen_tokens=list(first),
+            kv_payload=fut.req.kv_payload)
 
     # ------------------------------------------------------------------ scoring ---
     def score(self, token_ids) -> List[float]:

@@ -182,7 +182,31 @@ class PyExecutor:
                 req = self.request_queue.get_nowait()
             except queue.Empty:
                 break
-            self.waiting.append(req)
+            if req.request_type == "generation_only":
+                self._admit_generation_only(req)
+            else:
+                self.waiting.append(req)
+
+    def _admit_generation_only(self, req):
+        """Disaggregated decode side: inject the transferred prompt KV and
+        enter generation directly (reference disagg states,
+        py_executor.py:2218-2335 + CacheTransceiver receive)."""
+        dp = req.disagg_params
+        P = req.prompt_len
+        # private blocks: a unique salt defeats prefix matching so injected
+        # pages never alias another sequence's reused blocks
+        self.kv.add_sequence(req.request_id, req.prompt_token_ids,
+                             cache_salt=f"__disagg_{req.request_id}")
+        self.kv.grow_sequence(req.request_id, P)
+        table = self.kv.block_table(req.request_id, self.kv.blocks_needed(P))
+        self.engine.inject_kv_blocks(table, dp.kv_payload["layers"])
+        req.start_context()
+        req.context_position = P
+        req.finish_context()
+        for tok in dp.first_gen_tokens:
+            req.append_token(int(tok))
+        req.emit(finished=False)
+        self.active.append(req)
 
     def _handle_cancellations(self):
         if not self._cancelled:
@@ -317,6 +341,21 @@ class PyExecutor:
         # ---- cleanup finished -----------------------------------------------------
         for req in list(self.active):
             if req.is_finished:
+                if req.request_type == "context_only" \
+                        and req.kv_payload is None:
+                    # disagg send side: capture the prompt KV pages before
+                    # freeing the sequence (reference CacheTransceiver send)
+                    P = req.prompt_len
+                    table = self.kv.block_table(req.request_id,
+                                                self.kv.blocks_needed(P))
+                    req.kv_payload = {
+                        "layers": self.engine.extract_kv_blocks(table),
+                        "num_tokens": P,
+                        "block_size": self.kv.block_size,
+                    }
+                    # the finished piece was held back until the payload
+                    # existed (clients read kv_payload on completion)
+                    req.emit(finished=True)
                 self.kv.free_sequence(req.request_id)
                 self.guided.drop(req.request_id)
                 self.active.remove(req)
@@ -508,7 +547,10 @@ class PyExecutor:
                 reason = FinishReason.LENGTH
             if reason is not None:
                 req.finish(reason)
-                req.emit(finished=True)
+                if req.request_type != "context_only":
+                    # ctx-only finish is emitted by the cleanup pass, after
+                    # the KV payload has been captured
+                    req.emit(finished=True)
             else:
                 req.emit(finished=False)
 

@@ -191,6 +191,50 @@ class ModelEngine:
             })
             lo = hi
 
+    # ------------------------------------------------------------------ disagg ---
+    def extract_kv_blocks(self, block_ids) -> list:
+        """Gather whole KV pages for a sequence to host memory — the send
+        side of disaggregated prefill/decode (reference CacheTransceiver /
+        cacheFormatter; our transfer plane is host DMA + DCN instead of
+        UCX/NIXL RDMA).  Returns one pytree of np arrays per layer, each leaf
+        [n_blocks, ...page dims...]."""
+        ids = jnp.asarray(np.asarray(block_ids, np.int32))
+        with self.lock:
+            if self.pp_size > 1:
+                caches = [c for st in self.pp_stages for c in st["caches"]]
+            else:
+                caches = self.kv_caches
+            return [jax.tree.map(lambda c: np.asarray(c[ids]), layer)
+                    for layer in caches]
+
+    def inject_kv_blocks(self, block_ids, host_layers: list):
+        """Scatter transferred KV pages into this engine's pools (receive
+        side of disaggregated serving)."""
+        ids = jnp.asarray(np.asarray(block_ids, np.int32))
+
+        def put_layer(cache_layer, host_layer):
+            # match by leaf order so deserialized payloads (flat leaf lists)
+            # and structured pytrees both work
+            leaves_c, treedef = jax.tree.flatten(cache_layer)
+            leaves_h = jax.tree.leaves(host_layer)
+            new = [c.at[ids].set(jnp.asarray(h).astype(c.dtype))
+                   for c, h in zip(leaves_c, leaves_h)]
+            return jax.tree.unflatten(treedef, new)
+
+        with self.lock:
+            if self.pp_size > 1:
+                i = 0
+                for st in self.pp_stages:
+                    n = st["hi"] - st["lo"]
+                    st["caches"] = [
+                        put_layer(st["caches"][j], host_layers[i + j])
+                        for j in range(n)]
+                    i += n
+                return
+            self.kv_caches = [
+                put_layer(self.kv_caches[i], host_layers[i])
+                for i in range(len(self.kv_caches))]
+
     def update_params(self, params: Dict):
         """Hot-swap weights under the engine lock (RLHF weight update —
         reference /update_weights). Placement mirrors __init__."""

@@ -56,7 +56,9 @@ class LlmRequest:
                  request_id: Optional[int] = None,
                  arrival_time: Optional[float] = None,
                  lora_request: Optional[Any] = None,
-                 cache_salt: Optional[str] = None):
+                 cache_salt: Optional[str] = None,
+                 request_type: str = "full",
+                 disagg_params: Optional[Any] = None):
         if request_id is None:
             LlmRequest._id_counter += 1
             request_id = LlmRequest._id_counter
@@ -89,6 +91,11 @@ class LlmRequest:
 
         self.logprobs: List[dict] = []
         self.stop_string: Optional[str] = None  # which stop string matched
+
+        # disaggregated serving (reference llmRequest.h:76-81 request types)
+        self.request_type = request_type   # full | context_only | generation_only
+        self.disagg_params = disagg_params
+        self.kv_payload: Optional[Any] = None  # filled for context_only
 
     # ---- derived ---------------------------------------------------------------
     @property

@@ -45,6 +45,8 @@ class OpenAIServer:
             web.get("/kv_cache_events", self.kv_cache_events),
             web.get("/traces", self.traces),
             web.post("/update_weights", self.update_weights),
+            web.post("/disagg/context", self.disagg_context),
+            web.post("/disagg/generate", self.disagg_generate),
         ])
 
     # ------------------------------------------------------------------ misc ----
@@ -88,6 +90,16 @@ class OpenAIServer:
         """Per-request trace records (queue time, TTFT, e2e — reference
         OTLP span attributes, llmapi/tracing.py)."""
         return web.json_response(list(self.llm.executor.tracer.records))
+
+    async def disagg_context(self, request: web.Request):
+        """Disaggregated prefill phase (see serve/disagg_server.py)."""
+        from tensorrt_llm_tpu.serve.disagg_server import disagg_context
+        return await disagg_context(self, request)
+
+    async def disagg_generate(self, request: web.Request):
+        """Disaggregated decode phase (see serve/disagg_server.py)."""
+        from tensorrt_llm_tpu.serve.disagg_server import disagg_generate
+        return await disagg_generate(self, request)
 
     async def update_weights(self, request: web.Request):
         """RLHF weight hot-swap (reference serve/openai_server.py:290):
