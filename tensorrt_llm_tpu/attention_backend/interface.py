@@ -36,6 +36,9 @@ class AttentionMetadata:
     kv_lens: jax.Array = None
     # prefill only: scalar position of the first query token (chunked prefill)
     q_offset: jax.Array = None
+    # slot index per sequence for slot-addressed state (SSM/Mamba layers);
+    # decode: [B], prefill: [1] (reference MambaCacheManager seq slots)
+    seq_slots: jax.Array = None
 
     # static (not traced): jax.tree_util.register_dataclass metadata
     mode: str = dataclasses.field(default="decode", metadata={"static": True})

@@ -82,6 +82,14 @@ class ModelConfig:
     n_group: int = 1
     topk_group: int = 1
     routed_scaling_factor: float = 1.0
+    # SSM / Mamba2 (state-space) layers
+    ssm_state_size: int = 128
+    ssm_conv_kernel: int = 4
+    ssm_n_groups: int = 1
+    ssm_num_heads: Optional[int] = None
+    ssm_head_dim: int = 64
+    ssm_expand: int = 2
+    ssm_chunk_size: int = 64
     # MLA (DeepSeek V2/V3) — kv_lora_rank set => MLA attention
     q_lora_rank: Optional[int] = None
     kv_lora_rank: Optional[int] = None
@@ -220,6 +228,15 @@ class ModelConfig:
             n_group=get("n_group") or 1,
             topk_group=get("topk_group") or 1,
             routed_scaling_factor=get("routed_scaling_factor") or 1.0,
+            ssm_state_size=get("state_size") or 128,
+            ssm_conv_kernel=get("conv_kernel") or 4,
+            ssm_n_groups=get("n_groups") or 1,
+            ssm_num_heads=(get("num_heads")
+                           if get("state_size") is not None else None),
+            ssm_head_dim=(get("head_dim") or 64
+                          if get("state_size") is not None else 64),
+            ssm_expand=get("expand") or 2,
+            ssm_chunk_size=get("chunk_size") or 64,
             q_lora_rank=get("q_lora_rank"),
             kv_lora_rank=get("kv_lora_rank"),
             qk_nope_head_dim=get("qk_nope_head_dim") or 128,
@@ -234,7 +251,8 @@ class ModelConfig:
             num_heads=get("num_attention_heads", 32),
             num_kv_heads=get("num_key_value_heads") or get("num_attention_heads", 32),
             head_dim=get("head_dim"),
-            rms_eps=get("rms_norm_eps", 1e-5),
+            rms_eps=(get("rms_norm_eps") or get("layer_norm_epsilon")
+                     or 1e-5),
             rope_theta=get("rope_theta", 10000.0),
             rope_scaling=get("rope_scaling"),
             max_position=get("max_position_embeddings", 4096),

@@ -333,10 +333,39 @@ def _make_bookkeeping(num_blocks: int, block_size: int, enable_reuse: bool,
     return _PyBookkeeping(num_blocks, block_size, enable_reuse)
 
 
+class SlotManager:
+    """Fixed sequence slots for slot-addressed state (SSM conv/ssm pools) —
+    reference `SlotManager` (resource_manager.py:1300) / seq_slot_manager."""
+
+    def __init__(self, max_slots: int):
+        self.max_slots = max_slots
+        self._free = list(range(max_slots - 1, -1, -1))
+        self._of: Dict[int, int] = {}
+
+    def add(self, seq_id: int) -> int:
+        if seq_id in self._of:
+            return self._of[seq_id]
+        if not self._free:
+            raise RuntimeError("out of sequence slots (max_slots="
+                               f"{self.max_slots})")
+        slot = self._free.pop()
+        self._of[seq_id] = slot
+        return slot
+
+    def release(self, seq_id: int):
+        slot = self._of.pop(seq_id, None)
+        if slot is not None:
+            self._free.append(slot)
+
+    def get(self, seq_id: int) -> int:
+        return self._of.get(seq_id, -1)
+
+
 class KVCacheManager:
     def __init__(self, cfg: KVCacheConfig, num_layers: int,
                  num_kv_heads: int, head_dim: int,
-                 num_blocks: int, bookkeeping: str = "auto"):
+                 num_blocks: int, bookkeeping: str = "auto",
+                 max_slots: int = 256):
         """num_kv_heads is the GLOBAL head count — under TP the engine shards
         the pools over the "tp" mesh axis (each device holds its heads)."""
         self.cfg = cfg
@@ -345,6 +374,7 @@ class KVCacheManager:
         self.num_blocks = num_blocks
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
+        self.slots = SlotManager(max_slots)
         self._bk = _make_bookkeeping(num_blocks, cfg.block_size,
                                      cfg.enable_block_reuse, bookkeeping)
 
@@ -428,6 +458,7 @@ class KVCacheManager:
         token is recomputed to produce logits — same rule as the reference's
         partial-reuse guard).
         """
+        self.slots.add(seq_id)
         return self._bk.add_sequence(seq_id, token_ids, cache_salt)
 
     def grow_sequence(self, seq_id: int, new_total_tokens: int):
@@ -448,9 +479,11 @@ class KVCacheManager:
         private tail blocks. Returns (src_block, dst_block) pairs that the
         engine must copy on device (reference: KV block sharing for beams,
         kvCacheManager.h GenerationRequest per-beam block tables)."""
+        self.slots.add(dst_id)
         return self._bk.fork_sequence(src_id, dst_id)
 
     def free_sequence(self, seq_id: int):
+        self.slots.release(seq_id)
         self._bk.free_sequence(seq_id)
 
     # ------------------------------------------------------------------ tables --
@@ -462,6 +495,10 @@ class KVCacheManager:
         """Flat slots (block_id*block_size + offset) for token positions
         [start_token, start_token+num_tokens)."""
         return self._bk.slot_mapping(seq_id, start_token, num_tokens)
+
+    def slot_of(self, seq_id: int) -> int:
+        """Fixed per-sequence slot for slot-addressed state pools."""
+        return self.slots.get(seq_id)
 
     def stats(self) -> dict:
         s = self._bk.stats()

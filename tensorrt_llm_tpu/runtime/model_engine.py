@@ -70,6 +70,7 @@ class StepInputs:
     kv_lens: np.ndarray
     logit_indices: np.ndarray
     q_offset: np.ndarray
+    seq_slots: np.ndarray = None
 
 
 class ModelEngine:
@@ -115,7 +116,7 @@ class ModelEngine:
                 lambda s: NamedSharding(self.mesh, s), specs,
                 is_leaf=lambda x: isinstance(x, P))
             self.params = jax.device_put(params, shardings)
-            pools = kv_manager.allocate_pools()
+            pools = self._allocate_layer_caches()
             self._cache_specs = jax.tree.map(self._cache_leaf_spec, pools)
             cache_shardings = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), self._cache_specs,
@@ -124,7 +125,7 @@ class ModelEngine:
             self._param_specs = specs
         else:
             self.params = jax.device_put(params)
-            self.kv_caches = kv_manager.allocate_pools()
+            self.kv_caches = self._allocate_layer_caches()
             self._param_specs = None
             self._cache_specs = None
 
@@ -132,6 +133,14 @@ class ModelEngine:
         # guards kv_caches swaps between the executor thread and direct
         # callers (LLM.score, warmup)
         self.lock = threading.Lock()
+
+    def _allocate_layer_caches(self):
+        """Per-layer cache pools: paged KV by default; hybrid/SSM models
+        override make_layer_caches to mix in slot-addressed state pools
+        (reference MambaCacheManager + rnnStateManager)."""
+        if hasattr(self.model, "make_layer_caches"):
+            return self.model.make_layer_caches(self.kv_manager)
+        return self.kv_manager.allocate_pools()
 
     # ------------------------------------------------------------------ pipeline --
     def _init_pp(self, params):
@@ -273,11 +282,11 @@ class ModelEngine:
         first, last = s == 0, s == len(self.pp_stages) - 1
 
         def step(params, caches, x_or_ids, positions, slot_mapping,
-                 block_tables, kv_lens, q_offset, logit_indices):
+                 block_tables, kv_lens, q_offset, logit_indices, seq_slots):
             meta = AttentionMetadata(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens,
-                q_offset=q_offset, mode=mode)
+                q_offset=q_offset, seq_slots=seq_slots, mode=mode)
             if first and last:
                 raise AssertionError("pp_size must be > 1 here")
             if first:
@@ -292,7 +301,7 @@ class ModelEngine:
         step = jax.shard_map(
             step, mesh=st["mesh"],
             in_specs=(st["specs"], st["cache_specs"],
-                      P(), P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), st["cache_specs"]),
             check_vma=False)
         return jax.jit(step, donate_argnums=(1,))
@@ -305,7 +314,8 @@ class ModelEngine:
                       jnp.asarray(inputs.block_tables),
                       jnp.asarray(inputs.kv_lens),
                       jnp.asarray(inputs.q_offset),
-                      jnp.asarray(inputs.logit_indices))
+                      jnp.asarray(inputs.logit_indices),
+                      jnp.asarray(inputs.seq_slots))
             for s, st in enumerate(self.pp_stages):
                 if mode not in st["fns"]:
                     st["fns"][mode] = self._make_pp_stage_fn(mode, s)
@@ -350,7 +360,7 @@ class ModelEngine:
         model = self.model
 
         def steps(params, kv_caches, first_ids, positions0, slot_table,
-                  block_tables, kv_lens0, sampling_state):
+                  block_tables, kv_lens0, sampling_state, seq_slots):
             B = first_ids.shape[0]
 
             def body(carry, step_slots):
@@ -361,6 +371,7 @@ class ModelEngine:
                     block_tables=block_tables,
                     kv_lens=kv_lens,
                     q_offset=jnp.int32(0),
+                    seq_slots=seq_slots,
                     mode="decode",
                 )
                 logits, caches = model.forward(
@@ -382,7 +393,7 @@ class ModelEngine:
             steps = jax.shard_map(
                 steps, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          P(), P(), P(), P(), P(), P()),
+                          P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec),
                 check_vma=False,
             )
@@ -402,20 +413,22 @@ class ModelEngine:
                 self.params, self.kv_caches,
                 jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
                 jnp.asarray(slot_table), jnp.asarray(inputs.block_tables),
-                jnp.asarray(inputs.kv_lens), sampling_state)
+                jnp.asarray(inputs.kv_lens), sampling_state,
+                jnp.asarray(inputs.seq_slots))
         return toks, logps
 
     def _make_step_fn(self, mode: str, with_hidden: bool = False):
         model = self.model
 
         def step(params, kv_caches, input_ids, positions, slot_mapping,
-                 block_tables, kv_lens, q_offset, logit_indices):
+                 block_tables, kv_lens, q_offset, logit_indices, seq_slots):
             meta = AttentionMetadata(
                 positions=positions,
                 slot_mapping=slot_mapping,
                 block_tables=block_tables,
                 kv_lens=kv_lens,
                 q_offset=q_offset,
+                seq_slots=seq_slots,
                 mode=mode,
             )
             if with_hidden:
@@ -437,7 +450,7 @@ class ModelEngine:
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          ids_spec, P(), P(), P(), P(), P(), P()),
+                          ids_spec, P(), P(), P(), P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -497,7 +510,8 @@ class ModelEngine:
             jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
             jnp.asarray(inputs.slot_mapping), jnp.asarray(inputs.block_tables),
             jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
-            jnp.asarray(inputs.logit_indices))
+            jnp.asarray(inputs.logit_indices),
+            jnp.asarray(inputs.seq_slots))
         return logits
 
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
@@ -522,7 +536,8 @@ class ModelEngine:
                 jnp.asarray(inputs.slot_mapping),
                 jnp.asarray(inputs.block_tables),
                 jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
-                jnp.asarray(inputs.logit_indices))
+                jnp.asarray(inputs.logit_indices),
+                jnp.asarray(inputs.seq_slots))
         return logits, hidden
 
     # ------------------------------------------------------------------ input prep --
@@ -550,6 +565,7 @@ class ModelEngine:
         slots = np.full(Bp, PAD_SLOT, np.int32)
         tables = np.zeros((Bp, MB), np.int32)
         kv_lens = np.ones(Bp, np.int32)
+        seq_slots = np.full(Bp, PAD_SLOT, np.int32)
         for i, req in enumerate(reqs):
             toks = req.all_token_ids
             pos = req.num_tokens - 1          # position of the new token
@@ -558,11 +574,12 @@ class ModelEngine:
             slots[i] = kv.slot_mapping(req.request_id, pos, 1)[0]
             tables[i, :] = kv.block_table(req.request_id, MB)
             kv_lens[i] = pos + 1
+            seq_slots[i] = kv.slot_of(req.request_id)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.arange(Bp, dtype=np.int32),
-            q_offset=np.int32(0))
+            q_offset=np.int32(0), seq_slots=seq_slots)
 
     def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
         """Assemble padded inputs for one context chunk of one request."""
@@ -584,7 +601,8 @@ class ModelEngine:
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.array([chunk - 1], np.int32),
-            q_offset=np.int32(start))
+            q_offset=np.int32(start),
+            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32))
 
     def prepare_verify_inputs(self, req, draft_tokens) -> StepInputs:
         """Inputs for a speculative verify pass: the last accepted token plus
@@ -608,7 +626,8 @@ class ModelEngine:
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=np.array([start + chunk], np.int32),
             logit_indices=np.arange(Tp, dtype=np.int32),
-            q_offset=np.int32(start))
+            q_offset=np.int32(start),
+            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32))
 
     # ------------------------------------------------------------------ warmup ----
     def warmup(self, decode: bool = True, prefill: bool = True):
