@@ -482,10 +482,14 @@ class DecoderModelForCausalLM:
         meta: AttentionMetadata,
         logit_indices: Optional[jax.Array] = None,  # [B] rows to project
         return_hidden: bool = False,
+        capture: str = "final",
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
-        """return_hidden: additionally return the final-norm hidden states at
-        logit_indices rows — the tap one-model speculative drafters (MTP /
-        EAGLE-class, reference _torch/speculative/mtp.py, eagle3.py) feed on.
+        """return_hidden: additionally return hidden states at logit_indices
+        rows — the tap one-model speculative drafters feed on (reference
+        _torch/speculative/mtp.py, eagle3.py).  capture="final" returns the
+        final-norm stream [*, H]; capture="eagle3" concatenates the residual
+        stream after a low/mid/high layer [*, 3H] (EAGLE-3's multi-level
+        feature fusion).
         """
         cfg = self.cfg
         x = self.embedding(params["embedding"], input_ids)
@@ -494,11 +498,19 @@ class DecoderModelForCausalLM:
         residual = None
         rope_tables = (params["rope"], params.get("rope_local"))
         new_caches = []
+        L = len(self.layers)
+        cap_at = {0, L // 2, L - 1} if capture == "eagle3" else set()
+        captured = []
         for i, layer in enumerate(self.layers):
             x, residual, cache = layer(
                 params["layers"][i], x, residual, rope_tables, kv_caches[i],
                 meta)
             new_caches.append(cache)
+            if return_hidden and i in cap_at:
+                h = x if residual is None else (
+                    x.astype(jnp.float32) + residual.astype(jnp.float32)
+                ).astype(x.dtype)
+                captured.append(h)
         x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
         if cfg.mapping.cp_size > 1 and meta.mode == "prefill":
             # Ulysses: the residual stream is sequence-sharded over "cp";
@@ -506,7 +518,18 @@ class DecoderModelForCausalLM:
             x = jax.lax.all_gather(x, "cp", axis=0, tiled=True)
         if logit_indices is not None:
             x = x[logit_indices]
-        hidden = x if return_hidden else None
+        hidden = None
+        if return_hidden:
+            if capture == "eagle3":
+                # pad duplicate capture points (tiny models) so the fused
+                # width is always 3H
+                while len(captured) < 3:
+                    captured.append(captured[-1])
+                hidden = jnp.concatenate(captured[:3], axis=-1)
+                if logit_indices is not None:
+                    hidden = hidden[logit_indices]
+            else:
+                hidden = x
         if cfg.tie_word_embeddings:
             logits = jnp.dot(x, params["embedding"]["weight"].T.astype(x.dtype),
                              preferred_element_type=jnp.float32)

@@ -76,6 +76,7 @@ class PyExecutor:
             drafter.bind(engine, engine.kv_manager)
         self._needs_hidden = bool(drafter is not None
                                   and getattr(drafter, "needs_hidden", False))
+        self._hidden_capture = getattr(drafter, "hidden_capture", "final")
         self.spec_stats = {"proposed": 0, "accepted": 0, "rounds": 0}
         # guided decoding (reference: pyexecutor/guided_decoder.py)
         from tensorrt_llm_tpu.runtime.guided_decoder import GuidedDecoder
@@ -269,7 +270,7 @@ class PyExecutor:
                 inputs.logit_indices = np.arange(
                     inputs.input_ids.shape[0], dtype=np.int32)
                 all_logits, hidden = self.engine.run_with_hidden(
-                    "prefill", inputs)
+                    "prefill", inputs, self._hidden_capture)
                 self.drafter.on_hidden(
                     req, start, np.asarray(hidden)[:chunk])
                 logits = all_logits[chunk - 1:chunk]
@@ -327,7 +328,7 @@ class PyExecutor:
                 inputs = self.engine.prepare_decode_inputs(decode_reqs)
                 if self._needs_hidden:
                     logits, hidden = self.engine.run_with_hidden(
-                        "decode", inputs)
+                        "decode", inputs, self._hidden_capture)
                     hidden = np.asarray(hidden)
                     for i, req in enumerate(decode_reqs):
                         if req.sampling_params.greedy:
@@ -387,7 +388,8 @@ class PyExecutor:
         self.kv.grow_sequence(req.request_id, req.num_tokens + k)
         inputs = self.engine.prepare_verify_inputs(req, draft)
         if self._needs_hidden:
-            logits, hidden = self.engine.run_with_hidden("prefill", inputs)
+            logits, hidden = self.engine.run_with_hidden(
+                "prefill", inputs, self._hidden_capture)
         else:
             logits, hidden = self.engine.run_prefill(inputs), None
         greedy = np.asarray(np.argmax(np.asarray(logits[:k + 1]), axis=-1))

@@ -417,7 +417,8 @@ class ModelEngine:
                 jnp.asarray(inputs.seq_slots))
         return toks, logps
 
-    def _make_step_fn(self, mode: str, with_hidden: bool = False):
+    def _make_step_fn(self, mode: str, with_hidden: bool = False,
+                      capture: str = "final"):
         model = self.model
 
         def step(params, kv_caches, input_ids, positions, slot_mapping,
@@ -433,7 +434,8 @@ class ModelEngine:
             )
             if with_hidden:
                 return model.forward(params, input_ids, kv_caches, meta,
-                                     logit_indices, return_hidden=True)
+                                     logit_indices, return_hidden=True,
+                                     capture=capture)
             logits, new_caches = model.forward(
                 params, input_ids, kv_caches, meta, logit_indices)
             return logits, new_caches
@@ -522,12 +524,14 @@ class ModelEngine:
         with self.lock:
             return self._run(fn, inputs)
 
-    def run_with_hidden(self, mode: str, inputs: StepInputs):
+    def run_with_hidden(self, mode: str, inputs: StepInputs,
+                        capture: str = "final"):
         """Step returning (logits, hidden) at logit_indices rows — the tap
         used by one-model speculative drafters."""
-        key = (mode, "hidden")
+        key = (mode, "hidden", capture)
         if key not in self._fns:
-            self._fns[key] = self._make_step_fn(mode, with_hidden=True)
+            self._fns[key] = self._make_step_fn(mode, with_hidden=True,
+                                                capture=capture)
         fn = self._fns[key]
         with self.lock:
             logits, hidden, self.kv_caches = fn(

@@ -23,6 +23,7 @@ class SpeculativeMode(str, enum.Enum):
     NGRAM = "NGRAM"
     DRAFT_TARGET = "DRAFT_TARGET"
     MTP = "MTP"                      # one-model, hidden-state tap
+    EAGLE3 = "EAGLE3"                # one-model, multi-level feature fusion
     USER_PROVIDED = "USER_PROVIDED"  # user callable proposes drafts
 
 
@@ -88,6 +89,9 @@ def get_drafter(cfg: SpeculativeConfig, llm_args=None) -> Drafter:
         return DraftTargetDrafter(cfg, llm_args)
     if cfg.mode == SpeculativeMode.MTP:
         return MTPDrafter(cfg, llm_args)
+    if cfg.mode == SpeculativeMode.EAGLE3:
+        from tensorrt_llm_tpu.speculative.eagle3 import Eagle3Drafter
+        return Eagle3Drafter(cfg, llm_args)
     if cfg.mode == SpeculativeMode.USER_PROVIDED:
         return UserProvidedDrafter(cfg)
     raise ValueError(cfg.mode)

@@ -41,12 +41,14 @@ class _MtpSeq:
 
 class MTPDrafter(Drafter):
     needs_hidden = True
+    hidden_capture = "final"   # engine tap: "final" | "eagle3" (3-layer)
 
     def __init__(self, cfg: SpeculativeConfig, llm_args=None):
         self.cfg = cfg
         self._seqs: Dict[int, _MtpSeq] = {}
         self._fns = {}
         self.engine = None
+        self.h_dim = None          # width of tapped hiddens (set in bind)
 
     # ---- binding -------------------------------------------------------------
     def bind(self, engine, kv):
@@ -63,6 +65,7 @@ class MTPDrafter(Drafter):
         self.kv = kv
         cfg = engine.model.cfg
         self.model_cfg = cfg
+        self.h_dim = cfg.hidden_size
         self.layer = DecoderLayer(cfg, cfg.num_layers)  # extra block
         key = jax.random.PRNGKey(7)
         k1, k2 = jax.random.split(key)
@@ -128,24 +131,31 @@ class MTPDrafter(Drafter):
         })
 
     # ---- jitted forward --------------------------------------------------------
-    def _get_fn(self, m: int):
+    def _get_fn(self, m: int, h_in: int):
         import jax
         import jax.numpy as jnp
         from tensorrt_llm_tpu.attention_backend.interface import AttentionMetadata
         from tensorrt_llm_tpu.ops.norms import add_rms_norm, rms_norm
 
-        if m in self._fns:
-            return self._fns[m]
+        key = (m, h_in)
+        if key in self._fns:
+            return self._fns[key]
         model = self.engine.model
         cfg = self.model_cfg
         layer = self.layer
         eps = cfg.rms_eps
+        apply_fc = h_in != cfg.hidden_size  # EAGLE3: fc fuses the 3H capture
 
         def fwd(main_params, mtp_params, pool, hiddens, tokens, positions,
                 slots, block_table, kv_len, q_offset, last_idx):
             emb = model.embedding(main_params["embedding"], tokens)
+            hh = hiddens.astype(emb.dtype)
+            if apply_fc:
+                hh = jnp.dot(hh, mtp_params["fc"].astype(emb.dtype),
+                             preferred_element_type=jnp.float32
+                             ).astype(emb.dtype)
             e = rms_norm(emb, mtp_params["enorm"], eps)
-            h = rms_norm(hiddens.astype(emb.dtype), mtp_params["hnorm"], eps)
+            h = rms_norm(hh, mtp_params["hnorm"], eps)
             x = jnp.dot(jnp.concatenate([e, h], axis=-1),
                         mtp_params["eh_proj"].astype(emb.dtype),
                         preferred_element_type=jnp.float32).astype(emb.dtype)
@@ -168,16 +178,16 @@ class MTPDrafter(Drafter):
                     main_params["lm_head"], h_last[None]).astype(jnp.float32)
             return logits[0], h_last, pool
 
-        self._fns[m] = jax.jit(fwd, donate_argnums=(2,))
-        return self._fns[m]
+        self._fns[key] = jax.jit(fwd, donate_argnums=(2,))
+        return self._fns[key]
 
     def _run(self, hiddens, tokens, positions, rid):
-        """One MTP pass over contiguous query positions; returns
+        """One drafter pass over contiguous query positions; returns
         (greedy_token, hidden_out)."""
         import jax.numpy as jnp
         m = len(tokens)
         mp = next(b for b in _BUCKETS if b >= min(m, _BUCKETS[-1]))
-        H = self.model_cfg.hidden_size
+        H = int(np.asarray(hiddens).shape[-1])
         hid = np.zeros((mp, H), np.float32)
         hid[:m] = np.asarray(hiddens, np.float32)
         tok = np.zeros(mp, np.int32)
@@ -188,7 +198,7 @@ class MTPDrafter(Drafter):
         slots[:m] = self.kv.slot_mapping(rid, int(positions[0]), m)
         mb = self.engine.max_blocks_per_seq
         table = np.asarray(self.kv.block_table(rid, mb), np.int32)
-        fn = self._get_fn(mp)
+        fn = self._get_fn(mp, H)
         logits, h_last, self.pool = fn(
             self.engine.params, self.params, self.pool,
             jnp.asarray(hid), jnp.asarray(tok), jnp.asarray(pos),

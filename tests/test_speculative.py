@@ -142,3 +142,24 @@ def test_user_provided_spec_matches_plain_greedy():
     finally:
         llm.shutdown()
     assert got == want
+
+
+def test_eagle3_spec_matches_plain_greedy():
+    """EAGLE3-style one-model drafting (3-layer feature fusion) keeps greedy
+    output identical; catch-up uses 3H taps, chain uses own H hiddens."""
+    prompt = [6, 3, 6, 3, 6, 3, 12]
+    base = make_llm(seed=8)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    spec = SpeculativeConfig(mode=SpeculativeMode.EAGLE3, max_draft_len=3)
+    llm = make_llm(spec=spec, seed=8)
+    try:
+        got = greedy(llm, prompt)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+    assert stats["rounds"] > 0, stats
