@@ -202,7 +202,24 @@ class LLM:
                        streaming: bool = False,
                        disaggregated_params=None) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
-        if isinstance(prompt, str):
+        prompt_embeds = None
+        if isinstance(prompt, dict):
+            # multimodal prompt schema (reference inputs/registry.py):
+            # {"prompt" | "prompt_token_ids", "multi_modal_data": {"image": [...]}}
+            inner = prompt.get("prompt_token_ids")
+            if inner is None:
+                assert self._tokenizer is not None
+                inner = self._tokenizer.encode(prompt["prompt"])
+            token_ids = [int(t) for t in inner]
+            text = prompt.get("prompt")
+            mm = prompt.get("multi_modal_data") or {}
+            images = mm.get("image") or []
+            if images:
+                from tensorrt_llm_tpu.inputs import preprocess_images
+                pix = preprocess_images(images, self.model.vision)
+                token_ids, prompt_embeds = self.model.process_multimodal(
+                    self.engine.params, token_ids, pix)
+        elif isinstance(prompt, str):
             assert self._tokenizer is not None, "tokenizer required for text prompts"
             token_ids = self._tokenizer.encode(prompt)
             text = prompt
@@ -216,6 +233,8 @@ class LLM:
                 sampling_params.max_tokens = 1
         req = LlmRequest(token_ids, sampling_params, request_type=rtype,
                          disagg_params=disaggregated_params)
+        if prompt_embeds is not None:
+            req.prompt_embeds = prompt_embeds
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
 

@@ -11,3 +11,4 @@ import tensorrt_llm_tpu.models.phi  # noqa: F401
 import tensorrt_llm_tpu.models.deepseek  # noqa: F401
 import tensorrt_llm_tpu.models.gpt_oss  # noqa: F401
 import tensorrt_llm_tpu.models.mamba2  # noqa: F401
+import tensorrt_llm_tpu.models.llava  # noqa: F401

@@ -215,9 +215,11 @@ class Mamba2ForCausalLM:
 
     # ---- forward ------------------------------------------------------------------
     def forward(self, params, input_ids, kv_caches, meta: AttentionMetadata,
-                logit_indices=None, return_hidden: bool = False):
+                logit_indices=None, return_hidden: bool = False,
+                capture: str = "final", input_embeds=None):
         cfg = self.cfg
-        x = self.embedding(params["embedding"], input_ids)
+        x = (input_embeds.astype(cfg.dtype) if input_embeds is not None
+             else self.embedding(params["embedding"], input_ids))
         new_caches = []
         for i, mixer in enumerate(self.mixers):
             h = rms_norm(x, params["layers"][i]["norm"], cfg.rms_eps)

@@ -191,6 +191,22 @@ class ModelConfig:
         """Build from a transformers PretrainedConfig (or plain dict)."""
         get = (lambda k, d=None: getattr(hf, k, d)) if not isinstance(hf, dict) \
             else (lambda k, d=None: hf.get(k, d))
+        # VLM composite configs (LLaVA-class): build from text_config, stash
+        # the vision tower config + image token in extra
+        if get("vision_config") is not None and get("text_config") is not None:
+            cfg = cls.from_hf_config(get("text_config"), quant=quant,
+                                     mapping=mapping, dtype=dtype)
+            archs = get("architectures")
+            cfg.architecture = (archs[0] if archs
+                                else "LlavaForConditionalGeneration")
+            vc = get("vision_config")
+            cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
+                                          else vc.to_dict())
+            for k in ("image_token_index", "vision_feature_layer",
+                      "vision_feature_select_strategy"):
+                if get(k) is not None:
+                    cfg.extra[k] = get(k)
+            return cfg
         archs = get("architectures")
         if archs:
             arch = archs[0]
@@ -483,6 +499,7 @@ class DecoderModelForCausalLM:
         logit_indices: Optional[jax.Array] = None,  # [B] rows to project
         return_hidden: bool = False,
         capture: str = "final",
+        input_embeds: Optional[jax.Array] = None,   # [T, H] overrides ids
     ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
         """return_hidden: additionally return hidden states at logit_indices
         rows — the tap one-model speculative drafters feed on (reference
@@ -492,7 +509,13 @@ class DecoderModelForCausalLM:
         feature fusion).
         """
         cfg = self.cfg
-        x = self.embedding(params["embedding"], input_ids)
+        if input_embeds is not None:
+            # multimodal: pre-fused embeddings (text + projected image
+            # features spliced at placeholder rows — reference
+            # inputs/registry.py prompt embedding path)
+            x = input_embeds.astype(cfg.dtype)
+        else:
+            x = self.embedding(params["embedding"], input_ids)
         if cfg.embedding_multiplier:
             x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
         residual = None

@@ -64,12 +64,13 @@ class StepInputs:
     """Host-assembled step inputs (numpy, padded to bucket)."""
 
     input_ids: np.ndarray
-    positions: np.ndarray
-    slot_mapping: np.ndarray
-    block_tables: np.ndarray
-    kv_lens: np.ndarray
-    logit_indices: np.ndarray
-    q_offset: np.ndarray
+    input_embeds: np.ndarray = None    # [T, H] multimodal fused embeddings
+    positions: np.ndarray = None
+    slot_mapping: np.ndarray = None
+    block_tables: np.ndarray = None
+    kv_lens: np.ndarray = None
+    logit_indices: np.ndarray = None
+    q_offset: np.ndarray = None
     seq_slots: np.ndarray = None
 
 
@@ -286,10 +287,15 @@ class ModelEngine:
             meta = AttentionMetadata(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens,
-                q_offset=q_offset, seq_slots=seq_slots, mode=mode)
+                q_offset=q_offset, seq_slots=seq_slots,
+                mode="prefill" if mode.startswith("prefill") else mode)
             if first and last:
                 raise AssertionError("pp_size must be > 1 here")
             if first:
+                if mode.endswith("_embeds"):
+                    h = x_or_ids.astype(model.cfg.dtype)
+                    return model._run_layers(params, h, None, caches, meta,
+                                             lo, hi)
                 return model.forward_first_stage(params, x_or_ids, caches,
                                                  meta, hi)
             if last:
@@ -308,7 +314,9 @@ class ModelEngine:
 
     def _run_pp(self, mode: str, inputs: StepInputs):
         with self.lock:
-            h = jnp.asarray(inputs.input_ids)
+            h = jnp.asarray(inputs.input_embeds
+                            if inputs.input_embeds is not None
+                            else inputs.input_ids)
             common = (jnp.asarray(inputs.positions),
                       jnp.asarray(inputs.slot_mapping),
                       jnp.asarray(inputs.block_tables),
@@ -418,10 +426,10 @@ class ModelEngine:
         return toks, logps
 
     def _make_step_fn(self, mode: str, with_hidden: bool = False,
-                      capture: str = "final"):
+                      capture: str = "final", embeds_input: bool = False):
         model = self.model
 
-        def step(params, kv_caches, input_ids, positions, slot_mapping,
+        def step(params, kv_caches, input_x, positions, slot_mapping,
                  block_tables, kv_lens, q_offset, logit_indices, seq_slots):
             meta = AttentionMetadata(
                 positions=positions,
@@ -430,14 +438,17 @@ class ModelEngine:
                 kv_lens=kv_lens,
                 q_offset=q_offset,
                 seq_slots=seq_slots,
-                mode=mode,
+                mode="prefill" if mode.startswith("prefill") else mode,
             )
+            ids = None if embeds_input else input_x
+            emb = input_x if embeds_input else None
             if with_hidden:
-                return model.forward(params, input_ids, kv_caches, meta,
+                return model.forward(params, ids, kv_caches, meta,
                                      logit_indices, return_hidden=True,
-                                     capture=capture)
+                                     capture=capture, input_embeds=emb)
             logits, new_caches = model.forward(
-                params, input_ids, kv_caches, meta, logit_indices)
+                params, ids, kv_caches, meta, logit_indices,
+                input_embeds=emb)
             return logits, new_caches
 
         if self.mesh is not None:
@@ -460,7 +471,8 @@ class ModelEngine:
 
     def _get_fn(self, mode: str):
         if mode not in self._fns:
-            self._fns[mode] = self._make_step_fn(mode)
+            self._fns[mode] = self._make_step_fn(
+                mode, embeds_input=mode.endswith("_embeds"))
         return self._fns[mode]
 
     # ------------------------------------------------------------------ blocks ---
@@ -507,9 +519,11 @@ class ModelEngine:
             return self._run(fn, inputs)
 
     def _run(self, fn, inputs: StepInputs):
+        x = (inputs.input_embeds if inputs.input_embeds is not None
+             else inputs.input_ids)
         logits, self.kv_caches = fn(
             self.params, self.kv_caches,
-            jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+            jnp.asarray(x), jnp.asarray(inputs.positions),
             jnp.asarray(inputs.slot_mapping), jnp.asarray(inputs.block_tables),
             jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
             jnp.asarray(inputs.logit_indices),
@@ -518,9 +532,11 @@ class ModelEngine:
 
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
         """Run one prefill chunk (single sequence); returns logits [1, V]."""
+        mode = ("prefill_embeds" if inputs.input_embeds is not None
+                else "prefill")
         if self.pp_size > 1:
-            return self._run_pp("prefill", inputs)
-        fn = self._get_fn("prefill")
+            return self._run_pp(mode, inputs)
+        fn = self._get_fn(mode)
         with self.lock:
             return self._run(fn, inputs)
 
@@ -601,9 +617,14 @@ class ModelEngine:
         tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
         tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
         kv_lens = np.array([start + chunk], np.int32)
+        embeds = None
+        pe = getattr(req, "prompt_embeds", None)
+        if pe is not None:
+            embeds = np.zeros((Tp, pe.shape[1]), np.float32)
+            embeds[:chunk] = pe[start:start + chunk]
         return StepInputs(
-            input_ids=input_ids, positions=positions, slot_mapping=slots,
-            block_tables=tables, kv_lens=kv_lens,
+            input_ids=input_ids, input_embeds=embeds, positions=positions,
+            slot_mapping=slots, block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.array([chunk - 1], np.int32),
             q_offset=np.int32(start),
             seq_slots=np.array([kv.slot_of(req.request_id)], np.int32))

@@ -1,0 +1,130 @@
+"""Multimodal (LLaVA): vision tower parity + fused-embedding generation."""
+
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.models import get_model_class
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+IMG_TOK = 100
+
+
+def _hf_setup():
+    torch = pytest.importorskip("torch")
+    import transformers
+    hf_cfg = transformers.LlavaConfig(
+        vision_config=dict(hidden_size=32, image_size=28, patch_size=14,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=64),
+        text_config=dict(vocab_size=128, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=16, max_position_embeddings=128),
+        image_token_index=IMG_TOK)
+    torch.manual_seed(0)
+    hf = transformers.LlavaForConditionalGeneration(hf_cfg)
+    hf.eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    assert cfg.architecture == "LlavaForConditionalGeneration"
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+    return hf, hf_cfg, cfg, model, params
+
+
+def test_vision_tower_parity():
+    torch = pytest.importorskip("torch")
+    hf, hf_cfg, cfg, model, params = _hf_setup()
+    pix = np.random.RandomState(0).randn(1, 3, 28, 28).astype(np.float32)
+    with torch.no_grad():
+        hf_feats = hf.model.vision_tower(
+            torch.tensor(pix), output_hidden_states=True
+        ).hidden_states[-2][:, 1:].numpy()  # llava default: layer -2, no CLS
+    ours = np.asarray(model.vision(params["vision"],
+                                   np.asarray(pix)), np.float32)
+    assert np.corrcoef(ours.ravel(), hf_feats.ravel())[0, 1] > 0.99
+    np.testing.assert_allclose(ours, hf_feats, rtol=5e-2, atol=5e-2)
+
+
+def test_llava_logits_parity_with_image():
+    torch = pytest.importorskip("torch")
+    hf, hf_cfg, cfg, model, params = _hf_setup()
+    pix = np.random.RandomState(1).randn(1, 3, 28, 28).astype(np.float32)
+    # prompt: text, image placeholder, text (HF expects pre-expanded ids)
+    n_img = model.num_image_tokens
+    prompt = [5, 6, IMG_TOK, 7, 8, 9]
+
+    expanded, embeds = model.process_multimodal(
+        params, prompt, [pix[0]])
+    assert len(expanded) == len(prompt) - 1 + n_img
+
+    with torch.no_grad():
+        hf_ids = [5, 6] + [IMG_TOK] * n_img + [7, 8, 9]
+        hf_logits = hf(input_ids=torch.tensor([hf_ids]),
+                       pixel_values=torch.tensor(pix)).logits[0, -1].numpy()
+
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+        KVCacheConfig, KVCacheManager)
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=32)
+    eng = ModelEngine(model, params, kv, max_seq_len=64, decode_buckets=(4,),
+                      prefill_buckets=(16,))
+    req = LlmRequest(expanded, SamplingParams(max_tokens=1))
+    req.prompt_embeds = embeds
+    kv.add_sequence(req.request_id, expanded)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(expanded))
+    ours = np.asarray(
+        eng.run_prefill(eng.prepare_prefill_inputs(req, len(expanded)))[0],
+        np.float32)
+    assert np.argmax(ours) == np.argmax(hf_logits)
+    assert np.corrcoef(ours, hf_logits)[0, 1] > 0.99
+
+
+def test_llava_e2e_generate_with_image():
+    """Full LLM API with a multimodal dict prompt; greedy matches HF."""
+    torch = pytest.importorskip("torch")
+    hf, hf_cfg, cfg, model, params = _hf_setup()
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+              max_batch_size=4, kv_num_blocks=64, kv_block_size=8)
+    # swap in the HF-parity weights
+    llm.engine.update_params(params)
+    llm.model = model
+    pix = np.random.RandomState(2).randn(3, 28, 28).astype(np.float32)
+    n_img = model.num_image_tokens
+    try:
+        out = llm.generate_async(
+            {"prompt_token_ids": [4, IMG_TOK, 11, 12],
+             "multi_modal_data": {"image": [pix]}},
+            SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+        ).result(timeout=120)
+        got = out.outputs[0].token_ids
+        with torch.no_grad():
+            hf_ids = [4] + [IMG_TOK] * n_img + [11, 12]
+            hf_out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(pix[None]),
+                max_new_tokens=4, do_sample=False)
+        want = hf_out[0, len(hf_ids):].tolist()
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
+
+
+def test_preprocess_raw_uint8():
+    from tensorrt_llm_tpu.inputs import preprocess_images
+
+    class V:
+        image_size = 28
+        num_channels = 3
+
+    img = (np.random.RandomState(3).rand(56, 40, 3) * 255).astype(np.uint8)
+    out = preprocess_images([img], V())
+    assert out[0].shape == (3, 28, 28)
+    assert out[0].dtype == np.float32
