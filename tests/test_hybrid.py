@@ -1,0 +1,92 @@
+"""Hybrid (Nemotron-H-style) model: mamba/attention/MLP layer mix."""
+
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+from tensorrt_llm_tpu.models import get_model_class
+from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+
+def mk_cfg(pattern="M*-M"):
+    return ModelConfig(
+        architecture="NemotronHForCausalLM", vocab_size=96, hidden_size=64,
+        intermediate_size=128, num_layers=len(pattern), num_heads=4,
+        num_kv_heads=2, head_dim=16, max_position=128,
+        ssm_state_size=16, ssm_num_heads=4, ssm_head_dim=16, ssm_n_groups=2,
+        ssm_conv_kernel=4, ssm_chunk_size=8, tie_word_embeddings=True,
+        extra={"hybrid_override_pattern": pattern})
+
+
+def mk_llm(pattern="M*-M", seed=0):
+    return LLM(model=mk_cfg(pattern), skip_tokenizer_init=True,
+               max_seq_len=64, max_batch_size=4, kv_num_blocks=64,
+               kv_block_size=8, seed=seed)
+
+
+def test_hybrid_decode_matches_prefill():
+    """Logits for token t from decode-with-state == prefill over prefix+t,
+    across mamba AND attention layers in one stack."""
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+        KVCacheConfig, KVCacheManager)
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+    import jax
+
+    cfg = mk_cfg()
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    prompt = list(np.random.RandomState(1).randint(1, 95, 14))
+
+    def make():
+        kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                            cfg.num_kv_heads, cfg.head_dim, num_blocks=32,
+                            max_slots=8)
+        eng = ModelEngine(model, params, kv, max_seq_len=64,
+                          decode_buckets=(4,), prefill_buckets=(8, 16))
+        return eng, kv
+
+    def prefill(eng, kv, req, chunks):
+        kv.add_sequence(req.request_id, req.prompt_token_ids)
+        req.start_context()
+        logits = None
+        for c in chunks:
+            kv.grow_sequence(req.request_id, req.context_position + c)
+            logits = eng.run_prefill(eng.prepare_prefill_inputs(req, c))
+            req.context_position += c
+        return np.asarray(logits[0], np.float32)
+
+    # A: prefill 13 then decode token 14
+    engA, kvA = make()
+    rA = LlmRequest(prompt[:13], SamplingParams(max_tokens=2))
+    prefill(engA, kvA, rA, [13])
+    rA.finish_context()
+    rA.append_token(prompt[13])
+    kvA.grow_sequence(rA.request_id, rA.num_tokens)
+    lA = np.asarray(engA.run_decode(engA.prepare_decode_inputs([rA]))[0],
+                    np.float32)
+
+    # B: prefill all 14 at once; C: chunked prefill 8+6
+    engB, kvB = make()
+    rB = LlmRequest(list(prompt), SamplingParams(max_tokens=2))
+    lB = prefill(engB, kvB, rB, [14])
+    engC, kvC = make()
+    rC = LlmRequest(list(prompt), SamplingParams(max_tokens=2))
+    lC = prefill(engC, kvC, rC, [8, 6])
+
+    np.testing.assert_allclose(lA, lB, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(lB, lC, rtol=2e-2, atol=2e-2)
+
+
+def test_hybrid_e2e_batched_greedy_deterministic():
+    llm = mk_llm(seed=4)
+    try:
+        sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+        outs1 = llm.generate([[1, 2, 3], [7, 8, 9, 10, 11]], sp)
+        outs2 = llm.generate([[1, 2, 3], [7, 8, 9, 10, 11]], sp)
+        toks1 = [o.outputs[0].token_ids for o in outs1]
+        toks2 = [o.outputs[0].token_ids for o in outs2]
+        assert toks1 == toks2
+        assert all(len(t) == 6 for t in toks1)
+    finally:
+        llm.shutdown()
