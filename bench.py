@@ -30,10 +30,13 @@ def _rtt() -> float:
     return sorted(samples)[len(samples) // 2]
 
 
-def bench_w4a16_shape(M, K, N, rtt, inner=200):
+def bench_w4a16_shape(M, K, N, rtt, inner=None):
     from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul
     from tensorrt_llm_tpu.quantization import pack_w4, quantize_w4
 
+    if inner is None:
+        # scale the chained work to ~20x the tunnel RTT so jitter washes out
+        inner = max(200, int(20 * max(rtt, 0.005) * 819e9 / (K * N / 2)))
     x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.bfloat16)
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.1
     q, s, _ = quantize_w4(w, 128, True)
@@ -43,16 +46,20 @@ def bench_w4a16_shape(M, K, N, rtt, inner=200):
     def chained(x0, p, s):
         def body(i, xx):
             o = w4a16_matmul(xx, p, s)
-            return xx + (o[:, :1] * 1e-30).astype(xx.dtype)
+            # data dependency on EVERY output element: max() cannot be
+            # rewritten into a sliced or summed matmul by XLA (a sliced
+            # bump lets slice-of-dot read one weight column and fake >100%
+            # of roofline)
+            return xx + (jnp.max(jnp.abs(o)) * 1e-30).astype(xx.dtype)
         return jnp.sum(jax.lax.fori_loop(0, inner, body, x0))
 
     float(chained(x, p, s))  # compile+warm
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(chained(x, p, s))
         times.append((time.perf_counter() - t0 - rtt) / inner)
-    dt = sorted(times)[1]  # median of 3 (the tunnel adds jitter)
+    dt = sorted(times)[len(times) // 2]  # median (the tunnel adds jitter)
     return (K * N / 2) / dt  # weight-stream bytes/sec
 
 

@@ -50,8 +50,9 @@ def bench_shape(M: int, K: int, N: int, group: int = 128, inner: int = 20,
     def chained(x0):
         def body(i, x):
             out = w4a16_matmul(x, p, s, **kw)
-            # data dependency: fold a negligible function of out back into x
-            bump = (out[:, :1] * 1e-30).astype(x.dtype)
+            # data dependency on EVERY output element (slice bumps let XLA's
+            # slice-of-dot optimization fake the bandwidth)
+            bump = (jnp.max(jnp.abs(out)) * 1e-30).astype(x.dtype)
             return x + bump
         return jax.lax.fori_loop(0, inner, body, x0)
 

@@ -25,13 +25,18 @@ from jax.sharding import PartitionSpec as P
 from tensorrt_llm_tpu.ops.w4a16_gemm import _ACTIVATIONS, w4a16_matmul
 from tensorrt_llm_tpu.parallel.ops import TP_AXES, tp_all_reduce
 from tensorrt_llm_tpu.quantization import (
-    QuantAlgo, QuantConfig, pack_group_for, pack_w4, quantize_w4, quantize_w8)
+    QuantAlgo, QuantConfig, choose_block_n, pack_group_for, pack_w4,
+    pack_w4_tiled, quantize_w4, quantize_w8)
 
 Params = Dict[str, jax.Array]
 
 
 class LinearMethodBase:
     """Owns parameter layout + compute for one quantization scheme."""
+
+    # TP shards along the dimension this layer's weights split over —
+    # set by Linear so packers can pick shard-divisible tile widths
+    tp_shards: int = 1
 
     def make_params(self, w: jax.Array, bias: Optional[jax.Array],
                     dtype) -> Params:
@@ -75,10 +80,19 @@ class W4A16LinearMethod(LinearMethodBase):
         self.group_size = group_size
         self.has_zeros = has_zeros
 
+    def _pack(self, q, n_scale_groups):
+        """Tiled row-interleaved packing (TPU fast path: contiguous block
+        DMA + Mosaic int4 upcast) when the shape allows, else legacy."""
+        K, N = q.shape
+        bn = choose_block_n(N, max(self.tp_shards, 1))
+        if bn and K % 2 == 0:
+            return pack_w4_tiled(q, bn)
+        return pack_w4(q, pack_group_for(K, n_scale_groups))
+
     def make_params(self, w, bias, dtype):
         q, scales, zeros = quantize_w4(
             w, self.group_size, symmetric=not self.has_zeros)
-        p = {"qweight": pack_w4(q, pack_group_for(w.shape[0], scales.shape[0])),
+        p = {"qweight": self._pack(q, scales.shape[0]),
              "scales": scales}
         if zeros is not None:
             p["zeros"] = zeros
@@ -90,7 +104,7 @@ class W4A16LinearMethod(LinearMethodBase):
                        zeros: Optional[jax.Array],
                        bias: Optional[jax.Array]) -> Params:
         """Build params from an externally-quantized (AWQ/GPTQ) checkpoint."""
-        p = {"qweight": pack_w4(q, pack_group_for(q.shape[0], scales.shape[0])),
+        p = {"qweight": self._pack(q, scales.shape[0]),
              "scales": scales.astype(jnp.float32)}
         if zeros is not None:
             p["zeros"] = zeros.astype(jnp.float32)
@@ -110,13 +124,15 @@ class W4A16LinearMethod(LinearMethodBase):
         )
 
     def param_specs(self, tp_mode):
+        # tiled qweight is [N//BN, K//2, BN]: the output-column dim is the
+        # tile axis (dim 0), the reduction dim is dim 1
         if tp_mode == "column":
-            w, s = P(None, TP_AXES), P(None, TP_AXES)
+            w3, s = P(TP_AXES, None, None), P(None, TP_AXES)
         elif tp_mode == "row":
-            w, s = P(TP_AXES, None), P(TP_AXES, None)
+            w3, s = P(None, TP_AXES, None), P(TP_AXES, None)
         else:
-            w, s = P(None, None), P(None, None)
-        return {"qweight": w, "scales": s, "zeros": s,
+            w3, s = P(None, None, None), P(None, None)
+        return {"qweight": w3, "scales": s, "zeros": s,
                 "bias": self._bias_spec(tp_mode)}
 
 
@@ -274,6 +290,8 @@ class Linear:
             assert self.out_features % self.tp_size == 0
         elif self.tp_mode == "row":
             assert self.in_features % self.tp_size == 0
+        # packers pick shard-divisible tile widths from this
+        self.method.tp_shards = self.tp_size if self.tp_mode != "none" else 1
 
     # ---- parameter creation -------------------------------------------------
     def init(self, key) -> Params:

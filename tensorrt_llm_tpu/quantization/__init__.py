@@ -5,5 +5,9 @@ from tensorrt_llm_tpu.quantization.quantize import (  # noqa: F401
     pack_w4,
     unpack_w4,
     dequantize_w4,
+    dequantize_w4_any,
+    pack_w4_tiled,
+    unpack_w4_tiled,
+    choose_block_n,
     pack_group_for,
 )

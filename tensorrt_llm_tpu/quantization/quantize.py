@@ -138,3 +138,56 @@ def dequantize_w4(
     if zeros is not None:
         qg = qg - zeros[:, None, :]
     return (qg * scales[:, None, :]).reshape(K, N)
+
+
+# ---- block-major tiled packing (TPU fast path) ---------------------------------
+def choose_block_n(N: int, shards: int = 1) -> int:
+    """Largest output-column tile in {1024..128} such that tiles divide N and
+    shard evenly over `shards` TP ranks; 0 if none fits (legacy packing)."""
+    for bn in (1024, 512, 256, 128):
+        if N % bn == 0 and (N // bn) % shards == 0:
+            return bn
+    return 0
+
+
+def pack_w4_tiled(q: jax.Array, block_n: int) -> jax.Array:
+    """Row-interleaved nibble packing in block-major tiles.
+
+    byte[r, n] = (q[2r+1, n] << 4) | (q[2r, n] & 0xF), tiled to
+    ``[N//block_n, K//2, block_n]`` so each (k, j) kernel block is one
+    contiguous HBM chunk (the TMA-analog layout — strided page walks cost
+    ~10% of HBM roofline on v5e).  In-kernel ``pltpu.bitcast(int4)`` views a
+    ``[rows, bn]`` int8 tile as ``[2*rows, bn]`` int4 with byte row r
+    expanding to rows (2r: low nibble, 2r+1: high nibble) — i.e. natural
+    weight-row order, zero shift/mask work on the VPU.
+    """
+    K, N = q.shape
+    assert K % 2 == 0 and N % block_n == 0
+    lo = q[0::2].astype(jnp.int32) & 0xF
+    hi = q[1::2].astype(jnp.int32) & 0xF
+    pk = (lo | (hi << 4)).astype(jnp.uint8).astype(jnp.int8)  # [K/2, N]
+    return jnp.transpose(pk.reshape(K // 2, N // block_n, block_n), (1, 0, 2))
+
+
+def unpack_w4_tiled(packed3: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_w4_tiled` → signed int8 [-8, 7], ``[K, N]``."""
+    n_n, half, bn = packed3.shape
+    pk = jnp.transpose(packed3, (1, 0, 2)).reshape(half, n_n * bn)
+    p32 = pk.astype(jnp.int32)
+    lo = jnp.left_shift(p32, 28) >> 28
+    hi = jnp.left_shift(p32, 24) >> 28
+    out = jnp.stack([lo, hi], axis=1)            # [half, 2, N]
+    return out.reshape(2 * half, n_n * bn).astype(jnp.int8)
+
+
+def dequantize_w4_any(packed, scales, zeros=None):
+    """Dequantize either packing format (2D legacy K-paired or 3D tiled)."""
+    if packed.ndim == 3:
+        q = unpack_w4_tiled(packed).astype(jnp.float32)
+        K, N = q.shape
+        G = K // scales.shape[0]
+        qg = q.reshape(K // G, G, N)
+        if zeros is not None:
+            qg = qg - zeros[:, None, :]
+        return (qg * scales[:, None, :]).reshape(K, N)
+    return dequantize_w4(packed, scales, zeros)

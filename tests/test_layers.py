@@ -36,8 +36,8 @@ def test_linear_quantized_close_to_float(method_cls, tol):
     assert rel < tol, rel
     # vs the *dequantized* weights (i.e. kernel numerics alone) must be tight
     if method_cls is W4A16LinearMethod:
-        from tensorrt_llm_tpu.quantization import dequantize_w4
-        wdq = dequantize_w4(params["qweight"], params["scales"])
+        from tensorrt_llm_tpu.quantization import dequantize_w4_any
+        wdq = dequantize_w4_any(params["qweight"], params["scales"])
         ref2 = np.asarray(x, np.float32) @ np.asarray(wdq)
         rel2 = np.abs(np.asarray(y, np.float32) - ref2).max() / np.abs(ref2).max()
         assert rel2 < 0.01, rel2
