@@ -390,6 +390,10 @@ def w4a16_matmul(
                                out_dtype)
         return out.reshape(*lead, N)
     if tiled:
+        if block_k is None:
+            from tensorrt_llm_tpu.autotuner import AutoTuner
+            tactic = AutoTuner.get().lookup("w4a16", (K, N, 1))
+            block_k = (tactic or {}).get("block_k")
         bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
         bm = block_m or min(256, max(16, round_up(M, 16)))
         Mp = round_up(M, bm)
@@ -402,6 +406,10 @@ def w4a16_matmul(
             out = out[:M]
         return out.reshape(*lead, N)
 
+    if block_k is None:
+        from tensorrt_llm_tpu.autotuner import AutoTuner
+        tactic = AutoTuner.get().lookup("w4a16", (K, N, 0))
+        block_k = (tactic or {}).get("block_k")
     bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
     bn = block_n or 1024  # 1024 saturates HBM on v5e (99% roofline at K=4096)
     while N % bn:  # fall back to the next dividing width

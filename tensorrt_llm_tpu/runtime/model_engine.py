@@ -654,11 +654,66 @@ class ModelEngine:
             q_offset=np.int32(start),
             seq_slots=np.array([kv.slot_of(req.request_id)], np.int32))
 
+    # ------------------------------------------------------------------ autotune --
+    def autotune_kernels(self, m_bucket: int = 16):
+        """Tune W4A16 tactic (block_k) per distinct weight shape on the real
+        device and cache it (reference AutoTuner warmup, autotuner.py:257).
+        Must run before the step functions compile — the jitted steps bake
+        the cached tactic in at trace time."""
+        import jax
+
+        from tensorrt_llm_tpu.autotuner import AutoTuner, autotune
+        from tensorrt_llm_tpu.ops.w4a16_gemm import (
+            _pick_block_k, w4a16_matmul)
+        from tensorrt_llm_tpu.quantization import pack_group_for
+        from tensorrt_llm_tpu.utils import is_tpu_backend
+
+        if not is_tpu_backend() or self.mesh is not None \
+                or self.pp_size > 1:
+            return  # tuning rides the single-chip eager path
+        tuner = AutoTuner.get()
+        seen = {}
+        params_leaves = jax.tree.leaves_with_path(self.params)
+        by_path = {jax.tree_util.keystr(p): v for p, v in params_leaves}
+        for path, leaf in by_path.items():
+            if not path.endswith("['qweight']") or leaf.dtype != jnp.int8:
+                continue
+            parent = path[: -len("['qweight']")]
+            scales = by_path.get(parent + "['scales']")
+            if scales is None:
+                continue
+            tiled = leaf.ndim == 3
+            if tiled:
+                K = leaf.shape[1] * 2
+                N = leaf.shape[0] * leaf.shape[2]
+            else:
+                K, N = leaf.shape[0] * 2, leaf.shape[1]
+            key = (K, N, int(tiled))
+            if key in seen or tuner.lookup("w4a16", key):
+                continue
+            seen[key] = True
+            G = max(K // scales.shape[0], 128)
+            bk_max = _pick_block_k(K, G)
+            cands = [{"block_k": bk} for bk in
+                     {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
+                     if K % bk == 0]
+            x = jnp.zeros((m_bucket, K), jnp.bfloat16)
+
+            def run(tactic, _x=x, _p=leaf, _s=scales):
+                def body(i, xx):
+                    o = w4a16_matmul(xx, _p, _s, **tactic)
+                    return xx + (jnp.max(jnp.abs(o)) * 1e-30).astype(xx.dtype)
+                return jax.lax.fori_loop(0, tuner.chain_len, body, _x)
+
+            with autotune():
+                tuner.maybe_tune("w4a16", key, cands, run)
+
     # ------------------------------------------------------------------ warmup ----
     def warmup(self, decode: bool = True, prefill: bool = True):
         """Precompile all buckets (the analog of CUDA-graph capture warmup)."""
         from tensorrt_llm_tpu.runtime.request import LlmRequest
         from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+        self.autotune_kernels()
         kv = self.kv_manager
         if prefill:
             for T in self.prefill_buckets:
