@@ -39,6 +39,8 @@ class AttentionMetadata:
     # slot index per sequence for slot-addressed state (SSM/Mamba layers);
     # decode: [B], prefill: [1] (reference MambaCacheManager seq slots)
     seq_slots: jax.Array = None
+    # per-row LoRA adapter slot (0 = base model) for runtime multi-LoRA
+    lora_ids: jax.Array = None
 
     # static (not traced): jax.tree_util.register_dataclass metadata
     mode: str = dataclasses.field(default="decode", metadata={"static": True})

@@ -146,6 +146,10 @@ class Attention:
         qh, kvh = self.n_local_heads, self.n_local_kv
 
         qkv = self.qkv(params["qkv"], x)  # [T, (qh+2kvh)*D] local
+        lora = params.get("lora")
+        if lora and "qkv" in lora and meta.lora_ids is not None:
+            from tensorrt_llm_tpu.lora.multi_lora import apply_lora
+            qkv = apply_lora(x, qkv, lora["qkv"], meta.lora_ids)
         q = qkv[:, : qh * D].reshape(T, qh, D)
         k = qkv[:, qh * D:(qh + kvh) * D].reshape(T, kvh, D)
         v = qkv[:, (qh + kvh) * D:].reshape(T, kvh, D)
@@ -166,7 +170,11 @@ class Attention:
         out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
                                              sinks=sinks)
         out = out.reshape(T, qh * D)
-        return self.o(params["o"], out), (k_cache, v_cache)
+        y = self.o(params["o"], out)
+        if lora and "o" in lora and meta.lora_ids is not None:
+            from tensorrt_llm_tpu.lora.multi_lora import apply_lora
+            y = apply_lora(out, y, lora["o"], meta.lora_ids)
+        return y, (k_cache, v_cache)
 
     def _forward_cp(self, params, q, k, v, kv_cache, meta, cos_t, sin_t,
                     sinks):

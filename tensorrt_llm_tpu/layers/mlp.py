@@ -82,10 +82,19 @@ class GatedMLP:
         return {"gate_up": self.gate_up.param_specs(),
                 "down": self.down.param_specs()}
 
-    def __call__(self, params: Dict, x: jax.Array) -> jax.Array:
+    def __call__(self, params: Dict, x: jax.Array,
+                 lora_ids=None) -> jax.Array:
         gu = self.gate_up(params["gate_up"], x)
+        lora = params.get("lora")
+        if lora and "gate_up" in lora and lora_ids is not None:
+            from tensorrt_llm_tpu.lora.multi_lora import apply_lora
+            gu = apply_lora(x, gu, lora["gate_up"], lora_ids)
         local_i = self.intermediate_size // self.tp_size
         gate, up = gu[..., :local_i], gu[..., local_i:]
         h = (_ACTIVATIONS[self.activation](gate.astype(jnp.float32))
              * up.astype(jnp.float32)).astype(x.dtype)
-        return self.down(params["down"], h)
+        y = self.down(params["down"], h)
+        if lora and "down" in lora and lora_ids is not None:
+            from tensorrt_llm_tpu.lora.multi_lora import apply_lora
+            y = apply_lora(h, y, lora["down"], lora_ids)
+        return y

@@ -200,7 +200,8 @@ class MoE:
         return ids.astype(jnp.int32), w * self.routed_scaling
 
     # ---- forward --------------------------------------------------------------------
-    def __call__(self, params: Dict, x: jax.Array) -> jax.Array:
+    def __call__(self, params: Dict, x: jax.Array,
+                 lora_ids=None) -> jax.Array:  # lora on experts: later round
         T, H = x.shape
         k = self.top_k
         El = self.experts_local

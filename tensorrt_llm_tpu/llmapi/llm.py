@@ -111,6 +111,13 @@ class LLM:
             logger.warning("no checkpoint found — random-initializing weights")
             params = self.model.init(jax.random.PRNGKey(a.seed))
 
+        self.lora_manager = None
+        if a.lora_adapters:
+            from tensorrt_llm_tpu.lora.multi_lora import MultiLoraManager
+            self.lora_manager = MultiLoraManager.from_paths(
+                a.lora_adapters, cfg)
+            params = self.lora_manager.attach(params, cfg.dtype)
+
         kvcfg = a.make_kv_cache_config()
         if cfg.is_mla:
             kvcfg.layout = "latent"
@@ -200,7 +207,8 @@ class LLM:
 
     def generate_async(self, prompt, sampling_params: Optional[SamplingParams] = None,
                        streaming: bool = False,
-                       disaggregated_params=None) -> "GenerationFuture":
+                       disaggregated_params=None,
+                       lora_request: Optional[str] = None) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
         prompt_embeds = None
         if isinstance(prompt, dict):
@@ -232,7 +240,12 @@ class LLM:
             if rtype == "context_only":
                 sampling_params.max_tokens = 1
         req = LlmRequest(token_ids, sampling_params, request_type=rtype,
-                         disagg_params=disaggregated_params)
+                         disagg_params=disaggregated_params,
+                         lora_request=lora_request)
+        if lora_request is not None:
+            assert self.lora_manager is not None, \
+                "pass lora_adapters={name: path} to LLM to enable multi-LoRA"
+            req.lora_slot = self.lora_manager.slot_of(lora_request)
         if prompt_embeds is not None:
             req.prompt_embeds = prompt_embeds
         self.executor.submit(req)

@@ -55,9 +55,11 @@ class LlmArgs:
     # attention
     attention_backend: str = "auto"
 
-    # LoRA: adapter directory merged into base weights at load (round-1;
-    # runtime multi-LoRA in round 2)
+    # LoRA: adapter directory merged into base weights at load
     lora_path: Optional[str] = None
+    # runtime multi-LoRA: {adapter_name: peft_dir}; requests select adapters
+    # via generate_async(..., lora_request=name)
+    lora_adapters: Optional[dict] = None
 
     # speculative decoding
     speculative_config: Optional[Any] = None   # SpeculativeConfig

@@ -408,13 +408,13 @@ class DecoderLayer:
             h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
             h = rms_norm(h, params["post_attn_norm"], eps)
             h2, residual = add_rms_norm(h, residual, params["pre_ffw_norm"], eps)
-            out = self.mlp(params["mlp"], h2)
+            out = self.mlp(params["mlp"], h2, lora_ids=meta.lora_ids)
             out = rms_norm(out, params["post_ffw_norm"], eps)
             return out, residual, kv_cache
         h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
         h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
         h2, residual = add_rms_norm(h, residual, params["post_attn_norm"], eps)
-        out = self.mlp(params["mlp"], h2)
+        out = self.mlp(params["mlp"], h2, lora_ids=meta.lora_ids)
         return out, residual, kv_cache
 
 

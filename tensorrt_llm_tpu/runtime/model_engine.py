@@ -72,6 +72,7 @@ class StepInputs:
     logit_indices: np.ndarray = None
     q_offset: np.ndarray = None
     seq_slots: np.ndarray = None
+    lora_ids: np.ndarray = None
 
 
 class ModelEngine:
@@ -283,11 +284,12 @@ class ModelEngine:
         first, last = s == 0, s == len(self.pp_stages) - 1
 
         def step(params, caches, x_or_ids, positions, slot_mapping,
-                 block_tables, kv_lens, q_offset, logit_indices, seq_slots):
+                 block_tables, kv_lens, q_offset, logit_indices, seq_slots,
+                 lora_ids):
             meta = AttentionMetadata(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens,
-                q_offset=q_offset, seq_slots=seq_slots,
+                q_offset=q_offset, seq_slots=seq_slots, lora_ids=lora_ids,
                 mode="prefill" if mode.startswith("prefill") else mode)
             if first and last:
                 raise AssertionError("pp_size must be > 1 here")
@@ -307,7 +309,7 @@ class ModelEngine:
         step = jax.shard_map(
             step, mesh=st["mesh"],
             in_specs=(st["specs"], st["cache_specs"],
-                      P(), P(), P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), st["cache_specs"]),
             check_vma=False)
         return jax.jit(step, donate_argnums=(1,))
@@ -323,7 +325,8 @@ class ModelEngine:
                       jnp.asarray(inputs.kv_lens),
                       jnp.asarray(inputs.q_offset),
                       jnp.asarray(inputs.logit_indices),
-                      jnp.asarray(inputs.seq_slots))
+                      jnp.asarray(inputs.seq_slots),
+                      jnp.asarray(inputs.lora_ids))
             for s, st in enumerate(self.pp_stages):
                 if mode not in st["fns"]:
                     st["fns"][mode] = self._make_pp_stage_fn(mode, s)
@@ -368,7 +371,8 @@ class ModelEngine:
         model = self.model
 
         def steps(params, kv_caches, first_ids, positions0, slot_table,
-                  block_tables, kv_lens0, sampling_state, seq_slots):
+                  block_tables, kv_lens0, sampling_state, seq_slots,
+                  lora_ids):
             B = first_ids.shape[0]
 
             def body(carry, step_slots):
@@ -380,6 +384,7 @@ class ModelEngine:
                     kv_lens=kv_lens,
                     q_offset=jnp.int32(0),
                     seq_slots=seq_slots,
+                    lora_ids=lora_ids,
                     mode="decode",
                 )
                 logits, caches = model.forward(
@@ -401,7 +406,7 @@ class ModelEngine:
             steps = jax.shard_map(
                 steps, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          P(), P(), P(), P(), P(), P(), P()),
+                          P(), P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec),
                 check_vma=False,
             )
@@ -422,7 +427,8 @@ class ModelEngine:
                 jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
                 jnp.asarray(slot_table), jnp.asarray(inputs.block_tables),
                 jnp.asarray(inputs.kv_lens), sampling_state,
-                jnp.asarray(inputs.seq_slots))
+                jnp.asarray(inputs.seq_slots),
+                jnp.asarray(inputs.lora_ids))
         return toks, logps
 
     def _make_step_fn(self, mode: str, with_hidden: bool = False,
@@ -430,7 +436,8 @@ class ModelEngine:
         model = self.model
 
         def step(params, kv_caches, input_x, positions, slot_mapping,
-                 block_tables, kv_lens, q_offset, logit_indices, seq_slots):
+                 block_tables, kv_lens, q_offset, logit_indices, seq_slots,
+                 lora_ids):
             meta = AttentionMetadata(
                 positions=positions,
                 slot_mapping=slot_mapping,
@@ -438,6 +445,7 @@ class ModelEngine:
                 kv_lens=kv_lens,
                 q_offset=q_offset,
                 seq_slots=seq_slots,
+                lora_ids=lora_ids,
                 mode="prefill" if mode.startswith("prefill") else mode,
             )
             ids = None if embeds_input else input_x
@@ -463,7 +471,7 @@ class ModelEngine:
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          ids_spec, P(), P(), P(), P(), P(), P(), P()),
+                          ids_spec, P(), P(), P(), P(), P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -527,7 +535,8 @@ class ModelEngine:
             jnp.asarray(inputs.slot_mapping), jnp.asarray(inputs.block_tables),
             jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
             jnp.asarray(inputs.logit_indices),
-            jnp.asarray(inputs.seq_slots))
+            jnp.asarray(inputs.seq_slots),
+            jnp.asarray(inputs.lora_ids))
         return logits
 
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
@@ -557,7 +566,8 @@ class ModelEngine:
                 jnp.asarray(inputs.block_tables),
                 jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
                 jnp.asarray(inputs.logit_indices),
-                jnp.asarray(inputs.seq_slots))
+                jnp.asarray(inputs.seq_slots),
+                jnp.asarray(inputs.lora_ids))
         return logits, hidden
 
     # ------------------------------------------------------------------ input prep --
@@ -586,6 +596,7 @@ class ModelEngine:
         tables = np.zeros((Bp, MB), np.int32)
         kv_lens = np.ones(Bp, np.int32)
         seq_slots = np.full(Bp, PAD_SLOT, np.int32)
+        lora_ids = np.zeros(Bp, np.int32)
         for i, req in enumerate(reqs):
             toks = req.all_token_ids
             pos = req.num_tokens - 1          # position of the new token
@@ -595,11 +606,12 @@ class ModelEngine:
             tables[i, :] = kv.block_table(req.request_id, MB)
             kv_lens[i] = pos + 1
             seq_slots[i] = kv.slot_of(req.request_id)
+            lora_ids[i] = getattr(req, "lora_slot", 0)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.arange(Bp, dtype=np.int32),
-            q_offset=np.int32(0), seq_slots=seq_slots)
+            q_offset=np.int32(0), seq_slots=seq_slots, lora_ids=lora_ids)
 
     def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
         """Assemble padded inputs for one context chunk of one request."""
@@ -627,7 +639,8 @@ class ModelEngine:
             slot_mapping=slots, block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.array([chunk - 1], np.int32),
             q_offset=np.int32(start),
-            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32))
+            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
+            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32))
 
     def prepare_verify_inputs(self, req, draft_tokens) -> StepInputs:
         """Inputs for a speculative verify pass: the last accepted token plus
@@ -652,7 +665,8 @@ class ModelEngine:
             block_tables=tables, kv_lens=np.array([start + chunk], np.int32),
             logit_indices=np.arange(Tp, dtype=np.int32),
             q_offset=np.int32(start),
-            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32))
+            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
+            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32))
 
     # ------------------------------------------------------------------ autotune --
     def autotune_kernels(self, m_bucket: int = 16):
