@@ -122,9 +122,16 @@ class LLM:
         if cfg.is_mla:
             kvcfg.layout = "latent"
         num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
-        self.kv_manager = KVCacheManager(
-            kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
-            num_blocks)
+        if mapping.dp_size > 1:
+            from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+                DpKVCacheManager)
+            self.kv_manager = DpKVCacheManager(
+                kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+                num_blocks, mapping.dp_size)
+        else:
+            self.kv_manager = KVCacheManager(
+                kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+                num_blocks)
 
         self.engine = ModelEngine(
             self.model, params, self.kv_manager, mapping=mapping,
@@ -235,6 +242,9 @@ class LLM:
             token_ids = [int(t) for t in prompt]
             text = None
         rtype = "full"
+        if sampling_params.use_beam_search \
+                and self.model_config.mapping.dp_size > 1:
+            raise ValueError("beam search under attention-DP lands next round")
         if disaggregated_params is not None:
             rtype = disaggregated_params.request_type
             if rtype == "context_only":

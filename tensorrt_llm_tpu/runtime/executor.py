@@ -73,6 +73,8 @@ class PyExecutor:
         # speculative decoding (reference: _torch/speculative/)
         self.drafter = drafter
         if drafter is not None:
+            assert engine.mapping.dp_size == 1, \
+                "speculative decoding under attention-DP lands next round"
             drafter.bind(engine, engine.kv_manager)
         self._needs_hidden = bool(drafter is not None
                                   and getattr(drafter, "needs_hidden", False))
@@ -276,6 +278,11 @@ class PyExecutor:
                 logits = all_logits[chunk - 1:chunk]
             else:
                 logits = self.engine.run_prefill(inputs)
+                if self.engine.mapping.dp_size > 1:
+                    # replicated ADP prefill: the owner rank's logits row
+                    # (host slice: device gathers on dp-sharded arrays are
+                    # ambiguous to GSPMD)
+                    logits = np.asarray(logits)[inputs.owner:inputs.owner + 1]
             req.context_position += chunk
             self.kv.seal_full_blocks(
                 req.request_id, req.prompt_token_ids[:req.context_position])
@@ -336,6 +343,10 @@ class PyExecutor:
                                 req, req.num_tokens - 1, hidden[i:i + 1])
                 else:
                     logits = self.engine.run_decode(inputs)
+                if inputs.row_map is not None:
+                    # attention-DP: gather request rows back from the
+                    # rank-grouped batch layout (host-side)
+                    logits = np.asarray(logits)[inputs.row_map]
                 self._sample_and_update(decode_reqs, logits)
                 stats.num_decode_tokens = len(decode_reqs)
 
@@ -456,6 +467,8 @@ class PyExecutor:
             return 1  # one-model drafter taps each step's hidden states
         if self.engine.pp_size > 1:
             return 1  # PP runs single steps; async dispatch pipelines stages
+        if self.engine.mapping.dp_size > 1:
+            return 1  # ADP rank-grouped rows; fused multi-step next round
         if any(r.sampling_params.repetition_penalty != 1.0
                or r.sampling_params.presence_penalty != 0.0
                or r.sampling_params.frequency_penalty != 0.0

@@ -504,3 +504,110 @@ class KVCacheManager:
         s = self._bk.stats()
         s["num_blocks"] = self.num_blocks
         return s
+
+
+class DpKVCacheManager:
+    """Attention-DP facade: one KVCacheManager per dp rank, requests
+    assigned to the least-loaded rank at admission (the reference's ADP
+    balancing, executor_request_queue.py:370-426).  Block ids are
+    rank-LOCAL — the engine shards the pools' block axis over "dp", so each
+    rank's shard_map slice indexes its own manager's ids directly."""
+
+    def __init__(self, cfg: KVCacheConfig, num_layers: int,
+                 num_kv_heads: int, head_dim: int,
+                 num_blocks_per_rank: int, dp_size: int,
+                 max_slots: int = 256):
+        self.cfg = cfg
+        self.block_size = cfg.block_size
+        self.num_layers = num_layers
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.dp_size = dp_size
+        self.num_blocks = num_blocks_per_rank  # per-rank (local ids)
+        self.ranks = [KVCacheManager(cfg, num_layers, num_kv_heads, head_dim,
+                                     num_blocks_per_rank,
+                                     max_slots=max_slots)
+                      for _ in range(dp_size)]
+        self._rank_of: Dict[int, int] = {}
+
+    # ---- placement -------------------------------------------------------------
+    def rank_of(self, seq_id: int) -> int:
+        return self._rank_of.get(seq_id, 0)
+
+    def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
+        r = max(range(self.dp_size),
+                key=lambda i: self.ranks[i].num_free_blocks)
+        self._rank_of[seq_id] = r
+        return self.ranks[r].add_sequence(seq_id, token_ids, cache_salt)
+
+    def free_sequence(self, seq_id: int):
+        r = self._rank_of.pop(seq_id, None)
+        if r is not None:
+            self.ranks[r].free_sequence(seq_id)
+
+    # ---- routed per-sequence ops -------------------------------------------------
+    def _r(self, seq_id):
+        return self.ranks[self._rank_of[seq_id]]
+
+    def grow_sequence(self, seq_id, n):
+        self._r(seq_id).grow_sequence(seq_id, n)
+
+    def can_grow(self, seq_id, n):
+        return self._r(seq_id).can_grow(seq_id, n)
+
+    def seal_full_blocks(self, seq_id, toks):
+        self._r(seq_id).seal_full_blocks(seq_id, toks)
+
+    def block_table(self, seq_id, mb):
+        return self._r(seq_id).block_table(seq_id, mb)
+
+    def slot_mapping(self, seq_id, start, n):
+        return self._r(seq_id).slot_mapping(seq_id, start, n)
+
+    def num_seq_blocks(self, seq_id):
+        r = self._rank_of.get(seq_id)
+        return 0 if r is None else self.ranks[r].num_seq_blocks(seq_id)
+
+    def slot_of(self, seq_id):
+        r = self._rank_of.get(seq_id)
+        return -1 if r is None else self.ranks[r].slot_of(seq_id)
+
+    def blocks_needed(self, n):
+        return cdiv(n, self.block_size)
+
+    @property
+    def num_free_blocks(self) -> int:
+        # conservative: capacity checks admit only what the tightest rank
+        # can take (per-rank checks happen at placement)
+        return min(r.num_free_blocks for r in self.ranks)
+
+    @property
+    def slots(self):
+        return self.ranks[0].slots
+
+    @property
+    def is_native(self) -> bool:
+        return self.ranks[0].is_native
+
+    def allocate_pools(self, dtype=None):
+        """Global pools with the block axis spanning dp ranks (the engine
+        shards axis 0 over "dp"; each rank's slice is its local pool)."""
+        import dataclasses as _dc
+        sizing = KVCacheManager(
+            _dc.replace(self.cfg), self.num_layers, self.num_kv_heads,
+            self.head_dim, self.num_blocks * self.dp_size, bookkeeping="python")
+        return sizing.allocate_pools(dtype)
+
+    def fork_sequence(self, src_id, dst_id):
+        r = self._rank_of[src_id]
+        self._rank_of[dst_id] = r
+        return self.ranks[r].fork_sequence(src_id, dst_id)
+
+    def stats(self) -> dict:
+        out = self.ranks[0].stats()
+        for r in self.ranks[1:]:
+            for k, v in r.stats().items():
+                out[k] = out.get(k, 0) + v if isinstance(v, int) else v
+        out["num_blocks"] = self.num_blocks * self.dp_size
+        out["dp_size"] = self.dp_size
+        return out

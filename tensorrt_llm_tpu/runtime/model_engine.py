@@ -73,6 +73,9 @@ class StepInputs:
     q_offset: np.ndarray = None
     seq_slots: np.ndarray = None
     lora_ids: np.ndarray = None
+    # host-only (attention-DP): logits row per request / prefill owner rank
+    row_map: np.ndarray = None
+    owner: int = 0
 
 
 class ModelEngine:
@@ -346,15 +349,17 @@ class ModelEngine:
                 st["caches"] = jax.tree.map(
                     lambda c: c.at[dst].set(c[src]), st["caches"])
 
-    @staticmethod
-    def _cache_leaf_spec(leaf) -> P:
-        """Head axis ("ep","tp")-sharded; data pools are 4D, scale pools 3D.
-        Single-head pools (MLA latents, shared by all query heads) replicate."""
+    def _cache_leaf_spec(self, leaf) -> P:
+        """Block axis "dp"-sharded (attention-DP: each replica owns its
+        blocks), head axis ("cp","ep","tp")-sharded; data pools are 4D,
+        scale pools 3D.  Single-head pools (MLA latents) keep heads
+        replicated."""
+        dp = "dp" if self.mapping.dp_size > 1 else None
         if leaf.shape[1] == 1:
-            return P(*([None] * leaf.ndim))
+            return P(dp, *([None] * (leaf.ndim - 1)))
         if leaf.ndim == 4:
-            return P(None, ("cp", "ep", "tp"), None, None)
-        return P(None, ("cp", "ep", "tp"), None)
+            return P(dp, ("cp", "ep", "tp"), None, None)
+        return P(dp, ("cp", "ep", "tp"), None)
 
     # ------------------------------------------------------------------ step fns --
     def _make_multi_step_fn(self, num_steps: int):
@@ -468,6 +473,24 @@ class ModelEngine:
             # since every rank writes its head slice for all tokens
             ids_spec = (P("cp") if (self.mapping.cp_size > 1
                                     and mode == "prefill") else P())
+            if self.mapping.dp_size > 1:
+                # attention-DP: decode shards the batch dim over "dp";
+                # prefill replicates compute but per-rank slot/table inputs
+                # steer the KV writes to the owner rank's pool slice
+                d = P("dp")
+                if mode.startswith("prefill"):
+                    in_data = (ids_spec, P(), d, d, d, P(), P(), d, P())
+                else:
+                    in_data = (d, d, d, d, d, P(), d, d, d)
+                out_specs = ((d, P(), cache_spec) if with_hidden
+                             else (d, cache_spec))
+                step = jax.shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(self._param_specs, cache_spec, *in_data),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+                return jax.jit(step, donate_argnums=(1,))
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
@@ -585,10 +608,25 @@ class ModelEngine:
     def prepare_decode_inputs(self, reqs, extra_tokens: int = 0) -> StepInputs:
         """Assemble padded decode inputs for a batch of generating requests.
         extra_tokens widens the block-table bucket for fused multi-step
-        decode (positions num_tokens..num_tokens+extra-1 must be gatherable)."""
+        decode (positions num_tokens..num_tokens+extra-1 must be gatherable).
+
+        Attention-DP: rows are grouped by each request's dp rank (rank r
+        owns rows [r*Bp/dp, (r+1)*Bp/dp)); row_map records each request's
+        row so the caller can gather its logits back in request order."""
         kv = self.kv_manager
+        dp = self.mapping.dp_size
         B = len(reqs)
-        Bp = pick_bucket(B, self.decode_buckets)
+        if dp > 1:
+            per_rank = {}
+            for req in reqs:
+                per_rank.setdefault(kv.rank_of(req.request_id),
+                                    []).append(req)
+            bloc = pick_bucket(max(len(v) for v in per_rank.values()),
+                               tuple(max(b // dp, 1)
+                                     for b in self.decode_buckets))
+            Bp = bloc * dp
+        else:
+            Bp = pick_bucket(B, self.decode_buckets)
         MB = self._table_bucket(reqs, extra_tokens)
         input_ids = np.zeros(Bp, np.int32)
         positions = np.zeros(Bp, np.int32)
@@ -597,25 +635,41 @@ class ModelEngine:
         kv_lens = np.ones(Bp, np.int32)
         seq_slots = np.full(Bp, PAD_SLOT, np.int32)
         lora_ids = np.zeros(Bp, np.int32)
+        row_map = np.zeros(B, np.int32)
+        counters = [0] * max(dp, 1)
         for i, req in enumerate(reqs):
+            if dp > 1:
+                r = kv.rank_of(req.request_id)
+                row = r * (Bp // dp) + counters[r]
+                counters[r] += 1
+            else:
+                row = i
+            row_map[i] = row
             toks = req.all_token_ids
             pos = req.num_tokens - 1          # position of the new token
-            input_ids[i] = toks[-1]
-            positions[i] = pos
-            slots[i] = kv.slot_mapping(req.request_id, pos, 1)[0]
-            tables[i, :] = kv.block_table(req.request_id, MB)
-            kv_lens[i] = pos + 1
-            seq_slots[i] = kv.slot_of(req.request_id)
-            lora_ids[i] = getattr(req, "lora_slot", 0)
+            input_ids[row] = toks[-1]
+            positions[row] = pos
+            slots[row] = kv.slot_mapping(req.request_id, pos, 1)[0]
+            tables[row, :] = kv.block_table(req.request_id, MB)
+            kv_lens[row] = pos + 1
+            seq_slots[row] = kv.slot_of(req.request_id)
+            lora_ids[row] = getattr(req, "lora_slot", 0)
+        if dp > 1:
+            # local logit rows per shard
+            logit_indices = np.tile(np.arange(Bp // dp, dtype=np.int32), dp)
+        else:
+            logit_indices = np.arange(Bp, dtype=np.int32)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
-            logit_indices=np.arange(Bp, dtype=np.int32),
-            q_offset=np.int32(0), seq_slots=seq_slots, lora_ids=lora_ids)
+            logit_indices=logit_indices,
+            q_offset=np.int32(0), seq_slots=seq_slots, lora_ids=lora_ids,
+            row_map=row_map if dp > 1 else None)
 
     def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
         """Assemble padded inputs for one context chunk of one request."""
         kv = self.kv_manager
+        dp = self.mapping.dp_size
         start = req.context_position
         Tp = pick_bucket(chunk, self.prefill_buckets)
         assert chunk <= Tp, (chunk, self.prefill_buckets)
@@ -624,11 +678,19 @@ class ModelEngine:
         input_ids[:chunk] = toks
         positions = np.arange(start, start + Tp, dtype=np.int32)
         positions = np.minimum(positions, self.max_seq_len - 1)
-        slots = np.full(Tp, PAD_SLOT, np.int32)
-        slots[:chunk] = kv.slot_mapping(req.request_id, start, chunk)
-        tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
-        tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
-        kv_lens = np.array([start + chunk], np.int32)
+        owner = kv.rank_of(req.request_id) if dp > 1 else 0
+        # attention-DP prefill: every rank runs the (replicated) compute, but
+        # only the owner's slot/table rows are real — other ranks' KV writes
+        # pad-drop and their logits rows are ignored by the caller
+        slots = np.full(max(dp, 1) * Tp, PAD_SLOT, np.int32)
+        slots[owner * Tp:owner * Tp + chunk] = \
+            kv.slot_mapping(req.request_id, start, chunk)
+        tables = np.zeros((max(dp, 1), self.max_blocks_per_seq), np.int32)
+        tables[owner, :] = kv.block_table(req.request_id,
+                                          self.max_blocks_per_seq)
+        kv_lens = np.full(max(dp, 1), start + chunk, np.int32)
+        seq_slots = np.full(max(dp, 1), PAD_SLOT, np.int32)
+        seq_slots[owner] = kv.slot_of(req.request_id)
         embeds = None
         pe = getattr(req, "prompt_embeds", None)
         if pe is not None:
@@ -639,8 +701,9 @@ class ModelEngine:
             slot_mapping=slots, block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.array([chunk - 1], np.int32),
             q_offset=np.int32(start),
-            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
-            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32))
+            seq_slots=seq_slots,
+            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32),
+            owner=owner)
 
     def prepare_verify_inputs(self, req, draft_tokens) -> StepInputs:
         """Inputs for a speculative verify pass: the last accepted token plus

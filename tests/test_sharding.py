@@ -214,3 +214,40 @@ def test_ulysses_cp_matches_single_device(cp, tp):
 
     np.testing.assert_allclose(lp1, lcp, rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(ld1, ldc, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("dp", [2, 4])
+def test_attention_dp_matches_single_device(dp):
+    """Attention-DP: rank-grouped decode batches + owner-masked replicated
+    prefill reproduce single-device greedy outputs for every request."""
+    if len(jax.devices()) < dp:
+        pytest.skip("not enough devices")
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+
+    TINY_M = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+                  num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                  max_position=128)
+    prompts = [list(np.random.RandomState(i).randint(1, 120, 5 + 3 * i))
+               for i in range(5)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+
+    ref = LLM(model=ModelConfig(**TINY_M), skip_tokenizer_init=True,
+              max_seq_len=64, max_batch_size=8, kv_num_blocks=64,
+              kv_block_size=8, seed=3)
+    try:
+        want = [o.outputs[0].token_ids
+                for o in ref.generate([list(p) for p in prompts], sp)]
+    finally:
+        ref.shutdown()
+
+    llm = LLM(model=ModelConfig(**TINY_M), skip_tokenizer_init=True,
+              max_seq_len=64, max_batch_size=8, kv_num_blocks=64,
+              kv_block_size=8, seed=3, data_parallel_size=dp)
+    try:
+        got = [o.outputs[0].token_ids
+               for o in llm.generate([list(p) for p in prompts], sp)]
+        st = llm.get_kv_cache_stats()
+        assert st["dp_size"] == dp
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
