@@ -42,7 +42,8 @@ class Attention:
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None
     tp_size: int = 1
-    cp_size: int = 1              # Ulysses context parallel (seq-sharded)
+    cp_size: int = 1              # context parallel (seq-sharded prefill)
+    cp_type: str = "ulysses"      # "ulysses" | "ring"
     backend_cls: type = None
 
     def __post_init__(self):
@@ -52,7 +53,7 @@ class Attention:
         self.scale = self.scale or self.head_dim ** -0.5
         self.n_local_heads = self.num_heads // self.tp_size
         self.n_local_kv = self.num_kv_heads // self.tp_size
-        if self.cp_size > 1:
+        if self.cp_size > 1 and self.cp_type == "ulysses":
             assert self.n_local_heads % self.cp_size == 0, (
                 "Ulysses CP needs query heads divisible by cp x tp")
             assert self.n_local_kv % self.cp_size == 0, (
@@ -198,6 +199,38 @@ class Attention:
         cp = self.cp_size
         qh, kvh = self.n_local_heads, self.n_local_kv
         k_cache, v_cache = kv_cache
+
+        if self.cp_type == "ring":
+            if meta.mode != "prefill":
+                # ring shards only the quadratic prefill; decode runs the
+                # replicated single-rank path (pools replicate over cp)
+                q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+                out, k_cache, v_cache = self.backend(
+                    q, k, v, k_cache, v_cache, meta, sinks=sinks)
+                B = out.shape[0]
+                return (self.o(params["o"], out.reshape(B, qh * D)),
+                        (k_cache, v_cache))
+            from tensorrt_llm_tpu.ops.attention_xla import write_kv_cache
+            from tensorrt_llm_tpu.ops.ring_attention import ring_attention
+            Tl = q.shape[0]
+            idx = lax.axis_index("cp")
+            pos_local = lax.dynamic_slice_in_dim(
+                meta.positions, idx * Tl, Tl)
+            q, k = apply_rope(q, k, pos_local, cos_t, sin_t)
+            # cache writes are all-gathered so the cp-replicated pools stay
+            # identical on every rank (decode reads them locally)
+            k_full = lax.all_gather(k, "cp", axis=0, tiled=True)
+            v_full = lax.all_gather(v, "cp", axis=0, tiled=True)
+            k_cache, v_cache = write_kv_cache(
+                k_cache, v_cache, k_full, v_full, meta.slot_mapping)
+            # mask padded K rows (positions past the real chunk length) by
+            # pushing them after every query position
+            chunk_len = meta.kv_lens[0] - meta.q_offset
+            gidx = idx * Tl + jnp.arange(Tl)
+            pos_k = jnp.where(gidx < chunk_len, pos_local, jnp.int32(2**30))
+            out = ring_attention(q, k, v, pos_local, pos_k, self.scale)
+            return (self.o(params["o"], out.reshape(Tl, qh * D)),
+                    (k_cache, v_cache))
 
         if meta.mode == "prefill":
             # [T/cp, h, D] -> [T, h/cp, D]: gather seq, scatter heads

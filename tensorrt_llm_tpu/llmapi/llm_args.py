@@ -28,7 +28,8 @@ class LlmArgs:
     tensor_parallel_size: int = 1
     pipeline_parallel_size: int = 1
     data_parallel_size: int = 1
-    context_parallel_size: int = 1          # Ulysses sequence parallelism
+    context_parallel_size: int = 1          # sequence parallelism width
+    context_parallel_type: str = "ulysses"  # "ulysses" | "ring"
     moe_expert_parallel_size: int = 1
 
     # quantization
@@ -108,6 +109,7 @@ class LlmArgs:
             pp_size=self.pipeline_parallel_size,
             dp_size=self.data_parallel_size,
             cp_size=self.context_parallel_size,
+            cp_type=self.context_parallel_type,
             moe_ep_size=ep,
             moe_tp_size=(self.tensor_parallel_size // ep if ep > 1 else 1),
         )

@@ -369,6 +369,7 @@ class DecoderLayer:
             quant=cfg.quant,
             tp_size=tp,
             cp_size=cfg.mapping.cp_size,
+            cp_type=cfg.mapping.cp_type,
         )
 
     def init(self, key) -> Dict:

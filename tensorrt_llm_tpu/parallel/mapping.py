@@ -30,8 +30,11 @@ class Mapping:
     # expert's weights further split moe_tp_size ways (tp = moe_ep * moe_tp).
     moe_ep_size: int = 1
     moe_tp_size: int = 1
-    # Context parallel (sequence) — round-1 scaffolding.
+    # Context parallel (sequence): "ulysses" (head-scatter/seq-gather
+    # all_to_all) or "ring" (blockwise KV rotation over the ICI torus —
+    # works for any head count; prefill must be single-chunk)
     cp_size: int = 1
+    cp_type: str = "ulysses"
     enable_attention_dp: bool = False
 
     def __post_init__(self):

@@ -355,11 +355,15 @@ class ModelEngine:
         scale pools 3D.  Single-head pools (MLA latents) keep heads
         replicated."""
         dp = "dp" if self.mapping.dp_size > 1 else None
+        # ring CP keeps pools replicated over "cp" (writes are all-gathered);
+        # Ulysses shards the head axis over cp
+        heads = (("cp", "ep", "tp") if self.mapping.cp_type == "ulysses"
+                 else ("ep", "tp"))
         if leaf.shape[1] == 1:
             return P(dp, *([None] * (leaf.ndim - 1)))
         if leaf.ndim == 4:
-            return P(dp, ("cp", "ep", "tp"), None, None)
-        return P(dp, ("cp", "ep", "tp"), None)
+            return P(dp, heads, None, None)
+        return P(dp, heads, None)
 
     # ------------------------------------------------------------------ step fns --
     def _make_multi_step_fn(self, num_steps: int):

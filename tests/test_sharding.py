@@ -251,3 +251,33 @@ def test_attention_dp_matches_single_device(dp):
     finally:
         llm.shutdown()
     assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("cp,tp", [(2, 1), (4, 1), (2, 2)])
+def test_ring_cp_matches_single_device(cp, tp):
+    """Ring attention CP (blockwise KV rotation): single-chunk prefill +
+    replicated decode match the single-device forward.  Unlike Ulysses this
+    needs no head divisibility — runs with kv_heads=4 at cp=4xtp=1 AND with
+    the awkward kv_heads/tp=4 at cp=2xtp=2."""
+    if len(jax.devices()) < cp * tp:
+        pytest.skip("not enough devices")
+    prompt = list(np.random.RandomState(11).randint(1, 255, 12))
+    sd = random_hf_state_dict(2)
+
+    e1, kv1 = build(1, sd, seed=2)
+    lp1, ld1 = run_prefill_decode(e1, kv1, prompt)
+
+    cfg = ModelConfig(**TINY, mapping=Mapping(cp_size=cp, tp_size=tp,
+                                              cp_type="ring"))
+    from tensorrt_llm_tpu.models import get_model_class as gmc
+    model = gmc(cfg.architecture)(cfg)
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=64)
+    params = model.load_hf_weights(sd.get)
+    ecp = ModelEngine(model, params, kv, mapping=cfg.mapping,
+                      max_seq_len=64, decode_buckets=(4,),
+                      prefill_buckets=(16,))
+    lcp, ldc = run_prefill_decode(ecp, kv, prompt)
+
+    np.testing.assert_allclose(lp1, lcp, rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(ld1, ldc, rtol=3e-2, atol=3e-2)
