@@ -149,6 +149,8 @@ class MoE:
             specs["b_down"] = P("ep", None)
         if self.has_score_bias:
             specs["score_bias"] = P(None)
+        # load-balancer placement map (installed at runtime; pruned if absent)
+        specs["expert_map"] = P(None)
         if self.n_shared_experts:
             specs["shared"] = self.shared.param_specs()
         return specs
@@ -201,11 +203,20 @@ class MoE:
 
     # ---- forward --------------------------------------------------------------------
     def __call__(self, params: Dict, x: jax.Array,
-                 lora_ids=None) -> jax.Array:  # lora on experts: later round
+                 lora_ids=None, counts=None):  # lora on experts: later round
+        """counts: optional [E_local] int32 accumulator of tokens routed to
+        each local expert SLOT (the Wide-EP load-balancer statistic —
+        reference moeLoadBalance kernels); returned updated when given."""
         T, H = x.shape
         k = self.top_k
         El = self.experts_local
-        ids, weights = self.route(params, x)             # [T, k]
+        ids, weights = self.route(params, x)             # [T, k] logical
+
+        # Wide-EP placement: logical expert -> physical slot permutation
+        # installed by the load balancer (runtime/moe_load_balancer.py)
+        emap = params.get("expert_map")
+        if emap is not None:
+            ids = emap[ids]
 
         flat_ids = ids.reshape(-1)                       # [T*k]
         flat_w = weights.reshape(-1)
@@ -263,4 +274,10 @@ class MoE:
         out = tp_all_reduce(out, enabled=self.ep_size * self.tp_size > 1)
         if self.n_shared_experts:
             out = out + self.shared(params["shared"], x).astype(jnp.float32)
+        if counts is not None:
+            # valid-token load per local slot (parked invalid rows excluded)
+            vsort = valid[order]
+            load = jnp.bincount(
+                jnp.where(vsort, sorted_local, El), length=El + 1)[:El]
+            return out.astype(x.dtype), counts + load.astype(counts.dtype)
         return out.astype(x.dtype)

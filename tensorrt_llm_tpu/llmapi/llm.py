@@ -144,13 +144,20 @@ class LLM:
         if a.speculative_config is not None:
             from tensorrt_llm_tpu.speculative import get_drafter
             drafter = get_drafter(a.speculative_config, a)
+        self.moe_balancer = None
+        if cfg.num_experts > 0:
+            from tensorrt_llm_tpu.runtime.moe_load_balancer import (
+                MoeLoadBalancer)
+            self.moe_balancer = MoeLoadBalancer(
+                self.model, self.engine, interval=a.moe_rebalance_interval)
         self.executor = PyExecutor(
             self.engine, a.make_scheduler_config(), eos_token_id=eos,
             max_seq_len=a.max_seq_len, max_decode_steps=a.max_decode_steps,
             drafter=drafter, tokenizer=self._tokenizer,
             vocab_size=cfg.vocab_size,
             watchdog_timeout=a.watchdog_timeout,
-            profile_start_stop=a.profile_start_stop)
+            profile_start_stop=a.profile_start_stop,
+            moe_balancer=self.moe_balancer)
         self.executor.start()
 
     @staticmethod
@@ -189,6 +196,12 @@ class LLM:
             raise TypeError("source must be a path or get_tensor callable")
         params = self.model.load_hf_weights(get_tensor, dtype=self.args.dtype)
         self.engine.update_params(params)
+
+    def rebalance_experts(self) -> dict:
+        """Recompute + install Wide-EP expert placement from live load stats
+        (reference moe_load_balancer.py)."""
+        assert self.moe_balancer is not None, "model has no MoE layers"
+        return self.moe_balancer.rebalance()
 
     # ------------------------------------------------------------------ generate --
     def generate(

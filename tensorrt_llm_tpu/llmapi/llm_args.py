@@ -68,6 +68,9 @@ class LlmArgs:
     # fused multi-step decode (1 disables)
     max_decode_steps: int = 4
 
+    # Wide-EP: rebalance expert placement every N iterations (0 = off)
+    moe_rebalance_interval: int = 0
+
     # executor hang watchdog (reference pyexecutor/hang_detector.py); 0 = off
     watchdog_timeout: float = 300.0
 

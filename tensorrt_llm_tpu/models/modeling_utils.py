@@ -296,6 +296,7 @@ class DecoderLayer:
         self.cfg = cfg
         self.layer_idx = layer_idx
         self.sliding = cfg.is_sliding_layer(layer_idx)
+        self.is_moe = cfg.is_moe_layer(layer_idx)
         tp = cfg.mapping.tp_size
         if cfg.is_mla:
             from tensorrt_llm_tpu.layers.mla import MLA
@@ -399,10 +400,18 @@ class DecoderLayer:
         return p
 
     def __call__(self, params, x, residual, rope_tables, kv_cache, meta):
-        """rope_tables: ((cos, sin) global, optional (cos, sin) local)."""
+        """rope_tables: ((cos, sin) global, optional (cos, sin) local).
+
+        MoE layers carry (attn_kv_cache, expert_load_counts) as their cache
+        so Wide-EP load statistics accumulate on device with zero syncs."""
         global_t, local_t = rope_tables
         tables = local_t if (self.sliding and local_t is not None) else global_t
         eps = self.cfg.rms_eps
+        moe_counts = None
+        if self.is_moe and isinstance(kv_cache, tuple) and len(kv_cache) == 2 \
+                and getattr(kv_cache[1], "ndim", None) == 1:
+            kv_cache, moe_counts = kv_cache
+
         if self.cfg.post_norms:
             # Gemma2/3: x += post_norm(attn(pre_norm(x))); same for ffw
             h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
@@ -415,6 +424,11 @@ class DecoderLayer:
         h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
         h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
         h2, residual = add_rms_norm(h, residual, params["post_attn_norm"], eps)
+        if moe_counts is not None:
+            out, moe_counts = self.mlp(params["mlp"], h2,
+                                       lora_ids=meta.lora_ids,
+                                       counts=moe_counts)
+            return out, residual, (kv_cache, moe_counts)
         out = self.mlp(params["mlp"], h2, lora_ids=meta.lora_ids)
         return out, residual, kv_cache
 
@@ -449,6 +463,19 @@ class DecoderModelForCausalLM:
     MOE_PROJ_NAMES = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
     MOE_SHARED_PREFIX = "mlp.shared_experts."
     MOE_BIAS_KEY = "mlp.gate.e_score_correction_bias"
+
+    def make_layer_caches(self, kv_manager):
+        """Paged KV pools; MoE layers additionally carry an on-device
+        expert-load counter (Wide-EP load-balancer statistic)."""
+        pools = kv_manager.allocate_pools()
+        out = []
+        E = self.cfg.num_experts
+        for i, pool in enumerate(pools):
+            if self.cfg.is_moe_layer(i):
+                out.append((pool, jnp.zeros((E,), jnp.int32)))
+            else:
+                out.append(pool)
+        return out
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg

@@ -66,6 +66,7 @@ class PyExecutor:
         watchdog_timeout: float = 300.0,
         profile_start_stop: Optional[str] = None,
         tracer=None,
+        moe_balancer=None,
     ):
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
@@ -104,6 +105,8 @@ class PyExecutor:
         self.iteration = 0
         self.stats_history: List[IterationStats] = []
         self.total_tokens_generated = 0
+        # Wide-EP load balancer (reference moe_load_balancer.py)
+        self.moe_balancer = moe_balancer
 
         # hang detection (reference pyexecutor/hang_detector.py)
         from tensorrt_llm_tpu.runtime.watchdog import HangDetector
@@ -372,6 +375,9 @@ class PyExecutor:
                 self.guided.drop(req.request_id)
                 self.active.remove(req)
                 self.tracer.record_request(req)
+
+        if self.moe_balancer is not None:
+            self.moe_balancer.step(self.iteration)
 
         stats.kv_stats = self.kv.stats()
         stats.step_time_ms = (time.perf_counter() - t0) * 1e3

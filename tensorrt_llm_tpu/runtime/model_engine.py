@@ -218,7 +218,9 @@ class ModelEngine:
                 caches = [c for st in self.pp_stages for c in st["caches"]]
             else:
                 caches = self.kv_caches
-            return [jax.tree.map(lambda c: np.asarray(c[ids]), layer)
+            return [jax.tree.map(
+                        lambda c: (np.asarray(c[ids]) if c.ndim >= 3
+                                   else np.zeros((0,), np.int32)), layer)
                     for layer in caches]
 
     def inject_kv_blocks(self, block_ids, host_layers: list):
@@ -231,7 +233,8 @@ class ModelEngine:
             # and structured pytrees both work
             leaves_c, treedef = jax.tree.flatten(cache_layer)
             leaves_h = jax.tree.leaves(host_layer)
-            new = [c.at[ids].set(jnp.asarray(h).astype(c.dtype))
+            new = [c if np.asarray(h).size == 0
+                   else c.at[ids].set(jnp.asarray(h).astype(c.dtype))
                    for c, h in zip(leaves_c, leaves_h)]
             return jax.tree.unflatten(treedef, new)
 
@@ -273,9 +276,13 @@ class ModelEngine:
                     st["params"] = jax.device_put(p, shardings)
                 return
             if self.mesh is not None:
+                # re-prune: runtime features (expert_map, lora) may have
+                # added keys since init
+                specs = prune_specs(self.model.param_specs(), params)
                 shardings = jax.tree.map(
-                    lambda s: NamedSharding(self.mesh, s), self._param_specs,
+                    lambda s: NamedSharding(self.mesh, s), specs,
                     is_leaf=lambda x: isinstance(x, P))
+                self._param_specs = specs
                 self.params = jax.device_put(params, shardings)
             else:
                 self.params = jax.device_put(params)
@@ -347,7 +354,8 @@ class ModelEngine:
         with self.lock:
             for st in self.pp_stages:
                 st["caches"] = jax.tree.map(
-                    lambda c: c.at[dst].set(c[src]), st["caches"])
+                    lambda c: (c.at[dst].set(c[src])
+                               if c.ndim >= 3 else c), st["caches"])
 
     def _cache_leaf_spec(self, leaf) -> P:
         """Block axis "dp"-sharded (attention-DP: each replica owns its
@@ -359,6 +367,9 @@ class ModelEngine:
         # Ulysses shards the head axis over cp
         heads = (("cp", "ep", "tp") if self.mapping.cp_type == "ulysses"
                  else ("ep", "tp"))
+        if leaf.ndim == 1:
+            # MoE expert-load counters: one slice per expert-parallel rank
+            return P("ep")
         if leaf.shape[1] == 1:
             return P(dp, *([None] * (leaf.ndim - 1)))
         if leaf.ndim == 4:
@@ -531,8 +542,11 @@ class ModelEngine:
         key = ("copy_blocks", n)
         if key not in self._fns:
             def copy(caches, src_ids, dst_ids):
+                # only page pools (ndim>=3) are block-indexed; 1-D leaves
+                # (expert-load counters) pass through
                 return jax.tree.map(
-                    lambda c: c.at[dst_ids].set(c[src_ids]), caches)
+                    lambda c: (c.at[dst_ids].set(c[src_ids])
+                               if c.ndim >= 3 else c), caches)
             if self.mesh is not None:
                 cache_spec = self._cache_specs
                 copy = jax.shard_map(
