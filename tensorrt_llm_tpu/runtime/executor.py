@@ -243,6 +243,11 @@ class PyExecutor:
             return False
         self.iteration += 1
         self._maybe_profile()
+        if self.moe_balancer is not None:
+            # fire at step START: deterministic w.r.t. generate() returning
+            # (the final token may be emitted mid-step, releasing the caller
+            # before the step's tail runs)
+            self.moe_balancer.step(self.iteration)
         stats = IterationStats(iteration=self.iteration,
                                num_active=len(self.active),
                                num_waiting=len(self.waiting))
@@ -375,9 +380,6 @@ class PyExecutor:
                 self.guided.drop(req.request_id)
                 self.active.remove(req)
                 self.tracer.record_request(req)
-
-        if self.moe_balancer is not None:
-            self.moe_balancer.step(self.iteration)
 
         stats.kv_stats = self.kv.stats()
         stats.step_time_ms = (time.perf_counter() - t0) * 1e3
