@@ -124,15 +124,21 @@ class W4A16LinearMethod(LinearMethodBase):
         )
 
     def param_specs(self, tp_mode):
-        # tiled qweight is [N//BN, K//2, BN]: the output-column dim is the
-        # tile axis (dim 0), the reduction dim is dim 1
+        # Must mirror _pack's tiled-vs-legacy decision. tiled qweight is
+        # [N//BN, K//2, BN] (output-column tiles on dim 0); legacy is
+        # [K//2, N].
+        K, N = self.kn
+        tiled = bool(choose_block_n(N, max(self.tp_shards, 1))) and K % 2 == 0
         if tp_mode == "column":
-            w3, s = P(TP_AXES, None, None), P(None, TP_AXES)
+            w, s = ((P(TP_AXES, None, None) if tiled else P(None, TP_AXES)),
+                    P(None, TP_AXES))
         elif tp_mode == "row":
-            w3, s = P(None, TP_AXES, None), P(TP_AXES, None)
+            w, s = ((P(None, TP_AXES, None) if tiled else P(TP_AXES, None)),
+                    P(TP_AXES, None))
         else:
-            w3, s = P(None, None, None), P(None, None)
-        return {"qweight": w3, "scales": s, "zeros": s,
+            w = P(None, None, None) if tiled else P(None, None)
+            s = P(None, None)
+        return {"qweight": w, "scales": s, "zeros": s,
                 "bias": self._bias_spec(tp_mode)}
 
 
@@ -292,6 +298,7 @@ class Linear:
             assert self.in_features % self.tp_size == 0
         # packers pick shard-divisible tile widths from this
         self.method.tp_shards = self.tp_size if self.tp_mode != "none" else 1
+        self.method.kn = (self.in_features, self.out_features)
 
     # ---- parameter creation -------------------------------------------------
     def init(self, key) -> Params:

@@ -59,6 +59,10 @@ class MoE:
     has_router_bias: bool = False
     topk_then_softmax: bool = False
     has_expert_bias: bool = False
+    # EP dispatch capacity factor (reference DeepEP low-latency capacity):
+    # per-rank expert rows capped at ceil(factor * T*k / ep_size); None =
+    # exact dropless dispatch
+    capacity_factor: Optional[float] = None
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None   # expert weights stay bf16 round-1
     ep_size: int = 1
@@ -69,6 +73,22 @@ class MoE:
         assert self.intermediate_size % self.tp_size == 0
         self.experts_local = self.num_experts // self.ep_size
         self.inter_local = self.intermediate_size // self.tp_size
+        # Quantized experts (reference: mixed-input grouped MoE GEMMs,
+        # cutlass_kernels/moe_gemm/moe_gemm_kernels_bf16_uint4.cu) — int4
+        # weights with per-group scales fed to the grouped Pallas kernel.
+        q = self.quant
+        self.quant_experts = bool(q is not None and q.is_weight_only_w4)
+        if self.quant_experts:
+            gs = q.group_size
+            H, I2 = self.hidden_size, 2 * self.intermediate_size
+            # gate_up: K=H (replicated), N=2I (tp column tiles)
+            self._g_up = gs if 0 < gs < H and H % gs == 0 else -1
+            # down: K=I (tp-sharded) — groups must not straddle tp shards
+            self._g_down = (gs if 0 < gs < self.inter_local
+                            and self.inter_local % gs == 0 else -1)
+            if (H % 2 or self.intermediate_size % 2
+                    or I2 % self.tp_size):
+                self.quant_experts = False  # unpackable shape: bf16 experts
         if self.n_shared_experts:
             self.shared = GatedMLP(
                 self.hidden_size,
@@ -104,11 +124,26 @@ class MoE:
         for r in range(self.tp_size):
             cols.append(gate_w[:, :, r * per:(r + 1) * per])
             cols.append(up_w[:, :, r * per:(r + 1) * per])
-        p = {
-            "router": router_w.astype(jnp.float32),
-            "w_gate_up": jnp.concatenate(cols, axis=2).astype(self.dtype),
-            "w_down": down_w.astype(self.dtype),
-        }
+        fused = jnp.concatenate(cols, axis=2)
+        p = {"router": router_w.astype(jnp.float32)}
+        if self.quant_experts:
+            from tensorrt_llm_tpu.ops.moe_w4a16 import quantize_experts_w4
+            sym = not self.quant.has_zero_point
+            pk, sc, zr, _ = quantize_experts_w4(
+                fused.astype(jnp.float32), self._g_up, sym,
+                shards=self.tp_size)
+            p["w_gate_up"], p["w_gate_up_s"] = pk, sc
+            if zr is not None:
+                p["w_gate_up_z"] = zr
+            pk, sc, zr, _ = quantize_experts_w4(
+                down_w.astype(jnp.float32),
+                self._g_down if self._g_down > 0 else -1, sym, shards=1)
+            p["w_down"], p["w_down_s"] = pk, sc
+            if zr is not None:
+                p["w_down_z"] = zr
+        else:
+            p["w_gate_up"] = fused.astype(self.dtype)
+            p["w_down"] = down_w.astype(self.dtype)
         if self.has_router_bias:
             p["router_bias"] = (jnp.zeros((self.num_experts,), jnp.float32)
                                 if router_bias is None
@@ -137,11 +172,23 @@ class MoE:
     def param_specs(self) -> Dict:
         specs = {
             "router": P(None, None),
+        }
+        if self.quant_experts:
+            # packed tiles: [E, n_n, K//2, BN] — tp shards the column tiles
+            # of gate_up and the K (=I) rows of down (pairs stay intact)
+            specs["w_gate_up"] = P("ep", "tp", None, None)
+            specs["w_gate_up_s"] = P("ep", None, "tp")
+            specs["w_down"] = P("ep", None, "tp", None)
+            specs["w_down_s"] = (P("ep", "tp", None) if self._g_down > 0
+                                 else P("ep", None, None))
+            if self.quant.has_zero_point:
+                specs["w_gate_up_z"] = specs["w_gate_up_s"]
+                specs["w_down_z"] = specs["w_down_s"]
+        else:
             # interleave-free: gate|up concat is per-expert along dim 2; tp
             # shards the I halves jointly via the fused layout below
-            "w_gate_up": P("ep", None, "tp"),
-            "w_down": P("ep", "tp", None),
-        }
+            specs["w_gate_up"] = P("ep", None, "tp")
+            specs["w_down"] = P("ep", "tp", None)
         if self.has_router_bias:
             specs["router_bias"] = P(None)
         if self.has_expert_bias:
@@ -226,8 +273,11 @@ class MoE:
             ep_rank = jax.lax.axis_index("ep")
             local = flat_ids - ep_rank * El
             valid = (local >= 0) & (local < El)
-            # invalid tokens are parked on the last local expert and zeroed
-            local = jnp.where(valid, local, El - 1)
+            # remote-expert pairs sort AFTER every local group and are
+            # excluded from group_sizes: the grouped GEMMs never touch them
+            # (the local analog of the reference's EP all-to-all dispatch —
+            # each rank computes only its received rows)
+            local = jnp.where(valid, local, El)
         else:
             local = flat_ids
             valid = jnp.ones_like(flat_ids, dtype=bool)
@@ -235,14 +285,38 @@ class MoE:
         # sort (token, k) pairs by local expert — the reference's
         # permute/sort kernels (moe_kernels.cu) as one argsort
         order = jnp.argsort(local)
-        sorted_local = local[order]
+        sorted_local = jnp.minimum(local[order], El - 1)  # clamp for gathers
+        vsort = valid[order]
         sorted_tok = token_idx[order]
-        sorted_w = flat_w[order] * valid[order].astype(jnp.float32)
+        sorted_w = flat_w[order] * vsort.astype(jnp.float32)
 
-        group_sizes = jnp.bincount(sorted_local, length=El)
+        group_sizes = jnp.bincount(local, length=El + 1)[:El]
+        load = group_sizes  # per-slot demand (pre-capacity) for the balancer
 
-        xs = x[sorted_tok].astype(self.dtype)            # [T*k, H]
-        h = jax.lax.ragged_dot(xs, params["w_gate_up"], group_sizes)
+        # static per-rank capacity (reference DeepEP low-latency capacity
+        # semantics): rows beyond it are dropped; None = exact/dropless
+        C = T * k
+        if self.capacity_factor and self.ep_size > 1:
+            import math
+            C = min(T * k, max(
+                1, math.ceil(self.capacity_factor * T * k / self.ep_size)))
+        if C < T * k:
+            sorted_local = sorted_local[:C]
+            sorted_tok = sorted_tok[:C]
+            sorted_w = sorted_w[:C]
+            vsort = vsort[:C]
+            cum = jnp.cumsum(group_sizes)
+            group_sizes = (jnp.minimum(cum, C)
+                           - jnp.minimum(cum - group_sizes, C))
+
+        xs = x[sorted_tok].astype(self.dtype)            # [<=T*k, H]
+        if self.quant_experts:
+            from tensorrt_llm_tpu.ops.moe_w4a16 import w4a16_grouped_matmul
+            h = w4a16_grouped_matmul(
+                xs, params["w_gate_up"], params["w_gate_up_s"], group_sizes,
+                params.get("w_gate_up_z")).astype(self.dtype)
+        else:
+            h = jax.lax.ragged_dot(xs, params["w_gate_up"], group_sizes)
         Il = self.inter_local
         if self.has_expert_bias:
             h = (h.astype(jnp.float32)
@@ -256,7 +330,13 @@ class MoE:
         else:
             h = (_ACTIVATIONS[self.activation](gate.astype(jnp.float32))
                  * up.astype(jnp.float32)).astype(self.dtype)
-        out_sorted = jax.lax.ragged_dot(h, params["w_down"], group_sizes)
+        if self.quant_experts:
+            from tensorrt_llm_tpu.ops.moe_w4a16 import w4a16_grouped_matmul
+            out_sorted = w4a16_grouped_matmul(
+                h, params["w_down"], params["w_down_s"], group_sizes,
+                params.get("w_down_z"))
+        else:
+            out_sorted = jax.lax.ragged_dot(h, params["w_down"], group_sizes)
         out_sorted = out_sorted.astype(jnp.float32)
         if self.has_expert_bias:
             # the reference adds the down bias once per (token, expert) pair
@@ -269,15 +349,15 @@ class MoE:
             out_sorted = out_sorted + b
 
         out = jnp.zeros((T, H), jnp.float32)
-        out = out.at[sorted_tok].add(out_sorted * sorted_w[:, None])
+        # rows past the covered groups carry uninitialized kernel output;
+        # where() (not *0) keeps any NaN garbage out of the scatter
+        contrib = jnp.where(vsort[:, None], out_sorted * sorted_w[:, None],
+                            0.0)
+        out = out.at[sorted_tok].add(contrib)
 
         out = tp_all_reduce(out, enabled=self.ep_size * self.tp_size > 1)
         if self.n_shared_experts:
             out = out + self.shared(params["shared"], x).astype(jnp.float32)
         if counts is not None:
-            # valid-token load per local slot (parked invalid rows excluded)
-            vsort = valid[order]
-            load = jnp.bincount(
-                jnp.where(vsort, sorted_local, El), length=El + 1)[:El]
             return out.astype(x.dtype), counts + load.astype(counts.dtype)
         return out.astype(x.dtype)

@@ -79,6 +79,8 @@ class ModelConfig:
     moe_expert_bias: bool = False
     # DeepSeek-style noaux-tc routing (sigmoid + correction bias + group topk)
     moe_has_score_bias: bool = False
+    # EP dispatch row capacity factor (None = exact dropless dispatch)
+    moe_capacity_factor: Optional[float] = None
     n_group: int = 1
     topk_group: int = 1
     routed_scaling_factor: float = 1.0
@@ -335,6 +337,7 @@ class DecoderLayer:
                 n_group=cfg.n_group,
                 topk_group=cfg.topk_group,
                 routed_scaling=cfg.routed_scaling_factor,
+                capacity_factor=cfg.moe_capacity_factor,
                 dtype=cfg.dtype,
                 quant=cfg.quant,
                 ep_size=cfg.mapping.moe_ep_size,

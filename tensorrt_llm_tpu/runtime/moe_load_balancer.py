@@ -128,7 +128,8 @@ class MoeLoadBalancer:
         inv_old = np.zeros(len(perm), np.int64)
         inv_old[slot_to_logical] = np.arange(len(perm))
         gather = jnp.asarray(inv_old[perm])  # new slot s <- current slot
-        for key in ("w_gate_up", "w_down", "b_gate_up", "b_down"):
+        for key in ("w_gate_up", "w_down", "b_gate_up", "b_down",
+                    "w_gate_up_s", "w_gate_up_z", "w_down_s", "w_down_z"):
             if key in mp:
                 mp[key] = mp[key][gather]
         inv_new = np.zeros(len(perm), np.int32)
