@@ -41,12 +41,29 @@ class AttentionMetadata:
     seq_slots: jax.Array = None
     # per-row LoRA adapter slot (0 = base model) for runtime multi-LoRA
     lora_ids: jax.Array = None
+    # VSWA (separate per-window pools): sliding layers' cyclic-ring inputs;
+    # None => sliding layers share the global pools (mask-only windows)
+    local_slot_mapping: jax.Array = None
+    local_block_tables: jax.Array = None
 
     # static (not traced): jax.tree_util.register_dataclass metadata
     mode: str = dataclasses.field(default="decode", metadata={"static": True})
+    # set on the meta handed to a sliding layer when its KV lives in a
+    # cyclic ring: slot s holds position s + floor((kv_len-1-s)/P)*P,
+    # P = block_tables.shape[-1] * block_size
+    cyclic: bool = dataclasses.field(default=False, metadata={"static": True})
 
     def __post_init__(self):
         assert self.mode in ("prefill", "decode")
+
+    def for_sliding_layer(self) -> "AttentionMetadata":
+        """The view a sliding layer should attend with: ring tables when
+        separate window pools are active, the global ones otherwise."""
+        if self.local_block_tables is None:
+            return self
+        return dataclasses.replace(
+            self, slot_mapping=self.local_slot_mapping,
+            block_tables=self.local_block_tables, cyclic=True)
 
 
 class AttentionBackend:

@@ -42,11 +42,13 @@ class PallasAttention(XlaAttention):
             # logit yet; the XLA path does (in-kernel sinks land next round)
             return super().__call__(q, k, v, k_cache, v_cache, meta,
                                     sinks=sinks)
-        if isinstance(k_cache, tuple) or self.head_dim % 128 != 0:
+        if isinstance(k_cache, tuple) or self.head_dim % 128 != 0 \
+                or meta.cyclic:
             # INT8 KV pools: the Pallas kernels read bf16 pages; use the XLA
             # dequant-at-gather path (in-kernel int8 dequant lands next round).
             # head_dim < 128: Mosaic pads the trailing HBM dim to the lane
             # width, which breaks page-slice DMA — XLA path instead.
+            # cyclic VSWA rings: kernels don't carry ring positions yet.
             return super().__call__(q, k, v, k_cache, v_cache, meta)
         if meta.mode == "prefill" and os.environ.get("TLLM_FLASH_PREFILL", "1") == "1":
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,

@@ -17,6 +17,7 @@ from tensorrt_llm_tpu.attention_backend.interface import (
     register_backend,
 )
 from tensorrt_llm_tpu.ops.attention_xla import (
+    cyclic_prefill_xla,
     paged_decode_xla,
     paged_prefill_xla,
     write_kv_cache,
@@ -29,6 +30,23 @@ class XlaAttention(AttentionBackend):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
                  sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if meta.cyclic and meta.mode == "prefill":
+            # VSWA ring prefill: attend BEFORE this chunk's writes land (the
+            # chunk may evict prefix positions early query rows still need);
+            # the chunk's own K/V come straight from the inputs
+            out = cyclic_prefill_xla(
+                q, k_cache, v_cache, k, v,
+                block_table=meta.block_tables[0],
+                kv_len=meta.kv_lens[0],
+                q_offset=meta.q_offset,
+                scale=self.scale,
+                sliding_window=self.sliding_window,
+                logit_cap=self.logit_cap,
+                sinks=sinks,
+            )
+            k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
+                                              meta.slot_mapping)
+            return out, k_cache, v_cache
         k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                           meta.slot_mapping)
         if meta.mode == "prefill":
@@ -51,5 +69,6 @@ class XlaAttention(AttentionBackend):
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
                 sinks=sinks,
+                cyclic=meta.cyclic,
             )
         return out, k_cache, v_cache

@@ -409,6 +409,11 @@ class DecoderLayer:
         so Wide-EP load statistics accumulate on device with zero syncs."""
         global_t, local_t = rope_tables
         tables = local_t if (self.sliding and local_t is not None) else global_t
+        if self.sliding:
+            # VSWA: attend this layer against its cyclic-ring pool when the
+            # engine allocated separate window pools (reference per-window
+            # WindowBlockManager, kvCacheManager.h:600)
+            meta = meta.for_sliding_layer()
         eps = self.cfg.rms_eps
         moe_counts = None
         if self.is_moe and isinstance(kv_cache, tuple) and len(kv_cache) == 2 \

@@ -103,12 +103,15 @@ def mha_xla(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,   # [Hq] per-head sink logits
+    kv_positions: Optional[jax.Array] = None,  # [S] per-slot positions
 ) -> jax.Array:
     """Dense attention for one sequence.
 
     q_offset: absolute position of q[0] (for chunked prefill, query token i
       sits at position q_offset + i and attends kv positions <= that).
     kv_len: number of valid kv tokens (<= S); rest masked.
+    kv_positions: explicit position per kv slot (cyclic VSWA rings);
+      negative positions are masked out.
     """
     T, Hq, D = q.shape
     S, Hkv, _ = k.shape
@@ -117,9 +120,12 @@ def mha_xla(
     scores = jnp.einsum("thgd,shd->hgts", qf, k.astype(jnp.float32))
     if logit_cap:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
-    kv_pos = jnp.arange(S)[None, :]
+    if kv_positions is not None:
+        kv_pos = kv_positions[None, :]
+    else:
+        kv_pos = jnp.arange(S)[None, :]
     q_pos = q_offset + jnp.arange(T)[:, None]
-    mask = jnp.ones((T, S), bool)
+    mask = kv_pos >= 0
     if causal:
         mask &= kv_pos <= q_pos
     if kv_len is not None:
@@ -155,6 +161,46 @@ def paged_prefill_xla(
                    logit_cap=logit_cap, sinks=sinks)
 
 
+def cyclic_prefill_xla(
+    q: jax.Array,            # [T, Hq, D] (current chunk, rope applied)
+    k_cache: jax.Array,      # ring pool BEFORE this chunk's writes
+    v_cache: jax.Array,
+    k_new: jax.Array,        # [T, Hkv, D] this chunk's keys/values
+    v_new: jax.Array,
+    block_table: jax.Array,  # [R] fixed ring table
+    kv_len: jax.Array,       # scalar: total tokens incl. this chunk
+    q_offset: jax.Array,     # scalar: position of q[0] == prefix length
+    scale: float,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Chunked prefill against a VSWA cyclic ring.
+
+    The ring is read BEFORE the chunk's writes land (the chunk may evict
+    prefix positions that early query rows still need), and the chunk's own
+    K/V come straight from the inputs — so the ring only has to hold
+    ``window + one block`` tokens, independent of chunk size.  Ring slot s
+    holds prefix position s + floor((prefix-1-s)/P)*P (negative => empty)."""
+    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    kp = gather_dequant(k_cache, block_table, q.dtype) \
+        .transpose(0, 2, 1, 3).reshape(-1, h, d)
+    vp = gather_dequant(v_cache, block_table, q.dtype) \
+        .transpose(0, 2, 1, 3).reshape(-1, h, d)
+    P = block_table.shape[0] * bs
+    s = jnp.arange(P, dtype=jnp.int32)
+    prefix_pos = s + ((q_offset - 1 - s) // P) * P
+    T = q.shape[0]
+    chunk_pos = q_offset + jnp.arange(T, dtype=jnp.int32)
+    k = jnp.concatenate([kp, k_new.astype(kp.dtype)], axis=0)
+    v = jnp.concatenate([vp, v_new.astype(vp.dtype)], axis=0)
+    kv_positions = jnp.concatenate([prefix_pos, chunk_pos])
+    return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
+                   kv_len=kv_len, sliding_window=sliding_window,
+                   logit_cap=logit_cap, sinks=sinks,
+                   kv_positions=kv_positions)
+
+
 def paged_decode_xla(
     q: jax.Array,             # [B, Hq, D] (one new token per sequence)
     k_cache: jax.Array,       # [NB, BS, Hkv, D]
@@ -165,11 +211,13 @@ def paged_decode_xla(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,   # [Hq]
+    cyclic: bool = False,
 ) -> jax.Array:
     """Batched decode attention over paged KV.
 
     GQA is expressed as a grouped einsum ('g' = query heads per KV head) so
     the gathered KV is never materialized per query head.
+    cyclic: tables are fixed VSWA rings (see paged_prefill_xla).
     """
     nb, hkv, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
     B, Hq, _ = q.shape
@@ -185,8 +233,15 @@ def paged_decode_xla(
     scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32))
     if logit_cap:
         scores = logit_cap * jnp.tanh(scores / logit_cap)
-    kv_pos = jnp.arange(S)[None, None, None, :]
-    mask = kv_pos < kv_lens[:, None, None, None]
+    if cyclic:
+        s = jnp.arange(S, dtype=jnp.int32)[None, :]
+        L = kv_lens[:, None]
+        kv_pos = (s + ((L - 1 - s) // S) * S)[:, None, None, :]  # [B,1,1,S]
+        mask = kv_pos >= 0
+    else:
+        kv_pos = jnp.arange(S)[None, None, None, :]
+        mask = jnp.ones((), bool)
+    mask &= kv_pos < kv_lens[:, None, None, None]
     if sliding_window is not None:
         mask &= kv_pos >= (kv_lens[:, None, None, None] - sliding_window)
     sink_r = (sinks.reshape(1, hkv, n_rep, 1).astype(jnp.float32)

@@ -166,7 +166,9 @@ class BeamSearch:
                 else:
                     sid = _new_seq_id()
                     self.engine.copy_kv_blocks(
-                        self.kv.fork_sequence(pseq.request_id, sid))
+                        self.kv.fork_sequence(pseq.request_id, sid),
+                        getattr(self.kv, "ring_fork_pairs",
+                                lambda *a: None)(pseq.request_id, sid))
                 next_live[j] = (_BeamSeq(sid, pseq.tokens + [tok]), cum)
         for i, s in enumerate(seqs):
             if i not in used:

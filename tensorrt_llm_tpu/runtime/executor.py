@@ -205,7 +205,9 @@ class PyExecutor:
                              cache_salt=f"__disagg_{req.request_id}")
         self.kv.grow_sequence(req.request_id, P)
         table = self.kv.block_table(req.request_id, self.kv.blocks_needed(P))
-        self.engine.inject_kv_blocks(table, dp.kv_payload["layers"])
+        ring = (self.kv.local_block_table(req.request_id)
+                if getattr(self.engine, "_vswa", False) else None)
+        self.engine.inject_kv_blocks(table, dp.kv_payload["layers"], ring)
         req.start_context()
         req.context_position = P
         req.finish_context()
@@ -368,8 +370,10 @@ class PyExecutor:
                     P = req.prompt_len
                     table = self.kv.block_table(req.request_id,
                                                 self.kv.blocks_needed(P))
+                    ring = (self.kv.local_block_table(req.request_id)
+                            if getattr(self.engine, "_vswa", False) else None)
                     req.kv_payload = {
-                        "layers": self.engine.extract_kv_blocks(table),
+                        "layers": self.engine.extract_kv_blocks(table, ring),
                         "num_tokens": P,
                         "block_size": self.kv.block_size,
                     }
@@ -512,12 +516,19 @@ class PyExecutor:
         inputs = self.engine.prepare_decode_inputs(reqs, extra_tokens=k - 1)
         B = len(inputs.input_ids)
         slot_table = np.full((k, B), np.int64(2**30), np.int32)
+        local_table = None
+        if getattr(self.engine, "_vswa", False):
+            local_table = np.full((k, B), np.int64(2**30), np.int32)
         for i, req in enumerate(reqs):
             start = req.num_tokens - 1
             slot_table[:, i] = self.kv.slot_mapping(req.request_id, start, k)
+            if local_table is not None:
+                local_table[:, i] = self.kv.local_slot_mapping(
+                    req.request_id, start, k, int(2**30), dedup=False)
         sp = [r.sampling_params for r in reqs]
         state = SamplingState.from_params(sp, step=self.iteration, pad_to=B)
-        toks, logps = self.engine.run_decode_multi(inputs, k, state, slot_table)
+        toks, logps = self.engine.run_decode_multi(inputs, k, state,
+                                                   slot_table, local_table)
         toks = np.asarray(toks)   # [k, B]
         logps = np.asarray(logps)
         for i, req in enumerate(reqs):

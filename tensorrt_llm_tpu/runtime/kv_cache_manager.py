@@ -47,6 +47,9 @@ class KVCacheConfig:
     # "kv": separate K and V pools per layer; "latent": one pool per layer
     # (MLA compressed KV + rope key — reference mlaCacheFormatter layout)
     layout: str = "kv"
+    # VSWA: give sliding-window layers their own small cyclic pools
+    # (reference per-window WindowBlockManager) instead of full-length pages
+    separate_window_pools: bool = True
 
 
 class SequenceInfo:
@@ -377,10 +380,102 @@ class KVCacheManager:
         self.slots = SlotManager(max_slots)
         self._bk = _make_bookkeeping(num_blocks, cfg.block_size,
                                      cfg.enable_block_reuse, bookkeeping)
+        # VSWA (reference per-window WindowBlockManager, kvCacheManager.h:600):
+        # sliding layers get their own smaller pools, addressed as fixed
+        # per-sequence cyclic rings (no dynamic bookkeeping needed)
+        self.vswa_window: Optional[int] = None
+        self.ring_blocks = 0
+        self.ring_slots = 0
+        self.sliding_layers: set = set()
+        self._ring: Optional[SlotManager] = None
 
     @property
     def is_native(self) -> bool:
         return isinstance(self._bk, _NativeBookkeeping)
+
+    # ------------------------------------------------------------------ VSWA ----
+    def configure_vswa(self, window: int, ring_blocks: int, ring_slots: int,
+                       sliding_layers):
+        """Separate per-window pools for sliding-window layers.
+
+        Each active sequence owns a fixed ring of ``ring_blocks`` blocks in
+        the (smaller) local pool, addressed purely by its ring slot: block
+        table of ring slot s is [s*R, .., s*R+R-1] and position p writes ring
+        offset ``p % (R*block_size)`` — cyclic KV like the reference's
+        per-window cyclic cache, but with zero host bookkeeping."""
+        self.vswa_window = window
+        self.ring_blocks = ring_blocks
+        self.ring_slots = ring_slots
+        self.sliding_layers = set(sliding_layers)
+        self._ring = SlotManager(ring_slots)
+        if self.cfg.enable_block_reuse:
+            # prefix reuse would skip recomputing cached tokens, but a new
+            # sequence's ring holds none of their sliding-layer KV — reuse
+            # and per-sequence rings are incompatible (the reference also
+            # runs VSWA without block reuse)
+            assert not getattr(self._bk, "sequences", None), \
+                "configure_vswa before any sequence"
+            self._bk = _make_bookkeeping(
+                self.num_blocks, self.block_size, False,
+                "native" if self.is_native else "python")
+
+    @property
+    def vswa(self) -> bool:
+        return self.vswa_window is not None
+
+    @property
+    def ring_capacity(self) -> int:
+        """Tokens held per sequence in a sliding-layer ring."""
+        return self.ring_blocks * self.block_size
+
+    def can_admit_new(self) -> bool:
+        """Room for a brand-new sequence (ring slots are the VSWA limit)."""
+        return self._ring is None or bool(self._ring._free)
+
+    def local_num_blocks(self) -> int:
+        return self.ring_slots * self.ring_blocks
+
+    def ring_slot_of(self, seq_id: int) -> int:
+        return -1 if self._ring is None else self._ring.get(seq_id)
+
+    def local_block_table(self, seq_id: int) -> List[int]:
+        s = self._ring.get(seq_id)
+        if s < 0:
+            return [0] * self.ring_blocks
+        return list(range(s * self.ring_blocks, (s + 1) * self.ring_blocks))
+
+    def local_slot_mapping(self, seq_id: int, start_token: int,
+                           num_tokens: int, pad_slot: int,
+                           dedup: bool = True) -> List[int]:
+        """Cyclic flat slots for positions [start, start+n); when several
+        positions of one chunk land on the same ring offset, only the LAST
+        write survives (earlier ones map to the pad slot and drop).  Pass
+        dedup=False for sequential per-step writes (fused multi-step decode
+        applies one slot per scan step, so later steps overwrite anyway)."""
+        s = self._ring.get(seq_id)
+        P = self.ring_capacity
+        if s < 0:
+            return [pad_slot] * num_tokens
+        base = s * P
+        if not dedup:
+            return [base + (start_token + i) % P for i in range(num_tokens)]
+        out = [pad_slot] * num_tokens
+        seen = set()
+        for i in range(num_tokens - 1, -1, -1):
+            off = (start_token + i) % P
+            if off not in seen:
+                seen.add(off)
+                out[i] = base + off
+        return out
+
+    def ring_fork_pairs(self, src_id: int, dst_id: int) -> List[tuple]:
+        """Block copies needed to fork the sliding-layer rings (beams)."""
+        if self._ring is None:
+            return []
+        self._ring.add(dst_id)
+        s, d = self._ring.get(src_id), self._ring.get(dst_id)
+        R = self.ring_blocks
+        return [(s * R + i, d * R + i) for i in range(R)]
 
     # ------------------------------------------------------------------ pools --
     def allocate_pools(self, dtype=None) -> List[Tuple[jax.Array, jax.Array]]:
@@ -391,35 +486,39 @@ class KVCacheManager:
         ``[BS, D]`` tile — what the Pallas paged-attention kernel DMAs.
         """
         dtype = dtype or self.cfg.dtype
-        shape = (self.num_blocks, self.num_kv_heads, self.block_size,
-                 self.head_dim)
-        caches = []
-        if self.cfg.layout == "latent":
-            # MLA: one latent pool per layer (no separate V); quantized
-            # latent caches are a later round
-            return [jnp.zeros(shape, dtype) for _ in range(self.num_layers)]
-        if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
-            # int8 data + per-(token, head) scale pools (reference
-            # KvCacheDataType::INT8); halves KV HBM footprint + gather traffic
-            sshape = shape[:3]
-            for _ in range(self.num_layers):
-                caches.append((
+
+        def nb_for(layer: int) -> int:
+            # VSWA: sliding layers use the (smaller) ring pool
+            if self.vswa and layer in self.sliding_layers:
+                return self.local_num_blocks()
+            return self.num_blocks
+
+        def pool(layer: int):
+            shape = (nb_for(layer), self.num_kv_heads, self.block_size,
+                     self.head_dim)
+            if self.cfg.layout == "latent":
+                # MLA: one latent pool per layer (no separate V); quantized
+                # latent caches are a later round
+                return jnp.zeros(shape, dtype)
+            if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
+                # int8 data + per-(token, head) scale pools (reference
+                # KvCacheDataType::INT8); halves KV HBM footprint + gather
+                # traffic
+                sshape = shape[:3]
+                return (
                     (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
                     (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
-                ))
-            return caches
-        if self.cfg.kv_quant == KvCacheQuantAlgo.FP8:
-            # fp8 e4m3 data pools, no scales (reference KvCacheDataType::FP8
-            # with unit scale — e4m3's dynamic range covers bf16 KV values
-            # post-RMSNorm); halves KV HBM footprint like INT8 but dequant is
-            # a pure dtype convert
-            for _ in range(self.num_layers):
-                caches.append((jnp.zeros(shape, jnp.float8_e4m3fn),
-                               jnp.zeros(shape, jnp.float8_e4m3fn)))
-            return caches
-        for _ in range(self.num_layers):
-            caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
-        return caches
+                )
+            if self.cfg.kv_quant == KvCacheQuantAlgo.FP8:
+                # fp8 e4m3 data pools, no scales (reference KvCacheDataType::
+                # FP8 with unit scale — e4m3's dynamic range covers bf16 KV
+                # values post-RMSNorm); halves KV HBM footprint like INT8 but
+                # dequant is a pure dtype convert
+                return (jnp.zeros(shape, jnp.float8_e4m3fn),
+                        jnp.zeros(shape, jnp.float8_e4m3fn))
+            return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+        return [pool(i) for i in range(self.num_layers)]
 
     @staticmethod
     def blocks_from_memory(bytes_budget: int, num_layers: int,
@@ -459,6 +558,8 @@ class KVCacheManager:
         partial-reuse guard).
         """
         self.slots.add(seq_id)
+        if self._ring is not None:
+            self._ring.add(seq_id)
         return self._bk.add_sequence(seq_id, token_ids, cache_salt)
 
     def grow_sequence(self, seq_id: int, new_total_tokens: int):
@@ -484,6 +585,8 @@ class KVCacheManager:
 
     def free_sequence(self, seq_id: int):
         self.slots.release(seq_id)
+        if self._ring is not None:
+            self._ring.release(seq_id)
         self._bk.free_sequence(seq_id)
 
     # ------------------------------------------------------------------ tables --

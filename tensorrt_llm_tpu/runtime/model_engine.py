@@ -73,6 +73,9 @@ class StepInputs:
     q_offset: np.ndarray = None
     seq_slots: np.ndarray = None
     lora_ids: np.ndarray = None
+    # VSWA: sliding layers' cyclic-ring inputs (None when rings are off)
+    local_slot_mapping: np.ndarray = None
+    local_block_tables: np.ndarray = None
     # host-only (attention-DP): logits row per request / prefill owner rank
     row_map: np.ndarray = None
     owner: int = 0
@@ -101,6 +104,30 @@ class ModelEngine:
         self.decode_buckets = tuple(
             b for b in decode_buckets if b <= max(max_batch_size, decode_buckets[0]))
         self.prefill_buckets = tuple(prefill_buckets)
+
+        # VSWA: sliding-window layers get their own small cyclic-ring pools
+        # (reference per-window WindowBlockManager).  Ring = window + one
+        # block: prefill attends BEFORE the chunk's writes land (chunk K/V
+        # come from the inputs), and the one-block slack covers fused
+        # multi-step decode's k <= block_size sequential writes.
+        self._vswa = False
+        cfg = model.cfg
+        slw = getattr(cfg, "sliding_window", None)
+        if (slw and hasattr(kv_manager, "configure_vswa")
+                and kv_manager.cfg.separate_window_pools
+                and self.mapping.dp_size == 1
+                and self.mapping.cp_size == 1
+                and self.mapping.pp_size == 1):
+            sliding = [i for i in range(cfg.num_layers)
+                       if cfg.is_sliding_layer(i)]
+            bs = kv_manager.block_size
+            ring_blocks = cdiv(slw, bs) + 1
+            if sliding and ring_blocks < self.max_blocks_per_seq:
+                ring_slots = min(kv_manager.slots.max_slots,
+                                 max(max_batch_size * 4, 32))
+                kv_manager.configure_vswa(slw, ring_blocks, ring_slots,
+                                          sliding)
+                self._vswa = True
 
         self.mesh = mesh
         self.pp_size = self.mapping.pp_size
@@ -206,35 +233,46 @@ class ModelEngine:
             lo = hi
 
     # ------------------------------------------------------------------ disagg ---
-    def extract_kv_blocks(self, block_ids) -> list:
+    def extract_kv_blocks(self, block_ids, ring_ids=None) -> list:
         """Gather whole KV pages for a sequence to host memory — the send
         side of disaggregated prefill/decode (reference CacheTransceiver /
         cacheFormatter; our transfer plane is host DMA + DCN instead of
         UCX/NIXL RDMA).  Returns one pytree of np arrays per layer, each leaf
-        [n_blocks, ...page dims...]."""
+        [n_blocks, ...page dims...].  VSWA sliding layers are extracted by
+        their ring tables (ring offsets are position-derived, so they line
+        up on any receiver with the same ring capacity)."""
         ids = jnp.asarray(np.asarray(block_ids, np.int32))
+        rids = (ids if ring_ids is None
+                else jnp.asarray(np.asarray(ring_ids, np.int32)))
+        sliding = self.kv_manager.sliding_layers if self._vswa else set()
         with self.lock:
             if self.pp_size > 1:
                 caches = [c for st in self.pp_stages for c in st["caches"]]
             else:
                 caches = self.kv_caches
             return [jax.tree.map(
-                        lambda c: (np.asarray(c[ids]) if c.ndim >= 3
-                                   else np.zeros((0,), np.int32)), layer)
-                    for layer in caches]
+                        lambda c, i=i: (
+                            np.asarray(c[rids if i in sliding else ids])
+                            if c.ndim >= 3 else np.zeros((0,), np.int32)),
+                        layer)
+                    for i, layer in enumerate(caches)]
 
-    def inject_kv_blocks(self, block_ids, host_layers: list):
+    def inject_kv_blocks(self, block_ids, host_layers: list, ring_ids=None):
         """Scatter transferred KV pages into this engine's pools (receive
         side of disaggregated serving)."""
         ids = jnp.asarray(np.asarray(block_ids, np.int32))
+        rids = (ids if ring_ids is None
+                else jnp.asarray(np.asarray(ring_ids, np.int32)))
+        sliding = self.kv_manager.sliding_layers if self._vswa else set()
 
-        def put_layer(cache_layer, host_layer):
+        def put_layer(cache_layer, host_layer, layer_idx):
             # match by leaf order so deserialized payloads (flat leaf lists)
             # and structured pytrees both work
+            tgt = rids if layer_idx in sliding else ids
             leaves_c, treedef = jax.tree.flatten(cache_layer)
             leaves_h = jax.tree.leaves(host_layer)
             new = [c if np.asarray(h).size == 0
-                   else c.at[ids].set(jnp.asarray(h).astype(c.dtype))
+                   else c.at[tgt].set(jnp.asarray(h).astype(c.dtype))
                    for c, h in zip(leaves_c, leaves_h)]
             return jax.tree.unflatten(treedef, new)
 
@@ -244,12 +282,12 @@ class ModelEngine:
                 for st in self.pp_stages:
                     n = st["hi"] - st["lo"]
                     st["caches"] = [
-                        put_layer(st["caches"][j], host_layers[i + j])
+                        put_layer(st["caches"][j], host_layers[i + j], i + j)
                         for j in range(n)]
                     i += n
                 return
             self.kv_caches = [
-                put_layer(self.kv_caches[i], host_layers[i])
+                put_layer(self.kv_caches[i], host_layers[i], i)
                 for i in range(len(self.kv_caches))]
 
     def update_params(self, params: Dict):
@@ -293,13 +331,17 @@ class ModelEngine:
         lo, hi = st["lo"], st["hi"]
         first, last = s == 0, s == len(self.pp_stages) - 1
 
+        vswa = self._vswa
+
         def step(params, caches, x_or_ids, positions, slot_mapping,
                  block_tables, kv_lens, q_offset, logit_indices, seq_slots,
-                 lora_ids):
+                 lora_ids, local_slots, local_tables):
             meta = AttentionMetadata(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens,
                 q_offset=q_offset, seq_slots=seq_slots, lora_ids=lora_ids,
+                local_slot_mapping=local_slots if vswa else None,
+                local_block_tables=local_tables if vswa else None,
                 mode="prefill" if mode.startswith("prefill") else mode)
             if first and last:
                 raise AssertionError("pp_size must be > 1 here")
@@ -319,7 +361,7 @@ class ModelEngine:
         step = jax.shard_map(
             step, mesh=st["mesh"],
             in_specs=(st["specs"], st["cache_specs"],
-                      P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), st["cache_specs"]),
             check_vma=False)
         return jax.jit(step, donate_argnums=(1,))
@@ -329,6 +371,7 @@ class ModelEngine:
             h = jnp.asarray(inputs.input_embeds
                             if inputs.input_embeds is not None
                             else inputs.input_ids)
+            ls, lt = self._locals_of(inputs)
             common = (jnp.asarray(inputs.positions),
                       jnp.asarray(inputs.slot_mapping),
                       jnp.asarray(inputs.block_tables),
@@ -336,7 +379,7 @@ class ModelEngine:
                       jnp.asarray(inputs.q_offset),
                       jnp.asarray(inputs.logit_indices),
                       jnp.asarray(inputs.seq_slots),
-                      jnp.asarray(inputs.lora_ids))
+                      jnp.asarray(inputs.lora_ids), ls, lt)
             for s, st in enumerate(self.pp_stages):
                 if mode not in st["fns"]:
                     st["fns"][mode] = self._make_pp_stage_fn(mode, s)
@@ -390,12 +433,15 @@ class ModelEngine:
 
         model = self.model
 
+        vswa = self._vswa
+
         def steps(params, kv_caches, first_ids, positions0, slot_table,
                   block_tables, kv_lens0, sampling_state, seq_slots,
-                  lora_ids):
+                  lora_ids, local_slot_table, local_tables):
             B = first_ids.shape[0]
 
-            def body(carry, step_slots):
+            def body(carry, step_xs):
+                step_slots, step_local = step_xs
                 caches, ids, pos, kv_lens, key_step = carry
                 meta = AttentionMetadata(
                     positions=pos,
@@ -405,6 +451,8 @@ class ModelEngine:
                     q_offset=jnp.int32(0),
                     seq_slots=seq_slots,
                     lora_ids=lora_ids,
+                    local_slot_mapping=step_local if vswa else None,
+                    local_block_tables=local_tables if vswa else None,
                     mode="decode",
                 )
                 logits, caches = model.forward(
@@ -418,7 +466,7 @@ class ModelEngine:
             (kv_caches, _, _, _, _), (toks, logps) = jax.lax.scan(
                 body, (kv_caches, first_ids, positions0, kv_lens0,
                        jnp.int32(0)),
-                slot_table)  # [k, B]
+                (slot_table, local_slot_table))  # each [k, B]
             return toks, logps, kv_caches
 
         if self.mesh is not None:
@@ -426,14 +474,15 @@ class ModelEngine:
             steps = jax.shard_map(
                 steps, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          P(), P(), P(), P(), P(), P(), P(), P()),
+                          P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), cache_spec),
                 check_vma=False,
             )
         return jax.jit(steps, donate_argnums=(1,))
 
     def run_decode_multi(self, inputs: StepInputs, num_steps: int,
-                         sampling_state, slot_table: np.ndarray):
+                         sampling_state, slot_table: np.ndarray,
+                         local_slot_table: Optional[np.ndarray] = None):
         """Run `num_steps` fused decode steps. Returns (tokens [k, B],
         logprobs [k, B]) as device arrays."""
         assert self.pp_size == 1, "fused multi-step decode is gated off under PP"
@@ -441,6 +490,9 @@ class ModelEngine:
         if key not in self._fns:
             self._fns[key] = self._make_multi_step_fn(num_steps)
         fn = self._fns[key]
+        if local_slot_table is None:
+            local_slot_table = np.zeros_like(np.asarray(slot_table))
+        _, lt = self._locals_of(inputs)
         with self.lock:
             toks, logps, self.kv_caches = fn(
                 self.params, self.kv_caches,
@@ -448,16 +500,19 @@ class ModelEngine:
                 jnp.asarray(slot_table), jnp.asarray(inputs.block_tables),
                 jnp.asarray(inputs.kv_lens), sampling_state,
                 jnp.asarray(inputs.seq_slots),
-                jnp.asarray(inputs.lora_ids))
+                jnp.asarray(inputs.lora_ids),
+                jnp.asarray(local_slot_table), lt)
         return toks, logps
 
     def _make_step_fn(self, mode: str, with_hidden: bool = False,
                       capture: str = "final", embeds_input: bool = False):
         model = self.model
 
+        vswa = self._vswa
+
         def step(params, kv_caches, input_x, positions, slot_mapping,
                  block_tables, kv_lens, q_offset, logit_indices, seq_slots,
-                 lora_ids):
+                 lora_ids, local_slots, local_tables):
             meta = AttentionMetadata(
                 positions=positions,
                 slot_mapping=slot_mapping,
@@ -466,6 +521,8 @@ class ModelEngine:
                 q_offset=q_offset,
                 seq_slots=seq_slots,
                 lora_ids=lora_ids,
+                local_slot_mapping=local_slots if vswa else None,
+                local_block_tables=local_tables if vswa else None,
                 mode="prefill" if mode.startswith("prefill") else mode,
             )
             ids = None if embeds_input else input_x
@@ -494,9 +551,10 @@ class ModelEngine:
                 # steer the KV writes to the owner rank's pool slice
                 d = P("dp")
                 if mode.startswith("prefill"):
-                    in_data = (ids_spec, P(), d, d, d, P(), P(), d, P())
+                    in_data = (ids_spec, P(), d, d, d, P(), P(), d, P(),
+                               P(), P())
                 else:
-                    in_data = (d, d, d, d, d, P(), d, d, d)
+                    in_data = (d, d, d, d, d, P(), d, d, d, P(), P())
                 out_specs = ((d, P(), cache_spec) if with_hidden
                              else (d, cache_spec))
                 step = jax.shard_map(
@@ -508,8 +566,8 @@ class ModelEngine:
                 return jax.jit(step, donate_argnums=(1,))
             step = jax.shard_map(
                 step, mesh=self.mesh,
-                in_specs=(self._param_specs, cache_spec,
-                          ids_spec, P(), P(), P(), P(), P(), P(), P(), P()),
+                in_specs=(self._param_specs, cache_spec, ids_spec,
+                          P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -522,41 +580,59 @@ class ModelEngine:
         return self._fns[mode]
 
     # ------------------------------------------------------------------ blocks ---
-    def copy_kv_blocks(self, pairs):
+    def copy_kv_blocks(self, pairs, ring_pairs=None):
         """Device-copy KV pages src->dst in every layer pool (beam-search
         fork tails).  Pairs are padded to a small bucket; (0,0) pads copy the
-        null block onto itself."""
-        if not pairs:
+        null block onto itself.  ring_pairs: VSWA sliding-layer ring copies
+        (applied to the sliding layers' local pools instead)."""
+        if not pairs and not ring_pairs:
             return
         if self.pp_size > 1:
             self._copy_kv_blocks_pp(pairs)
             return
-        n = 8
-        while n < len(pairs):
-            n *= 2
-        src = np.zeros(n, np.int32)
-        dst = np.zeros(n, np.int32)
-        for i, (s, d) in enumerate(pairs):
-            src[i], dst[i] = s, d
 
-        key = ("copy_blocks", n)
+        def bucket(ps):
+            n = 8
+            while n < len(ps):
+                n *= 2
+            src = np.zeros(n, np.int32)
+            dst = np.zeros(n, np.int32)
+            for i, (s, d) in enumerate(ps):
+                src[i], dst[i] = s, d
+            return src, dst
+
+        src, dst = bucket(pairs or [])
+        sliding = self.kv_manager.sliding_layers if self._vswa else set()
+        if self._vswa:
+            lsrc, ldst = bucket(ring_pairs or [])
+        else:
+            lsrc, ldst = np.zeros(1, np.int32), np.zeros(1, np.int32)
+
+        key = ("copy_blocks", len(src), len(lsrc))
         if key not in self._fns:
-            def copy(caches, src_ids, dst_ids):
+            def copy(caches, src_ids, dst_ids, lsrc_ids, ldst_ids):
                 # only page pools (ndim>=3) are block-indexed; 1-D leaves
-                # (expert-load counters) pass through
-                return jax.tree.map(
-                    lambda c: (c.at[dst_ids].set(c[src_ids])
-                               if c.ndim >= 3 else c), caches)
+                # (expert-load counters) pass through.  Sliding layers use
+                # the ring ids (their pools are smaller).
+                out = []
+                for i, layer in enumerate(caches):
+                    s, d = ((lsrc_ids, ldst_ids) if i in sliding
+                            else (src_ids, dst_ids))
+                    out.append(jax.tree.map(
+                        lambda c: (c.at[d].set(c[s])
+                                   if c.ndim >= 3 else c), layer))
+                return out
             if self.mesh is not None:
                 cache_spec = self._cache_specs
                 copy = jax.shard_map(
                     copy, mesh=self.mesh,
-                    in_specs=(cache_spec, P(), P()),
+                    in_specs=(cache_spec, P(), P(), P(), P()),
                     out_specs=cache_spec, check_vma=False)
             self._fns[key] = jax.jit(copy, donate_argnums=(0,))
         with self.lock:
             self.kv_caches = self._fns[key](
-                self.kv_caches, jnp.asarray(src), jnp.asarray(dst))
+                self.kv_caches, jnp.asarray(src), jnp.asarray(dst),
+                jnp.asarray(lsrc), jnp.asarray(ldst))
 
     # ------------------------------------------------------------------ exec ----
     def run_decode(self, inputs: StepInputs) -> np.ndarray:
@@ -567,9 +643,17 @@ class ModelEngine:
         with self.lock:
             return self._run(fn, inputs)
 
+    def _locals_of(self, inputs: StepInputs):
+        """VSWA ring inputs as arrays (placeholders when rings are off)."""
+        if inputs.local_slot_mapping is not None:
+            return (jnp.asarray(inputs.local_slot_mapping),
+                    jnp.asarray(inputs.local_block_tables))
+        return jnp.zeros(1, jnp.int32), jnp.zeros((1, 1), jnp.int32)
+
     def _run(self, fn, inputs: StepInputs):
         x = (inputs.input_embeds if inputs.input_embeds is not None
              else inputs.input_ids)
+        ls, lt = self._locals_of(inputs)
         logits, self.kv_caches = fn(
             self.params, self.kv_caches,
             jnp.asarray(x), jnp.asarray(inputs.positions),
@@ -577,7 +661,7 @@ class ModelEngine:
             jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
             jnp.asarray(inputs.logit_indices),
             jnp.asarray(inputs.seq_slots),
-            jnp.asarray(inputs.lora_ids))
+            jnp.asarray(inputs.lora_ids), ls, lt)
         return logits
 
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
@@ -599,6 +683,7 @@ class ModelEngine:
             self._fns[key] = self._make_step_fn(mode, with_hidden=True,
                                                 capture=capture)
         fn = self._fns[key]
+        ls, lt = self._locals_of(inputs)
         with self.lock:
             logits, hidden, self.kv_caches = fn(
                 self.params, self.kv_caches,
@@ -608,7 +693,7 @@ class ModelEngine:
                 jnp.asarray(inputs.kv_lens), jnp.asarray(inputs.q_offset),
                 jnp.asarray(inputs.logit_indices),
                 jnp.asarray(inputs.seq_slots),
-                jnp.asarray(inputs.lora_ids))
+                jnp.asarray(inputs.lora_ids), ls, lt)
         return logits, hidden
 
     # ------------------------------------------------------------------ input prep --
@@ -654,6 +739,10 @@ class ModelEngine:
         seq_slots = np.full(Bp, PAD_SLOT, np.int32)
         lora_ids = np.zeros(Bp, np.int32)
         row_map = np.zeros(B, np.int32)
+        lslots, ltables = None, None
+        if self._vswa:
+            lslots = np.full(Bp, PAD_SLOT, np.int32)
+            ltables = np.zeros((Bp, kv.ring_blocks), np.int32)
         counters = [0] * max(dp, 1)
         for i, req in enumerate(reqs):
             if dp > 1:
@@ -672,6 +761,10 @@ class ModelEngine:
             kv_lens[row] = pos + 1
             seq_slots[row] = kv.slot_of(req.request_id)
             lora_ids[row] = getattr(req, "lora_slot", 0)
+            if self._vswa:
+                lslots[row] = kv.local_slot_mapping(
+                    req.request_id, pos, 1, PAD_SLOT)[0]
+                ltables[row, :] = kv.local_block_table(req.request_id)
         if dp > 1:
             # local logit rows per shard
             logit_indices = np.tile(np.arange(Bp // dp, dtype=np.int32), dp)
@@ -682,6 +775,7 @@ class ModelEngine:
             block_tables=tables, kv_lens=kv_lens,
             logit_indices=logit_indices,
             q_offset=np.int32(0), seq_slots=seq_slots, lora_ids=lora_ids,
+            local_slot_mapping=lslots, local_block_tables=ltables,
             row_map=row_map if dp > 1 else None)
 
     def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
@@ -714,6 +808,13 @@ class ModelEngine:
         if pe is not None:
             embeds = np.zeros((Tp, pe.shape[1]), np.float32)
             embeds[:chunk] = pe[start:start + chunk]
+        lslots, ltables = None, None
+        if self._vswa:
+            lslots = np.full(Tp, PAD_SLOT, np.int32)
+            lslots[:chunk] = kv.local_slot_mapping(
+                req.request_id, start, chunk, PAD_SLOT)
+            ltables = np.asarray(
+                [kv.local_block_table(req.request_id)], np.int32)
         return StepInputs(
             input_ids=input_ids, input_embeds=embeds, positions=positions,
             slot_mapping=slots, block_tables=tables, kv_lens=kv_lens,
@@ -721,6 +822,7 @@ class ModelEngine:
             q_offset=np.int32(start),
             seq_slots=seq_slots,
             lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32),
+            local_slot_mapping=lslots, local_block_tables=ltables,
             owner=owner)
 
     def prepare_verify_inputs(self, req, draft_tokens) -> StepInputs:
@@ -741,13 +843,21 @@ class ModelEngine:
         slots[:chunk] = kv.slot_mapping(req.request_id, start, chunk)
         tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
         tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
+        lslots, ltables = None, None
+        if self._vswa:
+            lslots = np.full(Tp, PAD_SLOT, np.int32)
+            lslots[:chunk] = kv.local_slot_mapping(
+                req.request_id, start, chunk, PAD_SLOT)
+            ltables = np.asarray(
+                [kv.local_block_table(req.request_id)], np.int32)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=np.array([start + chunk], np.int32),
             logit_indices=np.arange(Tp, dtype=np.int32),
             q_offset=np.int32(start),
             seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
-            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32))
+            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32),
+            local_slot_mapping=lslots, local_block_tables=ltables)
 
     # ------------------------------------------------------------------ autotune --
     def autotune_kernels(self, m_bucket: int = 16):

@@ -118,6 +118,10 @@ class Scheduler:
         for req in ctx_reqs + list(waiting):
             if n_scheduled >= cfg.max_batch_size or token_budget <= 0:
                 break
+            from tensorrt_llm_tpu.runtime.request import RequestState
+            if (req.state == RequestState.QUEUED
+                    and not getattr(self.kv, "can_admit_new", lambda: True)()):
+                continue  # VSWA ring slots exhausted: admit later
             remaining = (req.remaining_context if req.is_context_init
                          else req.prompt_len)
             if cfg.enable_chunked_prefill:
