@@ -73,13 +73,16 @@ class AttentionBackend:
 
     def __init__(self, num_heads: int, num_kv_heads: int, head_dim: int,
                  scale: float, sliding_window: Optional[int] = None,
-                 logit_cap: Optional[float] = None):
+                 logit_cap: Optional[float] = None,
+                 attention_chunk: Optional[int] = None):
         self.num_heads = num_heads
         self.num_kv_heads = num_kv_heads
         self.head_dim = head_dim
         self.scale = scale
         self.sliding_window = sliding_window
         self.logit_cap = logit_cap
+        # Llama4 chunked attention: kv_pos // C == q_pos // C
+        self.attention_chunk = attention_chunk
 
     def __call__(
         self,

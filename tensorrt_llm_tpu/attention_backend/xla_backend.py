@@ -43,6 +43,7 @@ class XlaAttention(AttentionBackend):
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
                 sinks=sinks,
+                attention_chunk=self.attention_chunk,
             )
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)
@@ -59,6 +60,7 @@ class XlaAttention(AttentionBackend):
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
                 sinks=sinks,
+                attention_chunk=self.attention_chunk,
             )
         else:
             out = paged_decode_xla(
@@ -70,5 +72,6 @@ class XlaAttention(AttentionBackend):
                 logit_cap=self.logit_cap,
                 sinks=sinks,
                 cyclic=meta.cyclic,
+                attention_chunk=self.attention_chunk,
             )
         return out, k_cache, v_cache

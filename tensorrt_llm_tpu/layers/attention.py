@@ -35,6 +35,12 @@ class Attention:
     has_o_bias: bool = False      # o_proj bias (GPT-OSS)
     has_sinks: bool = False       # per-head attention-sink logits (GPT-OSS)
     has_qk_norm: bool = False     # per-head q/k RMSNorm (Qwen3)
+    qk_norm_l2: bool = False      # Llama4: unweighted q/k RMS AFTER rope
+    nope: bool = False            # Llama4 NoPE layer: skip rope entirely
+    attn_temperature_tuning: bool = False  # Llama4 NoPE q scaling
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    attention_chunk: Optional[int] = None  # Llama4 chunked attention
     rms_eps: float = 1e-6
     scale: Optional[float] = None
     sliding_window: Optional[int] = None
@@ -71,7 +77,8 @@ class Attention:
             self.backend_cls = get_attention_backend("auto")
         self.backend = self.backend_cls(
             self.n_local_heads, self.n_local_kv, self.head_dim, self.scale,
-            self.sliding_window, self.logit_cap)
+            self.sliding_window, self.logit_cap,
+            attention_chunk=self.attention_chunk)
 
     # ---- params ---------------------------------------------------------------
     def init(self, key) -> Dict:
@@ -166,7 +173,7 @@ class Attention:
             return self._forward_cp(params, q, k, v, kv_cache, meta,
                                     cos_t, sin_t, sinks)
 
-        q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+        q, k = self._position_transform(q, k, meta.positions, cos_t, sin_t)
         k_cache, v_cache = kv_cache
         out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
                                              sinks=sinks)
@@ -176,6 +183,24 @@ class Attention:
             from tensorrt_llm_tpu.lora.multi_lora import apply_lora
             y = apply_lora(out, y, lora["o"], meta.lora_ids)
         return y, (k_cache, v_cache)
+
+    def _position_transform(self, q, k, positions, cos_t, sin_t):
+        """RoPE (unless NoPE) + Llama4 post-rope extras: unweighted q/k RMS
+        (Llama4TextL2Norm) and NoPE-layer temperature tuning
+        (q *= log1p(floor((pos+1)/floor_scale)) * attn_scale + 1)."""
+        if not self.nope:
+            q, k = apply_rope(q, k, positions, cos_t, sin_t,
+                              interleaved=self.rope.interleaved)
+        if self.qk_norm_l2:
+            ones = jnp.ones((self.head_dim,), jnp.float32)
+            q = rms_norm(q, ones, 1e-6)
+            k = rms_norm(k, ones, 1e-6)
+        if self.attn_temperature_tuning:
+            pos = positions.astype(jnp.float32)
+            scale = (jnp.log1p(jnp.floor((pos + 1.0) / self.floor_scale))
+                     * self.attn_scale + 1.0)
+            q = (q.astype(jnp.float32) * scale[:, None, None]).astype(q.dtype)
+        return q, k
 
     def _forward_cp(self, params, q, k, v, kv_cache, meta, cos_t, sin_t,
                     sinks):

@@ -58,6 +58,10 @@ class MoE:
     # biases on gate_up/down; clamped swiglu (alpha=1.702, limit=7)
     has_router_bias: bool = False
     topk_then_softmax: bool = False
+    # Llama4 (HF Llama4Router/Llama4TextMoe): topk on raw logits, sigmoid
+    # weights (no renorm), router weight multiplied into the expert INPUT
+    topk_then_sigmoid: bool = False
+    apply_weight_on_input: bool = False
     has_expert_bias: bool = False
     # EP dispatch capacity factor (reference DeepEP low-latency capacity):
     # per-rank expert rows capped at ceil(factor * T*k / ep_size); None =
@@ -214,6 +218,11 @@ class MoE:
             vals, ids = jax.lax.top_k(logits, self.top_k)
             w = jax.nn.softmax(vals, axis=-1)
             return ids.astype(jnp.int32), w
+        if self.topk_then_sigmoid:
+            # Llama4 router: top-k on raw logits, sigmoid weights (== HF's
+            # scatter(-inf) + full sigmoid), no renormalization
+            vals, ids = jax.lax.top_k(logits, self.top_k)
+            return ids.astype(jnp.int32), jax.nn.sigmoid(vals)
         if self.score_func == "softmax":
             scores = jax.nn.softmax(logits, axis=-1)
         else:
@@ -310,6 +319,12 @@ class MoE:
                            - jnp.minimum(cum - group_sizes, C))
 
         xs = x[sorted_tok].astype(self.dtype)            # [<=T*k, H]
+        if self.apply_weight_on_input:
+            # Llama4: routing weight scales the expert INPUT (nonlinear, so
+            # not equivalent to output scaling); finalize weight becomes 1
+            xs = (xs.astype(jnp.float32)
+                  * sorted_w[:, None]).astype(self.dtype)
+            sorted_w = vsort.astype(jnp.float32)
         if self.quant_experts:
             from tensorrt_llm_tpu.ops.moe_w4a16 import w4a16_grouped_matmul
             h = w4a16_grouped_matmul(

@@ -13,3 +13,4 @@ import tensorrt_llm_tpu.models.gpt_oss  # noqa: F401
 import tensorrt_llm_tpu.models.mamba2  # noqa: F401
 import tensorrt_llm_tpu.models.llava  # noqa: F401
 import tensorrt_llm_tpu.models.nemotron_h  # noqa: F401
+import tensorrt_llm_tpu.models.llama4  # noqa: F401

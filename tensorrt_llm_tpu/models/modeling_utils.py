@@ -64,6 +64,14 @@ class ModelConfig:
     query_pre_attn_scalar: Optional[float] = None
     sliding_window_pattern: int = 1       # every Nth layer is global
     rope_local_theta: Optional[float] = None  # separate rope for local layers
+    # Llama4 extras (HF Llama4TextConfig)
+    no_rope_layer_interval: int = 0       # every Nth layer skips rope (0=off)
+    attention_chunk_size: Optional[int] = None  # chunked attn on rope layers
+    qk_norm_l2: bool = False              # unweighted post-rope q/k RMS
+    attn_temperature_tuning: bool = False  # NoPE-layer q temperature scaling
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    gqa_rope_interleave: bool = False     # adjacent-pair rotary (Llama4)
     # MoE (0 experts => dense MLP everywhere)
     num_experts: int = 0
     num_experts_per_tok: int = 2
@@ -79,6 +87,10 @@ class ModelConfig:
     moe_expert_bias: bool = False
     # DeepSeek-style noaux-tc routing (sigmoid + correction bias + group topk)
     moe_has_score_bias: bool = False
+    # Llama4: topk on raw logits then sigmoid weights (no renorm), router
+    # weight applied to the expert INPUT (HF Llama4TextMoe)
+    moe_topk_then_sigmoid: bool = False
+    moe_apply_router_weight_on_input: bool = False
     # EP dispatch row capacity factor (None = exact dropless dispatch)
     moe_capacity_factor: Optional[float] = None
     n_group: int = 1
@@ -114,13 +126,27 @@ class ModelConfig:
         return (self.num_experts > 0 and idx not in self.mlp_only_layers
                 and (idx + 1) % self.decoder_sparse_step == 0)
 
+    def is_nope_layer(self, idx: int) -> bool:
+        """Llama4: every Nth layer skips rope and attends globally.  An
+        explicit HF `no_rope_layers` list (1 = rope) wins when present."""
+        lst = self.extra.get("no_rope_layers")
+        if lst:
+            return int(lst[idx]) == 0
+        return (self.no_rope_layer_interval > 0
+                and (idx + 1) % self.no_rope_layer_interval == 0)
+
     def is_sliding_layer(self, idx: int) -> bool:
         """Gemma-style pattern: every sliding_window_pattern-th layer is
         global; all others use the sliding window (pattern 1 => all sliding
         when a window is set, Mistral-style).  An explicit per-layer
-        layer_types list (GPT-OSS/Gemma3 HF convention) wins."""
+        layer_types list (GPT-OSS/Gemma3 HF convention) wins.  Llama4's
+        chunked-attention layers count as sliding for KV-pool purposes
+        (lookback bounded by the chunk size)."""
         if self.layer_types is not None:
-            return self.layer_types[idx] == "sliding_attention"
+            return self.layer_types[idx] in ("sliding_attention",
+                                             "chunked_attention")
+        if self.attention_chunk_size:
+            return not self.is_nope_layer(idx)
         if self.sliding_window is None:
             return False
         if self.sliding_window_pattern <= 1:
@@ -183,7 +209,8 @@ class ModelConfig:
             mscale=scaling.get("mscale"),
             mscale_all_dim=scaling.get("mscale_all_dim"),
             attention_factor=scaling.get("attention_factor"),
-            interleaved=self.rope_interleave and self.is_mla,
+            interleaved=(self.rope_interleave and self.is_mla)
+            or self.gqa_rope_interleave,
         )
 
     @classmethod
@@ -287,6 +314,12 @@ class ModelConfig:
                 "hidden_activation", "rope_local_base_freq", "layer_types",
                 "norm_topk_prob", "shared_expert_intermediate_size",
                 "partial_rotary_factor",
+                # Llama4 (HF Llama4TextConfig)
+                "no_rope_layers", "no_rope_layer_interval",
+                "attention_chunk_size", "use_qk_norm",
+                "attn_temperature_tuning", "floor_scale", "attn_scale",
+                "interleave_moe_layer_step", "intermediate_size_mlp",
+                "moe_layers",
             ) if get(k) is not None},
         )
 
@@ -333,6 +366,8 @@ class DecoderLayer:
                 has_score_bias=cfg.moe_has_score_bias,
                 has_router_bias=cfg.moe_router_bias,
                 topk_then_softmax=cfg.moe_topk_then_softmax,
+                topk_then_sigmoid=cfg.moe_topk_then_sigmoid,
+                apply_weight_on_input=cfg.moe_apply_router_weight_on_input,
                 has_expert_bias=cfg.moe_expert_bias,
                 n_group=cfg.n_group,
                 topk_group=cfg.topk_group,
@@ -354,6 +389,9 @@ class DecoderLayer:
             )
 
     def _make_gqa(self, cfg: ModelConfig, tp: int) -> Attention:
+        nope = cfg.is_nope_layer(self.layer_idx)
+        chunk = (cfg.attention_chunk_size
+                 if cfg.attention_chunk_size and self.sliding else None)
         return Attention(
             hidden_size=cfg.hidden_size,
             num_heads=cfg.num_heads,
@@ -364,10 +402,17 @@ class DecoderLayer:
             has_o_bias=cfg.o_bias,
             has_sinks=cfg.has_sinks,
             has_qk_norm=cfg.qk_norm,
+            qk_norm_l2=cfg.qk_norm_l2 and not nope,
+            nope=nope,
+            attn_temperature_tuning=(cfg.attn_temperature_tuning and nope),
+            floor_scale=cfg.floor_scale,
+            attn_scale=cfg.attn_scale,
+            attention_chunk=chunk,
             rms_eps=cfg.rms_eps,
             scale=(cfg.query_pre_attn_scalar ** -0.5
                    if cfg.query_pre_attn_scalar else None),
-            sliding_window=cfg.sliding_window if self.sliding else None,
+            sliding_window=(cfg.sliding_window
+                            if self.sliding and chunk is None else None),
             logit_cap=cfg.attn_logit_softcap,
             dtype=cfg.dtype,
             quant=cfg.quant,

@@ -104,6 +104,7 @@ def mha_xla(
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,   # [Hq] per-head sink logits
     kv_positions: Optional[jax.Array] = None,  # [S] per-slot positions
+    attention_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Dense attention for one sequence.
 
@@ -132,6 +133,9 @@ def mha_xla(
         mask &= kv_pos < kv_len
     if sliding_window is not None:
         mask &= kv_pos > q_pos - sliding_window
+    if attention_chunk is not None:
+        # Llama4 chunked attention: same-chunk keys only
+        mask &= (kv_pos // attention_chunk) == (q_pos // attention_chunk)
     sink_r = (sinks.reshape(Hkv, n_rep, 1, 1).astype(jnp.float32)
               if sinks is not None else None)
     probs = _masked_softmax(scores, mask[None, None], sink_r)
@@ -150,6 +154,7 @@ def paged_prefill_xla(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Chunked-prefill attention for one sequence against its paged KV."""
     nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
@@ -158,7 +163,8 @@ def paged_prefill_xla(
     v = gather_dequant(v_cache, block_table, q.dtype).transpose(0, 2, 1, 3).reshape(-1, h, d)
     return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
                    kv_len=kv_len, sliding_window=sliding_window,
-                   logit_cap=logit_cap, sinks=sinks)
+                   logit_cap=logit_cap, sinks=sinks,
+                   attention_chunk=attention_chunk)
 
 
 def cyclic_prefill_xla(
@@ -174,6 +180,7 @@ def cyclic_prefill_xla(
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Chunked prefill against a VSWA cyclic ring.
 
@@ -198,7 +205,8 @@ def cyclic_prefill_xla(
     return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
                    kv_len=kv_len, sliding_window=sliding_window,
                    logit_cap=logit_cap, sinks=sinks,
-                   kv_positions=kv_positions)
+                   kv_positions=kv_positions,
+                   attention_chunk=attention_chunk)
 
 
 def paged_decode_xla(
@@ -212,6 +220,7 @@ def paged_decode_xla(
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,   # [Hq]
     cyclic: bool = False,
+    attention_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Batched decode attention over paged KV.
 
@@ -244,6 +253,10 @@ def paged_decode_xla(
     mask &= kv_pos < kv_lens[:, None, None, None]
     if sliding_window is not None:
         mask &= kv_pos >= (kv_lens[:, None, None, None] - sliding_window)
+    if attention_chunk is not None:
+        # the query sits at position kv_len-1; same-chunk keys only
+        q_pos = kv_lens[:, None, None, None] - 1
+        mask &= kv_pos >= (q_pos // attention_chunk) * attention_chunk
     sink_r = (sinks.reshape(1, hkv, n_rep, 1).astype(jnp.float32)
               if sinks is not None else None)
     probs = _masked_softmax(scores, mask, sink_r)

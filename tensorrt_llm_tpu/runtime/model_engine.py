@@ -112,7 +112,8 @@ class ModelEngine:
         # multi-step decode's k <= block_size sequential writes.
         self._vswa = False
         cfg = model.cfg
-        slw = getattr(cfg, "sliding_window", None)
+        slw = (getattr(cfg, "sliding_window", None)
+               or getattr(cfg, "attention_chunk_size", None))
         if (slw and hasattr(kv_manager, "configure_vswa")
                 and kv_manager.cfg.separate_window_pools
                 and self.mapping.dp_size == 1

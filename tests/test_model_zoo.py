@@ -257,3 +257,84 @@ def test_gpt_oss_decode_greedy_matches_hf():
         row = np.asarray(
             engine.run_decode(engine.prepare_decode_inputs([req]))[0],
             np.float32)
+
+
+def test_llama4_parity():
+    """Llama4 text: NoPE layers + chunked attention + qk-l2norm + input-
+    weighted sigmoid MoE routing + shared expert (HF modeling_llama4)."""
+    import transformers
+    hf_cfg = transformers.Llama4TextConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=192,
+        intermediate_size_mlp=256, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        max_position_embeddings=256, attention_dropout=0.0,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, no_rope_layer_interval=2,
+        attention_chunk_size=8, use_qk_norm=True,
+        attn_temperature_tuning=True, floor_scale=4.0, attn_scale=0.1,
+        rope_theta=500000.0)
+    hf_parity(hf_cfg, "Llama4ForCausalLM", prompt_len=20)
+
+
+def test_llama4_decode_greedy_matches_hf():
+    """Greedy decode across chunk boundaries matches HF step-for-step."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    torch.manual_seed(1)
+    hf_cfg = transformers.Llama4TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        intermediate_size_mlp=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=128, attention_dropout=0.0,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, no_rope_layer_interval=2,
+        attention_chunk_size=8, use_qk_norm=True,
+        attn_temperature_tuning=True, floor_scale=4.0, attn_scale=0.1)
+    hf_model = transformers.AutoModelForCausalLM.from_config(hf_cfg)
+    hf_model.eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in hf_model.state_dict().items()}
+
+    prompt = list(np.random.RandomState(5).randint(1, 127, 11))
+    n_steps = 8
+    with torch.no_grad():
+        hf_out = hf_model.generate(
+            torch.tensor([prompt]), max_new_tokens=n_steps, do_sample=False)
+    hf_toks = hf_out[0, len(prompt):].tolist()
+    with torch.no_grad():
+        hf_logits_all = hf_model(
+            torch.tensor([prompt + hf_toks])).logits[0].numpy()
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Llama4ForCausalLM"
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.kv_pool_heads, cfg.kv_pool_dim, num_blocks=48)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(16,))
+    assert engine._vswa  # chunked layers ride the ring pools
+    req = LlmRequest(prompt, SamplingParams(max_tokens=n_steps))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    logits = engine.run_prefill(
+        engine.prepare_prefill_inputs(req, len(prompt)))
+    req.context_position = len(prompt)
+    req.finish_context()
+    # teacher-force HF's greedy tokens through OUR decode path (crossing the
+    # 8-token chunk boundary): top-2 rank + high correlation per step
+    # (random-weight near-ties flip under bf16)
+    row = np.asarray(logits[0], np.float32)
+    for j, tok in enumerate(hf_toks):
+        hf_row = hf_logits_all[len(prompt) - 1 + j]
+        assert np.corrcoef(row, hf_row)[0, 1] > 0.99, j
+        assert tok in np.argsort(row)[::-1][:2], (j, tok)
+        req.append_token(int(tok))
+        if j == len(hf_toks) - 1:
+            break
+        kv.grow_sequence(req.request_id, req.num_tokens)
+        row = np.asarray(
+            engine.run_decode(engine.prepare_decode_inputs([req]))[0],
+            np.float32)
