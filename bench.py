@@ -32,7 +32,8 @@ def _rtt() -> float:
 
 def bench_w4a16_shape(M, K, N, rtt, inner=None):
     from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul
-    from tensorrt_llm_tpu.quantization import pack_w4, quantize_w4
+    from tensorrt_llm_tpu.quantization import (choose_block_n, pack_w4,
+                                               pack_w4_tiled, quantize_w4)
 
     if inner is None:
         # scale the chained work to ~20x the tunnel RTT so jitter washes out
@@ -40,7 +41,10 @@ def bench_w4a16_shape(M, K, N, rtt, inner=None):
     x = jax.random.normal(jax.random.PRNGKey(1), (M, K), jnp.bfloat16)
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32) * 0.1
     q, s, _ = quantize_w4(w, 128, True)
-    p = pack_w4(q)
+    # block-major tiled packing + device-timed tactic pick: exactly what the
+    # engine runs (LinearMethod packing + startup autotune)
+    bn = choose_block_n(N)
+    p = pack_w4_tiled(q, bn) if bn else pack_w4(q)
 
     @jax.jit
     def chained(x0, p, s):
