@@ -45,6 +45,10 @@ class AttentionMetadata:
     # None => sliding layers share the global pools (mask-only windows)
     local_slot_mapping: jax.Array = None
     local_block_tables: jax.Array = None
+    # draft-tree verification: [T, T] in-chunk visibility (tree rows see
+    # their ancestor chain; committed rows are causal); rows with pad slots
+    # never write the cache.  kv_lens[0] is then the COMMITTED prefix length.
+    pair_mask: jax.Array = None
 
     # static (not traced): jax.tree_util.register_dataclass metadata
     mode: str = dataclasses.field(default="decode", metadata={"static": True})

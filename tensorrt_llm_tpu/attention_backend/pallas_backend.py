@@ -43,7 +43,8 @@ class PallasAttention(XlaAttention):
             return super().__call__(q, k, v, k_cache, v_cache, meta,
                                     sinks=sinks)
         if isinstance(k_cache, tuple) or self.head_dim % 128 != 0 \
-                or meta.cyclic or self.attention_chunk is not None:
+                or meta.cyclic or self.attention_chunk is not None \
+                or meta.pair_mask is not None:
             # INT8 KV pools: the Pallas kernels read bf16 pages; use the XLA
             # dequant-at-gather path (in-kernel int8 dequant lands next round).
             # head_dim < 128: Mosaic pads the trailing HBM dim to the lane

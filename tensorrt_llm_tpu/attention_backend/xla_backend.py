@@ -20,6 +20,7 @@ from tensorrt_llm_tpu.ops.attention_xla import (
     cyclic_prefill_xla,
     paged_decode_xla,
     paged_prefill_xla,
+    tree_verify_attention_xla,
     write_kv_cache,
 )
 
@@ -30,6 +31,25 @@ class XlaAttention(AttentionBackend):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
                  sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        if meta.pair_mask is not None and meta.mode == "prefill":
+            # draft-tree verification: prefix read pre-write, chunk K/V from
+            # the inputs, host-built tree mask for in-chunk visibility
+            out = tree_verify_attention_xla(
+                q, k_cache, v_cache, k, v,
+                block_table=meta.block_tables[0],
+                prefix_len=meta.kv_lens[0],
+                positions=meta.positions,
+                tree_mask=meta.pair_mask,
+                scale=self.scale,
+                cyclic=meta.cyclic,
+                sliding_window=self.sliding_window,
+                logit_cap=self.logit_cap,
+                sinks=sinks,
+                attention_chunk=self.attention_chunk,
+            )
+            k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
+                                              meta.slot_mapping)
+            return out, k_cache, v_cache
         if meta.cyclic and meta.mode == "prefill":
             # VSWA ring prefill: attend BEFORE this chunk's writes land (the
             # chunk may evict prefix positions early query rows still need);

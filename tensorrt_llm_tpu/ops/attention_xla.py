@@ -105,6 +105,8 @@ def mha_xla(
     sinks: Optional[jax.Array] = None,   # [Hq] per-head sink logits
     kv_positions: Optional[jax.Array] = None,  # [S] per-slot positions
     attention_chunk: Optional[int] = None,
+    q_positions: Optional[jax.Array] = None,   # [T] per-row positions
+    pair_mask: Optional[jax.Array] = None,     # [T, S] extra bool mask
 ) -> jax.Array:
     """Dense attention for one sequence.
 
@@ -113,6 +115,9 @@ def mha_xla(
     kv_len: number of valid kv tokens (<= S); rest masked.
     kv_positions: explicit position per kv slot (cyclic VSWA rings);
       negative positions are masked out.
+    q_positions: explicit per-row query positions (tree verification rows
+      share depth positions); overrides q_offset+arange.
+    pair_mask: additional [T, S] mask ANDed in (tree ancestor masks).
     """
     T, Hq, D = q.shape
     S, Hkv, _ = k.shape
@@ -125,7 +130,10 @@ def mha_xla(
         kv_pos = kv_positions[None, :]
     else:
         kv_pos = jnp.arange(S)[None, :]
-    q_pos = q_offset + jnp.arange(T)[:, None]
+    if q_positions is not None:
+        q_pos = q_positions[:, None]
+    else:
+        q_pos = q_offset + jnp.arange(T)[:, None]
     mask = kv_pos >= 0
     if causal:
         mask &= kv_pos <= q_pos
@@ -136,6 +144,8 @@ def mha_xla(
     if attention_chunk is not None:
         # Llama4 chunked attention: same-chunk keys only
         mask &= (kv_pos // attention_chunk) == (q_pos // attention_chunk)
+    if pair_mask is not None:
+        mask &= pair_mask
     sink_r = (sinks.reshape(Hkv, n_rep, 1, 1).astype(jnp.float32)
               if sinks is not None else None)
     probs = _masked_softmax(scores, mask[None, None], sink_r)
@@ -262,3 +272,50 @@ def paged_decode_xla(
     probs = _masked_softmax(scores, mask, sink_r)
     out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32))
     return out.reshape(B, Hq, d).astype(q.dtype)
+
+
+def tree_verify_attention_xla(
+    q: jax.Array,            # [T, Hq, D] (pending-commit rows + tree rows)
+    k_cache: jax.Array,      # paged pool (or VSWA ring) BEFORE chunk writes
+    v_cache: jax.Array,
+    k_new: jax.Array,        # [T, Hkv, D] this chunk's keys/values
+    v_new: jax.Array,
+    block_table: jax.Array,  # [MB] int32 (full table or ring)
+    prefix_len: jax.Array,   # scalar: committed tokens already in the cache
+    positions: jax.Array,    # [T] per-row positions (tree depths share one)
+    tree_mask: jax.Array,    # [T, T] in-chunk visibility (ancestors etc.)
+    scale: float,
+    cyclic: bool = False,
+    sliding_window: Optional[int] = None,
+    logit_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
+    attention_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Draft-tree verification attention (reference: packed-mask tree
+    kernels, kernels/speculativeDecoding/ + convertSpecDecodingMaskToPacked-
+    MaskOp): the cache prefix is read BEFORE this chunk's writes, the chunk's
+    own K/V come from the inputs, and in-chunk visibility is the host-built
+    tree mask (committed rows causal, tree rows see their ancestor chain).
+    Tree rows carry pad slots so their KV never lands in the cache."""
+    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    kp = gather_dequant(k_cache, block_table, q.dtype) \
+        .transpose(0, 2, 1, 3).reshape(-1, h, d)
+    vp = gather_dequant(v_cache, block_table, q.dtype) \
+        .transpose(0, 2, 1, 3).reshape(-1, h, d)
+    S = block_table.shape[0] * bs
+    s = jnp.arange(S, dtype=jnp.int32)
+    if cyclic:
+        prefix_pos = s + ((prefix_len - 1 - s) // S) * S
+    else:
+        prefix_pos = jnp.where(s < prefix_len, s, -1)
+    T = q.shape[0]
+    k = jnp.concatenate([kp, k_new.astype(kp.dtype)], axis=0)
+    v = jnp.concatenate([vp, v_new.astype(vp.dtype)], axis=0)
+    kv_positions = jnp.concatenate([prefix_pos, positions])
+    pair = jnp.concatenate(
+        [jnp.ones((T, S), bool), tree_mask.astype(bool)], axis=1)
+    return mha_xla(q, k, v, scale, causal=True,
+                   kv_len=None, sliding_window=sliding_window,
+                   logit_cap=logit_cap, sinks=sinks,
+                   kv_positions=kv_positions, q_positions=positions,
+                   attention_chunk=attention_chunk, pair_mask=pair)

@@ -393,13 +393,37 @@ class PyExecutor:
             self.stats_history = self.stats_history[-1000:]
         return True
 
+    def _flush_pending(self, req: LlmRequest):
+        """Write KV for tokens accepted by tree verification but not yet in
+        the cache (all appended tokens except the last — the normal paths
+        re-feed the last token themselves)."""
+        P = getattr(req, "spec_pending", 0)
+        if not P:
+            return
+        n = req.num_tokens
+        toks = req.all_token_ids[n - 1 - P:n - 1]
+        positions = np.arange(n - 1 - P, n - 1, dtype=np.int32)
+        self.kv.grow_sequence(req.request_id, n - 1)
+        inputs = self.engine.prepare_tree_verify_inputs(
+            req, toks, positions, [True] * P)
+        Tp = len(inputs.input_ids)
+        self.engine.run_verify_tree(inputs, np.tril(np.ones((Tp, Tp), bool)))
+        req.spec_pending = 0
+
     def _spec_decode(self, req: LlmRequest) -> bool:
         """Draft -> single verify forward -> accept longest matching prefix
-        plus one bonus token.  Returns False to fall back to normal decode."""
+        plus one bonus token.  Returns False to fall back to normal decode
+        (pending tree-verified KV is flushed first)."""
         budget = min(req.sampling_params.max_tokens - req.num_output_tokens,
                      self.max_seq_len - req.num_tokens) - 1
         if budget < 1:
+            self._flush_pending(req)
             return False
+        tree = self.drafter.propose_tree(req)
+        if tree is not None and tree[0]:
+            if self._verify_tree(req, *tree):
+                return True
+        self._flush_pending(req)
         draft = self.drafter.propose(req)[:budget]
         if not draft:
             return False
@@ -443,6 +467,112 @@ class PyExecutor:
             if reason is not None:
                 req.finish(reason)
         self.drafter.on_accepted(req, accepted)
+        if req.is_finished:
+            self.drafter.on_request_finished(req)
+            req.emit(finished=True)
+        else:
+            req.emit(finished=False)
+        return True
+
+    def _verify_tree(self, req: LlmRequest, tree_tokens, parents) -> bool:
+        """Verify a draft TREE in one forward (reference: tree drafting with
+        packed spec-dec masks).  Chunk rows = pending-commit tokens + the
+        last token + tree nodes; tree nodes carry pad slots (their KV never
+        lands) and an ancestor mask.  Accepted-path KV is written by riding
+        the NEXT round's chunk (req.spec_pending), so no KV rewind/copies
+        are ever needed."""
+        n = req.num_tokens
+        P = getattr(req, "spec_pending", 0)
+        k = len(tree_tokens)
+        budget = min(req.sampling_params.max_tokens - req.num_output_tokens,
+                     self.max_seq_len - req.num_tokens) - 1
+        if budget < 1 or n - 1 - P < 0:
+            return False
+        need = self.kv.blocks_needed(n) - self.kv.num_seq_blocks(
+            req.request_id)
+        if need > self.kv.num_free_blocks:
+            return False
+        self.kv.grow_sequence(req.request_id, n)
+
+        # depth of each node (root children = 1)
+        depth = [0] * k
+        for i, p in enumerate(parents):
+            depth[i] = 1 if p < 0 else depth[p] + 1
+        C = P + 1  # committed rows (pending + last token)
+        toks = list(req.all_token_ids[n - 1 - P:n]) + list(tree_tokens)
+        positions = np.array(
+            list(range(n - 1 - P, n)) + [n - 1 + d for d in depth], np.int32)
+        write_mask = [True] * C + [False] * k
+
+        T = C + k
+        inputs = self.engine.prepare_tree_verify_inputs(
+            req, toks, positions, write_mask)
+        Tp = len(inputs.input_ids)
+        mask = np.zeros((Tp, Tp), bool)
+        np.fill_diagonal(mask, True)
+        for i in range(C):           # committed rows: causal
+            mask[i, :i + 1] = True
+        for i in range(k):           # tree rows: committed rows + ancestors
+            r = C + i
+            mask[r, :C] = True
+            j = i
+            while j >= 0:
+                mask[r, C + j] = True
+                j = parents[j]
+        hidden = None
+        if self._needs_hidden:
+            logits, hidden = self.engine.run_verify_tree(
+                inputs, mask, with_hidden=True,
+                capture=self._hidden_capture)
+            logits, hidden = np.asarray(logits), np.asarray(hidden)
+        else:
+            logits = np.asarray(self.engine.run_verify_tree(inputs, mask))
+        greedy = np.argmax(logits[:T], axis=-1)
+
+        # walk the tree from the last committed row
+        children = {}
+        for i, p in enumerate(parents):
+            children.setdefault(p, []).append(i)
+        accepted: List[int] = []
+        accepted_rows = []
+        cur_node = -1
+        cur_row = C - 1
+        while True:
+            want = int(greedy[cur_row])
+            nxt = next((i for i in children.get(cur_node, ())
+                        if tree_tokens[i] == want), None)
+            if nxt is None or len(accepted) >= budget:
+                break
+            accepted.append(want)
+            cur_node, cur_row = nxt, C + nxt
+            accepted_rows.append(cur_row)
+        accepted.append(int(greedy[cur_row]))  # bonus / correction
+
+        if hidden is not None:
+            # committed rows carry hiddens for positions n-1-P..n-1; each
+            # accepted tree row carries its depth position's hidden
+            self.drafter.on_hidden(req, n - 1 - P, hidden[:C])
+            for r in accepted_rows:
+                self.drafter.on_hidden(req, int(positions[r]),
+                                       hidden[r:r + 1])
+
+        self.spec_stats["proposed"] += k
+        self.spec_stats["accepted"] += len(accepted) - 1
+        self.spec_stats["rounds"] += 1
+        appended = 0
+        for tok in accepted:
+            if not req.is_generating:
+                break
+            req.append_token(tok)
+            appended += 1
+            self.total_tokens_generated += 1
+            reason = req.check_stop(self.eos_token_id)
+            if reason is None and req.num_tokens >= self.max_seq_len:
+                reason = FinishReason.LENGTH
+            if reason is not None:
+                req.finish(reason)
+        req.spec_pending = max(appended - 1, 0)
+        self.drafter.on_accepted(req, accepted[:appended])
         if req.is_finished:
             self.drafter.on_request_finished(req)
             req.emit(finished=True)

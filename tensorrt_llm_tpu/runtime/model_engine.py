@@ -826,6 +826,113 @@ class ModelEngine:
             local_slot_mapping=lslots, local_block_tables=ltables,
             owner=owner)
 
+    # ------------------------------------------------------------------ tree ----
+    def _make_tree_fn(self, with_hidden: bool, capture: str):
+        """Prefill-like step with a [T, T] in-chunk tree mask input (draft-
+        tree verification; reference packed-mask spec-dec kernels)."""
+        model = self.model
+        vswa = self._vswa
+
+        def step(params, kv_caches, input_ids, positions, slot_mapping,
+                 block_tables, kv_lens, logit_indices, seq_slots, lora_ids,
+                 local_slots, local_tables, pair_mask):
+            meta = AttentionMetadata(
+                positions=positions,
+                slot_mapping=slot_mapping,
+                block_tables=block_tables,
+                kv_lens=kv_lens,
+                q_offset=jnp.int32(0),
+                seq_slots=seq_slots,
+                lora_ids=lora_ids,
+                local_slot_mapping=local_slots if vswa else None,
+                local_block_tables=local_tables if vswa else None,
+                pair_mask=pair_mask,
+                mode="prefill",
+            )
+            if with_hidden:
+                return model.forward(params, input_ids, kv_caches, meta,
+                                     logit_indices, return_hidden=True,
+                                     capture=capture)
+            return model.forward(params, input_ids, kv_caches, meta,
+                                 logit_indices)
+
+        if self.mesh is not None:
+            out = ((P(), P(), self._cache_specs) if with_hidden
+                   else (P(), self._cache_specs))
+            step = jax.shard_map(
+                step, mesh=self.mesh,
+                in_specs=(self._param_specs, self._cache_specs,
+                          P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                          P()),
+                out_specs=out,
+                check_vma=False)
+        return jax.jit(step, donate_argnums=(1,))
+
+    def run_verify_tree(self, inputs: StepInputs, pair_mask: np.ndarray,
+                        with_hidden: bool = False, capture: str = "final"):
+        """Verify a draft tree in one forward; returns per-row logits
+        (+ hiddens when requested)."""
+        assert self.pp_size == 1, "tree verify under PP lands later"
+        key = ("tree", with_hidden, capture)
+        if key not in self._fns:
+            self._fns[key] = self._make_tree_fn(with_hidden, capture)
+        fn = self._fns[key]
+        ls, lt = self._locals_of(inputs)
+        with self.lock:
+            out = fn(
+                self.params, self.kv_caches,
+                jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+                jnp.asarray(inputs.slot_mapping),
+                jnp.asarray(inputs.block_tables),
+                jnp.asarray(inputs.kv_lens),
+                jnp.asarray(inputs.logit_indices),
+                jnp.asarray(inputs.seq_slots),
+                jnp.asarray(inputs.lora_ids), ls, lt,
+                jnp.asarray(pair_mask))
+            if with_hidden:
+                logits, hidden, self.kv_caches = out
+                return logits, hidden
+            logits, self.kv_caches = out
+        return logits
+
+    def prepare_tree_verify_inputs(self, req, tokens, positions,
+                                   write_mask) -> StepInputs:
+        """Inputs for tree verification: `tokens[i]` at `positions[i]`;
+        rows with write_mask[i] False get pad slots (tree rows — their KV
+        never lands in the cache).  kv_lens[0] = committed prefix length."""
+        kv = self.kv_manager
+        chunk = len(tokens)
+        Tp = pick_bucket(chunk, self.prefill_buckets)
+        input_ids = np.zeros(Tp, np.int32)
+        input_ids[:chunk] = tokens
+        pos = np.zeros(Tp, np.int32)
+        pos[:chunk] = positions
+        pos[chunk:] = positions[-1]
+        slots = np.full(Tp, PAD_SLOT, np.int32)
+        lslots = np.full(Tp, PAD_SLOT, np.int32) if self._vswa else None
+        for i in range(chunk):
+            if write_mask[i]:
+                slots[i] = kv.slot_mapping(req.request_id,
+                                           int(positions[i]), 1)[0]
+                if self._vswa:
+                    lslots[i] = kv.local_slot_mapping(
+                        req.request_id, int(positions[i]), 1, PAD_SLOT)[0]
+        tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
+        tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
+        prefix_len = int(positions[0])  # committed tokens already in cache
+        ltables = None
+        if self._vswa:
+            ltables = np.asarray(
+                [kv.local_block_table(req.request_id)], np.int32)
+        return StepInputs(
+            input_ids=input_ids, positions=pos, slot_mapping=slots,
+            block_tables=tables, kv_lens=np.array([prefix_len], np.int32),
+            logit_indices=np.arange(Tp, dtype=np.int32),
+            q_offset=np.int32(prefix_len),
+            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
+            lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32),
+            local_slot_mapping=lslots, local_block_tables=ltables)
+
     def prepare_verify_inputs(self, req, draft_tokens) -> StepInputs:
         """Inputs for a speculative verify pass: the last accepted token plus
         the draft chunk, with logits at every row (reference: draft-token

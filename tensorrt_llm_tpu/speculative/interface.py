@@ -40,6 +40,13 @@ class SpeculativeConfig:
     mtp_weights: Any = None
     # user-provided: callable(request) -> List[int]
     proposer: Any = None
+    # user-provided TREE: callable(request) -> (tokens, parents) with
+    # parents[i] in {-1 (root attach), 0..i-1}
+    tree_proposer: Any = None
+    # draft-tree branching per level (reference EAGLE tree configs), e.g.
+    # (3, 2, 1): 3 root candidates, 2 children each, 1 grandchild each.
+    # None => linear chain drafting.
+    tree_branches: Optional[tuple] = None
     # only greedy requests use speculation (rejection sampling lands later)
     greedy_only: bool = True
 
@@ -57,6 +64,11 @@ class Drafter:
     def propose(self, request) -> List[int]:
         raise NotImplementedError
 
+    def propose_tree(self, request):
+        """Optionally propose a draft TREE: (tokens, parents) with
+        parents[i] in {-1, 0..i-1}.  None => use linear propose()."""
+        return None
+
     def on_hidden(self, request, start_pos: int, hiddens):
         """Target hidden states for positions start_pos..start_pos+len-1."""
 
@@ -69,14 +81,26 @@ class Drafter:
 
 class UserProvidedDrafter(Drafter):
     """Reference SpeculativeDecodingMode.USER_PROVIDED: an arbitrary host
-    callable proposes draft tokens."""
+    callable proposes draft tokens (linear) and/or trees."""
 
     def __init__(self, cfg: SpeculativeConfig):
-        assert callable(cfg.proposer), "USER_PROVIDED needs cfg.proposer"
+        assert callable(cfg.proposer) or callable(cfg.tree_proposer), \
+            "USER_PROVIDED needs cfg.proposer or cfg.tree_proposer"
         self.cfg = cfg
 
     def propose(self, request) -> List[int]:
+        if self.cfg.proposer is None:
+            return []
         return list(self.cfg.proposer(request))[: self.cfg.max_draft_len]
+
+    def propose_tree(self, request):
+        if self.cfg.tree_proposer is None:
+            return None
+        out = self.cfg.tree_proposer(request)
+        if out is None:
+            return None
+        tokens, parents = out
+        return list(tokens), list(parents)
 
 
 def get_drafter(cfg: SpeculativeConfig, llm_args=None) -> Drafter:

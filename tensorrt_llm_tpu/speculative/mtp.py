@@ -182,8 +182,12 @@ class MTPDrafter(Drafter):
         return self._fns[key]
 
     def _run(self, hiddens, tokens, positions, rid):
+        logits, h = self._run_logits(hiddens, tokens, positions, rid)
+        return int(np.argmax(logits)), h
+
+    def _run_logits(self, hiddens, tokens, positions, rid):
         """One drafter pass over contiguous query positions; returns
-        (greedy_token, hidden_out)."""
+        (logits [V] f32, hidden_out)."""
         import jax.numpy as jnp
         m = len(tokens)
         mp = next(b for b in _BUCKETS if b >= min(m, _BUCKETS[-1]))
@@ -206,7 +210,8 @@ class MTPDrafter(Drafter):
             jnp.asarray(np.int32(positions[0] + m)),
             jnp.asarray(np.int32(positions[0])),
             jnp.asarray(np.int32(m - 1)))
-        return int(np.argmax(np.asarray(logits))), np.asarray(h_last, np.float32)
+        return (np.asarray(logits, np.float32),
+                np.asarray(h_last, np.float32))
 
     # ---- executor hooks -----------------------------------------------------------
     def on_hidden(self, request, start_pos: int, hiddens: np.ndarray):
@@ -215,21 +220,22 @@ class MTPDrafter(Drafter):
         for j in range(hiddens.shape[0]):
             seq.hid[start_pos + j] = hiddens[j]
 
-    def propose(self, request) -> List[int]:
+    def _catch_up(self, request):
+        """Run the MTP block over the contiguous run of query positions
+        ending at n-1 whose pair (h_{p-1}, t_p) is known; returns
+        (rid, n, root_logits, root_hidden) or None.  A hidden gap below the
+        run (e.g. prefix-reuse skipped rows) only leaves stale MTP KV behind
+        — that costs acceptance rate, never correctness."""
         if self.engine is None:
-            return []
+            return None
         rid = request.request_id
         seq = self._seqs.get(rid)
         if seq is None or not seq.hid:
-            return []
+            return None
         toks = request.all_token_ids
         n = len(toks)
-        # catch-up: the contiguous run of query positions ending at n-1 whose
-        # pair (h_{p-1}, t_p) is known.  A hidden gap below the run (e.g.
-        # prefix-reuse skipped rows) only leaves stale MTP KV behind — that
-        # costs acceptance rate, never correctness.
         if n < 2 or (n - 2) not in seq.hid:
-            return []  # freshest pair missing; nothing to chain from
+            return None  # freshest pair missing; nothing to chain from
         lo = n - 1
         while lo > max(seq.next_query, 1) and (lo - 2) in seq.hid:
             lo -= 1
@@ -238,24 +244,31 @@ class MTPDrafter(Drafter):
         need_tokens = n + k - 1
         if self.kv.blocks_needed(need_tokens) - self.kv.num_seq_blocks(rid) \
                 > self.kv.num_free_blocks:
-            return []
+            return None
         self.kv.grow_sequence(rid, need_tokens)
 
-        draft = []
         hs = [seq.hid[p - 1] for p in queries]
         ts = [toks[p] for p in queries]
         ps = np.array(queries, np.int32)
         # long catch-ups in chunks of the largest bucket
         step = _BUCKETS[-1]
-        tok_out, h_out = -1, None
+        logits, h_out = None, None
         for lo in range(0, len(queries), step):
-            tok_out, h_out = self._run(
+            logits, h_out = self._run_logits(
                 np.stack(hs[lo:lo + step]), ts[lo:lo + step],
                 ps[lo:lo + step], rid)
         seq.next_query = n
         # keep only the last hidden (chain seeds from MTP's own outputs)
         seq.hid = {p: v for p, v in seq.hid.items() if p >= n - 2}
-        draft.append(tok_out)
+        return rid, n, logits, h_out
+
+    def propose(self, request) -> List[int]:
+        got = self._catch_up(request)
+        if got is None:
+            return []
+        rid, n, logits, h_out = got
+        k = self.cfg.max_draft_len
+        draft = [int(np.argmax(logits))]
         pos = n
         while len(draft) < k and pos < self.engine.max_seq_len - 1:
             tok_out, h_out = self._run(
@@ -263,6 +276,40 @@ class MTPDrafter(Drafter):
             draft.append(tok_out)
             pos += 1
         return draft
+
+    def propose_tree(self, request):
+        """EAGLE-style static tree: expand top-b_i children per node at
+        level i (reference tree drafting configs); sibling steps overwrite
+        each other's drafter KV slots — acceptance-rate noise only, the
+        target verification enforces correctness."""
+        branches = self.cfg.tree_branches
+        if not branches:
+            return None
+        got = self._catch_up(request)
+        if got is None:
+            return None
+        rid, n, logits, h_root = got
+        tokens: List[int] = []
+        parents: List[int] = []
+        frontier = [(-1, logits, h_root)]
+        pos = n
+        for level, b in enumerate(branches):
+            nxt = []
+            for pnode, lg, h in frontier:
+                for t in np.argsort(lg)[::-1][:max(int(b), 1)]:
+                    tokens.append(int(t))
+                    parents.append(pnode)
+                    if (level + 1 < len(branches)
+                            and pos < self.engine.max_seq_len - 1):
+                        lg2, h2 = self._run_logits(
+                            h[None], [int(t)], np.array([pos], np.int32),
+                            rid)
+                        nxt.append((len(tokens) - 1, lg2, h2))
+            frontier = nxt
+            pos += 1
+            if not frontier:
+                break
+        return tokens, parents
 
     def on_request_finished(self, request):
         self._seqs.pop(request.request_id, None)
