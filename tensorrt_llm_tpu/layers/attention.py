@@ -225,6 +225,37 @@ class Attention:
         qh, kvh = self.n_local_heads, self.n_local_kv
         k_cache, v_cache = kv_cache
 
+        if self.cp_type == "helix":
+            # Helix decode-CP (reference docs/source/features/helix.md,
+            # kernels/helixKernels.cu): this sequence's KV pages are
+            # block-cyclic over "cp"; every rank writes its own positions
+            # (engine-prepared rank-local slots), attends its shard, and the
+            # flash softmax stats psum-combine over ICI.
+            assert sinks is None, "sinks under helix CP land later"
+            from tensorrt_llm_tpu.ops.attention_xla import (
+                helix_combine, helix_partial_decode_xla,
+                helix_partial_prefill_xla, write_kv_cache)
+            q, k = self._position_transform(q, k, meta.positions,
+                                            cos_t, sin_t)
+            k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
+                                              meta.slot_mapping)
+            r = lax.axis_index("cp")
+            if meta.mode == "prefill":
+                o, l, m = helix_partial_prefill_xla(
+                    q, k_cache, v_cache, meta.block_tables[0],
+                    meta.kv_lens[0], meta.positions, r, cp, self.scale,
+                    self.sliding_window, self.logit_cap,
+                    self.attention_chunk)
+            else:
+                o, l, m = helix_partial_decode_xla(
+                    q, k_cache, v_cache, meta.block_tables, meta.kv_lens,
+                    r, cp, self.scale, self.sliding_window, self.logit_cap,
+                    self.attention_chunk)
+            out = helix_combine(o, l, m, "cp").astype(q.dtype)
+            rows = out.shape[0]
+            return (self.o(params["o"], out.reshape(rows, qh * D)),
+                    (k_cache, v_cache))
+
         if self.cp_type == "ring":
             if meta.mode != "prefill":
                 # ring shards only the quadratic prefill; decode runs the

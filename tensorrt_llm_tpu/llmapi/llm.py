@@ -122,7 +122,13 @@ class LLM:
         if cfg.is_mla:
             kvcfg.layout = "latent"
         num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
-        if mapping.dp_size > 1:
+        if mapping.cp_size > 1 and mapping.cp_type == "helix":
+            from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+                HelixKVCacheManager)
+            self.kv_manager = HelixKVCacheManager(
+                kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+                num_blocks, mapping.cp_size)
+        elif mapping.dp_size > 1:
             from tensorrt_llm_tpu.runtime.kv_cache_manager import (
                 DpKVCacheManager)
             self.kv_manager = DpKVCacheManager(

@@ -319,3 +319,94 @@ def tree_verify_attention_xla(
                    logit_cap=logit_cap, sinks=sinks,
                    kv_positions=kv_positions, q_positions=positions,
                    attention_chunk=attention_chunk, pair_mask=pair)
+
+
+def _partial_mha(q, k, v, kv_pos, q_pos, scale, sliding_window=None,
+                 logit_cap=None, attention_chunk=None):
+    """Flash-style partial attention stats for cross-device combine
+    (helix CP): returns (o_unnormalized [.., Hq, D] f32, l [.., Hq] f32,
+    m [.., Hq] f32).  Fully-masked rows yield m = -inf, l = 0, o = 0.
+
+    Shapes: prefill q [T, Hq, D] with shared k/v [S, Hkv, D],
+    kv_pos [T-broadcastable, S], q_pos [T, 1]; decode q [B, Hq, D] with
+    per-row k/v [B, S, Hkv, D], kv_pos [B, S], q_pos [B, 1]."""
+    *lead, Hq, D = q.shape
+    Hkv = k.shape[-2]
+    n_rep = Hq // Hkv
+    qf = (q.astype(jnp.float32) * scale).reshape(*lead, Hkv, n_rep, D)
+    if k.ndim == 3:   # prefill: shared keys
+        scores = jnp.einsum("thgd,shd->thgs", qf, k.astype(jnp.float32))
+    else:             # decode: per-sequence keys
+        scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32))
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    mask = (kv_pos >= 0) & (kv_pos <= q_pos)
+    if sliding_window is not None:
+        mask &= kv_pos > q_pos - sliding_window
+    if attention_chunk is not None:
+        mask &= (kv_pos // attention_chunk) == (q_pos // attention_chunk)
+    # mask broadcasts to [rows, S]; insert head/group axes for the scores
+    mask = jnp.broadcast_to(mask, (q.shape[0], k.shape[-3]))
+    mask = mask[:, None, None, :]
+    scores = jnp.where(mask, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1)                           # [.., Hkv, g]
+    p = jnp.where(mask, jnp.exp(scores - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    o = jnp.einsum("...hgs,...shd->...hgd", p, v.astype(jnp.float32)) \
+        if k.ndim == 4 else jnp.einsum("thgs,shd->thgd", p,
+                                       v.astype(jnp.float32))
+    return (o.reshape(*lead, Hq, D), l.reshape(*lead, Hq),
+            m.reshape(*lead, Hq))
+
+
+def helix_block_positions(S: int, bs: int, cp_rank, cp_size: int):
+    """Global position of each local flat slot under block-cyclic placement
+    (global block g lives on rank g % cp; local block j = global j*cp+r)."""
+    s = jnp.arange(S, dtype=jnp.int32)
+    return (s // bs * cp_size + cp_rank) * bs + s % bs
+
+
+def helix_partial_prefill_xla(
+    q, k_cache, v_cache, block_table, kv_len, positions, cp_rank,
+    cp_size: int, scale, sliding_window=None, logit_cap=None,
+    attention_chunk=None):
+    """One sequence's chunk against this rank's KV shard (chunk rows already
+    written to their owner ranks)."""
+    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    k = gather_dequant(k_cache, block_table, q.dtype) \
+        .transpose(0, 2, 1, 3).reshape(-1, h, d)
+    v = gather_dequant(v_cache, block_table, q.dtype) \
+        .transpose(0, 2, 1, 3).reshape(-1, h, d)
+    S = k.shape[0]
+    pos = helix_block_positions(S, bs, cp_rank, cp_size)
+    pos = jnp.where(pos < kv_len, pos, -1)
+    return _partial_mha(q, k, v, pos[None, :], positions[:, None], scale,
+                        sliding_window, logit_cap, attention_chunk)
+
+
+def helix_partial_decode_xla(
+    q, k_cache, v_cache, block_tables, kv_lens, cp_rank, cp_size: int,
+    scale, sliding_window=None, logit_cap=None, attention_chunk=None):
+    """Batched decode against this rank's KV shards."""
+    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    B = q.shape[0]
+    k = gather_dequant(k_cache, block_tables, q.dtype)  # [B, MBl, H, BS, D]
+    v = gather_dequant(v_cache, block_tables, q.dtype)
+    S = block_tables.shape[1] * bs
+    k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
+    pos = helix_block_positions(S, bs, cp_rank, cp_size)[None, :]
+    pos = jnp.where(pos < kv_lens[:, None], pos, -1)     # [B, S]
+    q_pos = (kv_lens - 1)[:, None]                       # [B, 1]
+    return _partial_mha(q, k, v, pos, q_pos, scale, sliding_window,
+                        logit_cap, attention_chunk)
+
+
+def helix_combine(o, l, m, axis_name: str = "cp"):
+    """Combine per-rank partial attention stats over the mesh axis:
+    out = sum_r exp(m_r - M) o_r / sum_r exp(m_r - M) l_r."""
+    M = jax.lax.pmax(m, axis_name)
+    w = jnp.where(jnp.isfinite(m), jnp.exp(m - M), 0.0)
+    o = jax.lax.psum(o * w[..., None], axis_name)
+    l = jax.lax.psum(l * w, axis_name)
+    return (o / jnp.maximum(l, 1e-30)[..., None])

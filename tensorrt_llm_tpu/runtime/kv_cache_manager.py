@@ -714,3 +714,134 @@ class DpKVCacheManager:
         out["num_blocks"] = self.num_blocks * self.dp_size
         out["dp_size"] = self.dp_size
         return out
+
+
+class HelixKVCacheManager:
+    """Helix/decode context parallelism: one sequence's KV pages are
+    distributed BLOCK-CYCLICALLY over the "cp" ranks (global block g lives
+    on rank g % cp), each rank attends its shard and partial softmax stats
+    combine over ICI — the reference's helix CP (docs/source/features/
+    helix.md, kernels/helixKernels.cu) with the alltoall replaced by a
+    psum-combine.  Block ids are rank-LOCAL; the engine shards the pools'
+    block axis over "cp"."""
+
+    def __init__(self, cfg: KVCacheConfig, num_layers: int,
+                 num_kv_heads: int, head_dim: int,
+                 num_blocks_per_rank: int, cp_size: int,
+                 max_slots: int = 256):
+        self.cfg = cfg
+        self.block_size = cfg.block_size
+        self.num_layers = num_layers
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.cp_size = cp_size
+        self.num_blocks = num_blocks_per_rank
+        import dataclasses as _dc
+        # interleaved positions defeat chain hashing: no reuse per shard
+        rcfg = _dc.replace(cfg, enable_block_reuse=False)
+        self.ranks = [KVCacheManager(rcfg, num_layers, num_kv_heads,
+                                     head_dim, num_blocks_per_rank,
+                                     max_slots=max_slots)
+                      for _ in range(cp_size)]
+        self.sliding_layers: set = set()
+        self.vswa = False
+
+    # ---- geometry ---------------------------------------------------------------
+    def _rank_tokens(self, r: int, num_tokens: int) -> int:
+        """Tokens covered by rank r's blocks for a sequence of num_tokens."""
+        g = cdiv(num_tokens, self.block_size)          # global blocks
+        mine = g // self.cp_size + (1 if g % self.cp_size > r else 0)
+        return mine * self.block_size
+
+    def blocks_needed(self, n: int) -> int:
+        return cdiv(n, self.block_size)
+
+    @property
+    def num_free_blocks(self) -> int:
+        return min(r.num_free_blocks for r in self.ranks) * self.cp_size
+
+    def num_seq_blocks(self, seq_id: int) -> int:
+        return sum(r.num_seq_blocks(seq_id) for r in self.ranks)
+
+    def has_sequence(self, seq_id: int) -> bool:
+        return self.ranks[0].has_sequence(seq_id)
+
+    # ---- ops ---------------------------------------------------------------------
+    def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
+        for r in self.ranks:
+            r.add_sequence(seq_id, [], cache_salt)
+        return 0  # interleaved shards: no prefix reuse
+
+    def grow_sequence(self, seq_id: int, new_total_tokens: int):
+        for i, r in enumerate(self.ranks):
+            r.grow_sequence(seq_id, self._rank_tokens(i, new_total_tokens))
+
+    def can_grow(self, seq_id: int, n: int) -> bool:
+        return all(
+            r.blocks_needed(self._rank_tokens(i, n)) - r.num_seq_blocks(
+                seq_id) <= r.num_free_blocks
+            for i, r in enumerate(self.ranks))
+
+    def seal_full_blocks(self, seq_id: int, token_ids):
+        pass  # no reuse across interleaved shards
+
+    def free_sequence(self, seq_id: int):
+        for r in self.ranks:
+            r.free_sequence(seq_id)
+
+    def fork_sequence(self, src_id: int, dst_id: int):
+        raise NotImplementedError("beam forks under helix CP land later")
+
+    # ---- tables -------------------------------------------------------------------
+    def rank_block_table(self, seq_id: int, r: int,
+                         max_blocks: int) -> List[int]:
+        return self.ranks[r].block_table(seq_id, max_blocks)
+
+    def rank_slot_mapping(self, seq_id: int, start_token: int,
+                          num_tokens: int, pad_slot: int):
+        """Per-rank flat slots [cp][num_tokens]: position p is a real slot
+        on rank (p//bs) % cp and pad everywhere else."""
+        bs = self.block_size
+        out = [[pad_slot] * num_tokens for _ in range(self.cp_size)]
+        for i in range(num_tokens):
+            p = start_token + i
+            g = p // bs
+            r = g % self.cp_size
+            j = g // self.cp_size      # rank-local block index of this seq
+            table = self.ranks[r].block_table(seq_id, j + 1)
+            out[r][i] = table[j] * bs + p % bs
+        return out
+
+    def slot_of(self, seq_id: int) -> int:
+        return self.ranks[0].slot_of(seq_id)
+
+    def can_admit_new(self) -> bool:
+        return True
+
+    def local_block_table(self, seq_id: int):  # VSWA off under helix
+        return []
+
+    @property
+    def slots(self):
+        return self.ranks[0].slots
+
+    @property
+    def is_native(self) -> bool:
+        return self.ranks[0].is_native
+
+    def allocate_pools(self, dtype=None):
+        import dataclasses as _dc
+        sizing = KVCacheManager(
+            _dc.replace(self.cfg), self.num_layers, self.num_kv_heads,
+            self.head_dim, self.num_blocks * self.cp_size,
+            bookkeeping="python")
+        return sizing.allocate_pools(dtype)
+
+    def stats(self) -> dict:
+        out = self.ranks[0].stats()
+        for r in self.ranks[1:]:
+            for k, v in r.stats().items():
+                out[k] = out.get(k, 0) + v if isinstance(v, int) else v
+        out["num_blocks"] = self.num_blocks * self.cp_size
+        out["cp_size"] = self.cp_size
+        return out

@@ -105,6 +105,9 @@ class ModelEngine:
             b for b in decode_buckets if b <= max(max_batch_size, decode_buckets[0]))
         self.prefill_buckets = tuple(prefill_buckets)
 
+        self._helix = (self.mapping.cp_size > 1
+                       and self.mapping.cp_type == "helix")
+
         # VSWA: sliding-window layers get their own small cyclic-ring pools
         # (reference per-window WindowBlockManager).  Ring = window + one
         # block: prefill attends BEFORE the chunk's writes land (chunk K/V
@@ -407,6 +410,10 @@ class ModelEngine:
         scale pools 3D.  Single-head pools (MLA latents) keep heads
         replicated."""
         dp = "dp" if self.mapping.dp_size > 1 else None
+        if self._helix:
+            # helix CP: the BLOCK axis is sharded (each rank owns its
+            # block-cyclic shard of every sequence); heads stay TP-sharded
+            dp = ("dp", "cp") if dp else "cp"
         # ring CP keeps pools replicated over "cp" (writes are all-gathered);
         # Ulysses shards the head axis over cp
         heads = (("cp", "ep", "tp") if self.mapping.cp_type == "ulysses"
@@ -544,7 +551,10 @@ class ModelEngine:
             # Ulysses prefill: input token ids arrive sequence-sharded over
             # "cp"; everything else (positions, slots, tables) is replicated
             # since every rank writes its head slice for all tokens
-            ids_spec = (P("cp") if (self.mapping.cp_size > 1
+            # helix replicates tokens over cp (only KV is sharded);
+            # ulysses/ring shard the prefill sequence
+            ids_spec = (P("cp") if (not self._helix
+                                    and self.mapping.cp_size > 1
                                     and mode == "prefill") else P())
             if self.mapping.dp_size > 1:
                 # attention-DP: decode shards the batch dim over "dp";
@@ -565,10 +575,11 @@ class ModelEngine:
                     check_vma=False,
                 )
                 return jax.jit(step, donate_argnums=(1,))
+            c = P("cp") if self._helix else P()
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec, ids_spec,
-                          P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                          P(), c, c, P(), P(), P(), P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -757,8 +768,9 @@ class ModelEngine:
             pos = req.num_tokens - 1          # position of the new token
             input_ids[row] = toks[-1]
             positions[row] = pos
-            slots[row] = kv.slot_mapping(req.request_id, pos, 1)[0]
-            tables[row, :] = kv.block_table(req.request_id, MB)
+            if not self._helix:
+                slots[row] = kv.slot_mapping(req.request_id, pos, 1)[0]
+                tables[row, :] = kv.block_table(req.request_id, MB)
             kv_lens[row] = pos + 1
             seq_slots[row] = kv.slot_of(req.request_id)
             lora_ids[row] = getattr(req, "lora_slot", 0)
@@ -771,6 +783,9 @@ class ModelEngine:
             logit_indices = np.tile(np.arange(Bp // dp, dtype=np.int32), dp)
         else:
             logit_indices = np.arange(Bp, dtype=np.int32)
+        if self._helix:
+            slots, tables = self._helix_decode_tables(reqs, Bp,
+                                                      extra_tokens)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
@@ -778,6 +793,34 @@ class ModelEngine:
             q_offset=np.int32(0), seq_slots=seq_slots, lora_ids=lora_ids,
             local_slot_mapping=lslots, local_block_tables=ltables,
             row_map=row_map if dp > 1 else None)
+
+    def _helix_table_bucket(self, reqs, extra_tokens: int = 0) -> int:
+        cp = self.mapping.cp_size
+        kv = self.kv_manager
+        need = max((cdiv(cdiv(r.num_tokens + extra_tokens, kv.block_size),
+                         cp) for r in reqs), default=1)
+        mb = 16
+        while mb < need:
+            mb *= 4
+        return min(mb, cdiv(self.max_blocks_per_seq, cp) + 1)
+
+    def _helix_decode_tables(self, reqs, Bp: int, extra_tokens: int = 0):
+        """Rank-stacked decode slots/tables: axis 0 shards over "cp"
+        (helix block-cyclic KV placement)."""
+        cp = self.mapping.cp_size
+        kv = self.kv_manager
+        MBl = self._helix_table_bucket(reqs, extra_tokens)
+        slots = np.full(cp * Bp, PAD_SLOT, np.int32)
+        tables = np.zeros((cp * Bp, MBl), np.int32)
+        for i, req in enumerate(reqs):
+            pos = req.num_tokens - 1
+            maps = kv.rank_slot_mapping(req.request_id, pos, 1,
+                                        int(PAD_SLOT))
+            for r in range(cp):
+                slots[r * Bp + i] = maps[r][0]
+                tables[r * Bp + i, :] = kv.rank_block_table(
+                    req.request_id, r, MBl)
+        return slots, tables
 
     def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
         """Assemble padded inputs for one context chunk of one request."""
@@ -792,15 +835,18 @@ class ModelEngine:
         positions = np.arange(start, start + Tp, dtype=np.int32)
         positions = np.minimum(positions, self.max_seq_len - 1)
         owner = kv.rank_of(req.request_id) if dp > 1 else 0
-        # attention-DP prefill: every rank runs the (replicated) compute, but
-        # only the owner's slot/table rows are real — other ranks' KV writes
-        # pad-drop and their logits rows are ignored by the caller
-        slots = np.full(max(dp, 1) * Tp, PAD_SLOT, np.int32)
-        slots[owner * Tp:owner * Tp + chunk] = \
-            kv.slot_mapping(req.request_id, start, chunk)
-        tables = np.zeros((max(dp, 1), self.max_blocks_per_seq), np.int32)
-        tables[owner, :] = kv.block_table(req.request_id,
-                                          self.max_blocks_per_seq)
+        if not self._helix:
+            # attention-DP prefill: every rank runs the (replicated)
+            # compute, but only the owner's slot/table rows are real —
+            # other ranks' KV writes pad-drop and their logits rows are
+            # ignored by the caller
+            slots = np.full(max(dp, 1) * Tp, PAD_SLOT, np.int32)
+            slots[owner * Tp:owner * Tp + chunk] = \
+                kv.slot_mapping(req.request_id, start, chunk)
+            tables = np.zeros((max(dp, 1), self.max_blocks_per_seq),
+                              np.int32)
+            tables[owner, :] = kv.block_table(req.request_id,
+                                              self.max_blocks_per_seq)
         kv_lens = np.full(max(dp, 1), start + chunk, np.int32)
         seq_slots = np.full(max(dp, 1), PAD_SLOT, np.int32)
         seq_slots[owner] = kv.slot_of(req.request_id)
@@ -816,6 +862,16 @@ class ModelEngine:
                 req.request_id, start, chunk, PAD_SLOT)
             ltables = np.asarray(
                 [kv.local_block_table(req.request_id)], np.int32)
+        if self._helix:
+            cp = self.mapping.cp_size
+            MBl = self._helix_table_bucket([req])
+            slots = np.full(cp * Tp, PAD_SLOT, np.int32)
+            maps = kv.rank_slot_mapping(req.request_id, start, chunk,
+                                        int(PAD_SLOT))
+            tables = np.zeros((cp, MBl), np.int32)
+            for r in range(cp):
+                slots[r * Tp:r * Tp + chunk] = maps[r]
+                tables[r, :] = kv.rank_block_table(req.request_id, r, MBl)
         return StepInputs(
             input_ids=input_ids, input_embeds=embeds, positions=positions,
             slot_mapping=slots, block_tables=tables, kv_lens=kv_lens,
