@@ -267,7 +267,8 @@ class PyExecutor:
                     from tensorrt_llm_tpu.runtime.guided_decoder import create_matcher
                     self.guided.register(req.request_id, create_matcher(
                         req.sampling_params.guided_decoding, self.tokenizer,
-                        self.eos_token_id))
+                        self.eos_token_id,
+                        vocab_size=self.guided.vocab_size))
                 self.waiting.remove(req)
                 self.active.append(req)
                 # reuse may cover the whole remaining chunk; re-clamp

@@ -71,16 +71,81 @@ class ChoiceMatcher(GrammarMatcher):
         return any(len(p) == self._pos for p in self._alive)
 
 
+class RegexMatcher(GrammarMatcher):
+    """Regex/JSON-schema-constrained decoding via the DFA engine
+    (runtime/regex_fsm.py) — the xgrammar-bitmask capability rebuilt from
+    scratch.  Per-(tokenizer, pattern) DFA + token-mask caches are shared
+    across requests."""
+
+    _shared: dict = {}
+
+    def __init__(self, pattern: str, tokenizer, eos_token_id: int,
+                 vocab_size: int):
+        from tensorrt_llm_tpu.runtime.regex_fsm import (
+            DFA, TokenMaskCache, build_vocab_trie, token_strings)
+        key = (id(tokenizer), pattern, vocab_size)
+        cached = RegexMatcher._shared.get(key)
+        if cached is None:
+            dfa = DFA(pattern)
+            strings = token_strings(tokenizer, vocab_size)
+            cached = TokenMaskCache(dfa, build_vocab_trie(strings),
+                                    eos_token_id, strings)
+            RegexMatcher._shared[key] = cached
+        self.masks = cached
+        self.eos = eos_token_id
+        self.state = cached.dfa.start
+        self._done = False
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        return self.masks.allowed(self.state)
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos:
+            self._done = self.masks.dfa.accepting[self.state]
+            return self._done
+        text = self.masks.strings[token_id] \
+            if token_id < len(self.masks.strings) else None
+        if not text:
+            return False
+        nxt = self.masks.dfa.walk(self.state, text)
+        if nxt < 0:
+            return False
+        self.state = nxt
+        return True
+
+    @property
+    def completed(self) -> bool:
+        return self._done or self.masks.dfa.accepting[self.state]
+
+
 def create_matcher(params: GuidedDecodingParams, tokenizer,
-                   eos_token_id) -> Optional[GrammarMatcher]:
+                   eos_token_id,
+                   vocab_size: Optional[int] = None
+                   ) -> Optional[GrammarMatcher]:
     if params is None:
         return None
     if params.choice:
         assert tokenizer is not None, "choice-guided decoding needs a tokenizer"
         return ChoiceMatcher(params.choice, tokenizer, eos_token_id)
+    if params.regex or params.json or params.json_object:
+        assert tokenizer is not None, "guided decoding needs a tokenizer"
+        from tensorrt_llm_tpu.runtime.regex_fsm import json_schema_to_regex
+        if params.regex:
+            pattern = params.regex
+        elif params.json:
+            import json as _json
+            schema = (params.json if isinstance(params.json, dict)
+                      else _json.loads(params.json))
+            pattern = json_schema_to_regex(schema)
+        else:
+            pattern = json_schema_to_regex({})
+        vs = (vocab_size
+              or len(getattr(tokenizer, "get_vocab", lambda: {})())
+              or getattr(tokenizer, "vocab_size", 0))
+        return RegexMatcher(pattern, tokenizer, eos_token_id, vs)
     raise NotImplementedError(
-        "json/regex/grammar-guided decoding requires the grammar FSM backend "
-        "(round 2); 'choice' is available now")
+        "EBNF 'grammar' constraints land later; choice/regex/json/"
+        "json_object are available")
 
 
 class GuidedDecoder:

@@ -56,3 +56,55 @@ def test_choice_greedy(llm):
 def test_unguided_unaffected(llm):
     out = llm.generate("hello", SamplingParams(max_tokens=5, ignore_eos=True))[0]
     assert len(out.outputs[0].token_ids) == 5
+
+
+def test_regex_constrained_output(llm):
+    """Regex DFA constraint (xgrammar-class capability rebuilt in
+    runtime/regex_fsm.py): output must match the pattern exactly."""
+    import re
+    pattern = r"(yes|no) [0-9]{2}"
+    out = llm.generate(
+        "q", SamplingParams(max_tokens=12, temperature=1.0,
+                            guided_decoding=GuidedDecodingParams(
+                                regex=pattern)))[0]
+    text = out.outputs[0].text
+    assert re.fullmatch(pattern, text), text
+    assert out.outputs[0].finish_reason == "stop"
+
+
+def test_json_schema_constrained_output(llm):
+    import json
+    schema = {"type": "object",
+              "properties": {"ok": {"type": "boolean"},
+                             "n": {"type": "integer"}}}
+    out = llm.generate(
+        "q", SamplingParams(max_tokens=40, temperature=1.0,
+                            guided_decoding=GuidedDecodingParams(
+                                json=schema)))[0]
+    obj = json.loads(out.outputs[0].text)
+    assert isinstance(obj["ok"], bool) and isinstance(obj["n"], int), obj
+
+
+def test_json_object_constrained_output(llm):
+    import json
+    from tensorrt_llm_tpu.runtime.regex_fsm import DFA, json_schema_to_regex
+    out = llm.generate(
+        "q", SamplingParams(max_tokens=60, temperature=1.0, seed=1,
+                            guided_decoding=GuidedDecodingParams(
+                                json_object=True)))[0]
+    text = out.outputs[0].text
+    if out.outputs[0].finish_reason == "stop":
+        json.loads(text)  # grammar-complete => valid JSON
+    else:
+        # max_tokens hit mid-grammar: the PREFIX must still be extendable
+        # to a valid JSON value (every emitted token kept the DFA alive)
+        dfa = DFA(json_schema_to_regex({}))
+        assert dfa.walk(dfa.start, text) >= 0, text
+
+
+def test_regex_enum_greedy(llm):
+    out = llm.generate(
+        "q", SamplingParams(max_tokens=10, temperature=0.0,
+                            guided_decoding=GuidedDecodingParams(
+                                regex=r"(red|green|blue)")))[0]
+    assert out.outputs[0].text in ("red", "green", "blue")
