@@ -132,7 +132,13 @@ class Attention:
         return p
 
     def param_specs(self) -> Dict:
-        p = {"qkv": self.qkv.param_specs(), "o": self.o.param_specs()}
+        from tensorrt_llm_tpu.parallel.ops import TP_AXES
+        p = {"qkv": self.qkv.param_specs(), "o": self.o.param_specs(),
+             # runtime multi-LoRA stacks (pruned when absent): B of the
+             # column-parallel qkv shards on out, A of the row-parallel o
+             # shards on in
+             "lora": {"qkv": (P(None, None, None), P(None, None, TP_AXES)),
+                      "o": (P(None, TP_AXES, None), P(None, None, None))}}
         if self.has_sinks:
             p["sinks"] = P("tp")
         if self.has_qk_norm:
@@ -181,7 +187,8 @@ class Attention:
         y = self.o(params["o"], out)
         if lora and "o" in lora and meta.lora_ids is not None:
             from tensorrt_llm_tpu.lora.multi_lora import apply_lora
-            y = apply_lora(out, y, lora["o"], meta.lora_ids)
+            y = apply_lora(out, y, lora["o"], meta.lora_ids,
+                           row_parallel=self.tp_size > 1)
         return y, (k_cache, v_cache)
 
     def _position_transform(self, q, k, positions, cos_t, sin_t):

@@ -79,8 +79,14 @@ class GatedMLP:
         }
 
     def param_specs(self) -> Dict:
+        from tensorrt_llm_tpu.parallel.ops import TP_AXES
         return {"gate_up": self.gate_up.param_specs(),
-                "down": self.down.param_specs()}
+                "down": self.down.param_specs(),
+                # runtime multi-LoRA stacks (pruned when absent)
+                "lora": {"gate_up": (P(None, None, None),
+                                     P(None, None, TP_AXES)),
+                         "down": (P(None, TP_AXES, None),
+                                  P(None, None, None))}}
 
     def __call__(self, params: Dict, x: jax.Array,
                  lora_ids=None) -> jax.Array:
@@ -96,5 +102,6 @@ class GatedMLP:
         y = self.down(params["down"], h)
         if lora and "down" in lora and lora_ids is not None:
             from tensorrt_llm_tpu.lora.multi_lora import apply_lora
-            y = apply_lora(h, y, lora["down"], lora_ids)
+            y = apply_lora(h, y, lora["down"], lora_ids,
+                           row_parallel=self.tp_size > 1)
         return y

@@ -16,8 +16,10 @@ Fused-projection mapping: q/k/v (and gate/up) adapters concatenate along the
 rank axis with their B factors scattered into the fused output's column
 ranges, so one (A, B) pair per fused linear covers all sub-projections.
 
-Round-1 scope: tp_size == 1 (sharded adapter tensors land with the TP round
-of LoRA).
+Under TP the stacked tensors shard like their base linears: column-parallel
+B factors are column-permuted into the fused weight's per-rank interleaved
+layout and shard on the output dim; row-parallel A factors shard on the
+input dim and the rank-r intermediate psums over the tp axes before B.
 """
 
 from __future__ import annotations
@@ -38,8 +40,6 @@ class MultiLoraManager:
         self.slots = {n: i for i, n in enumerate(self.names)}
         self.adapters = adapters
         self.cfg = cfg
-        assert cfg.mapping.tp_size == 1, \
-            "runtime multi-LoRA under TP lands in a later round"
 
     @classmethod
     def from_paths(cls, paths: Dict[str, str], cfg) -> "MultiLoraManager":
@@ -96,20 +96,29 @@ class MultiLoraManager:
         qd = cfg.num_heads * D
         kvd = cfg.num_kv_heads * D
         H, I = cfg.hidden_size, cfg.intermediate_size
+        tp = cfg.mapping.tp_size
         out = {}
         v = self._fused(layer, [("self_attn.q_proj", 0, qd),
                                 ("self_attn.k_proj", qd, qd + kvd),
                                 ("self_attn.v_proj", qd + kvd, qd + 2 * kvd)],
                         H, qd + 2 * kvd)
         if v is not None:
-            out["qkv"] = v
+            A, B = v
+            if tp > 1:  # match the fused qkv weight's per-rank interleave
+                B = interleave_columns(
+                    B, [(0, qd), (qd, qd + kvd), (qd + kvd, qd + 2 * kvd)],
+                    tp)
+            out["qkv"] = (A, B)
         v = self._fused(layer, [("self_attn.o_proj", 0, H)], qd, H)
         if v is not None:
             out["o"] = v
         v = self._fused(layer, [("mlp.gate_proj", 0, I),
                                 ("mlp.up_proj", I, 2 * I)], H, 2 * I)
         if v is not None:
-            out["gate_up"] = v
+            A, B = v
+            if tp > 1:
+                B = interleave_columns(B, [(0, I), (I, 2 * I)], tp)
+            out["gate_up"] = (A, B)
         v = self._fused(layer, [("mlp.down_proj", 0, H)], I, H)
         if v is not None:
             out["down"] = v
@@ -140,11 +149,13 @@ class MultiLoraManager:
         return params
 
 
-def apply_lora(x, base_out, lora: Tuple, lora_ids):
+def apply_lora(x, base_out, lora: Tuple, lora_ids, row_parallel=False):
     """base_out += masked per-slot low-rank products (slot 0 contributes 0).
 
     x [T, in], lora = (A [L, in, R], B [L, R, out]), lora_ids [T] int32.
-    """
+    row_parallel: x and A are sharded on the input dim — psum the rank-r
+    intermediate over the tp axes before B (mirrors the base linear's
+    all-reduce)."""
     import jax.numpy as jnp
     A, B = lora
     L = A.shape[0]
@@ -153,7 +164,22 @@ def apply_lora(x, base_out, lora: Tuple, lora_ids):
         sel = (lora_ids == a)[:, None].astype(jnp.float32)
         h = jnp.dot(x.astype(A.dtype), A[a],
                     preferred_element_type=jnp.float32)
+        if row_parallel:
+            from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+            h = tp_all_reduce(h)
         d = jnp.dot(h.astype(B.dtype), B[a],
                     preferred_element_type=jnp.float32)
         out = out + (sel * d).astype(out.dtype)
     return out
+
+
+def interleave_columns(mat: np.ndarray, seg_bounds, tp: int) -> np.ndarray:
+    """Permute the last axis from segment-major [s0 | s1 | ..] to the fused
+    TP-interleaved layout [s0_r0 | s1_r0 | .. | s0_r1 | ..] used by the base
+    fused weights (Attention.from_float / GatedMLP.from_float)."""
+    idx = []
+    for r in range(tp):
+        for lo, hi in seg_bounds:
+            per = (hi - lo) // tp
+            idx.extend(range(lo + r * per, lo + (r + 1) * per))
+    return mat[..., np.array(idx)]

@@ -45,32 +45,98 @@ class Mamba2Mixer:
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
-        self.H = cfg.ssm_num_heads or 8
+        self.tp = cfg.mapping.tp_size
+        Hg = cfg.ssm_num_heads or 8
+        Gg = cfg.ssm_n_groups
+        assert Hg % self.tp == 0 and Gg % self.tp == 0, (
+            "SSM TP needs heads and groups divisible by tp")
+        # LOCAL (per-shard) dims — the mixer body runs inside shard_map
+        self.H = Hg // self.tp
+        self.G = Gg // self.tp
+        self.H_global, self.G_global = Hg, Gg
         self.P = cfg.ssm_head_dim
         self.N = cfg.ssm_state_size
-        self.G = cfg.ssm_n_groups
         self.K = cfg.ssm_conv_kernel
         self.chunk = cfg.ssm_chunk_size
         self.d_inner = self.H * self.P
+        self.d_inner_global = Hg * self.P
         self.conv_dim = self.d_inner + 2 * self.G * self.N
+        self.conv_dim_global = self.d_inner_global + 2 * Gg * self.N
         self.proj_dim = self.d_inner + self.conv_dim + self.H
+        self.proj_dim_global = (self.d_inner_global + self.conv_dim_global
+                                + Hg)
+
+    # ---- TP layout ---------------------------------------------------------------
+    def _interleave_cols(self, mat, segs):
+        """Permute the last axis from segment-major global layout to the
+        per-rank-contiguous layout the column shards expect (same pattern as
+        the fused qkv interleave)."""
+        if self.tp == 1 or mat is None:
+            return mat
+        idx = []
+        for r in range(self.tp):
+            for lo, hi in segs:
+                per = (hi - lo) // self.tp
+                idx.extend(range(lo + r * per, lo + (r + 1) * per))
+        return mat[..., np.array(idx)]
+
+    def _proj_segs(self):
+        dg, cg = self.d_inner_global, self.conv_dim_global
+        return [(0, dg), (dg, dg + cg), (dg + cg, self.proj_dim_global)]
+
+    def _conv_segs(self):
+        dg = self.d_inner_global
+        gn = self.G_global * self.N
+        return [(0, dg), (dg, dg + gn), (dg + gn, dg + 2 * gn)]
+
+    def shard_in_proj(self, w):
+        """[Hs, proj_dim] global -> per-rank [z_r|xbc_r|dt_r] columns, with
+        the xbc segment itself interleaved [x_r|B_r|C_r]."""
+        if self.tp == 1 or w is None:
+            return w
+        dg, cg = self.d_inner_global, self.conv_dim_global
+        xbc = self._interleave_cols(w[..., dg:dg + cg], self._conv_segs())
+        w = jnp.concatenate([w[..., :dg], xbc, w[..., dg + cg:]], axis=-1)
+        return self._interleave_cols(w, self._proj_segs())
+
+    def shard_conv(self, t):
+        return self._interleave_cols(t, self._conv_segs())
+
+    def param_specs(self) -> Dict:
+        from tensorrt_llm_tpu.parallel.ops import TP_AXES
+        from jax.sharding import PartitionSpec as P
+        return {"in_proj": P(None, TP_AXES), "conv_w": P(None, TP_AXES),
+                "conv_b": P(TP_AXES), "A_log": P(TP_AXES), "D": P(TP_AXES),
+                "dt_bias": P(TP_AXES), "gated_norm": P(TP_AXES),
+                "out_proj": P(TP_AXES, None)}
+
+    def cache_specs(self):
+        from tensorrt_llm_tpu.parallel.ops import TP_AXES
+        from jax.sharding import PartitionSpec as P
+        return (P(None, None, TP_AXES), P(None, TP_AXES, None, None))
 
     def init(self, key) -> Dict:
         k1, k2, k3 = jax.random.split(key, 3)
         Hs = self.cfg.hidden_size
         std = 0.5 / Hs ** 0.5
         return {
-            "in_proj": (jax.random.normal(k1, (Hs, self.proj_dim), jnp.float32)
-                        * std).astype(self.cfg.dtype),
-            "conv_w": jax.random.normal(k2, (self.K, self.conv_dim),
-                                        jnp.float32) * 0.2,
-            "conv_b": jnp.zeros((self.conv_dim,), jnp.float32),
-            "A_log": jnp.log(jnp.arange(1, self.H + 1, dtype=jnp.float32)),
-            "D": jnp.ones((self.H,), jnp.float32),
-            "dt_bias": jnp.ones((self.H,), jnp.float32),
-            "gated_norm": jnp.ones((self.d_inner,), jnp.float32),
-            "out_proj": (jax.random.normal(k3, (self.d_inner, Hs), jnp.float32)
-                         * (0.5 / self.d_inner ** 0.5)).astype(self.cfg.dtype),
+            "in_proj": self.shard_in_proj(
+                (jax.random.normal(k1, (Hs, self.proj_dim_global),
+                                   jnp.float32) * std
+                 ).astype(self.cfg.dtype)),
+            "conv_w": self.shard_conv(
+                jax.random.normal(k2, (self.K, self.conv_dim_global),
+                                  jnp.float32) * 0.2),
+            "conv_b": jnp.zeros((self.conv_dim_global,), jnp.float32),
+            "A_log": jnp.log(jnp.arange(1, self.H_global + 1,
+                                        dtype=jnp.float32)),
+            "D": jnp.ones((self.H_global,), jnp.float32),
+            "dt_bias": jnp.ones((self.H_global,), jnp.float32),
+            "gated_norm": jnp.ones((self.d_inner_global,), jnp.float32),
+            "out_proj": (jax.random.normal(
+                k3, (self.d_inner_global, Hs), jnp.float32)
+                * (0.5 / self.d_inner_global ** 0.5)
+            ).astype(self.cfg.dtype),
         }
 
     def _split_proj(self, zxbcdt):
@@ -89,14 +155,23 @@ class Mamba2Mixer:
         return jnp.repeat(t, self.H // self.G, axis=1)
 
     def _finish(self, params, y, z, dtype):
-        # gated RMSNorm (HF MambaRMSNormGated): gate applied pre-variance
+        # gated RMSNorm (HF MambaRMSNormGated): gate applied pre-variance;
+        # under TP the variance reduces over the FULL d_inner (psum)
         yf = y.reshape(y.shape[0], self.d_inner)
         yf = yf * jax.nn.silu(z.astype(jnp.float32))
-        var = jnp.mean(yf * yf, axis=-1, keepdims=True)
+        sq = jnp.sum(yf * yf, axis=-1, keepdims=True)
+        if self.tp > 1:
+            from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+            sq = tp_all_reduce(sq)
+        var = sq / self.d_inner_global
         yf = yf * jax.lax.rsqrt(var + self.cfg.rms_eps)
         yf = yf * params["gated_norm"][None, :]
-        return jnp.dot(yf.astype(dtype), params["out_proj"].astype(dtype),
-                       preferred_element_type=jnp.float32).astype(dtype)
+        out = jnp.dot(yf.astype(dtype), params["out_proj"].astype(dtype),
+                      preferred_element_type=jnp.float32)
+        if self.tp > 1:
+            from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+            out = tp_all_reduce(out)
+        return out.astype(dtype)
 
     def __call__(self, params, x, cache, meta: AttentionMetadata):
         """cache = (conv_pool [S, K-1, conv_dim] bf16,
@@ -175,20 +250,25 @@ class Mamba2ForCausalLM:
     """Pure-Mamba2 LM (HF backbone.* naming)."""
 
     def __init__(self, cfg: ModelConfig):
-        assert cfg.mapping.world_size == 1, \
-            "Mamba2 TP/PP sharding lands in a later round"
+        assert cfg.mapping.pp_size == 1 and cfg.mapping.cp_size == 1, \
+            "Mamba2 PP/CP sharding lands in a later round"
         self.cfg = cfg
         self.embedding = Embedding(cfg.vocab_size, cfg.hidden_size, cfg.dtype)
         self.mixers = [Mamba2Mixer(cfg) for _ in range(cfg.num_layers)]
 
     # ---- engine hooks -----------------------------------------------------------
     def make_layer_caches(self, kv_manager):
-        """Slot-addressed state pools instead of paged KV."""
+        """Slot-addressed state pools instead of paged KV (GLOBAL shapes;
+        the engine shards the channel/head axes per cache_specs)."""
         S = kv_manager.slots.max_slots
         m = self.mixers[0]
-        return [(jnp.zeros((S, m.K - 1, m.conv_dim), jnp.bfloat16),
-                 jnp.zeros((S, m.H, m.P, m.N), jnp.float32))
+        return [(jnp.zeros((S, m.K - 1, m.conv_dim_global), jnp.bfloat16),
+                 jnp.zeros((S, m.H_global, m.P, m.N), jnp.float32))
                 for _ in range(self.cfg.num_layers)]
+
+    def cache_specs(self, pools=None, default_fn=None):
+        return [self.mixers[i].cache_specs()
+                for i in range(self.cfg.num_layers)]
 
     # ---- params -----------------------------------------------------------------
     def init(self, key) -> Dict:
@@ -211,7 +291,17 @@ class Mamba2ForCausalLM:
 
     def param_specs(self):
         from jax.sharding import PartitionSpec as P
-        return jax.tree.map(lambda _: P(), self.init(jax.random.PRNGKey(0)))
+        specs = {
+            "embedding": jax.tree.map(lambda _: P(),
+                                      self.embedding.init(
+                                          jax.random.PRNGKey(0))),
+            "final_norm": P(None),
+            "layers": [{"norm": P(None), "mixer": m.param_specs()}
+                       for m in self.mixers],
+        }
+        if not self.cfg.tie_word_embeddings:
+            specs["lm_head"] = P(None, None)
+        return specs
 
     # ---- forward ------------------------------------------------------------------
     def forward(self, params, input_ids, kv_caches, meta: AttentionMetadata,
@@ -262,10 +352,12 @@ class Mamba2ForCausalLM:
             lp = {
                 "norm": arr(pre + "norm.weight"),
                 "mixer": {
-                    "in_proj": arr(pre + "mixer.in_proj.weight").T.astype(
-                        cfg.dtype),
-                    "conv_w": jnp.transpose(conv_w[:, 0, :], (1, 0)),
-                    "conv_b": arr(pre + "mixer.conv1d.bias"),
+                    "in_proj": m.shard_in_proj(
+                        arr(pre + "mixer.in_proj.weight").T.astype(
+                            cfg.dtype)),
+                    "conv_w": m.shard_conv(
+                        jnp.transpose(conv_w[:, 0, :], (1, 0))),
+                    "conv_b": m.shard_conv(arr(pre + "mixer.conv1d.bias")),
                     "A_log": arr(pre + "mixer.A_log"),
                     "D": arr(pre + "mixer.D"),
                     "dt_bias": arr(pre + "mixer.dt_bias"),
@@ -274,8 +366,9 @@ class Mamba2ForCausalLM:
                         cfg.dtype),
                 },
             }
-            if lp["mixer"]["conv_b"] is None:
-                lp["mixer"]["conv_b"] = jnp.zeros((m.conv_dim,), jnp.float32)
+            if arr(pre + "mixer.conv1d.bias") is None:
+                lp["mixer"]["conv_b"] = jnp.zeros((m.conv_dim_global,),
+                                                  jnp.float32)
             params["layers"].append(lp)
         if not cfg.tie_word_embeddings:
             params["lm_head"] = arr("lm_head.weight").T.astype(cfg.dtype)

@@ -37,9 +37,11 @@ class NemotronHForCausalLM:
     """Hybrid decoder; layer pattern via cfg.extra['hybrid_override_pattern']."""
 
     def __init__(self, cfg: ModelConfig):
-        assert cfg.mapping.world_size == 1, \
-            "hybrid-model sharding lands in a later round"
+        assert cfg.mapping.pp_size == 1 and cfg.mapping.cp_size == 1 \
+            and cfg.mapping.dp_size == 1, \
+            "hybrid-model PP/CP/DP sharding lands in a later round"
         self.cfg = cfg
+        tp = cfg.mapping.tp_size
         self.pattern = cfg.extra.get(
             "hybrid_override_pattern", "M" * cfg.num_layers)
         assert len(self.pattern) == cfg.num_layers, (
@@ -54,13 +56,13 @@ class NemotronHForCausalLM:
                     hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
                     num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
                     rope=cfg.rope, rms_eps=cfg.rms_eps, dtype=cfg.dtype,
-                    quant=cfg.quant))
+                    quant=cfg.quant, tp_size=tp))
             elif t == "-":
                 self.components.append(GatedMLP(
                     hidden_size=cfg.hidden_size,
                     intermediate_size=cfg.intermediate_size,
                     activation=cfg.activation, dtype=cfg.dtype,
-                    quant=cfg.quant))
+                    quant=cfg.quant, tp_size=tp))
             else:
                 raise ValueError(f"unknown hybrid layer type {t!r}")
 
@@ -73,14 +75,25 @@ class NemotronHForCausalLM:
         for t, comp in zip(self.pattern, self.components):
             if t == "M":
                 caches.append((
-                    jnp.zeros((S, comp.K - 1, comp.conv_dim), jnp.bfloat16),
-                    jnp.zeros((S, comp.H, comp.P, comp.N), jnp.float32)))
+                    jnp.zeros((S, comp.K - 1, comp.conv_dim_global),
+                              jnp.bfloat16),
+                    jnp.zeros((S, comp.H_global, comp.P, comp.N),
+                              jnp.float32)))
             elif t == "*":
                 caches.append((jnp.zeros(kv_shape, kv_manager.cfg.dtype),
                                jnp.zeros(kv_shape, kv_manager.cfg.dtype)))
             else:
                 caches.append(jnp.zeros((1,), jnp.float32))  # stateless
         return caches
+
+    def cache_specs(self, pools, default_fn):
+        out = []
+        for t, comp, pool in zip(self.pattern, self.components, pools):
+            if t == "M":
+                out.append(comp.cache_specs())
+            else:
+                out.append(jax.tree.map(default_fn, pool))
+        return out
 
     # ---- params -----------------------------------------------------------------
     def init(self, key) -> Dict:
@@ -104,7 +117,18 @@ class NemotronHForCausalLM:
 
     def param_specs(self):
         from jax.sharding import PartitionSpec as P
-        return jax.tree.map(lambda _: P(), self.init(jax.random.PRNGKey(0)))
+        layers = []
+        for t, comp in zip(self.pattern, self.components):
+            layers.append({"norm": P(None), "comp": comp.param_specs()})
+        return {
+            "embedding": jax.tree.map(
+                lambda _: P(), self.embedding.init(jax.random.PRNGKey(0))),
+            "final_norm": P(None),
+            "rope": (P(None, None), P(None, None)),
+            "layers": layers,
+            **({} if self.cfg.tie_word_embeddings
+               else {"lm_head": P(None, None)}),
+        }
 
     # ---- forward ------------------------------------------------------------------
     def forward(self, params, input_ids, kv_caches, meta: AttentionMetadata,

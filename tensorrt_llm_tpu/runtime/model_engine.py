@@ -153,7 +153,14 @@ class ModelEngine:
                 is_leaf=lambda x: isinstance(x, P))
             self.params = jax.device_put(params, shardings)
             pools = self._allocate_layer_caches()
-            self._cache_specs = jax.tree.map(self._cache_leaf_spec, pools)
+            if hasattr(self.model, "cache_specs"):
+                # hybrid/SSM models know their pools' sharding (conv
+                # channels / SSM heads over TP) — paged-KV heuristics don't
+                self._cache_specs = self.model.cache_specs(
+                    pools, self._cache_leaf_spec)
+            else:
+                self._cache_specs = jax.tree.map(self._cache_leaf_spec,
+                                                 pools)
             cache_shardings = jax.tree.map(
                 lambda s: NamedSharding(self.mesh, s), self._cache_specs,
                 is_leaf=lambda x: isinstance(x, P))

@@ -90,3 +90,63 @@ def test_hybrid_e2e_batched_greedy_deterministic():
         assert all(len(t) == 6 for t in toks1)
     finally:
         llm.shutdown()
+
+
+def test_hybrid_tp_matches_single_device():
+    """SSM TP: mamba heads/groups + attention heads + MLP sharded over the
+    tp axis; logits == single-device (gated-norm variance psums over the
+    full d_inner; interleaved in_proj/conv layouts survive the cuts)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from tensorrt_llm_tpu.parallel.mapping import Mapping
+    prompt = list(np.random.RandomState(7).randint(1, 95, 13))
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+
+    llm1 = mk_llm(seed=4)
+    try:
+        want = llm1.generate([prompt], sp)[0].outputs[0].token_ids
+    finally:
+        llm1.shutdown()
+
+    cfg = mk_cfg()
+    cfg.mapping = Mapping(tp_size=2)
+    llm2 = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+               max_batch_size=4, kv_num_blocks=64, kv_block_size=8, seed=4)
+    try:
+        got = llm2.generate([prompt], sp)[0].outputs[0].token_ids
+    finally:
+        llm2.shutdown()
+    assert got == want, (got, want)
+
+
+def test_mamba2_tp_matches_single_device():
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from tensorrt_llm_tpu.parallel.mapping import Mapping
+
+    def cfg_for(tp):
+        return ModelConfig(
+            architecture="Mamba2ForCausalLM", vocab_size=96, hidden_size=64,
+            intermediate_size=128, num_layers=2, num_heads=4,
+            num_kv_heads=2, head_dim=16, max_position=128,
+            ssm_state_size=16, ssm_num_heads=4, ssm_head_dim=16,
+            ssm_n_groups=2, ssm_conv_kernel=4, ssm_chunk_size=8,
+            tie_word_embeddings=True, mapping=Mapping(tp_size=tp))
+
+    prompt = [5, 9, 5, 9, 13, 2]
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+    llm1 = LLM(model=cfg_for(1), skip_tokenizer_init=True, max_seq_len=64,
+               max_batch_size=4, kv_num_blocks=64, kv_block_size=8, seed=6)
+    try:
+        want = llm1.generate([prompt], sp)[0].outputs[0].token_ids
+    finally:
+        llm1.shutdown()
+    llm2 = LLM(model=cfg_for(2), skip_tokenizer_init=True, max_seq_len=64,
+               max_batch_size=4, kv_num_blocks=64, kv_block_size=8, seed=6)
+    try:
+        got = llm2.generate([prompt], sp)[0].outputs[0].token_ids
+    finally:
+        llm2.shutdown()
+    assert got == want, (got, want)

@@ -118,3 +118,35 @@ def test_unknown_adapter_rejected(tmp_path):
             llm.generate_async([1, 2, 3], SP, lora_request="nope")
     finally:
         llm.shutdown()
+
+
+def test_multi_lora_under_tp(tmp_path):
+    """TP-sharded adapter stacks == single-device multi-LoRA outputs
+    (B column-interleaved with the fused weights; row-parallel A psums)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    ckpt = write_checkpoint(str(tmp_path / "base"))
+    a1 = write_adapter(str(tmp_path / "a1"), seed=1)
+    a2 = write_adapter(str(tmp_path / "a2"), seed=2)
+    adapters = {"a1": a1, "a2": a2}
+
+    llm1 = mk_llm(ckpt, lora_adapters=adapters)
+    try:
+        base1 = llm1.generate([[1, 2, 3]], SP)[0].outputs[0].token_ids
+        got1 = {n: llm1.generate_async([1, 2, 3], SP, lora_request=n)
+                .result().outputs[0].token_ids for n in adapters}
+    finally:
+        llm1.shutdown()
+
+    llm2 = mk_llm(ckpt, lora_adapters=adapters, tensor_parallel_size=2)
+    try:
+        base2 = llm2.generate([[1, 2, 3]], SP)[0].outputs[0].token_ids
+        got2 = {n: llm2.generate_async([1, 2, 3], SP, lora_request=n)
+                .result().outputs[0].token_ids for n in adapters}
+    finally:
+        llm2.shutdown()
+    assert base1 == base2
+    assert got1 == got2, (got1, got2)
+    # adapters actually change outputs
+    assert got1["a1"] != base1 or got1["a2"] != base1
