@@ -67,15 +67,20 @@ class MoE:
     # per-rank expert rows capped at ceil(factor * T*k / ep_size); None =
     # exact dropless dispatch
     capacity_factor: Optional[float] = None
+    # Wide-EP hot-expert replication (reference moeLoadBalancer redundant
+    # slots): extra weight slots the balancer fills with copies of hot
+    # experts; tokens split across a logical expert's replicas
+    redundant_experts: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None   # expert weights stay bf16 round-1
     ep_size: int = 1
     tp_size: int = 1                # per-expert intermediate sharding
 
     def __post_init__(self):
-        assert self.num_experts % self.ep_size == 0
+        self.num_slots = self.num_experts + self.redundant_experts
+        assert self.num_slots % self.ep_size == 0
         assert self.intermediate_size % self.tp_size == 0
-        self.experts_local = self.num_experts // self.ep_size
+        self.experts_local = self.num_slots // self.ep_size
         self.inter_local = self.intermediate_size // self.tp_size
         # Quantized experts (reference: mixed-input grouped MoE GEMMs,
         # cutlass_kernels/moe_gemm/moe_gemm_kernels_bf16_uint4.cu) — int4
@@ -129,6 +134,17 @@ class MoE:
             cols.append(gate_w[:, :, r * per:(r + 1) * per])
             cols.append(up_w[:, :, r * per:(r + 1) * per])
         fused = jnp.concatenate(cols, axis=2)
+        if self.redundant_experts:
+            # extra slots start as copies of experts 0..R-1 (the balancer
+            # re-fills them with the actually-hot experts at runtime)
+            extra = jnp.arange(self.redundant_experts) % self.num_experts
+            fused = jnp.concatenate([fused, fused[extra]], axis=0)
+            down_w = jnp.concatenate([down_w, down_w[extra]], axis=0)
+            if gate_b is not None:
+                gate_b = jnp.concatenate([gate_b, gate_b[extra]], axis=0)
+                up_b = jnp.concatenate([up_b, up_b[extra]], axis=0)
+            if down_b is not None:
+                down_b = jnp.concatenate([down_b, down_b[extra]], axis=0)
         p = {"router": router_w.astype(jnp.float32)}
         if self.quant_experts:
             from tensorrt_llm_tpu.ops.moe_w4a16 import quantize_experts_w4
@@ -153,7 +169,7 @@ class MoE:
                                 if router_bias is None
                                 else router_bias.astype(jnp.float32))
         if self.has_expert_bias:
-            E = self.num_experts
+            E = self.num_slots
             if gate_b is None:
                 gate_b = jnp.zeros((E, self.intermediate_size), jnp.float32)
                 up_b = jnp.zeros((E, self.intermediate_size), jnp.float32)
@@ -268,10 +284,14 @@ class MoE:
         El = self.experts_local
         ids, weights = self.route(params, x)             # [T, k] logical
 
-        # Wide-EP placement: logical expert -> physical slot permutation
-        # installed by the load balancer (runtime/moe_load_balancer.py)
+        # Wide-EP placement: logical expert -> physical slot map installed
+        # by the load balancer; [2, E] rows are (primary, replica) slots —
+        # tokens split across a hot expert's replicas by pair parity
         emap = params.get("expert_map")
-        if emap is not None:
+        if emap is not None and emap.ndim == 2:
+            pair_idx = jnp.arange(T * k, dtype=jnp.int32).reshape(T, k)
+            ids = jnp.where(pair_idx % 2 == 0, emap[0][ids], emap[1][ids])
+        elif emap is not None:
             ids = emap[ids]
 
         flat_ids = ids.reshape(-1)                       # [T*k]

@@ -93,6 +93,8 @@ class LLM:
         else:
             raise TypeError(f"model must be path or ModelConfig, got {type(a.model)}")
         cfg.max_position = max(cfg.max_position, a.max_seq_len)
+        if a.moe_redundant_experts:
+            cfg.moe_redundant_experts = a.moe_redundant_experts
 
         self.model_config = cfg
         self._tokenizer = self._load_tokenizer(model_path)

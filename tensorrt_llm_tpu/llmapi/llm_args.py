@@ -70,6 +70,9 @@ class LlmArgs:
 
     # Wide-EP: rebalance expert placement every N iterations (0 = off)
     moe_rebalance_interval: int = 0
+    # Wide-EP: extra physical expert slots the balancer fills with replicas
+    # of hot experts (reference moeLoadBalancer redundant slots)
+    moe_redundant_experts: int = 0
 
     # executor hang watchdog (reference pyexecutor/hang_detector.py); 0 = off
     watchdog_timeout: float = 300.0

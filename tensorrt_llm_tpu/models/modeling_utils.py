@@ -93,6 +93,8 @@ class ModelConfig:
     moe_apply_router_weight_on_input: bool = False
     # EP dispatch row capacity factor (None = exact dropless dispatch)
     moe_capacity_factor: Optional[float] = None
+    # Wide-EP hot-expert replication: extra weight slots for replicas
+    moe_redundant_experts: int = 0
     n_group: int = 1
     topk_group: int = 1
     routed_scaling_factor: float = 1.0
@@ -373,6 +375,7 @@ class DecoderLayer:
                 topk_group=cfg.topk_group,
                 routed_scaling=cfg.routed_scaling_factor,
                 capacity_factor=cfg.moe_capacity_factor,
+                redundant_experts=cfg.moe_redundant_experts,
                 dtype=cfg.dtype,
                 quant=cfg.quant,
                 ep_size=cfg.mapping.moe_ep_size,
@@ -522,7 +525,8 @@ class DecoderModelForCausalLM:
         expert-load counter (Wide-EP load-balancer statistic)."""
         pools = kv_manager.allocate_pools()
         out = []
-        E = self.cfg.num_experts
+        # counters are per physical SLOT (num_experts + redundant replicas)
+        E = self.cfg.num_experts + self.cfg.moe_redundant_experts
         for i, pool in enumerate(pools):
             if self.cfg.is_moe_layer(i):
                 out.append((pool, jnp.zeros((E,), jnp.int32)))

@@ -1,4 +1,4 @@
-"""Wide-EP MoE load balancer.
+"""Wide-EP MoE load balancer (placement + hot-expert replication).
 
 Counterpart of the reference's online expert rebalancer
 (`cpp/tensorrt_llm/kernels/moeLoadBalance/`, `runtime/moeLoadBalancer/`,
@@ -6,12 +6,13 @@ Python `moe_load_balancer.py:127`): per-expert load statistics accumulate on
 device inside the MoE layers' cache pytree (zero extra syncs — they ride the
 donated cache update), and a host-side planner periodically recomputes the
 expert→slot placement so every expert-parallel rank carries a near-equal
-token load.  The placement is a permutation installed as an ``expert_map``
-param (logical expert id → physical slot); weight tensors are permuted to
-match, so outputs are bit-identical while the per-rank load flattens.
+token load.
 
-Expert *replication* (hot experts on several ranks) is the next increment —
-the planner interface already returns per-slot assignments.
+With ``moe_redundant_experts > 0`` the weight stacks carry extra slots: the
+planner REPLICATES the hottest experts into them (the reference's redundant
+expert slots), splitting a hot expert's tokens across its replicas, and
+installs a ``[2, E]`` (primary, replica) expert_map.  Placement changes are
+output-preserving — replicas are exact weight copies.
 """
 
 from __future__ import annotations
@@ -23,34 +24,57 @@ import numpy as np
 from tensorrt_llm_tpu.utils import logger
 
 
-def plan_placement(loads: np.ndarray, ep_size: int) -> np.ndarray:
-    """LPT (longest-processing-time) assignment of experts to ep ranks.
+def plan_placement(loads: np.ndarray, ep_size: int,
+                   num_slots: Optional[int] = None) -> np.ndarray:
+    """LPT assignment of expert (replica) units to ep ranks.
 
-    loads: [E] token counts. Returns perm [E] where physical slot s hosts
-    logical expert perm[s]; slots [r*E/ep, (r+1)*E/ep) live on rank r.
+    loads: [E] logical token counts.  num_slots >= E adds replica units for
+    the hottest experts (each replica carries load/replicas).  Returns
+    slot_to_logical [S]: physical slot s hosts logical expert stl[s];
+    slots [r*S/ep, (r+1)*S/ep) live on rank r.
     """
     E = len(loads)
-    per = E // ep_size
-    order = np.argsort(loads)[::-1]           # heaviest first
-    rank_load = np.zeros(ep_size, np.int64)
+    S = num_slots or E
+    per = S // ep_size
+    reps = np.ones(E, np.int64)
+    for _ in range(S - E):
+        # duplicate whichever expert currently has the highest per-replica
+        # load (greedy — matches the reference's replication heuristic)
+        reps[np.argmax(loads / reps)] += 1
+    units: List[tuple] = []
+    for e in range(E):
+        for _ in range(int(reps[e])):
+            units.append((int(e), float(loads[e]) / reps[e]))
+    units.sort(key=lambda u: -u[1])          # heaviest first (LPT)
+    rank_load = np.zeros(ep_size, np.float64)
     rank_slots: List[List[int]] = [[] for _ in range(ep_size)]
-    for e in order:
-        # least-loaded rank with a free slot
-        cands = [r for r in range(ep_size) if len(rank_slots[r]) < per]
+    for e, w in units:
+        cands = [r for r in range(ep_size)
+                 if len(rank_slots[r]) < per and e not in rank_slots[r]]
+        if not cands:  # replicas may have to share a rank for tiny configs
+            cands = [r for r in range(ep_size) if len(rank_slots[r]) < per]
         r = min(cands, key=lambda r: rank_load[r])
-        rank_slots[r].append(int(e))
-        rank_load[r] += int(loads[e])
-    perm = np.concatenate([np.asarray(s, np.int64) for s in rank_slots])
-    return perm
+        rank_slots[r].append(e)
+        rank_load[r] += w
+    return np.concatenate([np.asarray(s, np.int64) for s in rank_slots])
 
 
 def balance_stat(loads: np.ndarray, ep_size: int,
-                 perm: Optional[np.ndarray] = None) -> float:
-    """max-rank-load / mean-rank-load under a placement (1.0 = perfect)."""
+                 placement: Optional[np.ndarray] = None,
+                 num_slots: Optional[int] = None) -> float:
+    """max-rank-load / mean-rank-load under a placement (1.0 = perfect).
+    Replicated experts split their load evenly across replicas."""
     E = len(loads)
-    per = E // ep_size
-    l = loads if perm is None else loads[perm]
-    ranks = l.reshape(ep_size, per).sum(1)
+    S = num_slots or (len(placement) if placement is not None else E)
+    per = S // ep_size
+    if placement is None:
+        placement = np.arange(E)
+        if S > E:
+            placement = np.concatenate(
+                [placement, np.arange(S - E) % E])
+    counts = np.bincount(placement, minlength=E)
+    slot_loads = loads[placement] / np.maximum(counts[placement], 1)
+    ranks = slot_loads.reshape(ep_size, per).sum(1)
     return float(ranks.max() / max(ranks.mean(), 1e-9))
 
 
@@ -61,51 +85,60 @@ class MoeLoadBalancer:
         self.engine = engine
         self.interval = interval
         self.ep_size = model.cfg.mapping.moe_ep_size
+        self.num_experts = model.cfg.num_experts
+        self.num_slots = (model.cfg.num_experts
+                          + getattr(model.cfg, "moe_redundant_experts", 0))
         self.history: List[dict] = []
-        # current placement per moe layer (logical -> slot permutation)
-        self.perms: Dict[int, np.ndarray] = {}
+        # current slot -> logical placement per moe layer
+        self.placements: Dict[int, np.ndarray] = {}
+
+    def _placement(self, layer: int) -> np.ndarray:
+        p = self.placements.get(layer)
+        if p is not None:
+            return p
+        base = np.arange(self.num_experts, dtype=np.int64)
+        if self.num_slots > self.num_experts:
+            base = np.concatenate(
+                [base, np.arange(self.num_slots - self.num_experts)
+                 % self.num_experts])
+        return base
 
     # ---- statistics ---------------------------------------------------------------
     def snapshot_loads(self) -> Dict[int, np.ndarray]:
-        """Read the on-device per-layer expert load counters (in SLOT order;
-        mapped back to logical ids via the current placement)."""
+        """Per-layer LOGICAL expert loads (slot counters summed over a
+        logical expert's replicas)."""
         out = {}
         for i, cache in enumerate(self.engine.kv_caches):
             if isinstance(cache, tuple) and len(cache) == 2 \
                     and getattr(cache[1], "ndim", None) == 1:
                 slot_loads = np.asarray(cache[1])
-                perm = self.perms.get(i)
-                if perm is None:
-                    out[i] = slot_loads
-                else:
-                    logical = np.zeros_like(slot_loads)
-                    logical[perm] = slot_loads
-                    out[i] = logical
+                stl = self._placement(i)[: len(slot_loads)]
+                logical = np.zeros(self.num_experts, slot_loads.dtype)
+                np.add.at(logical, stl, slot_loads)
+                out[i] = logical
         return out
 
     # ---- placement -----------------------------------------------------------------
     def rebalance(self) -> dict:
         """Recompute placements from current loads and install them."""
         import jax
-        import jax.numpy as jnp
 
         loads = self.snapshot_loads()
         report = {}
-        new_params = self.engine.params
         with self.engine.lock:
             params = jax.tree.map(lambda x: x, self.engine.params)  # shallow
         changed = False
         for i, load in loads.items():
             if load.sum() == 0:
                 continue
-            before = balance_stat(load, self.ep_size, self.perms.get(i))
-            perm = plan_placement(load, self.ep_size)
-            after = balance_stat(load, self.ep_size, perm)
+            before = balance_stat(load, self.ep_size, self._placement(i))
+            placement = plan_placement(load, self.ep_size, self.num_slots)
+            after = balance_stat(load, self.ep_size, placement)
             report[i] = {"before": before, "after": after}
             if after >= before - 1e-6:
                 continue
-            self._install(params, i, perm)
-            self.perms[i] = perm
+            self._install(params, i, placement)
+            self.placements[i] = placement
             changed = True
         if changed:
             self.engine.update_params(params)
@@ -113,28 +146,31 @@ class MoeLoadBalancer:
         logger.info("moe rebalance: %s", report)
         return report
 
-    def _install(self, params, layer: int, perm: np.ndarray):
-        """Permute expert weights to the new slots + set expert_map.
-
-        Slot s currently holds logical expert old_perm[s]; recover logical
-        order via inv_old, then lay out new slot s = logical perm[s]."""
+    def _install(self, params, layer: int, placement: np.ndarray):
+        """Re-lay expert weights so new slot s holds logical placement[s]
+        (copying from any current replica) and install the [2, E]
+        (primary, replica) expert_map."""
         import jax.numpy as jnp
         mp = params["layers"][layer]["mlp"]
-        old_perm = self.perms.get(layer)
-        if old_perm is None:
-            slot_to_logical = np.arange(len(perm))
-        else:
-            slot_to_logical = np.asarray(old_perm)
-        inv_old = np.zeros(len(perm), np.int64)
-        inv_old[slot_to_logical] = np.arange(len(perm))
-        gather = jnp.asarray(inv_old[perm])  # new slot s <- current slot
+        cur = self._placement(layer)
+        # current slot holding each logical expert (first replica)
+        cur_slot_of = np.full(self.num_experts, -1, np.int64)
+        for s in range(len(cur) - 1, -1, -1):
+            cur_slot_of[cur[s]] = s
+        gather = jnp.asarray(cur_slot_of[placement])  # new slot <- cur slot
         for key in ("w_gate_up", "w_down", "b_gate_up", "b_down",
                     "w_gate_up_s", "w_gate_up_z", "w_down_s", "w_down_z"):
             if key in mp:
                 mp[key] = mp[key][gather]
-        inv_new = np.zeros(len(perm), np.int32)
-        inv_new[perm] = np.arange(len(perm), dtype=np.int32)
-        mp["expert_map"] = jnp.asarray(inv_new)
+        primary = np.full(self.num_experts, -1, np.int32)
+        replica = np.full(self.num_experts, -1, np.int32)
+        for s, e in enumerate(placement):
+            if primary[e] < 0:
+                primary[e] = s
+            elif replica[e] < 0:
+                replica[e] = s
+        replica = np.where(replica < 0, primary, replica)
+        mp["expert_map"] = jnp.asarray(np.stack([primary, replica]))
 
     # ---- executor hook --------------------------------------------------------------
     def step(self, iteration: int):

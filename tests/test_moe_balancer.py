@@ -20,10 +20,24 @@ def test_planner_balances_skewed_loads():
     loads = np.array([100, 90, 5, 4, 3, 2, 1, 1])
     before = balance_stat(loads, ep_size=2)           # identity placement
     perm = plan_placement(loads, ep_size=2)
-    after = balance_stat(loads, ep_size=2, perm=perm)
+    after = balance_stat(loads, ep_size=2, placement=perm)
     assert after < before
     assert after < 1.1                               # near-perfect here
     assert sorted(perm.tolist()) == list(range(8))   # a true permutation
+
+
+def test_planner_replicates_hot_experts():
+    # one dominating expert: without replication the best possible
+    # max/mean is ~1.6; with 2 redundant slots the replicas split its load
+    loads = np.array([100, 10, 10, 10, 10, 10, 10, 10])
+    base = balance_stat(loads, ep_size=2,
+                        placement=plan_placement(loads, ep_size=2))
+    placement = plan_placement(loads, ep_size=2, num_slots=10)
+    assert len(placement) == 10
+    assert np.sum(placement == 0) >= 2               # hot expert replicated
+    assert set(placement.tolist()) == set(range(8))  # every expert hosted
+    rep = balance_stat(loads, ep_size=2, placement=placement, num_slots=10)
+    assert rep < base
 
 
 def test_planner_respects_slot_capacity():
@@ -72,5 +86,24 @@ def test_periodic_rebalance_hook():
         llm.generate([[2, 4, 6]], SamplingParams(max_tokens=8,
                                                  ignore_eos=True))
         assert llm.moe_balancer.history  # hook fired at least once
+    finally:
+        llm.shutdown()
+
+
+def test_redundant_slots_rebalance_preserves_outputs():
+    llm = mk_llm(moe_redundant_experts=2)
+    try:
+        sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+        prompts = [[1, 2, 3], [9, 8, 7, 6]]
+        want = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+
+        report = llm.rebalance_experts()
+        got = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+        assert got == want, (got, want)
+
+        # second rebalance from a replicated placement still correct
+        llm.rebalance_experts()
+        got2 = [o.outputs[0].token_ids for o in llm.generate(prompts, sp)]
+        assert got2 == want
     finally:
         llm.shutdown()
