@@ -10,8 +10,10 @@ EAGLE3 chain convention.
 
 Shares the MTP drafter machinery: the draft block keeps a single-layer paged
 pool over the main sequence's block tables, and target verification makes
-correctness independent of draft quality.  Tree drafting and draft-vocab
-(d2t) mapping for pretrained EAGLE3 checkpoints land in a later round.
+correctness independent of draft quality.  Pretrained EAGLE3 checkpoints
+with a REDUCED draft vocabulary are supported: the draft `lm_head` scores
+only the draft vocab and sampled ids translate to target ids through the
+checkpoint's `d2t` offset table (reference `_torch/speculative/eagle3.py`).
 """
 
 from __future__ import annotations
@@ -40,7 +42,8 @@ class Eagle3Drafter(MTPDrafter):
             self.load_eagle_weights(self.cfg.mtp_weights)
 
     def load_eagle_weights(self, get_tensor):
-        """Load an EAGLE3 draft checkpoint (fc + midlayer + norms)."""
+        """Load an EAGLE3 draft checkpoint (fc, reduced-vocab draft head
+        `lm_head.weight` [draft_vocab, H], and `d2t` offset table)."""
         import jax.numpy as jnp
         cfg = self.model_cfg
 
@@ -52,3 +55,12 @@ class Eagle3Drafter(MTPDrafter):
         fc = t("fc.weight")
         if fc is not None:
             self.params["fc"] = fc.astype(cfg.dtype)
+        head = t("lm_head.weight")            # -> [H, draft_vocab]
+        if head is not None:
+            self.params["draft_head"] = head.astype(cfg.dtype)
+        d2t = get_tensor("d2t")
+        if d2t is not None:
+            self.d2t = np.asarray(d2t).astype(np.int64)
+            assert self.params.get("draft_head") is None or (
+                self.params["draft_head"].shape[1] == len(self.d2t)), \
+                "d2t length must match the draft head's vocab"

@@ -49,6 +49,16 @@ class MTPDrafter(Drafter):
         self._fns = {}
         self.engine = None
         self.h_dim = None          # width of tapped hiddens (set in bind)
+        # EAGLE3 reduced draft vocab: d2t[d] is the offset from draft token
+        # id d to its target-vocab id (reference _torch/speculative/eagle3.py
+        # d2t tensor); None = draft head shares the target vocab
+        self.d2t: Optional[np.ndarray] = None
+
+    def _to_target(self, draft_id: int) -> int:
+        """Map a draft-vocab token id to the target vocab."""
+        if self.d2t is None:
+            return int(draft_id)
+        return int(draft_id + self.d2t[draft_id])
 
     # ---- binding -------------------------------------------------------------
     def bind(self, engine, kv):
@@ -168,7 +178,12 @@ class MTPDrafter(Drafter):
                 mtp_params["layer"], x, None, rope_tables, pool, meta)
             hfin, _ = add_rms_norm(out, residual, mtp_params["final_norm"], eps)
             h_last = hfin[last_idx]
-            if cfg.tie_word_embeddings:
+            if "draft_head" in mtp_params:
+                # EAGLE3 reduced-vocab draft head; ids translate via d2t
+                logits = jnp.dot(
+                    h_last[None], mtp_params["draft_head"].astype(h_last.dtype),
+                    preferred_element_type=jnp.float32)
+            elif cfg.tie_word_embeddings:
                 logits = jnp.dot(
                     h_last[None],
                     main_params["embedding"]["weight"].T.astype(h_last.dtype),
@@ -183,7 +198,7 @@ class MTPDrafter(Drafter):
 
     def _run(self, hiddens, tokens, positions, rid):
         logits, h = self._run_logits(hiddens, tokens, positions, rid)
-        return int(np.argmax(logits)), h
+        return self._to_target(int(np.argmax(logits))), h
 
     def _run_logits(self, hiddens, tokens, positions, rid):
         """One drafter pass over contiguous query positions; returns
@@ -268,7 +283,7 @@ class MTPDrafter(Drafter):
             return []
         rid, n, logits, h_out = got
         k = self.cfg.max_draft_len
-        draft = [int(np.argmax(logits))]
+        draft = [self._to_target(int(np.argmax(logits)))]
         pos = n
         while len(draft) < k and pos < self.engine.max_seq_len - 1:
             tok_out, h_out = self._run(
@@ -297,12 +312,13 @@ class MTPDrafter(Drafter):
             nxt = []
             for pnode, lg, h in frontier:
                 for t in np.argsort(lg)[::-1][:max(int(b), 1)]:
-                    tokens.append(int(t))
+                    tt = self._to_target(int(t))
+                    tokens.append(tt)
                     parents.append(pnode)
                     if (level + 1 < len(branches)
                             and pos < self.engine.max_seq_len - 1):
                         lg2, h2 = self._run_logits(
-                            h[None], [int(t)], np.array([pos], np.int32),
+                            h[None], [tt], np.array([pos], np.int32),
                             rid)
                         nxt.append((len(tokens) - 1, lg2, h2))
             frontier = nxt

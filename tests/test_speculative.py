@@ -163,3 +163,41 @@ def test_eagle3_spec_matches_plain_greedy():
         llm.shutdown()
     assert got == want, (got, want)
     assert stats["rounds"] > 0, stats
+
+
+def test_eagle3_reduced_draft_vocab_d2t():
+    """EAGLE3 checkpoint with a reduced draft vocab: draft head scores only
+    draft_vocab ids and d2t translates them to target ids; greedy output
+    stays identical to the plain model (target verification)."""
+    prompt = [6, 3, 6, 3, 6, 3, 12]
+    base = make_llm(seed=8)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    V, H = TINY["vocab_size"], TINY["hidden_size"]
+    dv = V // 2
+    rng = np.random.RandomState(1)
+    weights = {
+        # draft head over the reduced vocab (quality irrelevant: target
+        # verification enforces correctness)
+        "lm_head.weight": rng.randn(dv, H).astype(np.float32) * 0.05,
+        # draft id d -> target id 2d (offset table, reference d2t format)
+        "d2t": np.arange(dv, dtype=np.int64),
+    }
+    spec = SpeculativeConfig(mode=SpeculativeMode.EAGLE3, max_draft_len=3,
+                             mtp_weights=weights.get)
+    llm = make_llm(spec=spec, seed=8)
+    try:
+        drafter = llm.executor.drafter
+        assert drafter.d2t is not None
+        assert drafter.params["draft_head"].shape == (H, dv)
+        # translation: draft id d maps to 2d, always in target range
+        assert drafter._to_target(5) == 10
+        got = greedy(llm, prompt)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+    assert stats["rounds"] > 0, stats
