@@ -344,6 +344,16 @@ class LLM:
     def get_kv_cache_stats(self) -> dict:
         return self.kv_manager.stats()
 
+    def get_kv_cache_events(self, since_id: int = 0) -> list:
+        """Stored-block event stream (reference kvCacheEventManager /
+        /kv_cache_events route); feeds external KV-aware routers."""
+        return self.kv_manager.get_events(since_id)
+
+    def match_kv_prefix(self, token_ids) -> int:
+        """Tokens of this prompt whose KV is cached here right now — the
+        KV-aware router's per-server match score."""
+        return self.kv_manager.match_prefix(list(token_ids))
+
     def shutdown(self):
         self.executor.shutdown()
 

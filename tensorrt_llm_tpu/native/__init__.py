@@ -80,6 +80,8 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tllm_kvbm_slot_mapping.argtypes = [p, i64, i64, i64, pi32]
     lib.tllm_kvbm_num_free.restype = i64
     lib.tllm_kvbm_num_free.argtypes = [p]
+    lib.tllm_kvbm_match.restype = i64
+    lib.tllm_kvbm_match.argtypes = [p, pi32, i64, u64, i32]
     lib.tllm_kvbm_stats.argtypes = [p, pi64]
     return lib
 

@@ -289,6 +289,27 @@ int64_t tllm_kvbm_num_free(void* h) {
   return static_cast<Manager*>(h)->num_free();
 }
 
+// Dry-run prefix lookup: how many prompt tokens' KV is cached right now,
+// with no side effects (no refs taken).  Backs the KV-cache-aware router's
+// per-server match scores (reference serve/router.py:76-139 keeps an
+// event-fed radix mirror; a direct query is exact and needs no mirror).
+int64_t tllm_kvbm_match(void* h, const int32_t* toks, int64_t n,
+                        uint64_t salt, int32_t has_salt) {
+  Manager& m = *static_cast<Manager*>(h);
+  if (!m.enable_reuse) return 0;
+  int64_t matched = 0;
+  uint64_t parent = 0;
+  int64_t n_full = (n - 1) / m.block_size;  // last token always recomputed
+  for (int64_t b = 0; b < n_full; ++b) {
+    uint64_t hh = chain_hash(parent, toks + b * m.block_size, m.block_size,
+                             salt, has_salt);
+    if (m.cached.find(hh) == m.cached.end()) break;
+    matched += m.block_size;
+    parent = hh;
+  }
+  return matched;
+}
+
 // out[7] = {free, evictable, reused, allocated, evicted, active_seqs,
 //           num_blocks}
 void tllm_kvbm_stats(void* h, int64_t* out) {

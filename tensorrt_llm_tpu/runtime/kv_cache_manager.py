@@ -120,6 +120,21 @@ class _PyBookkeeping:
     def num_free_blocks(self) -> int:
         return len(self.free_blocks) + len(self.evictable)
 
+    def match_prefix(self, token_ids: List[int], cache_salt=None) -> int:
+        """Dry-run reuse lookup: cached prefix tokens, no side effects."""
+        if not self.enable_reuse:
+            return 0
+        matched, parent = 0, 0
+        n_full = (len(token_ids) - 1) // self.block_size
+        for b in range(n_full):
+            chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
+            h = self._chain_hash(parent, chunk, cache_salt)
+            if h not in self.cached_blocks:
+                break
+            matched += self.block_size
+            parent = h
+        return matched
+
     def add_sequence(self, seq_id: int, token_ids: List[int],
                      cache_salt=None) -> int:
         info = SequenceInfo()
@@ -253,6 +268,13 @@ class _NativeBookkeeping:
 
     def num_free_blocks(self) -> int:
         return int(self._lib.tllm_kvbm_num_free(self._h))
+
+    def match_prefix(self, token_ids, cache_salt=None) -> int:
+        _keep, ptr = self._tok_buf(token_ids)
+        salt = 0 if cache_salt is None else hash(cache_salt) & (2**64 - 1)
+        return int(self._lib.tllm_kvbm_match(
+            self._h, ptr, len(token_ids), salt,
+            0 if cache_salt is None else 1))
 
     def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
         _keep, ptr = self._tok_buf(token_ids)
@@ -388,6 +410,13 @@ class KVCacheManager:
         self.ring_slots = 0
         self.sliding_layers: set = set()
         self._ring: Optional[SlotManager] = None
+        # KV-cache event stream (reference kvCacheEventManager.cpp feeding
+        # the /kv_cache_events route): "stored" events carry cross-process-
+        # comparable chain hashes of published full blocks.  Bounded ring;
+        # consumers page with event ids.
+        self.events: collections.deque = collections.deque(maxlen=4096)
+        self._next_event_id = 0
+        self._event_hashes: Dict[int, List[int]] = {}  # seq -> chain hashes
 
     @property
     def is_native(self) -> bool:
@@ -574,6 +603,30 @@ class KVCacheManager:
         """Publish completed blocks into the reuse index (called as the
         sequence crosses block boundaries)."""
         self._bk.seal_full_blocks(seq_id, token_ids)
+        if not self.cfg.enable_block_reuse:
+            return
+        # emit "stored" events with wrapper-level chain hashes (deterministic
+        # int-tuple hashing => comparable across server processes)
+        hashes = self._event_hashes.setdefault(seq_id, [])
+        n_full = len(token_ids) // self.block_size
+        parent = hashes[-1] if hashes else 0
+        for b in range(len(hashes), n_full):
+            chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
+            h = hash((parent, chunk))
+            self.events.append({"id": self._next_event_id, "type": "stored",
+                                "block_hash": h, "parent_hash": parent})
+            self._next_event_id += 1
+            hashes.append(h)
+            parent = h
+
+    def match_prefix(self, token_ids: List[int], cache_salt=None) -> int:
+        """Cached prefix length (tokens) for a prospective prompt — a
+        side-effect-free reuse-index lookup backing the KV-aware router."""
+        return self._bk.match_prefix(token_ids, cache_salt)
+
+    def get_events(self, since_id: int = 0) -> List[dict]:
+        """Events with id >= since_id (bounded history)."""
+        return [e for e in self.events if e["id"] >= since_id]
 
     def fork_sequence(self, src_id: int, dst_id: int):
         """Fork dst from src (beam search): share immutable blocks, allocate
@@ -587,6 +640,7 @@ class KVCacheManager:
         self.slots.release(seq_id)
         if self._ring is not None:
             self._ring.release(seq_id)
+        self._event_hashes.pop(seq_id, None)
         self._bk.free_sequence(seq_id)
 
     # ------------------------------------------------------------------ tables --
@@ -660,6 +714,14 @@ class DpKVCacheManager:
 
     def seal_full_blocks(self, seq_id, toks):
         self._r(seq_id).seal_full_blocks(seq_id, toks)
+
+    def match_prefix(self, token_ids, cache_salt=None) -> int:
+        return max(r.match_prefix(token_ids, cache_salt) for r in self.ranks)
+
+    def get_events(self, since_id: int = 0):
+        evs = [e for r in self.ranks for e in r.get_events(since_id)]
+        evs.sort(key=lambda e: e["id"])
+        return evs
 
     def block_table(self, seq_id, mb):
         return self._r(seq_id).block_table(seq_id, mb)
@@ -784,6 +846,12 @@ class HelixKVCacheManager:
 
     def seal_full_blocks(self, seq_id: int, token_ids):
         pass  # no reuse across interleaved shards
+
+    def match_prefix(self, token_ids, cache_salt=None) -> int:
+        return 0  # interleaved shards: no prefix reuse
+
+    def get_events(self, since_id: int = 0):
+        return []
 
     def free_sequence(self, seq_id: int):
         for r in self.ranks:

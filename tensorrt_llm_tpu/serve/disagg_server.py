@@ -10,8 +10,12 @@ plane is HTTP/DCN with the framed-bytes format of
 `llmapi/disagg_params.payload_to_bytes` (the reference uses UCX/NIXL RDMA;
 on TPU pods the same bytes ride DCN).
 
-Routers: ROUND_ROBIN and LOAD_BASED (fewest active sequences — fed by each
-server's /kv_cache_events, the reference's load router `serve/router.py:76`).
+Routers: ROUND_ROBIN, LOAD_BASED (fewest active sequences — fed by each
+server's /kv_cache_events, the reference's load router `serve/router.py:76`)
+and KV_AWARE (longest cached prefix wins, load breaks ties — the reference's
+KV-cache-aware router `serve/router.py:76-139`; instead of mirroring the
+event stream into a radix view, each candidate answers an exact, side-effect-
+free /prefix_match probe).
 """
 
 from __future__ import annotations
@@ -34,10 +38,11 @@ class Router:
         self.policy = policy
         self._rr = itertools.cycle(self.urls)
 
-    async def pick(self, session: ClientSession) -> str:
+    async def pick(self, session: ClientSession,
+                   token_ids: Optional[List[int]] = None) -> str:
         if self.policy == "round_robin" or len(self.urls) == 1:
             return next(self._rr)
-        # load-based: fewest active sequences right now
+        # load: fewest active sequences right now (both remaining policies)
         loads = []
         for u in self.urls:
             try:
@@ -46,10 +51,25 @@ class Router:
                 loads.append((stats.get("active_sequences", 0), u))
             except Exception:  # noqa: BLE001 — skip unhealthy servers
                 loads.append((float("inf"), u))
-        loads.sort()
-        if loads[0][0] == float("inf"):
+        healthy = [(l, u) for l, u in loads if l != float("inf")]
+        if not healthy:
             raise web.HTTPServiceUnavailable(text="no healthy backend")
-        return loads[0][1]
+        if self.policy == "kv_aware" and token_ids:
+            # longest cached prefix wins; load breaks ties
+            scored = []
+            for load, u in healthy:
+                try:
+                    async with session.post(
+                            f"{u}/prefix_match",
+                            json={"prompt_token_ids": list(token_ids)}) as r:
+                        m = (await r.json()).get("matched_tokens", 0)
+                except Exception:  # noqa: BLE001
+                    m = 0
+                scored.append((-m, load, u))
+            scored.sort()
+            return scored[0][2]
+        healthy.sort()
+        return healthy[0][1]
 
 
 class OpenAIDisaggServer:
@@ -71,8 +91,10 @@ class OpenAIDisaggServer:
     async def completions(self, request: web.Request):
         body = await request.json()
         async with ClientSession() as session:
-            # 1) context phase
-            ctx_url = await self.ctx_router.pick(session)
+            # 1) context phase (KV-aware: route to the prefill server that
+            # already caches the longest prompt prefix)
+            ctx_url = await self.ctx_router.pick(
+                session, body.get("prompt_token_ids"))
             async with session.post(f"{ctx_url}/disagg/context",
                                     json=body) as r:
                 if r.status != 200:

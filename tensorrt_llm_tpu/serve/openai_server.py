@@ -43,6 +43,7 @@ class OpenAIServer:
             web.get("/metrics", self.metrics),
             web.get("/perf_metrics", self.perf_metrics),
             web.get("/kv_cache_events", self.kv_cache_events),
+            web.post("/prefix_match", self.prefix_match),
             web.get("/traces", self.traces),
             web.post("/update_weights", self.update_weights),
             web.post("/disagg/context", self.disagg_context),
@@ -84,7 +85,19 @@ class OpenAIServer:
         return web.json_response(self.llm.get_stats())
 
     async def kv_cache_events(self, request):
-        return web.json_response(self.llm.get_kv_cache_stats())
+        """KV stats + stored-block event stream (cursor: ?since_id=N)."""
+        out = dict(self.llm.get_kv_cache_stats())
+        since = int(request.query.get("since_id", 0))
+        out["events"] = self.llm.get_kv_cache_events(since)
+        return web.json_response(out)
+
+    async def prefix_match(self, request):
+        """Exact cached-prefix probe for the KV-aware router: body
+        {"prompt_token_ids": [...]} -> {"matched_tokens": N}."""
+        body = await request.json()
+        ids = body.get("prompt_token_ids") or []
+        return web.json_response(
+            {"matched_tokens": self.llm.match_kv_prefix(ids)})
 
     async def traces(self, request):
         """Per-request trace records (queue time, TTFT, e2e — reference

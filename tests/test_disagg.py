@@ -146,3 +146,77 @@ def test_disagg_router_policies():
         assert picks == ["a", "b", "a", "b"]
     finally:
         loop.close()
+
+
+def test_kv_aware_router_prefers_warm_server():
+    """kv_aware policy routes to the server whose cache already holds the
+    longest prompt prefix; exercised over real HTTP (/prefix_match +
+    /kv_cache_events probes)."""
+    import asyncio
+
+    from aiohttp import ClientSession
+    from aiohttp.test_utils import TestServer
+    from tensorrt_llm_tpu.serve.disagg_server import Router
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    prompt = [int(x) for x in np.random.RandomState(3).randint(1, 60, 30)]
+    llm_a, llm_b = mk_llm(seed=4), mk_llm(seed=4)
+    loop = asyncio.new_event_loop()
+    try:
+        # warm server A's KV reuse index with the prompt
+        llm_a.generate([list(prompt)], SamplingParams(
+            max_tokens=4, temperature=0.0, ignore_eos=True))
+        assert llm_a.match_kv_prefix(prompt) >= 16
+        assert llm_b.match_kv_prefix(prompt) == 0
+
+        sa = TestServer(OpenAIServer(llm_a, "a").app, loop=loop)
+        sb = TestServer(OpenAIServer(llm_b, "b").app, loop=loop)
+        loop.run_until_complete(sa.start_server())
+        loop.run_until_complete(sb.start_server())
+        ua, ub = str(sa.make_url("")), str(sb.make_url(""))
+
+        async def route(urls):
+            r = Router(urls, "kv_aware")
+            async with ClientSession() as s:
+                return await r.pick(s, prompt)
+
+        # warm server wins regardless of listing order
+        assert loop.run_until_complete(route([ub, ua])) == ua
+        assert loop.run_until_complete(route([ua, ub])) == ua
+
+        # without token ids it degrades to load-based (no crash)
+        async def route_plain():
+            r = Router([ua, ub], "kv_aware")
+            async with ClientSession() as s:
+                return await r.pick(s, None)
+        assert loop.run_until_complete(route_plain()) in (ua, ub)
+
+        loop.run_until_complete(sa.close())
+        loop.run_until_complete(sb.close())
+    finally:
+        loop.close()
+        llm_a.shutdown()
+        llm_b.shutdown()
+
+
+def test_kv_cache_event_stream():
+    """Stored-block events stream with cursor paging and cross-process
+    comparable hashes (same prompt => same event hashes on two engines)."""
+    llm_a, llm_b = mk_llm(seed=4), mk_llm(seed=4)
+    prompt = [int(x) for x in np.random.RandomState(5).randint(1, 60, 30)]
+    try:
+        sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+        llm_a.generate([list(prompt)], sp)
+        llm_b.generate([list(prompt)], sp)
+        ev_a = llm_a.get_kv_cache_events()
+        ev_b = llm_b.get_kv_cache_events()
+        assert ev_a and all(e["type"] == "stored" for e in ev_a)
+        assert [e["block_hash"] for e in ev_a] == \
+               [e["block_hash"] for e in ev_b]
+        # cursor paging
+        last = ev_a[-1]["id"]
+        assert llm_a.get_kv_cache_events(last + 1) == []
+        assert llm_a.get_kv_cache_events(last)[0]["id"] == last
+    finally:
+        llm_a.shutdown()
+        llm_b.shutdown()

@@ -168,3 +168,20 @@ def test_manager_uses_native_by_default():
     assert not kv.can_grow(0, 61)  # 15 usable blocks
     kv.free_sequence(0)
     assert kv.stats()["active_sequences"] == 0
+
+
+def test_match_prefix_parity():
+    """Dry-run prefix probe: identical answers, zero side effects."""
+    py, nat = make_pair()
+    prompt = list(range(20))
+    for bk in (py, nat):
+        bk.add_sequence(1, prompt)
+        bk.grow_sequence(1, 20)
+        bk.seal_full_blocks(1, prompt)
+        bk.free_sequence(1)
+        before = bk.stats()
+        assert bk.match_prefix(prompt) == 16
+        assert bk.match_prefix(prompt[:9]) == 8
+        assert bk.match_prefix(list(range(100, 120))) == 0
+        assert bk.stats() == before          # no refs taken, nothing moved
+    check_same(py, nat, [])
