@@ -263,6 +263,35 @@ class Attention:
             return (self.o(params["o"], out.reshape(rows, qh * D)),
                     (k_cache, v_cache))
 
+        if self.cp_type == "star":
+            # Star attention (reference CpType.STAR / star_flashinfer.py):
+            # prefill = per-rank LOCAL causal attention over [anchor;
+            # chunk_r] rows (zero communication — the scaling win); decode =
+            # per-rank partial attention over the contiguous KV chunks,
+            # psum-combined like helix.
+            assert sinks is None and self.sliding_window is None \
+                and self.attention_chunk is None, \
+                "sinks/sliding-window under star CP land later"
+            from tensorrt_llm_tpu.ops.attention_xla import (
+                helix_combine, star_local_prefill_xla,
+                star_partial_decode_xla, write_kv_cache)
+            q, k = self._position_transform(q, k, meta.positions,
+                                            cos_t, sin_t)
+            k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
+                                              meta.slot_mapping)
+            if meta.mode == "prefill":
+                out = star_local_prefill_xla(
+                    q, k, v, meta.positions, meta.kv_lens[0], self.scale,
+                    self.logit_cap)
+            else:
+                o, l, m = star_partial_decode_xla(
+                    q, k_cache, v_cache, meta.block_tables, meta.kv_lens,
+                    self.scale, self.logit_cap)
+                out = helix_combine(o, l, m, "cp").astype(q.dtype)
+            rows = out.shape[0]
+            return (self.o(params["o"], out.reshape(rows, qh * D)),
+                    (k_cache, v_cache))
+
         if self.cp_type == "ring":
             if meta.mode != "prefill":
                 # ring shards only the quadratic prefill; decode runs the

@@ -130,6 +130,14 @@ class LLM:
             self.kv_manager = HelixKVCacheManager(
                 kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
                 num_blocks, mapping.cp_size)
+        elif mapping.cp_size > 1 and mapping.cp_type == "star":
+            from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+                StarKVCacheManager)
+            assert a.speculative_config is None, \
+                "speculative decoding under star CP lands later"
+            self.kv_manager = StarKVCacheManager(
+                kvcfg, cfg.num_layers, cfg.kv_pool_heads, cfg.kv_pool_dim,
+                num_blocks, mapping.cp_size)
         elif mapping.dp_size > 1:
             from tensorrt_llm_tpu.runtime.kv_cache_manager import (
                 DpKVCacheManager)

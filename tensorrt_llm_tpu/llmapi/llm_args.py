@@ -29,7 +29,7 @@ class LlmArgs:
     pipeline_parallel_size: int = 1
     data_parallel_size: int = 1
     context_parallel_size: int = 1          # sequence parallelism width
-    context_parallel_type: str = "ulysses"  # "ulysses" | "ring"
+    context_parallel_type: str = "ulysses"  # ulysses | ring | helix | star
     moe_expert_parallel_size: int = 1
 
     # quantization

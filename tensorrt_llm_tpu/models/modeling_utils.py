@@ -620,9 +620,12 @@ class DecoderModelForCausalLM:
                 ).astype(x.dtype)
                 captured.append(h)
         x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
-        if cfg.mapping.cp_size > 1 and meta.mode == "prefill":
-            # Ulysses: the residual stream is sequence-sharded over "cp";
-            # regather the full sequence before logit extraction
+        if cfg.mapping.cp_size > 1 and meta.mode == "prefill" \
+                and cfg.mapping.cp_type != "star":
+            # Ulysses/ring: the residual stream is sequence-sharded over
+            # "cp"; regather the full sequence before logit extraction.
+            # Star keeps rank-local [anchor; chunk] rows — logit_indices are
+            # rank-local and the engine picks the owner rank's row.
             x = jax.lax.all_gather(x, "cp", axis=0, tiled=True)
         if logit_indices is not None:
             x = x[logit_indices]

@@ -402,6 +402,41 @@ def helix_partial_decode_xla(
                         logit_cap, attention_chunk)
 
 
+def star_local_prefill_xla(q, k, v, positions, n_valid, scale,
+                           logit_cap=None):
+    """Star-attention phase 1: LOCAL causal attention over this rank's
+    [anchor; chunk] rows — no cross-rank communication (reference star
+    attention context phase, attention_backend/star_flashinfer.py; paper
+    arXiv:2411.17116).  positions are the rows' global positions; rows at
+    index >= n_valid are padding (excluded as keys, garbage as queries)."""
+    T = q.shape[0]
+    valid = jnp.arange(T, dtype=jnp.int32) < n_valid
+    kv_pos = jnp.where(valid, positions, -1)
+    o, l, _ = _partial_mha(q, k, v, kv_pos[None, :], positions[:, None],
+                           scale, None, logit_cap, None)
+    return (o / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
+
+
+def star_partial_decode_xla(q, k_cache, v_cache, block_tables, local_lens,
+                            scale, logit_cap=None):
+    """Star-attention phase 2 partials: batched decode against this rank's
+    CONTIGUOUS KV chunk (every cached token precedes the query, so only
+    valid-row masking applies); stats combine across "cp" via
+    helix_combine."""
+    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple)
+                    else k_cache).shape
+    B = q.shape[0]
+    k = gather_dequant(k_cache, block_tables, q.dtype)  # [B, MBl, H, BS, D]
+    v = gather_dequant(v_cache, block_tables, q.dtype)
+    S = block_tables.shape[1] * bs
+    k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
+    pos = jnp.where(jnp.arange(S, dtype=jnp.int32)[None, :]
+                    < local_lens[:, None], 0, -1)        # [B, S]
+    q_pos = jnp.zeros((B, 1), jnp.int32)
+    return _partial_mha(q, k, v, pos, q_pos, scale, None, logit_cap, None)
+
+
 def helix_combine(o, l, m, axis_name: str = "cp"):
     """Combine per-rank partial attention stats over the mesh axis:
     out = sum_r exp(m_r - M) o_r / sum_r exp(m_r - M) l_r."""

@@ -612,8 +612,9 @@ class PyExecutor:
             return 1  # PP runs single steps; async dispatch pipelines stages
         if self.engine.mapping.dp_size > 1:
             return 1  # ADP rank-grouped rows; fused multi-step next round
-        if getattr(self.engine, "_helix", False):
-            return 1  # helix CP: per-rank slot tables are built per step
+        if getattr(self.engine, "_helix", False) \
+                or getattr(self.engine, "_star", False):
+            return 1  # helix/star CP: per-rank slot tables built per step
         if any(r.sampling_params.repetition_penalty != 1.0
                or r.sampling_params.presence_penalty != 0.0
                or r.sampling_params.frequency_penalty != 0.0

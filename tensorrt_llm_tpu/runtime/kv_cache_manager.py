@@ -913,3 +913,170 @@ class HelixKVCacheManager:
         out["num_blocks"] = self.num_blocks * self.cp_size
         out["cp_size"] = self.cp_size
         return out
+
+
+class StarKVCacheManager:
+    """Star-attention context parallelism (reference CpType.STAR,
+    `attention_backend/star_flashinfer.py`; paper arXiv:2411.17116): one
+    sequence's KV is split into CONTIGUOUS per-rank chunks over "cp".
+    Prefill is communication-free — each rank runs local causal attention
+    over [anchor block; its chunk] and keeps only its chunk's KV — and
+    decode combines per-rank partial attention stats over ICI (the same
+    softmax combine as helix).  Generated tokens append to the rank owning
+    their position (the last region is open-ended).  Block ids are
+    rank-LOCAL; the engine shards the pools' block axis over "cp"."""
+
+    def __init__(self, cfg: KVCacheConfig, num_layers: int,
+                 num_kv_heads: int, head_dim: int,
+                 num_blocks_per_rank: int, cp_size: int,
+                 max_slots: int = 256):
+        self.cfg = cfg
+        self.block_size = cfg.block_size
+        self.num_layers = num_layers
+        self.num_kv_heads = num_kv_heads
+        self.head_dim = head_dim
+        self.cp_size = cp_size
+        self.num_blocks = num_blocks_per_rank
+        import dataclasses as _dc
+        rcfg = _dc.replace(cfg, enable_block_reuse=False)
+        self.ranks = [KVCacheManager(rcfg, num_layers, num_kv_heads,
+                                     head_dim, num_blocks_per_rank,
+                                     max_slots=max_slots)
+                      for _ in range(cp_size)]
+        # per-sequence region starts (tokens, block-aligned): rank r owns
+        # [starts[r], starts[r+1]) and the last rank [starts[-1], inf)
+        self._bounds: Dict[int, List[int]] = {}
+        self.sliding_layers: set = set()
+        self.vswa = False
+
+    # ---- geometry ---------------------------------------------------------------
+    def bounds_of(self, seq_id: int) -> List[int]:
+        return self._bounds[seq_id]
+
+    def anchor_len(self, seq_id: int) -> int:
+        """Anchor tokens prepended to every rank's chunk (= rank 0's chunk,
+        the paper's anchor-block default)."""
+        b = self._bounds[seq_id]
+        return b[1] if self.cp_size > 1 else 0
+
+    def rank_of_pos(self, seq_id: int, pos: int) -> int:
+        b = self._bounds[seq_id]
+        r = self.cp_size - 1
+        while r > 0 and pos < b[r]:
+            r -= 1
+        return r
+
+    def rank_local_len(self, seq_id: int, total_tokens: int, r: int) -> int:
+        """Tokens of [0, total) owned by rank r."""
+        b = self._bounds[seq_id]
+        lo = b[r]
+        hi = b[r + 1] if r + 1 < self.cp_size else None
+        top = total_tokens if hi is None else min(total_tokens, hi)
+        return max(0, top - lo)
+
+    def blocks_needed(self, n: int) -> int:
+        return cdiv(n, self.block_size)
+
+    @property
+    def num_free_blocks(self) -> int:
+        return min(r.num_free_blocks for r in self.ranks) * self.cp_size
+
+    def num_seq_blocks(self, seq_id: int) -> int:
+        return sum(r.num_seq_blocks(seq_id) for r in self.ranks)
+
+    def has_sequence(self, seq_id: int) -> bool:
+        return seq_id in self._bounds
+
+    # ---- ops ---------------------------------------------------------------------
+    def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
+        bs = self.block_size
+        gb = max(cdiv(len(token_ids), bs), 1)      # prompt blocks
+        bpr = max(cdiv(gb, self.cp_size), 1)       # blocks per rank chunk
+        self._bounds[seq_id] = [min(r * bpr, gb) * bs
+                                for r in range(self.cp_size)]
+        for r in self.ranks:
+            r.add_sequence(seq_id, [], cache_salt)
+        return 0  # no prefix reuse across contiguous shards
+
+    def grow_sequence(self, seq_id: int, new_total_tokens: int):
+        for i, r in enumerate(self.ranks):
+            r.grow_sequence(seq_id,
+                            self.rank_local_len(seq_id, new_total_tokens, i))
+
+    def can_grow(self, seq_id: int, n: int) -> bool:
+        return all(
+            r.blocks_needed(self.rank_local_len(seq_id, n, i))
+            - r.num_seq_blocks(seq_id) <= r.num_free_blocks
+            for i, r in enumerate(self.ranks))
+
+    def seal_full_blocks(self, seq_id: int, token_ids):
+        pass  # no reuse across shards
+
+    def match_prefix(self, token_ids, cache_salt=None) -> int:
+        return 0
+
+    def get_events(self, since_id: int = 0):
+        return []
+
+    def free_sequence(self, seq_id: int):
+        self._bounds.pop(seq_id, None)
+        for r in self.ranks:
+            r.free_sequence(seq_id)
+
+    def fork_sequence(self, src_id: int, dst_id: int):
+        raise NotImplementedError("beam forks under star CP land later")
+
+    # ---- tables -------------------------------------------------------------------
+    def rank_block_table(self, seq_id: int, r: int,
+                         max_blocks: int) -> List[int]:
+        return self.ranks[r].block_table(seq_id, max_blocks)
+
+    def rank_slot_mapping(self, seq_id: int, start_token: int,
+                          num_tokens: int, pad_slot: int):
+        """Per-rank flat slots [cp][num_tokens]: position p is a real slot
+        only on its owning rank."""
+        bs = self.block_size
+        b = self._bounds[seq_id]
+        out = [[pad_slot] * num_tokens for _ in range(self.cp_size)]
+        for i in range(num_tokens):
+            p = start_token + i
+            r = self.rank_of_pos(seq_id, p)
+            lp = p - b[r]                 # rank-local position
+            j = lp // bs
+            table = self.ranks[r].block_table(seq_id, j + 1)
+            out[r][i] = table[j] * bs + lp % bs
+        return out
+
+    def slot_of(self, seq_id: int) -> int:
+        return self.ranks[0].slot_of(seq_id)
+
+    def can_admit_new(self) -> bool:
+        return True
+
+    def local_block_table(self, seq_id: int):  # VSWA off under star
+        return []
+
+    @property
+    def slots(self):
+        return self.ranks[0].slots
+
+    @property
+    def is_native(self) -> bool:
+        return self.ranks[0].is_native
+
+    def allocate_pools(self, dtype=None):
+        import dataclasses as _dc
+        sizing = KVCacheManager(
+            _dc.replace(self.cfg), self.num_layers, self.num_kv_heads,
+            self.head_dim, self.num_blocks * self.cp_size,
+            bookkeeping="python")
+        return sizing.allocate_pools(dtype)
+
+    def stats(self) -> dict:
+        out = self.ranks[0].stats()
+        for r in self.ranks[1:]:
+            for k, v in r.stats().items():
+                out[k] = out.get(k, 0) + v if isinstance(v, int) else v
+        out["num_blocks"] = self.num_blocks * self.cp_size
+        out["cp_size"] = self.cp_size
+        return out

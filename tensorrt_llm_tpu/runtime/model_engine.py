@@ -107,6 +107,8 @@ class ModelEngine:
 
         self._helix = (self.mapping.cp_size > 1
                        and self.mapping.cp_type == "helix")
+        self._star = (self.mapping.cp_size > 1
+                      and self.mapping.cp_type == "star")
 
         # VSWA: sliding-window layers get their own small cyclic-ring pools
         # (reference per-window WindowBlockManager).  Ring = window + one
@@ -417,9 +419,10 @@ class ModelEngine:
         scale pools 3D.  Single-head pools (MLA latents) keep heads
         replicated."""
         dp = "dp" if self.mapping.dp_size > 1 else None
-        if self._helix:
-            # helix CP: the BLOCK axis is sharded (each rank owns its
-            # block-cyclic shard of every sequence); heads stay TP-sharded
+        if self._helix or self._star:
+            # helix/star CP: the BLOCK axis is sharded (each rank owns its
+            # block-cyclic / contiguous shard of every sequence); heads stay
+            # TP-sharded
             dp = ("dp", "cp") if dp else "cp"
         # ring CP keeps pools replicated over "cp" (writes are all-gathered);
         # Ulysses shards the head axis over cp
@@ -582,6 +585,26 @@ class ModelEngine:
                     check_vma=False,
                 )
                 return jax.jit(step, donate_argnums=(1,))
+            if self._star:
+                # star CP: prefill rows are [anchor; chunk_r] per rank —
+                # ids/positions/slots/lens/logit rows/lora all "cp"-sharded,
+                # logits come back rank-stacked; decode replicates the
+                # query row but shards the per-rank KV tables/local lens
+                s = P("cp")
+                if mode.startswith("prefill"):
+                    in_data = (s, s, s, s, s, P(), s, P(), s, P(), P())
+                    out_specs = ((s, P(), cache_spec) if with_hidden
+                                 else (s, cache_spec))
+                else:
+                    in_data = (P(), P(), s, s, s, P(), P(), P(), P(), P(),
+                               P())
+                step = jax.shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(self._param_specs, cache_spec, *in_data),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+                return jax.jit(step, donate_argnums=(1,))
             c = P("cp") if self._helix else P()
             step = jax.shard_map(
                 step, mesh=self.mesh,
@@ -691,7 +714,12 @@ class ModelEngine:
             return self._run_pp(mode, inputs)
         fn = self._get_fn(mode)
         with self.lock:
-            return self._run(fn, inputs)
+            logits = self._run(fn, inputs)
+        if self._star:
+            # logits come back rank-stacked [cp, V]: keep the row of the
+            # rank owning the last prompt token
+            logits = np.asarray(logits)[inputs.owner:inputs.owner + 1]
+        return logits
 
     def run_with_hidden(self, mode: str, inputs: StepInputs,
                         capture: str = "final"):
@@ -775,7 +803,7 @@ class ModelEngine:
             pos = req.num_tokens - 1          # position of the new token
             input_ids[row] = toks[-1]
             positions[row] = pos
-            if not self._helix:
+            if not self._helix and not self._star:
                 slots[row] = kv.slot_mapping(req.request_id, pos, 1)[0]
                 tables[row, :] = kv.block_table(req.request_id, MB)
             kv_lens[row] = pos + 1
@@ -793,6 +821,9 @@ class ModelEngine:
         if self._helix:
             slots, tables = self._helix_decode_tables(reqs, Bp,
                                                       extra_tokens)
+        if self._star:
+            slots, tables, kv_lens = self._star_decode_tables(reqs, Bp,
+                                                              extra_tokens)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
             block_tables=tables, kv_lens=kv_lens,
@@ -800,6 +831,96 @@ class ModelEngine:
             q_offset=np.int32(0), seq_slots=seq_slots, lora_ids=lora_ids,
             local_slot_mapping=lslots, local_block_tables=ltables,
             row_map=row_map if dp > 1 else None)
+
+    def _prepare_star_prefill(self, req, chunk: int) -> StepInputs:
+        """Star-attention phase-1 inputs: rank r processes the rows
+        [anchor block; chunk_r] with LOCAL causal attention (no cross-rank
+        traffic — reference star attention context phase,
+        attention_backend/star_flashinfer.py + model_engine.py:2890 input
+        split).  Rows are rank-stacked on axis 0 and shard over "cp"."""
+        kv = self.kv_manager
+        cp = self.mapping.cp_size
+        prompt = req.prompt_token_ids
+        L = len(prompt)
+        if req.context_position != 0 or chunk != L:
+            raise RuntimeError(
+                "star CP needs single-chunk prefill: raise the prefill "
+                f"bucket above the prompt length ({L} tokens)")
+        b = kv.bounds_of(req.request_id)
+        A = kv.anchor_len(req.request_id)
+        lens = [kv.rank_local_len(req.request_id, L, r) for r in range(cp)]
+        rows = [lens[0]] + [(A if lens[r] else 0) + lens[r]
+                            for r in range(1, cp)]
+        Tp = pick_bucket(max(rows), self.prefill_buckets)
+        ids = np.zeros(cp * Tp, np.int32)
+        pos = np.zeros(cp * Tp, np.int32)
+        slots = np.full(cp * Tp, PAD_SLOT, np.int32)
+        kv_lens = np.zeros(cp, np.int32)
+        logit_idx = np.zeros(cp, np.int32)
+        maps = kv.rank_slot_mapping(req.request_id, 0, L, int(PAD_SLOT))
+        for r in range(cp):
+            o = r * Tp
+            anchor = 0 if r == 0 else (A if lens[r] else 0)
+            n = anchor + lens[r]
+            if anchor:
+                ids[o:o + anchor] = prompt[:anchor]
+                pos[o:o + anchor] = np.arange(anchor)
+                # anchor rows are recomputed context: their KV never lands
+            if lens[r]:
+                lo = b[r]
+                ids[o + anchor:o + n] = prompt[lo:lo + lens[r]]
+                pos[o + anchor:o + n] = np.arange(lo, lo + lens[r])
+                slots[o + anchor:o + n] = maps[r][lo:lo + lens[r]]
+            # pad rows repeat the last valid position (rope-safe)
+            pos[o + n:o + Tp] = pos[o + max(n, 1) - 1]
+            kv_lens[r] = n
+        owner = kv.rank_of_pos(req.request_id, L - 1)
+        logit_idx[owner] = kv_lens[owner] - 1
+        return StepInputs(
+            input_ids=ids, positions=pos, slot_mapping=slots,
+            block_tables=np.zeros((cp, 1), np.int32), kv_lens=kv_lens,
+            logit_indices=logit_idx, q_offset=np.int32(0),
+            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
+            lora_ids=np.full(cp * Tp, getattr(req, "lora_slot", 0),
+                             np.int32),
+            owner=owner)
+
+    def _star_table_bucket(self, reqs, extra_tokens: int = 0) -> int:
+        kv = self.kv_manager
+        cp = self.mapping.cp_size
+        need = 1
+        for r_ in reqs:
+            total = r_.num_tokens + extra_tokens
+            for r in range(cp):
+                need = max(need, cdiv(
+                    kv.rank_local_len(r_.request_id, total, r),
+                    kv.block_size))
+        mb = 16
+        while mb < need:
+            mb *= 4
+        return min(mb, self.max_blocks_per_seq)
+
+    def _star_decode_tables(self, reqs, Bp: int, extra_tokens: int = 0):
+        """Rank-stacked decode inputs: slots route the new token's KV to its
+        owning rank, tables/lens expose each rank's contiguous chunk; axis 0
+        shards over "cp"."""
+        cp = self.mapping.cp_size
+        kv = self.kv_manager
+        MBl = self._star_table_bucket(reqs, extra_tokens)
+        slots = np.full(cp * Bp, PAD_SLOT, np.int32)
+        tables = np.zeros((cp * Bp, MBl), np.int32)
+        lens = np.zeros(cp * Bp, np.int32)
+        for i, req in enumerate(reqs):
+            pos = req.num_tokens - 1
+            maps = kv.rank_slot_mapping(req.request_id, pos, 1,
+                                        int(PAD_SLOT))
+            for r in range(cp):
+                slots[r * Bp + i] = maps[r][0]
+                tables[r * Bp + i, :] = kv.rank_block_table(
+                    req.request_id, r, MBl)
+                lens[r * Bp + i] = kv.rank_local_len(req.request_id,
+                                                     pos + 1, r)
+        return slots, tables, lens
 
     def _helix_table_bucket(self, reqs, extra_tokens: int = 0) -> int:
         cp = self.mapping.cp_size
@@ -831,6 +952,8 @@ class ModelEngine:
 
     def prepare_prefill_inputs(self, req, chunk: int) -> StepInputs:
         """Assemble padded inputs for one context chunk of one request."""
+        if self._star:
+            return self._prepare_star_prefill(req, chunk)
         kv = self.kv_manager
         dp = self.mapping.dp_size
         start = req.context_position
