@@ -35,6 +35,7 @@ class Attention:
     has_o_bias: bool = False      # o_proj bias (GPT-OSS)
     has_sinks: bool = False       # per-head attention-sink logits (GPT-OSS)
     has_qk_norm: bool = False     # per-head q/k RMSNorm (Qwen3)
+    qk_norm_flat: bool = False    # Olmo2: RMSNorm over flattened heads*D
     qk_norm_l2: bool = False      # Llama4: unweighted q/k RMS AFTER rope
     nope: bool = False            # Llama4 NoPE layer: skip rope entirely
     attn_temperature_tuning: bool = False  # Llama4 NoPE q scaling
@@ -168,7 +169,15 @@ class Attention:
         k = qkv[:, qh * D:(qh + kvh) * D].reshape(T, kvh, D)
         v = qkv[:, (qh + kvh) * D:].reshape(T, kvh, D)
 
-        if self.has_qk_norm:
+        if self.has_qk_norm and self.qk_norm_flat:
+            # Olmo2: one RMS over the whole flattened projection output
+            assert self.tp_size == 1, \
+                "flat qk-norm needs a cross-shard mean; TP lands later"
+            q = rms_norm(q.reshape(T, qh * D), params["q_norm"],
+                         self.rms_eps).reshape(T, qh, D)
+            k = rms_norm(k.reshape(T, kvh * D), params["k_norm"],
+                         self.rms_eps).reshape(T, kvh, D)
+        elif self.has_qk_norm:
             q = rms_norm(q, params["q_norm"], self.rms_eps)
             k = rms_norm(k, params["k_norm"], self.rms_eps)
 

@@ -105,3 +105,52 @@ class GatedMLP:
             y = apply_lora(h, y, lora["down"], lora_ids,
                            row_parallel=self.tp_size > 1)
         return y
+
+
+@dataclass
+class MLP:
+    """Non-gated MLP: up -> activation -> down (Starcoder2 c_fc/c_proj,
+    Nemotron relu^2 — reference `_torch/modules/mlp.py`)."""
+
+    hidden_size: int
+    intermediate_size: int
+    activation: str = "gelu"
+    has_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: Optional[QuantConfig] = None
+    tp_size: int = 1
+
+    def __post_init__(self):
+        method = lambda: make_linear_method(self.quant, "mlp")
+        self.up = Linear(self.hidden_size, self.intermediate_size,
+                         self.has_bias, self.dtype, method(),
+                         tp_mode="column", tp_size=self.tp_size)
+        self.down = Linear(self.intermediate_size, self.hidden_size,
+                           self.has_bias, self.dtype, method(),
+                           tp_mode="row", tp_size=self.tp_size)
+
+    def init(self, key) -> Dict:
+        k1, k2 = jax.random.split(key)
+        std = 0.5 / (self.hidden_size ** 0.5)
+        up = jax.random.normal(k1, (self.hidden_size, self.intermediate_size),
+                               jnp.float32) * std
+        down = jax.random.normal(k2, (self.intermediate_size, self.hidden_size),
+                                 jnp.float32) * (0.5 / self.intermediate_size ** 0.5)
+        zb = ((jnp.zeros((self.intermediate_size,), jnp.float32),
+               jnp.zeros((self.hidden_size,), jnp.float32))
+              if self.has_bias else (None, None))
+        return self.from_float(up, down, up_b=zb[0], down_b=zb[1])
+
+    def from_float(self, up_w, down_w, up_b=None, down_b=None) -> Dict:
+        return {"up": self.up.quantize_from_float(up_w, up_b),
+                "down": self.down.quantize_from_float(down_w, down_b)}
+
+    def param_specs(self) -> Dict:
+        return {"up": self.up.param_specs(),
+                "down": self.down.param_specs()}
+
+    def __call__(self, params: Dict, x: jax.Array,
+                 lora_ids=None) -> jax.Array:
+        h = self.up(params["up"], x)
+        h = _ACTIVATIONS[self.activation](h.astype(jnp.float32)).astype(x.dtype)
+        return self.down(params["down"], h)

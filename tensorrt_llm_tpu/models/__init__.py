@@ -14,3 +14,12 @@ import tensorrt_llm_tpu.models.mamba2  # noqa: F401
 import tensorrt_llm_tpu.models.llava  # noqa: F401
 import tensorrt_llm_tpu.models.nemotron_h  # noqa: F401
 import tensorrt_llm_tpu.models.llama4  # noqa: F401
+import tensorrt_llm_tpu.models.starcoder2  # noqa: F401
+import tensorrt_llm_tpu.models.nemotron  # noqa: F401
+import tensorrt_llm_tpu.models.glm  # noqa: F401
+import tensorrt_llm_tpu.models.seed_oss  # noqa: F401
+import tensorrt_llm_tpu.models.smollm3  # noqa: F401
+import tensorrt_llm_tpu.models.granite  # noqa: F401
+import tensorrt_llm_tpu.models.olmo2  # noqa: F401
+import tensorrt_llm_tpu.models.exaone4  # noqa: F401
+import tensorrt_llm_tpu.models.glm4_moe  # noqa: F401

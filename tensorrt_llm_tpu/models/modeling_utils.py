@@ -26,11 +26,29 @@ from tensorrt_llm_tpu.layers.attention import Attention
 from tensorrt_llm_tpu.layers.embedding import Embedding
 from tensorrt_llm_tpu.layers.linear import Linear, make_linear_method
 from tensorrt_llm_tpu.layers.mlp import GatedMLP
-from tensorrt_llm_tpu.ops.norms import add_rms_norm, rms_norm
+from tensorrt_llm_tpu.ops.norms import add_rms_norm, layer_norm, rms_norm
 from tensorrt_llm_tpu.ops.rope import RopeConfig, make_rope_tables
 from tensorrt_llm_tpu.parallel.mapping import Mapping
 from tensorrt_llm_tpu.parallel.ops import tp_all_gather
 from tensorrt_llm_tpu.quantization import QuantConfig
+
+
+def _norm(cfg, x, p, eps):
+    """Norm dispatch: rmsnorm takes a bare weight, layernorm a
+    {"weight","bias"} dict."""
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, p["weight"], p.get("bias"), eps)
+    return rms_norm(x, p, eps)
+
+
+def _add_norm(cfg, x, residual, p, eps):
+    """Fused residual-add + norm; returns (normed, new_residual)."""
+    if cfg.norm_type == "layernorm":
+        if residual is not None:
+            x = (x.astype(jnp.float32)
+                 + residual.astype(jnp.float32)).astype(x.dtype)
+        return layer_norm(x, p["weight"], p.get("bias"), eps), x
+    return add_rms_norm(x, residual, p, eps)
 
 
 @dataclass
@@ -55,6 +73,23 @@ class ModelConfig:
     qk_norm: bool = False
     activation: str = "silu"
     sliding_window: Optional[int] = None
+    # norm flavor: "rmsnorm" (default) or "layernorm" (Starcoder2/Nemotron —
+    # norm params become {"weight", "bias"} dicts); Nemotron's layernorm1p
+    # folds its (1 + w) convention into the weights at load time
+    norm_type: str = "rmsnorm"
+    norm_bias: bool = False
+    # non-gated MLP: up -> activation -> down (Starcoder2 c_fc/c_proj,
+    # Nemotron relu^2)
+    mlp_gated: bool = True
+    mlp_bias: bool = False
+    # post-block norms (Olmo2/Exaone4): x += norm(attn(x)); x += norm(mlp(x))
+    # — no pre-norms at all
+    post_block_norms: bool = False
+    # Granite scalar multipliers
+    residual_multiplier: Optional[float] = None   # x += mult * block(x)
+    logits_scaling: Optional[float] = None        # logits /= scaling
+    # Olmo2: q/k RMSNorm over the FLATTENED heads*head_dim vector
+    qk_norm_flat: bool = False
     # Gemma-family extras
     post_norms: bool = False              # post-attn/post-ffw norms
     gemma_norm: bool = False              # RMSNorm uses (1 + w) convention
@@ -213,6 +248,13 @@ class ModelConfig:
             attention_factor=scaling.get("attention_factor"),
             interleaved=(self.rope_interleave and self.is_mla)
             or self.gqa_rope_interleave,
+            # partial rotary (GLM/Nemotron): rotate only the leading
+            # head_dim * factor dims, pass the tail through
+            rotary_dim=(int(self.head_dim
+                            * self.extra["partial_rotary_factor"])
+                        if not self.is_mla
+                        and self.extra.get("partial_rotary_factor")
+                        else None),
         )
 
     @classmethod
@@ -299,7 +341,7 @@ class ModelConfig:
             num_kv_heads=get("num_key_value_heads") or get("num_attention_heads", 32),
             head_dim=get("head_dim"),
             rms_eps=(get("rms_norm_eps") or get("layer_norm_epsilon")
-                     or 1e-5),
+                     or get("norm_epsilon") or get("norm_eps") or 1e-5),
             rope_theta=get("rope_theta", 10000.0),
             rope_scaling=get("rope_scaling"),
             max_position=get("max_position_embeddings", 4096),
@@ -315,7 +357,9 @@ class ModelConfig:
                 "final_logit_softcapping", "sliding_window_pattern",
                 "hidden_activation", "rope_local_base_freq", "layer_types",
                 "norm_topk_prob", "shared_expert_intermediate_size",
-                "partial_rotary_factor",
+                "partial_rotary_factor", "hidden_act", "use_bias",
+                "mlp_bias", "embedding_multiplier", "residual_multiplier",
+                "attention_multiplier", "logits_scaling",
                 # Llama4 (HF Llama4TextConfig)
                 "no_rope_layers", "no_rope_layer_interval",
                 "attention_chunk_size", "use_qk_norm",
@@ -381,6 +425,17 @@ class DecoderLayer:
                 ep_size=cfg.mapping.moe_ep_size,
                 tp_size=cfg.mapping.moe_tp_size,
             )
+        elif not cfg.mlp_gated:
+            from tensorrt_llm_tpu.layers.mlp import MLP
+            self.mlp = MLP(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                activation=cfg.activation,
+                has_bias=cfg.mlp_bias,
+                dtype=cfg.dtype,
+                quant=cfg.quant,
+                tp_size=tp,
+            )
         else:
             self.mlp = GatedMLP(
                 hidden_size=cfg.hidden_size,
@@ -405,6 +460,7 @@ class DecoderLayer:
             has_o_bias=cfg.o_bias,
             has_sinks=cfg.has_sinks,
             has_qk_norm=cfg.qk_norm,
+            qk_norm_flat=cfg.qk_norm_flat,
             qk_norm_l2=cfg.qk_norm_l2 and not nope,
             nope=nope,
             attn_temperature_tuning=(cfg.attn_temperature_tuning and nope),
@@ -424,30 +480,47 @@ class DecoderLayer:
             cp_type=cfg.mapping.cp_type,
         )
 
+    def _norm_init(self):
+        w = jnp.ones((self.cfg.hidden_size,), jnp.float32)
+        if self.cfg.norm_type == "layernorm":
+            return {"weight": w, "bias": jnp.zeros_like(w)}
+        return w
+
+    def _norm_spec(self):
+        if self.cfg.norm_type == "layernorm":
+            return {"weight": P(None), "bias": P(None)}
+        return P(None)
+
     def init(self, key) -> Dict:
         k1, k2 = jax.random.split(key)
-        ones = lambda: jnp.ones((self.cfg.hidden_size,), jnp.float32)
         p = {
-            "input_norm": ones(),
-            "post_attn_norm": ones(),
             "attn": self.attn.init(k1),
             "mlp": self.mlp.init(k2),
         }
+        if self.cfg.post_block_norms:
+            p["post_attn_norm"] = self._norm_init()
+            p["post_ffw_norm"] = self._norm_init()
+            return p
+        p["input_norm"] = self._norm_init()
+        p["post_attn_norm"] = self._norm_init()
         if self.cfg.post_norms:
-            p["pre_ffw_norm"] = ones()
-            p["post_ffw_norm"] = ones()
+            p["pre_ffw_norm"] = self._norm_init()
+            p["post_ffw_norm"] = self._norm_init()
         return p
 
     def param_specs(self) -> Dict:
         p = {
-            "input_norm": P(None),
-            "post_attn_norm": P(None),
+            "post_attn_norm": self._norm_spec(),
             "attn": self.attn.param_specs(),
             "mlp": self.mlp.param_specs(),
         }
+        if self.cfg.post_block_norms:
+            p["post_ffw_norm"] = self._norm_spec()
+            return p
+        p["input_norm"] = self._norm_spec()
         if self.cfg.post_norms:
-            p["pre_ffw_norm"] = P(None)
-            p["post_ffw_norm"] = P(None)
+            p["pre_ffw_norm"] = self._norm_spec()
+            p["post_ffw_norm"] = self._norm_spec()
         return p
 
     def __call__(self, params, x, residual, rope_tables, kv_cache, meta):
@@ -468,24 +541,54 @@ class DecoderLayer:
                 and getattr(kv_cache[1], "ndim", None) == 1:
             kv_cache, moe_counts = kv_cache
 
-        if self.cfg.post_norms:
-            # Gemma2/3: x += post_norm(attn(pre_norm(x))); same for ffw
-            h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
+        cfg = self.cfg
+        if cfg.post_block_norms:
+            # Olmo2/Exaone4: blocks read the RAW stream, norms apply to the
+            # block OUTPUTS: x += norm(attn(x)); x += norm(mlp(x))
+            if residual is not None:
+                x = (x.astype(jnp.float32)
+                     + residual.astype(jnp.float32)).astype(x.dtype)
+            a, kv_cache = self.attn(params["attn"], x, tables, kv_cache, meta)
+            a = _norm(cfg, a, params["post_attn_norm"], eps)
+            x = (x.astype(jnp.float32)
+                 + a.astype(jnp.float32)).astype(x.dtype)
+            if moe_counts is not None:
+                m, moe_counts = self.mlp(params["mlp"], x,
+                                         lora_ids=meta.lora_ids,
+                                         counts=moe_counts)
+                kv_cache = (kv_cache, moe_counts)
+            else:
+                m = self.mlp(params["mlp"], x, lora_ids=meta.lora_ids)
+            out = _norm(cfg, m, params["post_ffw_norm"], eps)
+            return out, x, kv_cache
+        if cfg.post_norms:
+            # Gemma2/3 and GLM-4 sandwich norms:
+            # x += post_norm(attn(pre_norm(x))); same for ffw
+            h, residual = _add_norm(cfg, x, residual, params["input_norm"], eps)
             h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
-            h = rms_norm(h, params["post_attn_norm"], eps)
-            h2, residual = add_rms_norm(h, residual, params["pre_ffw_norm"], eps)
+            h = _norm(cfg, h, params["post_attn_norm"], eps)
+            h2, residual = _add_norm(cfg, h, residual, params["pre_ffw_norm"],
+                                     eps)
             out = self.mlp(params["mlp"], h2, lora_ids=meta.lora_ids)
-            out = rms_norm(out, params["post_ffw_norm"], eps)
+            out = _norm(cfg, out, params["post_ffw_norm"], eps)
             return out, residual, kv_cache
-        h, residual = add_rms_norm(x, residual, params["input_norm"], eps)
+        rm = cfg.residual_multiplier   # Granite: x += rm * block(x)
+        h, residual = _add_norm(cfg, x, residual, params["input_norm"], eps)
         h, kv_cache = self.attn(params["attn"], h, tables, kv_cache, meta)
-        h2, residual = add_rms_norm(h, residual, params["post_attn_norm"], eps)
+        if rm is not None:
+            h = (h.astype(jnp.float32) * rm).astype(h.dtype)
+        h2, residual = _add_norm(cfg, h, residual, params["post_attn_norm"],
+                                 eps)
         if moe_counts is not None:
             out, moe_counts = self.mlp(params["mlp"], h2,
                                        lora_ids=meta.lora_ids,
                                        counts=moe_counts)
+            if rm is not None:
+                out = (out.astype(jnp.float32) * rm).astype(out.dtype)
             return out, residual, (kv_cache, moe_counts)
         out = self.mlp(params["mlp"], h2, lora_ids=meta.lora_ids)
+        if rm is not None:
+            out = (out.astype(jnp.float32) * rm).astype(out.dtype)
         return out, residual, kv_cache
 
 
@@ -518,6 +621,16 @@ class DecoderModelForCausalLM:
     MOE_EXPERT_KEY = "mlp.experts.{j}.{proj}.weight"
     MOE_PROJ_NAMES = {"gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
     MOE_SHARED_PREFIX = "mlp.shared_experts."
+    # per-layer norm HF names (Glm4 overrides for its sandwich norms)
+    NORM_KEYS = {"input_norm": "input_layernorm",
+                 "post_attn_norm": "post_attention_layernorm",
+                 "pre_ffw_norm": "pre_feedforward_layernorm",
+                 "post_ffw_norm": "post_feedforward_layernorm"}
+    # non-gated MLP HF names (Starcoder2 overrides to c_fc/c_proj)
+    MLP_UP_KEY = "mlp.up_proj"
+    MLP_DOWN_KEY = "mlp.down_proj"
+    # layernorm1p (Nemotron): fold the (1 + w) convention into the weights
+    NORM_WEIGHT_OFFSET = 0.0
     MOE_BIAS_KEY = "mlp.gate.e_score_correction_bias"
 
     def make_layer_caches(self, kv_manager):
@@ -553,7 +666,7 @@ class DecoderModelForCausalLM:
         params = {
             "embedding": self.embedding.init(keys[0]),
             "layers": [l.init(keys[i + 1]) for i, l in enumerate(self.layers)],
-            "final_norm": jnp.ones((self.cfg.hidden_size,), jnp.float32),
+            "final_norm": self.layers[0]._norm_init(),
             "rope": tuple(make_rope_tables(self.cfg.rope)),
         }
         if self.cfg.rope_local is not None:
@@ -566,7 +679,7 @@ class DecoderModelForCausalLM:
         specs = {
             "embedding": self.embedding.param_specs(),
             "layers": [l.param_specs() for l in self.layers],
-            "final_norm": P(None),
+            "final_norm": self.layers[0]._norm_spec(),
             "rope": (P(None, None), P(None, None)),
             "rope_local": (P(None, None), P(None, None)),
         }
@@ -619,7 +732,7 @@ class DecoderModelForCausalLM:
                     x.astype(jnp.float32) + residual.astype(jnp.float32)
                 ).astype(x.dtype)
                 captured.append(h)
-        x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
+        x, _ = _add_norm(cfg, x, residual, params["final_norm"], cfg.rms_eps)
         if cfg.mapping.cp_size > 1 and meta.mode == "prefill" \
                 and cfg.mapping.cp_type != "star":
             # Ulysses/ring: the residual stream is sequence-sharded over
@@ -649,6 +762,8 @@ class DecoderModelForCausalLM:
         if self.lm_head.tp_mode == "column" and cfg.mapping.tp_size > 1 \
                 and not cfg.tie_word_embeddings:
             logits = tp_all_gather(logits, axis=-1)
+        if cfg.logits_scaling:
+            logits = logits / cfg.logits_scaling   # Granite
         if cfg.final_logit_softcap:
             c = cfg.final_logit_softcap
             logits = c * jnp.tanh(logits / c)
@@ -680,7 +795,7 @@ class DecoderModelForCausalLM:
                                          layer_lo, cfg.num_layers,
                                          materialize=False)
         x, residual = h
-        x, _ = add_rms_norm(x, residual, params["final_norm"], cfg.rms_eps)
+        x, _ = _add_norm(cfg, x, residual, params["final_norm"], cfg.rms_eps)
         if logit_indices is not None:
             x = x[logit_indices]
         if cfg.tie_word_embeddings:
@@ -691,6 +806,8 @@ class DecoderModelForCausalLM:
         if self.lm_head.tp_mode == "column" and cfg.mapping.tp_size > 1 \
                 and not cfg.tie_word_embeddings:
             logits = tp_all_gather(logits, axis=-1)
+        if cfg.logits_scaling:
+            logits = logits / cfg.logits_scaling   # Granite
         if cfg.final_logit_softcap:
             c = cfg.final_logit_softcap
             logits = c * jnp.tanh(logits / c)
@@ -731,10 +848,22 @@ class DecoderModelForCausalLM:
             arr = get_tensor(name)
             return None if arr is None else jnp.asarray(np.asarray(arr)).astype(jnp.float32)
 
+        def nvec(base):
+            """Load one norm's params honoring cfg.norm_type / norm_bias
+            (layernorm1p models fold their +1 via NORM_WEIGHT_OFFSET)."""
+            w = vec(base + ".weight")
+            if w is not None and self.NORM_WEIGHT_OFFSET:
+                w = w + self.NORM_WEIGHT_OFFSET
+            if cfg.norm_type != "layernorm":
+                return w
+            b = vec(base + ".bias") if cfg.norm_bias else None
+            return {"weight": w,
+                    "bias": b if b is not None else jnp.zeros_like(w)}
+
         params = {
             "embedding": self.embedding.from_float(
                 jnp.asarray(np.asarray(get_tensor("model.embed_tokens.weight")))),
-            "final_norm": vec("model.norm.weight"),
+            "final_norm": nvec("model.norm"),
             "rope": tuple(make_rope_tables(cfg.rope)),
             "layers": [],
         }
@@ -742,12 +871,26 @@ class DecoderModelForCausalLM:
             params["rope_local"] = tuple(make_rope_tables(cfg.rope_local))
         for i, layer in enumerate(self.layers):
             pre = f"model.layers.{i}."
+            if cfg.post_block_norms:
+                norms = {
+                    "post_attn_norm": nvec(
+                        pre + self.NORM_KEYS["post_attn_norm"]),
+                    "post_ffw_norm": nvec(
+                        pre + self.NORM_KEYS["post_ffw_norm"]),
+                }
+            else:
+                norms = {
+                    "input_norm": nvec(pre + self.NORM_KEYS["input_norm"]),
+                    "post_attn_norm": nvec(
+                        pre + self.NORM_KEYS["post_attn_norm"]),
+                    **({"pre_ffw_norm": nvec(
+                            pre + self.NORM_KEYS["pre_ffw_norm"]),
+                        "post_ffw_norm": nvec(
+                            pre + self.NORM_KEYS["post_ffw_norm"])}
+                       if cfg.post_norms else {}),
+                }
             lp = {
-                "input_norm": vec(pre + "input_layernorm.weight"),
-                "post_attn_norm": vec(pre + "post_attention_layernorm.weight"),
-                **({"pre_ffw_norm": vec(pre + "pre_feedforward_layernorm.weight"),
-                    "post_ffw_norm": vec(pre + "post_feedforward_layernorm.weight")}
-                   if cfg.post_norms else {}),
+                **norms,
                 "attn": self._load_attn(layer, pre, t, vec),
                 "mlp": self._load_mlp(layer, get_tensor, pre, t),
             }
@@ -779,7 +922,23 @@ class DecoderModelForCausalLM:
     def _load_mlp(self, layer, get_tensor, pre: str, t):
         """Load one layer's MLP params (dense or MoE) from HF names."""
         import numpy as np
+        from tensorrt_llm_tpu.layers.mlp import MLP
         from tensorrt_llm_tpu.layers.moe import MoE
+
+        def vec(name):
+            arr = get_tensor(name)
+            return None if arr is None else jnp.asarray(
+                np.asarray(arr)).astype(jnp.float32)
+
+        if isinstance(layer.mlp, MLP):   # non-gated (Starcoder2/Nemotron)
+            cfg = self.cfg
+            return layer.mlp.from_float(
+                t(pre + self.MLP_UP_KEY + ".weight"),
+                t(pre + self.MLP_DOWN_KEY + ".weight"),
+                up_b=vec(pre + self.MLP_UP_KEY + ".bias")
+                if cfg.mlp_bias else None,
+                down_b=vec(pre + self.MLP_DOWN_KEY + ".bias")
+                if cfg.mlp_bias else None)
         if not isinstance(layer.mlp, MoE):
             return layer.mlp.from_float(
                 t(pre + "mlp.gate_proj.weight"),

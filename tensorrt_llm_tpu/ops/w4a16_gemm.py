@@ -45,6 +45,8 @@ _ACTIVATIONS = {
     "silu": jax.nn.silu,
     "gelu": functools.partial(jax.nn.gelu, approximate=True),
     "relu": jax.nn.relu,
+    # Nemotron squared ReLU
+    "relu2": lambda x: jnp.square(jax.nn.relu(x)),
 }
 
 

@@ -338,3 +338,91 @@ def test_llama4_decode_greedy_matches_hf():
         row = np.asarray(
             engine.run_decode(engine.prepare_decode_inputs([req]))[0],
             np.float32)
+
+
+def test_starcoder2_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.Starcoder2Config(
+        **common, hidden_act="gelu_pytorch_tanh", use_bias=True,
+        tie_word_embeddings=True, pad_token_id=0)
+    hf_parity(hf_cfg, "Starcoder2ForCausalLM")
+
+
+def test_nemotron_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.NemotronConfig(
+        **common, hidden_act="relu2", partial_rotary_factor=0.5,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "NemotronForCausalLM")
+
+
+def test_glm_parity():
+    import transformers
+    hf_cfg = transformers.GlmConfig(
+        **COMMON, partial_rotary_factor=0.5, attention_bias=True,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "GlmForCausalLM")
+
+
+def test_glm4_parity():
+    import transformers
+    hf_cfg = transformers.Glm4Config(
+        **COMMON, partial_rotary_factor=0.5, attention_bias=True,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "Glm4ForCausalLM")
+
+
+def test_seed_oss_parity():
+    import transformers
+    hf_cfg = transformers.SeedOssConfig(
+        **COMMON, attention_bias=True, tie_word_embeddings=False,
+        pad_token_id=0)
+    hf_parity(hf_cfg, "SeedOssForCausalLM")
+
+
+def test_smollm3_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.SmolLM3Config(
+        **common, no_rope_layers=[1, 0],   # layer 1 is NoPE
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "SmolLM3ForCausalLM")
+
+
+def test_granite_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.GraniteConfig(
+        **common, embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.2, logits_scaling=3.0,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "GraniteForCausalLM")
+
+
+def test_olmo2_parity():
+    import transformers
+    common = {k: v for k, v in COMMON.items() if k != "head_dim"}
+    hf_cfg = transformers.Olmo2Config(
+        **common, tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "Olmo2ForCausalLM")
+
+
+def test_exaone4_parity():
+    import transformers
+    hf_cfg = transformers.Exaone4Config(
+        **COMMON, sliding_window=16, sliding_window_pattern=2,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "Exaone4ForCausalLM")
+
+
+def test_glm4_moe_parity():
+    import transformers
+    hf_cfg = transformers.Glm4MoeConfig(
+        **COMMON, n_routed_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=64, first_k_dense_replace=1,
+        n_shared_experts=1, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, norm_topk_prob=True, use_qk_norm=True,
+        partial_rotary_factor=0.5, tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "Glm4MoeForCausalLM", corr_min=0.98)
