@@ -232,9 +232,18 @@ def _w4a16_kernel_tiled(
     for c in range(n_chunks):
         # Mosaic's native int4 view: one upcast per weight element, no
         # shift/mask VPU work.  Measured on v5e (K=4096, N=28672, M=16):
-        # 535 GB/s (shift unpack, strided pages) -> 638 GB/s (this path),
-        # 78% of the 819 GB/s roofline; smaller shapes are capped by the
-        # grid-pipeline ramp (first weight DMA not overlapped, ~G/(G+1))
+        # 535 GB/s (shift unpack, strided pages) -> 638-677 GB/s (this
+        # path), ~80% of the 819 GB/s roofline; smaller shapes are capped
+        # by the grid-pipeline ramp (first weight DMA not overlapped).
+        # Bottleneck analysis (v5e probes): dequant+dot WITHOUT the group
+        # scale sustains 719 GB/s (88%) and XLA's own int8->bf16 fused dot
+        # 746 GB/s (91%) — the remaining ~8% is the per-chunk f32
+        # scale-FMA on the accumulator, which Mosaic rejects in bf16
+        # (matmul acc must be 32-bit) and which multi-accumulator splits
+        # made worse; weight-tile scaling costs 2x more (439 GB/s).
+        # XLA cannot replace this kernel: int4 arrays reach 91% only as
+        # native S4 storage, and the int8->nibble bitcast relayout
+        # de-fuses into a materialized transpose (35 GB/s).
         pblk = p_ref[0, c * Gh:(c + 1) * Gh, :]
         w_c = pltpu.bitcast(pblk, jnp.int4).astype(jnp.bfloat16)  # [Gp, BN]
         x_c = x_ref[:, c * Gp:(c + 1) * Gp]

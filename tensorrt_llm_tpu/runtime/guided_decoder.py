@@ -118,6 +118,54 @@ class RegexMatcher(GrammarMatcher):
         return self._done or self.masks.dfa.accepting[self.state]
 
 
+class EbnfMatcher(GrammarMatcher):
+    """EBNF (GBNF) grammar-constrained decoding via the pushdown automaton
+    (runtime/grammar_fsm.py) — xgrammar's grammar-mode capability; handles
+    context-free structure (unbounded nesting) regexes cannot."""
+
+    _shared: dict = {}
+
+    def __init__(self, grammar: str, tokenizer, eos_token_id: int,
+                 vocab_size: int):
+        from tensorrt_llm_tpu.runtime.grammar_fsm import (
+            GrammarPDA, GrammarTokenMasks)
+        from tensorrt_llm_tpu.runtime.regex_fsm import (
+            build_vocab_trie, token_strings)
+        key = (id(tokenizer), grammar, vocab_size)
+        cached = EbnfMatcher._shared.get(key)
+        if cached is None:
+            pda = GrammarPDA(grammar)
+            strings = token_strings(tokenizer, vocab_size)
+            cached = GrammarTokenMasks(pda, build_vocab_trie(strings),
+                                       eos_token_id, strings)
+            EbnfMatcher._shared[key] = cached
+        self.masks = cached
+        self.eos = eos_token_id
+        self.configs = cached.pda.start_configs
+        self._done = False
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        return self.masks.allowed(self.configs)
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos:
+            self._done = self.masks.pda.accepting(self.configs)
+            return self._done
+        text = self.masks.strings[token_id] \
+            if token_id < len(self.masks.strings) else None
+        if not text:
+            return False
+        nxt = self.masks.pda.walk(self.configs, text)
+        if not nxt:
+            return False
+        self.configs = nxt
+        return True
+
+    @property
+    def completed(self) -> bool:
+        return self._done or self.masks.pda.accepting(self.configs)
+
+
 def create_matcher(params: GuidedDecodingParams, tokenizer,
                    eos_token_id,
                    vocab_size: Optional[int] = None
@@ -143,9 +191,15 @@ def create_matcher(params: GuidedDecodingParams, tokenizer,
               or len(getattr(tokenizer, "get_vocab", lambda: {})())
               or getattr(tokenizer, "vocab_size", 0))
         return RegexMatcher(pattern, tokenizer, eos_token_id, vs)
+    if params.grammar:
+        assert tokenizer is not None, "guided decoding needs a tokenizer"
+        vs = (vocab_size
+              or len(getattr(tokenizer, "get_vocab", lambda: {})())
+              or getattr(tokenizer, "vocab_size", 0))
+        return EbnfMatcher(params.grammar, tokenizer, eos_token_id, vs)
     raise NotImplementedError(
-        "EBNF 'grammar' constraints land later; choice/regex/json/"
-        "json_object are available")
+        "unsupported guided-decoding constraint; grammar/choice/regex/"
+        "json/json_object are available")
 
 
 class GuidedDecoder:

@@ -108,3 +108,57 @@ def test_regex_enum_greedy(llm):
                             guided_decoding=GuidedDecodingParams(
                                 regex=r"(red|green|blue)")))[0]
     assert out.outputs[0].text in ("red", "green", "blue")
+
+
+def test_grammar_pda_context_free():
+    """The PDA handles unbounded nesting — beyond any regex."""
+    from tensorrt_llm_tpu.runtime.grammar_fsm import GrammarPDA
+    pda = GrammarPDA('root ::= "(" root ")" | "x"')
+    assert pda.matches("x")
+    assert pda.matches("(x)")
+    assert pda.matches("((((x))))")
+    assert not pda.matches("((x)")
+    assert not pda.matches("(x))")
+    assert not pda.matches("")
+
+
+def test_grammar_pda_gbnf_features():
+    from tensorrt_llm_tpu.runtime.grammar_fsm import GrammarPDA
+    g = r'''
+    # a tiny JSON-ish object grammar
+    root  ::= "{" (pair ("," pair)*)? "}"
+    pair  ::= string ":" value
+    string ::= "\"" [a-z]+ "\""
+    value ::= string | number | root
+    number ::= "-"? [0-9]+
+    '''
+    pda = GrammarPDA(g)
+    assert pda.matches('{}')
+    assert pda.matches('{"a":1}')
+    assert pda.matches('{"a":-42,"b":"xy"}')
+    assert pda.matches('{"a":{"b":{"c":7}}}')   # nesting
+    assert not pda.matches('{"a":}')
+    assert not pda.matches('{"a":1,}')
+    assert not pda.matches('{"A":1}')           # uppercase not in class
+
+
+def test_grammar_quantifiers():
+    from tensorrt_llm_tpu.runtime.grammar_fsm import GrammarPDA
+    pda = GrammarPDA('root ::= "a"{2,3} "b"+ "c"?')
+    assert pda.matches("aab")
+    assert pda.matches("aaabbbc")
+    assert not pda.matches("ab")
+    assert not pda.matches("aaaab")
+
+
+def test_grammar_constrained_output(llm):
+    """EBNF-guided generation: sampled text must parse under the grammar."""
+    from tensorrt_llm_tpu.runtime.grammar_fsm import GrammarPDA
+    g = 'root ::= "(" root ")" | "ok"'
+    out = llm.generate(
+        "q", SamplingParams(max_tokens=16, temperature=1.0,
+                            guided_decoding=GuidedDecodingParams(
+                                grammar=g)))[0]
+    text = out.outputs[0].text
+    assert GrammarPDA(g).matches(text), text
+    assert out.outputs[0].finish_reason == "stop"
