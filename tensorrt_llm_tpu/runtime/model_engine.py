@@ -246,6 +246,13 @@ class ModelEngine:
             lo = hi
 
     # ------------------------------------------------------------------ disagg ---
+    def _mesh_ctx(self, mesh=None):
+        """Mesh context for EAGER ops on explicitly-sharded arrays (the
+        disagg gather/scatter paths run outside jit)."""
+        from contextlib import nullcontext
+        m = mesh if mesh is not None else self.mesh
+        return jax.set_mesh(m) if m is not None else nullcontext()
+
     def extract_kv_blocks(self, block_ids, ring_ids=None) -> list:
         """Gather whole KV pages for a sequence to host memory — the send
         side of disaggregated prefill/decode (reference CacheTransceiver /
@@ -258,17 +265,25 @@ class ModelEngine:
         rids = (ids if ring_ids is None
                 else jnp.asarray(np.asarray(ring_ids, np.int32)))
         sliding = self.kv_manager.sliding_layers if self._vswa else set()
+
+        def pull(layer, i, mesh=None):
+            with self._mesh_ctx(mesh):
+                return jax.tree.map(
+                    lambda c: (np.asarray(c[rids if i in sliding else ids])
+                               if c.ndim >= 3 else np.zeros((0,), np.int32)),
+                    layer)
+
         with self.lock:
             if self.pp_size > 1:
-                caches = [c for st in self.pp_stages for c in st["caches"]]
-            else:
-                caches = self.kv_caches
-            return [jax.tree.map(
-                        lambda c, i=i: (
-                            np.asarray(c[rids if i in sliding else ids])
-                            if c.ndim >= 3 else np.zeros((0,), np.int32)),
-                        layer)
-                    for i, layer in enumerate(caches)]
+                out = []
+                i = 0
+                for st in self.pp_stages:
+                    for layer in st["caches"]:
+                        out.append(pull(layer, i, st["mesh"]))
+                        i += 1
+                return out
+            return [pull(layer, i)
+                    for i, layer in enumerate(self.kv_caches)]
 
     def inject_kv_blocks(self, block_ids, host_layers: list, ring_ids=None):
         """Scatter transferred KV pages into this engine's pools (receive
@@ -294,14 +309,17 @@ class ModelEngine:
                 i = 0
                 for st in self.pp_stages:
                     n = st["hi"] - st["lo"]
-                    st["caches"] = [
-                        put_layer(st["caches"][j], host_layers[i + j], i + j)
-                        for j in range(n)]
+                    with self._mesh_ctx(st["mesh"]):
+                        st["caches"] = [
+                            put_layer(st["caches"][j], host_layers[i + j],
+                                      i + j)
+                            for j in range(n)]
                     i += n
                 return
-            self.kv_caches = [
-                put_layer(self.kv_caches[i], host_layers[i], i)
-                for i in range(len(self.kv_caches))]
+            with self._mesh_ctx():
+                self.kv_caches = [
+                    put_layer(self.kv_caches[i], host_layers[i], i)
+                    for i in range(len(self.kv_caches))]
 
     def update_params(self, params: Dict):
         """Hot-swap weights under the engine lock (RLHF weight update —

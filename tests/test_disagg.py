@@ -220,3 +220,45 @@ def test_kv_cache_event_stream():
     finally:
         llm_a.shutdown()
         llm_b.shutdown()
+
+
+def test_disagg_across_tp_widths():
+    """KV payload from a TP=2 prefill engine injects into a TP=4 decode
+    engine (the reference's cacheSplitConcat.cu re-split across different
+    TP widths): single-controller pools are logically global with the head
+    axis mesh-sharded, so extract/inject carry full heads and the decode
+    mesh re-shards on inject.  Greedy output must equal a single-instance
+    run token-for-token."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    big = dict(TINY, num_heads=8, num_kv_heads=4, hidden_size=128)
+
+    def mk(tp, seed=4):
+        return LLM(model=ModelConfig(**big), skip_tokenizer_init=True,
+                   max_seq_len=64, max_batch_size=8, kv_num_blocks=64,
+                   kv_block_size=8, seed=seed, tensor_parallel_size=tp)
+
+    prompt = list(np.random.RandomState(3).randint(1, 60, 19))
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+    ref = mk(1)
+    try:
+        want = ref.generate([list(prompt)], sp)[0].outputs[0].token_ids
+    finally:
+        ref.shutdown()
+
+    ctx = mk(2)
+    gen = mk(4)
+    try:
+        out_ctx, dparams = ctx.generate_context_only(
+            list(prompt), SamplingParams(temperature=0.0, ignore_eos=True))
+        assert dparams.first_gen_tokens[0] == want[0]
+        blob = payload_to_bytes(dparams.kv_payload)
+        dparams.kv_payload = payload_from_bytes(blob)
+        fut = gen.generate_async(list(prompt), sp,
+                                 disaggregated_params=dparams)
+        got = fut.result(timeout=180).outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        ctx.shutdown()
+        gen.shutdown()
