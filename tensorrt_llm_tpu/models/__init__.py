@@ -23,3 +23,5 @@ import tensorrt_llm_tpu.models.granite  # noqa: F401
 import tensorrt_llm_tpu.models.olmo2  # noqa: F401
 import tensorrt_llm_tpu.models.exaone4  # noqa: F401
 import tensorrt_llm_tpu.models.glm4_moe  # noqa: F401
+import tensorrt_llm_tpu.models.dots1  # noqa: F401
+import tensorrt_llm_tpu.models.hunyuan  # noqa: F401

@@ -631,6 +631,9 @@ class DecoderModelForCausalLM:
     MLP_DOWN_KEY = "mlp.down_proj"
     # layernorm1p (Nemotron): fold the (1 + w) convention into the weights
     NORM_WEIGHT_OFFSET = 0.0
+    # per-head q/k norm HF names (HunYuan overrides)
+    Q_NORM_KEY = "self_attn.q_norm.weight"
+    K_NORM_KEY = "self_attn.k_norm.weight"
     MOE_BIAS_KEY = "mlp.gate.e_score_correction_bias"
 
     def make_layer_caches(self, kv_manager):
@@ -914,8 +917,8 @@ class DecoderModelForCausalLM:
             k_b=vec(pre + "self_attn.k_proj.bias") if has_b else None,
             v_b=vec(pre + "self_attn.v_proj.bias") if has_b else None,
             o_b=vec(pre + "self_attn.o_proj.bias") if cfg.o_bias else None,
-            q_norm=vec(pre + "self_attn.q_norm.weight") if cfg.qk_norm else None,
-            k_norm=vec(pre + "self_attn.k_norm.weight") if cfg.qk_norm else None,
+            q_norm=vec(pre + self.Q_NORM_KEY) if cfg.qk_norm else None,
+            k_norm=vec(pre + self.K_NORM_KEY) if cfg.qk_norm else None,
             sinks=vec(pre + "self_attn.sinks") if cfg.has_sinks else None,
         )
 

@@ -426,3 +426,21 @@ def test_glm4_moe_parity():
         routed_scaling_factor=1.5, norm_topk_prob=True, use_qk_norm=True,
         partial_rotary_factor=0.5, tie_word_embeddings=False, pad_token_id=0)
     hf_parity(hf_cfg, "Glm4MoeForCausalLM", corr_min=0.98)
+
+
+def test_dots1_parity():
+    import transformers
+    hf_cfg = transformers.Dots1Config(
+        **COMMON, n_routed_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=64, first_k_dense_replace=1,
+        n_shared_experts=1, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, norm_topk_prob=True,
+        tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "Dots1ForCausalLM", corr_min=0.98)
+
+
+def test_hunyuan_dense_parity():
+    import transformers
+    hf_cfg = transformers.HunYuanDenseV1Config(
+        **COMMON, tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "HunYuanDenseV1ForCausalLM")
