@@ -25,3 +25,4 @@ import tensorrt_llm_tpu.models.exaone4  # noqa: F401
 import tensorrt_llm_tpu.models.glm4_moe  # noqa: F401
 import tensorrt_llm_tpu.models.dots1  # noqa: F401
 import tensorrt_llm_tpu.models.hunyuan  # noqa: F401
+import tensorrt_llm_tpu.models.bamba  # noqa: F401

@@ -317,15 +317,20 @@ class ModelConfig:
             n_group=get("n_group") or 1,
             topk_group=get("topk_group") or 1,
             routed_scaling_factor=get("routed_scaling_factor") or 1.0,
-            ssm_state_size=get("state_size") or 128,
-            ssm_conv_kernel=get("conv_kernel") or 4,
-            ssm_n_groups=get("n_groups") or 1,
+            # plain Mamba2 configs use bare names; Bamba-style hybrids
+            # prefix them with mamba_*
+            ssm_state_size=get("state_size") or get("mamba_d_state") or 128,
+            ssm_conv_kernel=get("conv_kernel") or get("mamba_d_conv") or 4,
+            ssm_n_groups=get("n_groups") or get("mamba_n_groups") or 1,
             ssm_num_heads=(get("num_heads")
-                           if get("state_size") is not None else None),
+                           if get("state_size") is not None
+                           else get("mamba_n_heads")),
             ssm_head_dim=(get("head_dim") or 64
-                          if get("state_size") is not None else 64),
-            ssm_expand=get("expand") or 2,
-            ssm_chunk_size=get("chunk_size") or 64,
+                          if get("state_size") is not None
+                          else get("mamba_d_head") or 64),
+            ssm_expand=get("expand") or get("mamba_expand") or 2,
+            ssm_chunk_size=(get("chunk_size") or get("mamba_chunk_size")
+                            or 64),
             q_lora_rank=get("q_lora_rank"),
             kv_lora_rank=get("kv_lora_rank"),
             qk_nope_head_dim=get("qk_nope_head_dim") or 128,
@@ -360,6 +365,8 @@ class ModelConfig:
                 "partial_rotary_factor", "hidden_act", "use_bias",
                 "mlp_bias", "embedding_multiplier", "residual_multiplier",
                 "attention_multiplier", "logits_scaling",
+                "attn_layer_indices", "hybrid_override_pattern",
+                "shared_intermediate_size", "position_embedding_type",
                 # Llama4 (HF Llama4TextConfig)
                 "no_rope_layers", "no_rope_layer_interval",
                 "attention_chunk_size", "use_qk_norm",

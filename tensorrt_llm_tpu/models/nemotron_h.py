@@ -56,7 +56,11 @@ class NemotronHForCausalLM:
                     hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
                     num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
                     rope=cfg.rope, rms_eps=cfg.rms_eps, dtype=cfg.dtype,
-                    quant=cfg.quant, tp_size=tp))
+                    quant=cfg.quant, tp_size=tp,
+                    # Granite-hybrid: NoPE attention + explicit softmax scale
+                    nope=bool(cfg.extra.get("nope_attention")),
+                    scale=(cfg.query_pre_attn_scalar ** -0.5
+                           if cfg.query_pre_attn_scalar else None)))
             elif t == "-":
                 self.components.append(GatedMLP(
                     hidden_size=cfg.hidden_size,
@@ -137,7 +141,11 @@ class NemotronHForCausalLM:
         cfg = self.cfg
         x = (input_embeds.astype(cfg.dtype) if input_embeds is not None
              else self.embedding(params["embedding"], input_ids))
+        if cfg.embedding_multiplier:
+            x = (x.astype(jnp.float32)
+                 * cfg.embedding_multiplier).astype(x.dtype)
         rope_tables = params["rope"]
+        rm = cfg.residual_multiplier
         new_caches = []
         for i, (t, comp) in enumerate(zip(self.pattern, self.components)):
             lp = params["layers"][i]
@@ -149,8 +157,10 @@ class NemotronHForCausalLM:
                                   kv_caches[i], meta)
             else:
                 out, cache = comp(lp["comp"], h), kv_caches[i]
-            x = (x.astype(jnp.float32) + out.astype(jnp.float32)
-                 ).astype(x.dtype)
+            out = out.astype(jnp.float32)
+            if rm is not None:
+                out = out * rm
+            x = (x.astype(jnp.float32) + out).astype(x.dtype)
             new_caches.append(cache)
         x = rms_norm(x, params["final_norm"], cfg.rms_eps)
         if logit_indices is not None:
@@ -161,6 +171,8 @@ class NemotronHForCausalLM:
         else:
             logits = jnp.dot(x, params["lm_head"].astype(x.dtype),
                              preferred_element_type=jnp.float32)
+        if cfg.logits_scaling:
+            logits = logits / cfg.logits_scaling   # Granite hybrids
         if return_hidden:
             return logits, x, new_caches
         return logits, new_caches

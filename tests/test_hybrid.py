@@ -150,3 +150,106 @@ def test_mamba2_tp_matches_single_device():
     finally:
         llm2.shutdown()
     assert got == want, (got, want)
+
+
+def test_bamba_hf_parity():
+    """Bamba (mamba2+attention hybrid) against HF transformers logits —
+    the first hybrid arch with a full HF weight loader."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import transformers
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+        KVCacheConfig, KVCacheManager)
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.BambaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0,
+        mamba_n_heads=8, mamba_d_head=16, mamba_d_state=32,
+        mamba_n_groups=1, mamba_expand=2, mamba_d_conv=4,
+        mamba_chunk_size=8, attn_layer_indices=[1],
+        tie_word_embeddings=False)
+    hf = transformers.AutoModelForCausalLM.from_config(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "BambaForCausalLM"
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+
+    prompt = list(np.random.RandomState(0).randint(1, 95, 12))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([prompt])).logits[0, -1].numpy()
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=32,
+                        max_slots=8)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(16,))
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams as SP
+    req = LlmRequest(prompt, SP(max_tokens=1))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    ours = np.asarray(engine.run_prefill(
+        engine.prepare_prefill_inputs(req, len(prompt)))[0], np.float32)
+
+    assert np.argmax(ours) == np.argmax(hf_logits), (
+        np.argsort(ours)[-3:], np.argsort(hf_logits)[-3:])
+    corr = np.corrcoef(ours, hf_logits)[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_granite_hybrid_hf_parity():
+    """Granite 4.0 hybrid (dense shared-MLP): NoPE attention + multipliers
+    + fused gate|up shared MLP against HF logits."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import transformers
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+        KVCacheConfig, KVCacheManager)
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams as SP
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.GraniteMoeHybridConfig(
+        vocab_size=96, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, pad_token_id=0,
+        mamba_n_heads=8, mamba_d_head=16, mamba_d_state=32,
+        mamba_n_groups=1, mamba_expand=2, mamba_d_conv=4,
+        mamba_chunk_size=8, layer_types=["mamba", "attention", "mamba"],
+        shared_intermediate_size=128, num_local_experts=0,
+        num_experts_per_tok=0, embedding_multiplier=2.0,
+        residual_multiplier=0.5, attention_multiplier=0.2,
+        logits_scaling=3.0, tie_word_embeddings=False)
+    hf = transformers.AutoModelForCausalLM.from_config(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "GraniteMoeHybridForCausalLM"
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+
+    prompt = list(np.random.RandomState(0).randint(1, 95, 12))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([prompt])).logits[0, -1].numpy()
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=32,
+                        max_slots=8)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(16,))
+    req = LlmRequest(prompt, SP(max_tokens=1))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    ours = np.asarray(engine.run_prefill(
+        engine.prepare_prefill_inputs(req, len(prompt)))[0], np.float32)
+    assert np.argmax(ours) == np.argmax(hf_logits), (
+        np.argsort(ours)[-3:], np.argsort(hf_logits)[-3:])
+    corr = np.corrcoef(ours, hf_logits)[0, 1]
+    assert corr > 0.98, corr
