@@ -49,6 +49,9 @@ class AttentionMetadata:
     # their ancestor chain; committed rows are causal); rows with pad slots
     # never write the cache.  kv_lens[0] is then the COMMITTED prefix length.
     pair_mask: jax.Array = None
+    # Qwen2-VL multimodal 3D rope: [3, T] (temporal, height, width)
+    # positions for the prefill rows; None => 1-D rope from `positions`
+    mrope_positions: jax.Array = None
 
     # static (not traced): jax.tree_util.register_dataclass metadata
     mode: str = dataclasses.field(default="decode", metadata={"static": True})

@@ -188,7 +188,8 @@ class Attention:
             return self._forward_cp(params, q, k, v, kv_cache, meta,
                                     cos_t, sin_t, sinks)
 
-        q, k = self._position_transform(q, k, meta.positions, cos_t, sin_t)
+        q, k = self._position_transform(q, k, meta.positions, cos_t, sin_t,
+                                        mrope=meta.mrope_positions)
         k_cache, v_cache = kv_cache
         out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
                                              sinks=sinks)
@@ -200,13 +201,19 @@ class Attention:
                            row_parallel=self.tp_size > 1)
         return y, (k_cache, v_cache)
 
-    def _position_transform(self, q, k, positions, cos_t, sin_t):
+    def _position_transform(self, q, k, positions, cos_t, sin_t,
+                            mrope=None):
         """RoPE (unless NoPE) + Llama4 post-rope extras: unweighted q/k RMS
         (Llama4TextL2Norm) and NoPE-layer temperature tuning
         (q *= log1p(floor((pos+1)/floor_scale)) * attn_scale + 1)."""
         if not self.nope:
-            q, k = apply_rope(q, k, positions, cos_t, sin_t,
-                              interleaved=self.rope.interleaved)
+            if mrope is not None and self.rope.mrope_sections:
+                from tensorrt_llm_tpu.ops.rope import apply_mrope
+                q, k = apply_mrope(q, k, mrope, cos_t, sin_t,
+                                   self.rope.mrope_sections)
+            else:
+                q, k = apply_rope(q, k, positions, cos_t, sin_t,
+                                  interleaved=self.rope.interleaved)
         if self.qk_norm_l2:
             ones = jnp.ones((self.head_dim,), jnp.float32)
             q = rms_norm(q, ones, 1e-6)

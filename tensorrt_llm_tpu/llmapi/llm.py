@@ -247,6 +247,7 @@ class LLM:
                        lora_request: Optional[str] = None) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
         prompt_embeds = None
+        mm_extra = None
         if isinstance(prompt, dict):
             # multimodal prompt schema (reference inputs/registry.py):
             # {"prompt" | "prompt_token_ids", "multi_modal_data": {"image": [...]}}
@@ -259,10 +260,19 @@ class LLM:
             mm = prompt.get("multi_modal_data") or {}
             images = mm.get("image") or []
             if images:
-                from tensorrt_llm_tpu.inputs import preprocess_images
-                pix = preprocess_images(images, self.model.vision)
-                token_ids, prompt_embeds = self.model.process_multimodal(
+                if hasattr(self.model, "preprocess_images"):
+                    # model-specific pipeline (Qwen2-VL native-resolution
+                    # patches; also accepts HF-processor outputs)
+                    pix = self.model.preprocess_images(images)
+                else:
+                    from tensorrt_llm_tpu.inputs import preprocess_images
+                    pix = preprocess_images(images, self.model.vision)
+                out = self.model.process_multimodal(
                     self.engine.params, token_ids, pix)
+                if len(out) == 3:
+                    token_ids, prompt_embeds, mm_extra = out
+                else:
+                    token_ids, prompt_embeds = out
         elif isinstance(prompt, str):
             assert self._tokenizer is not None, "tokenizer required for text prompts"
             token_ids = self._tokenizer.encode(prompt)
@@ -287,6 +297,9 @@ class LLM:
             req.lora_slot = self.lora_manager.slot_of(lora_request)
         if prompt_embeds is not None:
             req.prompt_embeds = prompt_embeds
+        if mm_extra:
+            req.mrope_positions = mm_extra.get("mrope_positions")
+            req.mrope_delta = mm_extra.get("mrope_delta", 0)
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
 

@@ -230,7 +230,12 @@ class ModelConfig:
     def rope(self) -> RopeConfig:
         scaling = self.rope_scaling or {}
         stype = scaling.get("rope_type") or scaling.get("type")
+        mrope = tuple(scaling["mrope_section"]) \
+            if scaling.get("mrope_section") else None
+        if stype in ("mrope", "default"):
+            stype = None   # mrope changes position SELECTION, not freqs
         return RopeConfig(
+            mrope_sections=mrope,
             head_dim=self.qk_rope_head_dim if self.is_mla else self.head_dim,
             theta=self.rope_theta,
             max_position=self.max_position,
@@ -275,7 +280,9 @@ class ModelConfig:
             vc = get("vision_config")
             cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
                                           else vc.to_dict())
-            for k in ("image_token_index", "vision_feature_layer",
+            for k in ("image_token_index", "image_token_id",
+                      "video_token_id", "vision_start_token_id",
+                      "vision_feature_layer",
                       "vision_feature_select_strategy"):
                 if get(k) is not None:
                     cfg.extra[k] = get(k)

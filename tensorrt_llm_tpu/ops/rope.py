@@ -42,6 +42,9 @@ class RopeConfig:
     # DeepSeek checkpoints store rope pairs interleaved (x0,y0,x1,y1,…);
     # apply de-interleaves before the rotate-half math
     interleaved: bool = False
+    # Qwen2-VL multimodal 3D rope: frequency dims split into
+    # (temporal, height, width) sections — see apply_mrope
+    mrope_sections: Optional[tuple] = None
 
 
 def _base_inv_freq(cfg: RopeConfig) -> jnp.ndarray:
@@ -120,6 +123,45 @@ def make_rope_tables(cfg: RopeConfig) -> Tuple[jax.Array, jax.Array]:
     pos = jnp.arange(cfg.max_position, dtype=jnp.float32)
     freqs = jnp.outer(pos, inv_freq)  # [P, D/2]
     return jnp.cos(freqs) * att, jnp.sin(freqs) * att
+
+
+def apply_mrope(
+    q: jax.Array,            # [T, H, D]
+    k: jax.Array,            # [T, Hkv, D]
+    positions3: jax.Array,   # [3, T] int32 (temporal, height, width)
+    cos_table: jax.Array,    # [P, D/2]
+    sin_table: jax.Array,
+    sections,                # e.g. (16, 24, 24); sums to D/2
+) -> Tuple[jax.Array, jax.Array]:
+    """Qwen2-VL multimodal 3D rotary embedding (HF
+    `apply_multimodal_rotary_pos_emb`): frequency dim j uses the temporal /
+    height / width position according to its section.  Text tokens carry
+    identical t==h==w positions, reducing exactly to 1-D rope."""
+    half = cos_table.shape[-1]
+    sel = jnp.repeat(jnp.arange(len(sections)),
+                     jnp.asarray(sections, jnp.int32),
+                     total_repeat_length=half)        # [D/2] in {0,1,2}
+    cos3 = cos_table[positions3]                      # [3, T, D/2]
+    sin3 = sin_table[positions3]
+    onehot = jax.nn.one_hot(sel, len(sections), dtype=cos3.dtype)  # [D/2, 3]
+    cos = jnp.einsum("stj,js->tj", cos3, onehot)      # [T, D/2]
+    sin = jnp.einsum("stj,js->tj", sin3, onehot)
+    rot = half * 2
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+
+    def rotate(x):
+        dtype = x.dtype
+        x1 = x[..., :half].astype(jnp.float32)
+        x2 = x[..., half:rot].astype(jnp.float32)
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        out = jnp.concatenate([o1, o2], axis=-1).astype(dtype)
+        if x.shape[-1] > rot:
+            out = jnp.concatenate([out, x[..., rot:]], axis=-1)
+        return out
+
+    return rotate(q), rotate(k)
 
 
 def apply_rope(

@@ -109,6 +109,12 @@ class ModelEngine:
                        and self.mapping.cp_type == "helix")
         self._star = (self.mapping.cp_size > 1
                       and self.mapping.cp_type == "star")
+        # Qwen2-VL multimodal 3D rope: prefill positions travel as
+        # [4*Tp] = [physical; t; h; w] so the step signature is unchanged
+        try:
+            self._mrope = bool(model.cfg.rope.mrope_sections)
+        except Exception:  # noqa: BLE001 — models without a rope config
+            self._mrope = False
 
         # VSWA: sliding-window layers get their own small cyclic-ring pools
         # (reference per-window WindowBlockManager).  Ring = window + one
@@ -546,9 +552,16 @@ class ModelEngine:
 
         vswa = self._vswa
 
+        is_mrope = self._mrope
+
         def step(params, kv_caches, input_x, positions, slot_mapping,
                  block_tables, kv_lens, q_offset, logit_indices, seq_slots,
                  lora_ids, local_slots, local_tables):
+            mrope = None
+            if is_mrope and positions.shape[0] == 4 * input_x.shape[0]:
+                Tp = input_x.shape[0]
+                mrope = positions[Tp:].reshape(3, Tp)
+                positions = positions[:Tp]
             meta = AttentionMetadata(
                 positions=positions,
                 slot_mapping=slot_mapping,
@@ -559,6 +572,7 @@ class ModelEngine:
                 lora_ids=lora_ids,
                 local_slot_mapping=local_slots if vswa else None,
                 local_block_tables=local_tables if vswa else None,
+                mrope_positions=mrope,
                 mode="prefill" if mode.startswith("prefill") else mode,
             )
             ids = None if embeds_input else input_x
@@ -821,6 +835,12 @@ class ModelEngine:
             pos = req.num_tokens - 1          # position of the new token
             input_ids[row] = toks[-1]
             positions[row] = pos
+            if self._mrope:
+                # decode rope positions shift by the request's mrope delta
+                # (t==h==w for generated tokens => 1-D rope is exact)
+                positions[row] = min(max(0, pos + getattr(req, "mrope_delta",
+                                                          0)),
+                                     self.max_seq_len - 1)
             if not self._helix and not self._star:
                 slots[row] = kv.slot_mapping(req.request_id, pos, 1)[0]
                 tables[row, :] = kv.block_table(req.request_id, MB)
@@ -1020,6 +1040,19 @@ class ModelEngine:
             for r in range(cp):
                 slots[r * Tp:r * Tp + chunk] = maps[r]
                 tables[r, :] = kv.rank_block_table(req.request_id, r, MBl)
+        if self._mrope:
+            # append the [3, Tp] (t, h, w) rows: [4*Tp] total (see step fn)
+            mr = getattr(req, "mrope_positions", None)
+            ext = np.zeros((3, Tp), np.int32)
+            if mr is not None:
+                seg = np.asarray(mr)[:, start:start + chunk]
+                ext[:, :chunk] = seg
+                if chunk < Tp and chunk > 0:
+                    ext[:, chunk:] = seg[:, -1:]
+            else:  # text-only prompt: t = h = w = physical position
+                ext[:] = positions[None, :]
+            ext = np.minimum(ext, self.max_seq_len - 1)
+            positions = np.concatenate([positions, ext.reshape(-1)])
         return StepInputs(
             input_ids=input_ids, input_embeds=embeds, positions=positions,
             slot_mapping=slots, block_tables=tables, kv_lens=kv_lens,
