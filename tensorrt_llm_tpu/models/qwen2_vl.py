@@ -76,7 +76,10 @@ class Qwen2VLForConditionalGeneration(DecoderModelForCausalLM):
         self.image_token_index = (cfg.extra.get("image_token_id")
                                   or cfg.extra.get("image_token_index")
                                   or 151655)
-        self.vision = Qwen2VisionTower(
+        self.vision = self._make_vision(vc, cfg)
+
+    def _make_vision(self, vc, cfg):
+        return Qwen2VisionTower(
             embed_dim=vc.get("embed_dim", 1280),
             depth=vc.get("depth", 32),
             num_heads=vc.get("num_heads", 16),
@@ -187,3 +190,29 @@ class Qwen2VLForConditionalGeneration(DecoderModelForCausalLM):
             expanded, self.image_token_index, grids, self.vision.merge)
         return expanded, emb, {"mrope_positions": mrope,
                                "mrope_delta": int(delta)}
+
+
+@register_auto_model("Qwen2_5_VLForConditionalGeneration")
+class Qwen2_5_VLForConditionalGeneration(Qwen2VLForConditionalGeneration):
+    """Qwen2.5-VL: the Qwen2-VL stack with the updated vision transformer —
+    RMSNorm blocks, biased SwiGLU MLPs, and window attention (tokens
+    reordered into merge-unit windows; only `fullatt_block_indexes` blocks
+    attend across the whole image)."""
+
+    def _make_vision(self, vc, cfg):
+        return Qwen2VisionTower(
+            embed_dim=vc.get("hidden_size", 1280),   # 2.5 naming
+            depth=vc.get("depth", 32),
+            num_heads=vc.get("num_heads", 16),
+            out_hidden=vc.get("out_hidden_size", cfg.hidden_size),
+            patch_size=vc.get("patch_size", 14),
+            temporal_patch=vc.get("temporal_patch_size", 2),
+            in_channels=vc.get("in_channels", 3),
+            spatial_merge=vc.get("spatial_merge_size", 2),
+            mlp_hidden=vc.get("intermediate_size", 0),
+            norm_type="rmsnorm",
+            mlp_type="swiglu",
+            window_size=vc.get("window_size", 112),
+            fullatt_idx=tuple(vc.get("fullatt_block_indexes", ())),
+            dtype=cfg.dtype,
+        )

@@ -213,3 +213,61 @@ def test_qwen2_vl_patchify_matches_hf_processor():
     ours, grid = Qwen2VLForConditionalGeneration._patchify(self_like, img)
     assert grid == hf_grid, (grid, hf_grid)
     np.testing.assert_allclose(ours, hf_patches, rtol=2e-2, atol=2e-2)
+
+
+def test_qwen2_5_vl_mrope_parity():
+    """Qwen2.5-VL: windowed RMSNorm/SwiGLU ViT + M-RoPE greedy vs HF."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Qwen2_5_VLConfig(
+        text_config=dict(vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=256, rope_theta=10000.0,
+                         rope_scaling={"type": "mrope",
+                                       "mrope_section": [2, 3, 3]}),
+        vision_config=dict(depth=2, hidden_size=32, num_heads=2,
+                           out_hidden_size=64, intermediate_size=64,
+                           patch_size=14, spatial_merge_size=2,
+                           temporal_patch_size=2, window_size=28,
+                           fullatt_block_indexes=[1]),
+        image_token_id=250, vision_start_token_id=249)
+    hf = transformers.Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Qwen2_5_VLForConditionalGeneration"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+        rng = np.random.RandomState(0)
+        # 84x84 -> grid (1,6,6): 36 patches, 9 merged tokens; window 28
+        # covers 1 merge-unit => real windowed + fullatt mix
+        patches = rng.randn(36, 3 * 2 * 14 * 14).astype(np.float32) * 0.5
+        grid = (1, 6, 6)
+        text1, text2 = [5, 9, 17], [23, 31]
+        hf_ids = text1 + [250] * 9 + text2
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(patches),
+                image_grid_thw=torch.tensor([list(grid)]),
+                max_new_tokens=6, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        prompt = {"prompt_token_ids": text1 + [250] + text2,
+                  "multi_modal_data": {"image": [
+                      {"pixel_values": patches, "grid_thw": grid}]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=6, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
