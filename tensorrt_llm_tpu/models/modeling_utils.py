@@ -374,6 +374,10 @@ class ModelConfig:
                 "attention_multiplier", "logits_scaling",
                 "attn_layer_indices", "hybrid_override_pattern",
                 "shared_intermediate_size", "position_embedding_type",
+                "block_size", "linear_attn_alpha_factor",
+                "linear_attn_beta_factor", "full_attn_alpha_factor",
+                "full_attn_beta_factor", "mlp_alpha_factor",
+                "mlp_beta_factor",
                 # Llama4 (HF Llama4TextConfig)
                 "no_rope_layers", "no_rope_layer_interval",
                 "attention_chunk_size", "use_qk_norm",

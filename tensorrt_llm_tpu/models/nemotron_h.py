@@ -47,28 +47,33 @@ class NemotronHForCausalLM:
         assert len(self.pattern) == cfg.num_layers, (
             len(self.pattern), cfg.num_layers)
         self.embedding = Embedding(cfg.vocab_size, cfg.hidden_size, cfg.dtype)
-        self.components = []
-        for t in self.pattern:
-            if t == "M":
-                self.components.append(Mamba2Mixer(cfg))
-            elif t == "*":
-                self.components.append(Attention(
-                    hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
-                    num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
-                    rope=cfg.rope, rms_eps=cfg.rms_eps, dtype=cfg.dtype,
-                    quant=cfg.quant, tp_size=tp,
-                    # Granite-hybrid: NoPE attention + explicit softmax scale
-                    nope=bool(cfg.extra.get("nope_attention")),
-                    scale=(cfg.query_pre_attn_scalar ** -0.5
-                           if cfg.query_pre_attn_scalar else None)))
-            elif t == "-":
-                self.components.append(GatedMLP(
-                    hidden_size=cfg.hidden_size,
-                    intermediate_size=cfg.intermediate_size,
-                    activation=cfg.activation, dtype=cfg.dtype,
-                    quant=cfg.quant, tp_size=tp))
-            else:
-                raise ValueError(f"unknown hybrid layer type {t!r}")
+        self.components = [self._make_component(t, i)
+                           for i, t in enumerate(self.pattern)]
+
+    def _make_component(self, t: str, idx: int):
+        """One layer component: 'M' Mamba2, '*' attention, '-' MLP.
+        Subclasses add types (MiniMax 'L' lightning / 'E' MoE)."""
+        cfg = self.cfg
+        tp = cfg.mapping.tp_size
+        if t == "M":
+            return Mamba2Mixer(cfg)
+        if t == "*":
+            return Attention(
+                hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
+                num_kv_heads=cfg.num_kv_heads, head_dim=cfg.head_dim,
+                rope=cfg.rope, rms_eps=cfg.rms_eps, dtype=cfg.dtype,
+                quant=cfg.quant, tp_size=tp,
+                # Granite-hybrid: NoPE attention + explicit softmax scale
+                nope=bool(cfg.extra.get("nope_attention")),
+                scale=(cfg.query_pre_attn_scalar ** -0.5
+                       if cfg.query_pre_attn_scalar else None))
+        if t == "-":
+            return GatedMLP(
+                hidden_size=cfg.hidden_size,
+                intermediate_size=cfg.intermediate_size,
+                activation=cfg.activation, dtype=cfg.dtype,
+                quant=cfg.quant, tp_size=tp)
+        raise ValueError(f"unknown hybrid layer type {t!r}")
 
     # ---- engine hooks -----------------------------------------------------------
     def make_layer_caches(self, kv_manager):
@@ -83,6 +88,10 @@ class NemotronHForCausalLM:
                               jnp.bfloat16),
                     jnp.zeros((S, comp.H_global, comp.P, comp.N),
                               jnp.float32)))
+            elif t == "L":
+                # lightning linear attention: per-slot [H, D, D] KV state
+                caches.append(jnp.zeros((S, comp.H, comp.D, comp.D),
+                                        jnp.float32))
             elif t == "*":
                 caches.append((jnp.zeros(kv_shape, kv_manager.cfg.dtype),
                                jnp.zeros(kv_shape, kv_manager.cfg.dtype)))
@@ -93,7 +102,7 @@ class NemotronHForCausalLM:
     def cache_specs(self, pools, default_fn):
         out = []
         for t, comp, pool in zip(self.pattern, self.components, pools):
-            if t == "M":
+            if t in ("M", "L"):
                 out.append(comp.cache_specs())
             else:
                 out.append(jax.tree.map(default_fn, pool))
@@ -150,7 +159,7 @@ class NemotronHForCausalLM:
         for i, (t, comp) in enumerate(zip(self.pattern, self.components)):
             lp = params["layers"][i]
             h = rms_norm(x, lp["norm"], cfg.rms_eps)
-            if t == "M":
+            if t in ("M", "L"):
                 out, cache = comp(lp["comp"], h, kv_caches[i], meta)
             elif t == "*":
                 out, cache = comp(lp["comp"], h, rope_tables,

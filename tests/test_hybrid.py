@@ -253,3 +253,41 @@ def test_granite_hybrid_hf_parity():
         np.argsort(ours)[-3:], np.argsort(hf_logits)[-3:])
     corr = np.corrcoef(ours, hf_logits)[0, 1]
     assert corr > 0.98, corr
+
+
+def test_minimax_hf_parity():
+    """MiniMax hybrid: lightning linear attention + full attention + MoE vs
+    HF logits, including greedy decode through the recurrent state."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.MiniMaxConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0,
+        num_local_experts=4, num_experts_per_tok=2, block_size=8,
+        layer_types=["linear_attention", "full_attention"],
+        tie_word_embeddings=False)
+    hf = transformers.AutoModelForCausalLM.from_config(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "MiniMaxForCausalLM"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+        prompt = list(np.random.RandomState(0).randint(1, 95, 19))
+        with torch.no_grad():
+            want = hf.generate(torch.tensor([prompt]), max_new_tokens=6,
+                               do_sample=False).numpy()[0][len(prompt):]
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=6, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want.tolist(), (got, want.tolist())
+    finally:
+        llm.shutdown()
