@@ -374,7 +374,10 @@ class ModelConfig:
                 "attention_multiplier", "logits_scaling",
                 "attn_layer_indices", "hybrid_override_pattern",
                 "shared_intermediate_size", "position_embedding_type",
-                "block_size", "linear_attn_alpha_factor",
+                "block_size", "linear_num_value_heads",
+                "linear_num_key_heads", "linear_key_head_dim",
+                "linear_value_head_dim", "linear_conv_kernel_dim",
+                "linear_attn_alpha_factor",
                 "linear_attn_beta_factor", "full_attn_alpha_factor",
                 "full_attn_beta_factor", "mlp_alpha_factor",
                 "mlp_beta_factor",

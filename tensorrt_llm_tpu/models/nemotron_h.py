@@ -36,6 +36,12 @@ from tensorrt_llm_tpu.ops.rope import make_rope_tables
 class NemotronHForCausalLM:
     """Hybrid decoder; layer pattern via cfg.extra['hybrid_override_pattern']."""
 
+    # per-char component call conventions (subclasses extend):
+    # STATE: comp(params, h, cache, meta); ATTN: comp(params, h, rope, cache,
+    # meta); anything else: comp(params, h) stateless
+    STATE_TYPES = ("M", "L")
+    ATTN_TYPES = ("*",)
+
     def __init__(self, cfg: ModelConfig):
         assert cfg.mapping.pp_size == 1 and cfg.mapping.cp_size == 1 \
             and cfg.mapping.dp_size == 1, \
@@ -102,7 +108,7 @@ class NemotronHForCausalLM:
     def cache_specs(self, pools, default_fn):
         out = []
         for t, comp, pool in zip(self.pattern, self.components, pools):
-            if t in ("M", "L"):
+            if t in self.STATE_TYPES:
                 out.append(comp.cache_specs())
             else:
                 out.append(jax.tree.map(default_fn, pool))
@@ -159,9 +165,9 @@ class NemotronHForCausalLM:
         for i, (t, comp) in enumerate(zip(self.pattern, self.components)):
             lp = params["layers"][i]
             h = rms_norm(x, lp["norm"], cfg.rms_eps)
-            if t in ("M", "L"):
+            if t in self.STATE_TYPES:
                 out, cache = comp(lp["comp"], h, kv_caches[i], meta)
-            elif t == "*":
+            elif t in self.ATTN_TYPES:
                 out, cache = comp(lp["comp"], h, rope_tables,
                                   kv_caches[i], meta)
             else:

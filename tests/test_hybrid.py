@@ -291,3 +291,45 @@ def test_minimax_hf_parity():
         assert got == want.tolist(), (got, want.tolist())
     finally:
         llm.shutdown()
+
+
+def test_qwen3_next_hf_parity():
+    """Qwen3-Next: gated deltanet + gated attention + gated-shared MoE vs
+    HF greedy continuation (prefill chunk rule + decode recurrence)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Qwen3NextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, pad_token_id=0,
+        linear_num_value_heads=4, linear_num_key_heads=2,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, shared_expert_intermediate_size=32,
+        decoder_sparse_step=1,
+        layer_types=["linear_attention", "full_attention"],
+        tie_word_embeddings=False)
+    hf = transformers.Qwen3NextForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Qwen3NextForCausalLM"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+        prompt = list(np.random.RandomState(0).randint(1, 95, 19))
+        with torch.no_grad():
+            want = hf.generate(torch.tensor([prompt]), max_new_tokens=6,
+                               do_sample=False).numpy()[0][len(prompt):]
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=6, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want.tolist(), (got, want.tolist())
+    finally:
+        llm.shutdown()
