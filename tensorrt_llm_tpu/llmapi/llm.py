@@ -113,6 +113,18 @@ class LLM:
             logger.warning("no checkpoint found — random-initializing weights")
             params = self.model.init(jax.random.PRNGKey(a.seed))
 
+        if getattr(model_cls, "is_encoder", False):
+            # BERT-class encoder (embeddings / reranking): one bidirectional
+            # forward, no KV cache or autoregressive executor
+            from tensorrt_llm_tpu.models.bert import EncoderRunner
+            self.encoder = EncoderRunner(self.model, params,
+                                         max_seq_len=a.max_seq_len)
+            self.executor = None
+            self.engine = None
+            self.kv_manager = None
+            self.moe_balancer = None
+            return
+
         self.lora_manager = None
         if a.lora_adapters:
             from tensorrt_llm_tpu.lora.multi_lora import MultiLoraManager
@@ -362,6 +374,30 @@ class LLM:
     def get_stats(self) -> List[dict]:
         return self.executor.get_stats()
 
+    # ------------------------------------------------------------------ encoder ---
+    def embed(self, prompts, pooling: str = "cls"):
+        """Encoder models: [B] texts/token-lists -> [B, H] embeddings
+        (reference /v1/embeddings serving over BERT-class models)."""
+        assert getattr(self, "encoder", None) is not None, \
+            "embed() needs an encoder-class model (e.g. BertModel)"
+        ids = self._encode_batch(prompts)
+        return self.encoder.embed(ids, pooling=pooling)
+
+    def score_pairs(self, prompts):
+        """Encoder classification logits (reranker scores)."""
+        assert getattr(self, "encoder", None) is not None
+        return self.encoder.score(self._encode_batch(prompts))
+
+    def _encode_batch(self, prompts):
+        out = []
+        for p in prompts:
+            if isinstance(p, str):
+                assert self._tokenizer is not None
+                out.append(self._tokenizer.encode(p))
+            else:
+                out.append([int(t) for t in p])
+        return out
+
     def get_kv_cache_stats(self) -> dict:
         return self.kv_manager.stats()
 
@@ -376,7 +412,8 @@ class LLM:
         return self.kv_manager.match_prefix(list(token_ids))
 
     def shutdown(self):
-        self.executor.shutdown()
+        if self.executor is not None:
+            self.executor.shutdown()
 
     def __enter__(self):
         return self

@@ -380,7 +380,8 @@ class ModelConfig:
                 "linear_attn_alpha_factor",
                 "linear_attn_beta_factor", "full_attn_alpha_factor",
                 "full_attn_beta_factor", "mlp_alpha_factor",
-                "mlp_beta_factor",
+                "mlp_beta_factor", "layer_norm_eps", "type_vocab_size",
+                "num_labels",
                 # Llama4 (HF Llama4TextConfig)
                 "no_rope_layers", "no_rope_layer_interval",
                 "attention_chunk_size", "use_qk_norm",

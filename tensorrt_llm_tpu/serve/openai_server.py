@@ -44,6 +44,7 @@ class OpenAIServer:
             web.get("/perf_metrics", self.perf_metrics),
             web.get("/kv_cache_events", self.kv_cache_events),
             web.post("/prefix_match", self.prefix_match),
+            web.post("/v1/embeddings", self.embeddings),
             web.get("/traces", self.traces),
             web.post("/update_weights", self.update_weights),
             web.post("/disagg/context", self.disagg_context),
@@ -90,6 +91,27 @@ class OpenAIServer:
         since = int(request.query.get("since_id", 0))
         out["events"] = self.llm.get_kv_cache_events(since)
         return web.json_response(out)
+
+    async def embeddings(self, request):
+        """OpenAI embeddings API over encoder-class models (reference
+        serves BERT embedding/reranker models the same way)."""
+        if getattr(self.llm, "encoder", None) is None:
+            return web.json_response(
+                {"error": "model is not an encoder"}, status=400)
+        body = await request.json()
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        import asyncio
+        vecs = await asyncio.to_thread(
+            self.llm.embed, inputs, body.get("pooling", "cls"))
+        return web.json_response({
+            "object": "list",
+            "model": body.get("model", self.model_name),
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(x) for x in v]}
+                     for i, v in enumerate(vecs)],
+        })
 
     async def prefix_match(self, request):
         """Exact cached-prefix probe for the KV-aware router: body
