@@ -55,6 +55,10 @@ class AttentionMetadata:
 
     # static (not traced): jax.tree_util.register_dataclass metadata
     mode: str = dataclasses.field(default="decode", metadata={"static": True})
+    # pair-mask prefill: False => in-chunk visibility comes ONLY from
+    # pair_mask (Gemma3-VL bidirectional image spans)
+    chunk_causal: bool = dataclasses.field(default=True,
+                                           metadata={"static": True})
     # set on the meta handed to a sliding layer when its KV lives in a
     # cyclic ring: slot s holds position s + floor((kv_len-1-s)/P)*P,
     # P = block_tables.shape[-1] * block_size

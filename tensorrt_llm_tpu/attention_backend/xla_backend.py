@@ -46,6 +46,7 @@ class XlaAttention(AttentionBackend):
                 logit_cap=self.logit_cap,
                 sinks=sinks,
                 attention_chunk=self.attention_chunk,
+                in_chunk_causal=meta.chunk_causal,
             )
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)

@@ -312,6 +312,7 @@ class LLM:
         if mm_extra:
             req.mrope_positions = mm_extra.get("mrope_positions")
             req.mrope_delta = mm_extra.get("mrope_delta", 0)
+            req.prefill_pair_mask = mm_extra.get("prefill_pair_mask")
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
 

@@ -282,7 +282,7 @@ class ModelConfig:
                                           else vc.to_dict())
             for k in ("image_token_index", "image_token_id",
                       "video_token_id", "vision_start_token_id",
-                      "vision_feature_layer",
+                      "mm_tokens_per_image", "vision_feature_layer",
                       "vision_feature_select_strategy"):
                 if get(k) is not None:
                     cfg.extra[k] = get(k)
@@ -736,11 +736,14 @@ class DecoderModelForCausalLM:
             # multimodal: pre-fused embeddings (text + projected image
             # features spliced at placeholder rows — reference
             # inputs/registry.py prompt embedding path)
+            # fused multimodal embeddings arrive PRE-scaled (Gemma3-VL
+            # scales text rows only; image features replace post-scale)
             x = input_embeds.astype(cfg.dtype)
         else:
             x = self.embedding(params["embedding"], input_ids)
-        if cfg.embedding_multiplier:
-            x = (x.astype(jnp.float32) * cfg.embedding_multiplier).astype(x.dtype)
+            if cfg.embedding_multiplier:
+                x = (x.astype(jnp.float32)
+                     * cfg.embedding_multiplier).astype(x.dtype)
         residual = None
         rope_tables = (params["rope"], params.get("rope_local"))
         new_caches = []

@@ -290,6 +290,7 @@ def tree_verify_attention_xla(
     logit_cap: Optional[float] = None,
     sinks: Optional[jax.Array] = None,
     attention_chunk: Optional[int] = None,
+    in_chunk_causal: bool = True,
 ) -> jax.Array:
     """Draft-tree verification attention (reference: packed-mask tree
     kernels, kernels/speculativeDecoding/ + convertSpecDecodingMaskToPacked-
@@ -314,7 +315,10 @@ def tree_verify_attention_xla(
     kv_positions = jnp.concatenate([prefix_pos, positions])
     pair = jnp.concatenate(
         [jnp.ones((T, S), bool), tree_mask.astype(bool)], axis=1)
-    return mha_xla(q, k, v, scale, causal=True,
+    # in_chunk_causal=False: visibility comes ENTIRELY from the host-built
+    # mask (Gemma3-VL bidirectional image spans widen past causal); the
+    # prefix stays fully visible (its positions precede the chunk)
+    return mha_xla(q, k, v, scale, causal=in_chunk_causal,
                    kv_len=None, sliding_window=sliding_window,
                    logit_cap=logit_cap, sinks=sinks,
                    kv_positions=kv_positions, q_positions=positions,

@@ -277,9 +277,34 @@ class PyExecutor:
                     chunk = req.remaining_context  # defensive; >=1 by manager
             start = req.context_position
             self.kv.grow_sequence(req.request_id, start + chunk)
-            inputs = self.engine.prepare_prefill_inputs(req, chunk)
-            if self._needs_hidden and req.sampling_params.greedy:
+            pm = getattr(req, "prefill_pair_mask", None)
+            if pm is not None:
+                # custom-visibility prefill (Gemma3-VL: image tokens attend
+                # bidirectionally within their image) — single forward with
+                # a host-built [T, T] mask through the tree-verify step
+                assert start == 0 and chunk == req.remaining_context, (
+                    "masked prefill requires a single chunk (raise the "
+                    "prefill bucket above the prompt length)")
+                import numpy as _np
+                inputs = self.engine.prepare_tree_verify_inputs(
+                    req, req.prompt_token_ids,
+                    _np.arange(chunk, dtype=_np.int32),
+                    [True] * chunk)
+                pe = getattr(req, "prompt_embeds", None)
+                if pe is not None:
+                    Tp = inputs.input_ids.shape[0]
+                    emb = _np.zeros((Tp, pe.shape[1]), _np.float32)
+                    emb[:chunk] = pe[:chunk]
+                    inputs.input_embeds = emb
+                Tp = inputs.input_ids.shape[0]
+                inputs.logit_indices = _np.array([chunk - 1], _np.int32)
+                pmp = _np.zeros((Tp, Tp), bool)
+                pmp[:chunk, :chunk] = pm
+                logits = self.engine.run_verify_tree(inputs, pmp,
+                                                     chunk_causal=False)
+            elif self._needs_hidden and req.sampling_params.greedy:
                 # one-model drafters need the hidden of every prompt row
+                inputs = self.engine.prepare_prefill_inputs(req, chunk)
                 inputs.logit_indices = np.arange(
                     inputs.input_ids.shape[0], dtype=np.int32)
                 all_logits, hidden = self.engine.run_with_hidden(
@@ -288,6 +313,7 @@ class PyExecutor:
                     req, start, np.asarray(hidden)[:chunk])
                 logits = all_logits[chunk - 1:chunk]
             else:
+                inputs = self.engine.prepare_prefill_inputs(req, chunk)
                 logits = self.engine.run_prefill(inputs)
                 if self.engine.mapping.dp_size > 1:
                     # replicated ADP prefill: the owner rank's logits row

@@ -1064,13 +1064,16 @@ class ModelEngine:
             owner=owner)
 
     # ------------------------------------------------------------------ tree ----
-    def _make_tree_fn(self, with_hidden: bool, capture: str):
-        """Prefill-like step with a [T, T] in-chunk tree mask input (draft-
-        tree verification; reference packed-mask spec-dec kernels)."""
+    def _make_tree_fn(self, with_hidden: bool, capture: str,
+                      embeds_input: bool = False, chunk_causal: bool = True):
+        """Prefill-like step with a [T, T] in-chunk mask input: draft-tree
+        verification (reference packed-mask spec-dec kernels), and — with
+        chunk_causal=False — custom-visibility prefill (Gemma3-VL
+        bidirectional image spans)."""
         model = self.model
         vswa = self._vswa
 
-        def step(params, kv_caches, input_ids, positions, slot_mapping,
+        def step(params, kv_caches, input_x, positions, slot_mapping,
                  block_tables, kv_lens, logit_indices, seq_slots, lora_ids,
                  local_slots, local_tables, pair_mask):
             meta = AttentionMetadata(
@@ -1084,14 +1087,17 @@ class ModelEngine:
                 local_slot_mapping=local_slots if vswa else None,
                 local_block_tables=local_tables if vswa else None,
                 pair_mask=pair_mask,
+                chunk_causal=chunk_causal,
                 mode="prefill",
             )
+            ids = None if embeds_input else input_x
+            emb = input_x if embeds_input else None
             if with_hidden:
-                return model.forward(params, input_ids, kv_caches, meta,
+                return model.forward(params, ids, kv_caches, meta,
                                      logit_indices, return_hidden=True,
-                                     capture=capture)
-            return model.forward(params, input_ids, kv_caches, meta,
-                                 logit_indices)
+                                     capture=capture, input_embeds=emb)
+            return model.forward(params, ids, kv_caches, meta,
+                                 logit_indices, input_embeds=emb)
 
         if self.mesh is not None:
             out = ((P(), P(), self._cache_specs) if with_hidden
@@ -1106,19 +1112,23 @@ class ModelEngine:
         return jax.jit(step, donate_argnums=(1,))
 
     def run_verify_tree(self, inputs: StepInputs, pair_mask: np.ndarray,
-                        with_hidden: bool = False, capture: str = "final"):
-        """Verify a draft tree in one forward; returns per-row logits
-        (+ hiddens when requested)."""
+                        with_hidden: bool = False, capture: str = "final",
+                        chunk_causal: bool = True):
+        """Verify a draft tree (or run a custom-visibility prefill) in one
+        forward; returns per-row logits (+ hiddens when requested)."""
         assert self.pp_size == 1, "tree verify under PP lands later"
-        key = ("tree", with_hidden, capture)
+        embeds = inputs.input_embeds is not None
+        key = ("tree", with_hidden, capture, embeds, chunk_causal)
         if key not in self._fns:
-            self._fns[key] = self._make_tree_fn(with_hidden, capture)
+            self._fns[key] = self._make_tree_fn(with_hidden, capture,
+                                                embeds, chunk_causal)
         fn = self._fns[key]
+        x = inputs.input_embeds if embeds else inputs.input_ids
         ls, lt = self._locals_of(inputs)
         with self.lock:
             out = fn(
                 self.params, self.kv_caches,
-                jnp.asarray(inputs.input_ids), jnp.asarray(inputs.positions),
+                jnp.asarray(x), jnp.asarray(inputs.positions),
                 jnp.asarray(inputs.slot_mapping),
                 jnp.asarray(inputs.block_tables),
                 jnp.asarray(inputs.kv_lens),

@@ -271,3 +271,58 @@ def test_qwen2_5_vl_mrope_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_gemma3_vl_parity():
+    """Gemma3 VLM: SigLIP tower + avg-pool projector + bidirectional image
+    spans (custom-visibility prefill) vs HF greedy."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Gemma3Config(
+        text_config=dict(vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=16, max_position_embeddings=256,
+                         sliding_window=16, sliding_window_pattern=2,
+                         rope_theta=1000000.0, rope_local_base_freq=10000.0),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           image_size=56, patch_size=14),
+        mm_tokens_per_image=4, image_token_index=250,
+        boi_token_index=248, eoi_token_index=249)
+    hf = transformers.Gemma3ForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Gemma3ForConditionalGeneration"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+        rng = np.random.RandomState(0)
+        img = rng.randn(3, 56, 56).astype(np.float32) * 0.5
+        text1, text2 = [5, 9, 17], [23, 31]
+        hf_ids = text1 + [250] * 4 + text2
+        token_type = [0] * 3 + [1] * 4 + [0] * 2
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(img)[None],
+                token_type_ids=torch.tensor([token_type]),
+                max_new_tokens=6, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        prompt = {"prompt_token_ids": text1 + [250] + text2,
+                  "multi_modal_data": {"image": [img]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=6, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
