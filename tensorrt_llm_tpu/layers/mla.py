@@ -48,8 +48,12 @@ class MLA:
     dtype: jnp.dtype = jnp.bfloat16
     quant: Optional[QuantConfig] = None
     tp_size: int = 1
+    backend: str = "auto"           # decode kernel: auto|pallas|xla
 
     def __post_init__(self):
+        if self.backend == "auto":
+            from tensorrt_llm_tpu.utils import is_tpu_backend
+            self.backend = "pallas" if is_tpu_backend() else "xla"
         assert self.num_heads % self.tp_size == 0
         self.n_local_heads = self.num_heads // self.tp_size
         self.qk_head_dim = self.qk_nope_head_dim + self.qk_rope_head_dim
@@ -177,12 +181,22 @@ class MLA:
         latents = jnp.concatenate(
             [ckv.astype(kv_cache.dtype), k_pe[:, 0].astype(kv_cache.dtype)],
             axis=-1)
+        # pool rows are lane-tile padded (ModelConfig.kv_pool_dim); zero-pad
+        # the query too so the pad channels cancel out of the scores
+        pad = kv_cache.shape[-1] - (L + R)
+        if pad:
+            latents = jnp.pad(latents, ((0, 0), (0, pad)))
+            q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
         kv_cache = write_latent_cache(kv_cache, latents, meta.slot_mapping)
 
         if meta.mode == "prefill":
             out_lat = mla_prefill_xla(q_eff, kv_cache, meta.block_tables[0],
                                       meta.kv_lens[0], meta.q_offset,
                                       self.scale, L)
+        elif self.backend == "pallas":
+            from tensorrt_llm_tpu.ops.mla_pallas import mla_decode_pallas
+            out_lat = mla_decode_pallas(q_eff, kv_cache, meta.block_tables,
+                                        meta.kv_lens, self.scale, L)
         else:
             out_lat = mla_decode_xla(q_eff, kv_cache, meta.block_tables,
                                      meta.kv_lens, self.scale, L)

@@ -209,8 +209,13 @@ class ModelConfig:
 
     @property
     def kv_pool_dim(self) -> int:
-        return (self.kv_lora_rank + self.qk_rope_head_dim if self.is_mla
-                else self.head_dim)
+        if self.is_mla:
+            # latent width rounded up to the TPU lane tile (128): Mosaic's
+            # HBM tiling pads the trailing dim anyway, and logically-aligned
+            # rows are what lets the Pallas MLA kernel DMA whole pages
+            dk = self.kv_lora_rank + self.qk_rope_head_dim
+            return -(-dk // 128) * 128
+        return self.head_dim
 
     @property
     def mla_scale(self) -> float:

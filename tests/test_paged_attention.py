@@ -63,3 +63,32 @@ def test_paged_decode_sliding_window():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("B,H,L,R,BS,MB", [
+    (3, 16, 128, 64, 8, 8),
+    (1, 8, 256, 64, 16, 4),
+])
+def test_mla_decode_pallas_matches_xla(B, H, L, R, BS, MB):
+    from tensorrt_llm_tpu.ops.mla import mla_decode_xla
+    from tensorrt_llm_tpu.ops.mla_pallas import mla_decode_pallas
+
+    rng = np.random.RandomState(0)
+    # pool rows are lane-tile padded (ModelConfig.kv_pool_dim); the pad
+    # channels are zero in q so they cancel out of the scores
+    DK = -(-(L + R) // 128) * 128
+    NB = B * MB + 1
+    q = jnp.asarray(rng.standard_normal((B, H, L + R)), jnp.bfloat16)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, DK - L - R)))
+    cache = jnp.asarray(rng.standard_normal((NB, 1, BS, DK)), jnp.bfloat16)
+    tables = jnp.asarray(
+        rng.permutation(NB - 1)[:B * MB].reshape(B, MB) + 1).astype(jnp.int32)
+    kv_lens = jnp.asarray(
+        [rng.randint(1, MB * BS + 1) for _ in range(B)], dtype=jnp.int32)
+    scale = (L + R) ** -0.5
+    ref = mla_decode_xla(q, cache, tables, kv_lens, scale, L)
+    out = mla_decode_pallas(q, cache, tables, kv_lens, scale, L,
+                            tile_size=2 * BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
