@@ -189,7 +189,13 @@ class MLA:
             q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
         kv_cache = write_latent_cache(kv_cache, latents, meta.slot_mapping)
 
-        if meta.mode == "prefill":
+        if meta.mode == "prefill" and self.backend == "pallas":
+            from tensorrt_llm_tpu.ops.mla_pallas import mla_prefill_pallas
+            out_lat = mla_prefill_pallas(q_eff, kv_cache,
+                                         meta.block_tables[0],
+                                         meta.kv_lens[0], meta.q_offset,
+                                         self.scale, L)
+        elif meta.mode == "prefill":
             out_lat = mla_prefill_xla(q_eff, kv_cache, meta.block_tables[0],
                                       meta.kv_lens[0], meta.q_offset,
                                       self.scale, L)

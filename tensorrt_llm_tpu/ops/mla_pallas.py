@@ -184,3 +184,169 @@ def mla_decode_pallas(
         ),
         interpret=interpret,
     )(block_tables, kv_lens, q_eff, cache[:, 0])
+
+
+def _mla_prefill_kernel(
+    # scalar prefetch
+    bt_ref,       # [1, MB] int32
+    meta_ref,     # [2] int32: (kv_len, q_offset)
+    # inputs
+    q_ref,        # [TQ, H, DK] VMEM
+    kv_hbm,       # [NB, BS, DK] ANY
+    # outputs
+    o_ref,        # [TQ, H, L] VMEM
+    # scratch
+    kv_buf,       # [2, TS, DK]
+    m_buf,        # [TQ*H, 128] f32
+    l_buf,
+    acc_buf,      # [TQ*H, L] f32
+    sems,         # [2, PPT]
+    *,
+    tile_size: int,
+    page_size: int,
+    scale: float,
+    lora_rank: int,
+):
+    qt = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    TS, BS, L = tile_size, page_size, lora_rank
+    PPT = TS // BS
+    TQ, H, DK = q_ref.shape
+    R = TQ * H
+
+    kv_len = meta_ref[0]
+    q_off = meta_ref[1]
+    # last kv position this q tile may attend (causal), bounded by kv_len
+    q_end = jnp.minimum(q_off + (qt + 1) * TQ, kv_len)
+    n_need = pl.cdiv(q_end, TS)
+
+    def tile_dma(tile, slot, p):
+        page = bt_ref[0, tile * PPT + p]
+        return pltpu.make_async_copy(
+            kv_hbm.at[page], kv_buf.at[slot, pl.ds(p * BS, BS), :],
+            sems.at[slot, p])
+
+    @pl.when(t == 0)
+    def _init():
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+        for p in range(PPT):
+            tile_dma(0, 0, p).start()
+
+    @pl.when(t + 1 < n_need)
+    def _prefetch():
+        for p in range(PPT):
+            tile_dma(t + 1, (t + 1) % 2, p).start()
+
+    @pl.when(t < n_need)
+    def _compute():
+        slot = t % 2
+        for p in range(PPT):
+            tile_dma(t, slot, p).wait()
+
+        # the whole q tile x all H heads is ONE MXU row block vs the
+        # shared latent: [TQ*H, DK] @ [DK, TS]
+        q = q_ref[...].reshape(R, DK).astype(jnp.bfloat16)
+        kv = kv_buf[slot]                                   # [TS, DK]
+        s = jax.lax.dot_general(
+            q, kv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # [R, TS]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 1)
+        q_pos = q_off + qt * TQ + row // H
+        kv_pos = t * TS + col
+        s = jnp.where((kv_pos <= q_pos) & (kv_pos < kv_len), s, NEG_INF)
+
+        m_p = m_buf[:, :1]
+        l_p = l_buf[:, :1]
+        m_c = jnp.max(s, axis=1, keepdims=True)
+        m_n = jnp.maximum(m_p, m_c)
+        p_ = jnp.exp(s - m_n)
+        alpha = jnp.exp(m_p - m_n)
+        l_buf[:, :1] = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
+        m_buf[:, :1] = m_n
+        pv = jnp.dot(p_.astype(jnp.bfloat16), kv[:, :L],
+                     preferred_element_type=jnp.float32)    # [R, L]
+        acc_buf[:] = acc_buf[:] * alpha + pv
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        l = l_buf[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[...] = (acc_buf[:] / safe_l).reshape(TQ, H, L).astype(
+            o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "kv_lora_rank", "tile_size", "q_tile",
+                     "interpret"),
+)
+def mla_prefill_pallas(
+    q_eff: jax.Array,        # [T, H, DK] (one sequence's chunk)
+    cache: jax.Array,        # [NB, 1, BS, DK] latent pool
+    block_table: jax.Array,  # [MB] int32
+    kv_len: jax.Array,       # scalar int32 (prefix + chunk)
+    q_offset: jax.Array,     # scalar int32 (position of q_eff[0])
+    scale: float,
+    kv_lora_rank: int,
+    tile_size: int = 256,
+    q_tile: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash-style chunked-prefill MLA. Returns [T, H, L] latent out."""
+    T, H, DK = q_eff.shape
+    NB, _, BS, _ = cache.shape
+    MB = block_table.shape[0]
+
+    TS = min(tile_size, MB * BS)
+    TS = max(BS, (TS // BS) * BS)
+    while (MB * BS) % TS:
+        TS -= BS
+    PPT = TS // BS
+    n_kv_tiles = (MB * BS) // TS
+
+    TQ = q_tile or max(1, min(T, 1024 // H))
+    while T % TQ:
+        TQ //= 2
+    TQ = max(TQ, 1)
+    n_q_tiles = T // TQ
+    R = TQ * H
+
+    meta = jnp.stack([kv_len.astype(jnp.int32), q_offset.astype(jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_q_tiles, n_kv_tiles),
+        in_specs=[
+            pl.BlockSpec((TQ, H, DK), lambda qt, t, *_: (qt, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((TQ, H, kv_lora_rank),
+                               lambda qt, t, *_: (qt, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TS, DK), cache.dtype),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, kv_lora_rank), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, PPT)),
+        ],
+    )
+    kernel = functools.partial(
+        _mla_prefill_kernel,
+        tile_size=TS,
+        page_size=BS,
+        scale=scale,
+        lora_rank=kv_lora_rank,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, H, kv_lora_rank), q_eff.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_table.reshape(1, MB), meta, q_eff, cache[:, 0])

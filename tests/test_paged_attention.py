@@ -92,3 +92,26 @@ def test_mla_decode_pallas_matches_xla(B, H, L, R, BS, MB):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("T,S", [(16, 48), (24, 24)])
+def test_mla_prefill_pallas_matches_xla(T, S):
+    from tensorrt_llm_tpu.ops.mla import mla_prefill_xla
+    from tensorrt_llm_tpu.ops.mla_pallas import mla_prefill_pallas
+
+    rng = np.random.RandomState(1)
+    H, L, R, DK, BS, MB = 8, 128, 64, 256, 8, 8
+    NB = MB + 1
+    q = jnp.asarray(rng.standard_normal((T, H, DK)), jnp.bfloat16)
+    q = q.at[:, :, L + R:].set(0)          # lane-tile pad channels
+    cache = jnp.asarray(rng.standard_normal((NB, 1, BS, DK)), jnp.bfloat16)
+    bt = jnp.asarray(np.arange(1, NB), jnp.int32)
+    kv_len = jnp.asarray(S, jnp.int32)
+    q_off = jnp.asarray(S - T, jnp.int32)
+    scale = (L + R) ** -0.5
+    ref = mla_prefill_xla(q, cache, bt, kv_len, q_off, scale, L)
+    out = mla_prefill_pallas(q, cache, bt, kv_len, q_off, scale, L,
+                             interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
