@@ -68,9 +68,11 @@ class MTPDrafter(Drafter):
         import jax.numpy as jnp
         from tensorrt_llm_tpu.models.modeling_utils import DecoderLayer
 
-        if engine.mesh is not None or getattr(engine, "pp_size", 1) > 1:
+        mp = engine.mapping
+        if getattr(engine, "pp_size", 1) > 1 or mp.dp_size > 1 \
+                or mp.cp_size > 1:
             raise NotImplementedError(
-                "one-model MTP under TP/PP mesh lands in a later round")
+                "one-model MTP under PP/DP/CP lands in a later round")
         self.engine = engine
         self.kv = kv
         cfg = engine.model.cfg
@@ -140,6 +142,36 @@ class MTPDrafter(Drafter):
             },
         })
 
+    def _place(self):
+        """Under a TP/EP mesh, place the drafter block's params/pool with
+        the SAME specs the engine uses for a decoder layer, so the jitted
+        pass runs inside shard_map exactly like a main-model layer (psum
+        row-parallel outputs, ep-sharded experts).  Lazy: Eagle3 adds
+        fc/draft_head after super().bind()."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.engine.mesh is None or getattr(self, "_placed", False):
+            return
+        from tensorrt_llm_tpu.runtime.model_engine import prune_specs
+        specs = {
+            "enorm": P(), "hnorm": P(), "eh_proj": P(), "final_norm": P(),
+            "layer": prune_specs(self.layer.param_specs(),
+                                 self.params["layer"]),
+        }
+        for k in ("fc", "draft_head"):
+            if k in self.params:
+                specs[k] = P()
+        put = lambda tree, sp: jax.device_put(tree, jax.tree.map(
+            lambda x: NamedSharding(self.engine.mesh, x), sp,
+            is_leaf=lambda x: isinstance(x, P)))
+        self.params = put(self.params, specs)
+        self._specs = specs
+        self._pool_spec = jax.tree.map(self.engine._cache_leaf_spec,
+                                       self.pool)
+        self.pool = put(self.pool, self._pool_spec)
+        self._placed = True
+
     # ---- jitted forward --------------------------------------------------------
     def _get_fn(self, m: int, h_in: int):
         import jax
@@ -150,6 +182,7 @@ class MTPDrafter(Drafter):
         key = (m, h_in)
         if key in self._fns:
             return self._fns[key]
+        self._place()
         model = self.engine.model
         cfg = self.model_cfg
         layer = self.layer
@@ -191,8 +224,20 @@ class MTPDrafter(Drafter):
             else:
                 logits = model.lm_head(
                     main_params["lm_head"], h_last[None]).astype(jnp.float32)
+                if (model.lm_head.tp_mode == "column"
+                        and cfg.mapping.tp_size > 1):
+                    from tensorrt_llm_tpu.parallel.ops import tp_all_gather
+                    logits = tp_all_gather(logits, axis=-1)
             return logits[0], h_last, pool
 
+        if self.engine.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            data = (P(),) * 8
+            fwd = jax.shard_map(
+                fwd, mesh=self.engine.mesh,
+                in_specs=(self.engine._param_specs, self._specs,
+                          self._pool_spec, *data),
+                out_specs=(P(), P(), self._pool_spec))
         self._fns[key] = jax.jit(fwd, donate_argnums=(2,))
         return self._fns[key]
 

@@ -201,3 +201,29 @@ def test_eagle3_reduced_draft_vocab_d2t():
         llm.shutdown()
     assert got == want, (got, want)
     assert stats["rounds"] > 0, stats
+
+
+def test_mtp_spec_under_tp_matches_plain_greedy():
+    """One-model MTP with a tensor-parallel mesh: the drafter block runs
+    inside shard_map with the engine's own layer specs."""
+    from tensorrt_llm_tpu.parallel.mapping import Mapping
+
+    prompt = [2, 9, 2, 9, 2, 9, 11]
+    base = make_llm(seed=5)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    spec = SpeculativeConfig(mode=SpeculativeMode.MTP, max_draft_len=3)
+    cfg = ModelConfig(**TINY, mapping=Mapping(tp_size=2))
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+              max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
+              speculative_config=spec, seed=5)
+    try:
+        got = greedy(llm, prompt)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+    assert stats["rounds"] > 0, stats
