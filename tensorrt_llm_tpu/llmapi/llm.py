@@ -293,9 +293,6 @@ class LLM:
             token_ids = [int(t) for t in prompt]
             text = None
         rtype = "full"
-        if sampling_params.use_beam_search \
-                and self.model_config.mapping.dp_size > 1:
-            raise ValueError("beam search under attention-DP lands next round")
         if disaggregated_params is not None:
             rtype = disaggregated_params.request_type
             if rtype == "context_only":

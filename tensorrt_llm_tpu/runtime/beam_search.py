@@ -66,6 +66,9 @@ class BeamSearch:
         self.live: List[Tuple[_BeamSeq, float]] = []    # (seq, cum_logp)
         self.finished: List[Tuple[List[int], float]] = []  # (tokens, score)
         self.done = False
+        # attention-DP: all beams of a request live on the owner replica
+        self.owner = (kv.rank_of(req.request_id)
+                      if getattr(kv, "dp_size", 1) > 1 else 0)
 
     # ---- lifecycle -------------------------------------------------------------
     def init_from_logits(self, logits_row: np.ndarray):
@@ -80,7 +83,8 @@ class BeamSearch:
             else:
                 sid = _new_seq_id()
                 self.engine.copy_kv_blocks(
-                    self.kv.fork_sequence(self.req.request_id, sid))
+                    self.kv.fork_sequence(self.req.request_id, sid),
+                    owner=self.owner)
             seq = _BeamSeq(sid, prompt + [int(tok)])
             self._admit(seq, float(logp[tok]))
         self._check_done()
@@ -118,7 +122,11 @@ class BeamSearch:
         for s in seqs:
             self.kv.grow_sequence(s.request_id, s.num_tokens)
         inputs = self.engine.prepare_decode_inputs(seqs)
-        logits = np.asarray(self.engine.run_decode(inputs), np.float32)[:k]
+        logits = np.asarray(self.engine.run_decode(inputs), np.float32)
+        if inputs.row_map is not None:
+            # attention-DP: gather beam rows back from rank-grouped layout
+            logits = logits[inputs.row_map]
+        logits = logits[:k]
         logp = _log_softmax(logits)                      # [k, V]
         V = logp.shape[1]
         cand = (cums[:, None] + logp).reshape(-1)        # [k*V]
@@ -168,7 +176,8 @@ class BeamSearch:
                     self.engine.copy_kv_blocks(
                         self.kv.fork_sequence(pseq.request_id, sid),
                         getattr(self.kv, "ring_fork_pairs",
-                                lambda *a: None)(pseq.request_id, sid))
+                                lambda *a: None)(pseq.request_id, sid),
+                        owner=self.owner)
                 next_live[j] = (_BeamSeq(sid, pseq.tokens + [tok]), cum)
         for i, s in enumerate(seqs):
             if i not in used:

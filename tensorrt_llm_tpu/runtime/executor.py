@@ -74,8 +74,6 @@ class PyExecutor:
         # speculative decoding (reference: _torch/speculative/)
         self.drafter = drafter
         if drafter is not None:
-            assert engine.mapping.dp_size == 1, \
-                "speculative decoding under attention-DP lands next round"
             drafter.bind(engine, engine.kv_manager)
         self._needs_hidden = bool(drafter is not None
                                   and getattr(drafter, "needs_hidden", False))
@@ -305,10 +303,15 @@ class PyExecutor:
             elif self._needs_hidden and req.sampling_params.greedy:
                 # one-model drafters need the hidden of every prompt row
                 inputs = self.engine.prepare_prefill_inputs(req, chunk)
-                inputs.logit_indices = np.arange(
-                    inputs.input_ids.shape[0], dtype=np.int32)
+                Tp = inputs.input_ids.shape[0]
+                inputs.logit_indices = np.arange(Tp, dtype=np.int32)
                 all_logits, hidden = self.engine.run_with_hidden(
                     "prefill", inputs, self._hidden_capture)
+                if self.engine.mapping.dp_size > 1:
+                    # ADP: owner band of the dp-stacked rows
+                    o = inputs.owner * Tp
+                    all_logits = np.asarray(all_logits)[o:o + Tp]
+                    hidden = np.asarray(hidden)[o:o + Tp]
                 self.drafter.on_hidden(
                     req, start, np.asarray(hidden)[:chunk])
                 logits = all_logits[chunk - 1:chunk]
@@ -374,6 +377,8 @@ class PyExecutor:
                     logits, hidden = self.engine.run_with_hidden(
                         "decode", inputs, self._hidden_capture)
                     hidden = np.asarray(hidden)
+                    if inputs.row_map is not None:
+                        hidden = hidden[inputs.row_map]
                     for i, req in enumerate(decode_reqs):
                         if req.sampling_params.greedy:
                             self.drafter.on_hidden(
@@ -446,7 +451,8 @@ class PyExecutor:
         if budget < 1:
             self._flush_pending(req)
             return False
-        tree = self.drafter.propose_tree(req)
+        tree = (None if self.engine.mapping.dp_size > 1
+                else self.drafter.propose_tree(req))
         if tree is not None and tree[0]:
             if self._verify_tree(req, *tree):
                 return True
@@ -466,6 +472,13 @@ class PyExecutor:
                 "prefill", inputs, self._hidden_capture)
         else:
             logits, hidden = self.engine.run_prefill(inputs), None
+        if self.engine.mapping.dp_size > 1:
+            # ADP: owner band of the dp-stacked rows
+            Tp = inputs.input_ids.shape[0]
+            o = inputs.owner * Tp
+            logits = np.asarray(logits)[o:o + Tp]
+            if hidden is not None:
+                hidden = np.asarray(hidden)[o:o + Tp]
         greedy = np.asarray(np.argmax(np.asarray(logits[:k + 1]), axis=-1))
         accepted: List[int] = []
         for j in range(k):

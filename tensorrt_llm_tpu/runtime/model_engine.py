@@ -608,7 +608,7 @@ class ModelEngine:
                                P(), P())
                 else:
                     in_data = (d, d, d, d, d, P(), d, d, d, P(), P())
-                out_specs = ((d, P(), cache_spec) if with_hidden
+                out_specs = ((d, d, cache_spec) if with_hidden
                              else (d, cache_spec))
                 step = jax.shard_map(
                     step, mesh=self.mesh,
@@ -654,11 +654,13 @@ class ModelEngine:
         return self._fns[mode]
 
     # ------------------------------------------------------------------ blocks ---
-    def copy_kv_blocks(self, pairs, ring_pairs=None):
+    def copy_kv_blocks(self, pairs, ring_pairs=None, owner: int = 0):
         """Device-copy KV pages src->dst in every layer pool (beam-search
         fork tails).  Pairs are padded to a small bucket; (0,0) pads copy the
         null block onto itself.  ring_pairs: VSWA sliding-layer ring copies
-        (applied to the sliding layers' local pools instead)."""
+        (applied to the sliding layers' local pools instead).  Under
+        attention-DP the block ids are owner-rank local: other ranks get
+        (0,0) null pads so their pool shards are untouched."""
         if not pairs and not ring_pairs:
             return
         if self.pp_size > 1:
@@ -677,17 +679,31 @@ class ModelEngine:
 
         src, dst = bucket(pairs or [])
         sliding = self.kv_manager.sliding_layers if self._vswa else set()
+        dp = self.mapping.dp_size
         if self._vswa:
             lsrc, ldst = bucket(ring_pairs or [])
         else:
             lsrc, ldst = np.zeros(1, np.int32), np.zeros(1, np.int32)
 
-        key = ("copy_blocks", len(src), len(lsrc))
+        if dp > 1:
+            # per-rank id rows: owner gets the real pairs, everyone else
+            # copies the null block onto itself
+            def band(ids):
+                out = np.zeros((dp, len(ids)), np.int32)
+                out[owner] = ids
+                return out
+            src, dst, lsrc, ldst = band(src), band(dst), band(lsrc), \
+                band(ldst)
+
+        key = ("copy_blocks", src.shape, lsrc.shape)
         if key not in self._fns:
             def copy(caches, src_ids, dst_ids, lsrc_ids, ldst_ids):
                 # only page pools (ndim>=3) are block-indexed; 1-D leaves
                 # (expert-load counters) pass through.  Sliding layers use
                 # the ring ids (their pools are smaller).
+                src_ids, dst_ids = src_ids.reshape(-1), dst_ids.reshape(-1)
+                lsrc_ids, ldst_ids = (lsrc_ids.reshape(-1),
+                                      ldst_ids.reshape(-1))
                 out = []
                 for i, layer in enumerate(caches):
                     s, d = ((lsrc_ids, ldst_ids) if i in sliding
@@ -698,9 +714,10 @@ class ModelEngine:
                 return out
             if self.mesh is not None:
                 cache_spec = self._cache_specs
+                ids = P("dp") if dp > 1 else P()
                 copy = jax.shard_map(
                     copy, mesh=self.mesh,
-                    in_specs=(cache_spec, P(), P(), P(), P()),
+                    in_specs=(cache_spec, ids, ids, ids, ids),
                     out_specs=cache_spec, check_vma=False)
             self._fns[key] = jax.jit(copy, donate_argnums=(0,))
         with self.lock:
@@ -1185,6 +1202,7 @@ class ModelEngine:
         the draft chunk, with logits at every row (reference: draft-token
         verification in the spec-dec flow, _torch/speculative/)."""
         kv = self.kv_manager
+        dp = self.mapping.dp_size
         n = req.num_tokens
         toks = [req.all_token_ids[-1]] + list(draft_tokens)
         chunk = len(toks)
@@ -1194,10 +1212,19 @@ class ModelEngine:
         start = n - 1
         positions = np.minimum(np.arange(start, start + Tp, dtype=np.int32),
                                self.max_seq_len - 1)
-        slots = np.full(Tp, PAD_SLOT, np.int32)
-        slots[:chunk] = kv.slot_mapping(req.request_id, start, chunk)
-        tables = np.zeros((1, self.max_blocks_per_seq), np.int32)
-        tables[0, :] = kv.block_table(req.request_id, self.max_blocks_per_seq)
+        # attention-DP: replicated compute, owner-masked KV writes — the
+        # same pattern as prepare_prefill_inputs; the caller reads the
+        # owner band of the dp-stacked logits/hidden
+        owner = kv.rank_of(req.request_id) if dp > 1 else 0
+        slots = np.full(max(dp, 1) * Tp, PAD_SLOT, np.int32)
+        slots[owner * Tp:owner * Tp + chunk] = \
+            kv.slot_mapping(req.request_id, start, chunk)
+        tables = np.zeros((max(dp, 1), self.max_blocks_per_seq), np.int32)
+        tables[owner, :] = kv.block_table(req.request_id,
+                                          self.max_blocks_per_seq)
+        kv_lens = np.full(max(dp, 1), start + chunk, np.int32)
+        seq_slots = np.full(max(dp, 1), PAD_SLOT, np.int32)
+        seq_slots[owner] = kv.slot_of(req.request_id)
         lslots, ltables = None, None
         if self._vswa:
             lslots = np.full(Tp, PAD_SLOT, np.int32)
@@ -1207,12 +1234,13 @@ class ModelEngine:
                 [kv.local_block_table(req.request_id)], np.int32)
         return StepInputs(
             input_ids=input_ids, positions=positions, slot_mapping=slots,
-            block_tables=tables, kv_lens=np.array([start + chunk], np.int32),
+            block_tables=tables, kv_lens=kv_lens,
             logit_indices=np.arange(Tp, dtype=np.int32),
             q_offset=np.int32(start),
-            seq_slots=np.array([kv.slot_of(req.request_id)], np.int32),
+            seq_slots=seq_slots,
             lora_ids=np.full(Tp, getattr(req, "lora_slot", 0), np.int32),
-            local_slot_mapping=lslots, local_block_tables=ltables)
+            local_slot_mapping=lslots, local_block_tables=ltables,
+            owner=owner)
 
     # ------------------------------------------------------------------ autotune --
     def autotune_kernels(self, m_bucket: int = 16):

@@ -69,10 +69,9 @@ class MTPDrafter(Drafter):
         from tensorrt_llm_tpu.models.modeling_utils import DecoderLayer
 
         mp = engine.mapping
-        if getattr(engine, "pp_size", 1) > 1 or mp.dp_size > 1 \
-                or mp.cp_size > 1:
+        if getattr(engine, "pp_size", 1) > 1 or mp.cp_size > 1:
             raise NotImplementedError(
-                "one-model MTP under PP/DP/CP lands in a later round")
+                "one-model MTP under PP/CP lands in a later round")
         self.engine = engine
         self.kv = kv
         cfg = engine.model.cfg
@@ -204,7 +203,8 @@ class MTPDrafter(Drafter):
                         preferred_element_type=jnp.float32).astype(emb.dtype)
             meta = AttentionMetadata(
                 positions=positions, slot_mapping=slots,
-                block_tables=block_table[None, :], kv_lens=kv_len[None],
+                block_tables=block_table.reshape(1, -1),
+                kv_lens=kv_len.reshape(1),
                 q_offset=q_offset, mode="prefill")
             rope_tables = (main_params["rope"], main_params.get("rope_local"))
             out, residual, pool = layer(
@@ -228,16 +228,26 @@ class MTPDrafter(Drafter):
                         and cfg.mapping.tp_size > 1):
                     from tensorrt_llm_tpu.parallel.ops import tp_all_gather
                     logits = tp_all_gather(logits, axis=-1)
-            return logits[0], h_last, pool
+            return logits, h_last[None], pool
 
         if self.engine.mesh is not None:
             from jax.sharding import PartitionSpec as P
-            data = (P(),) * 8
+            if cfg.mapping.dp_size > 1:
+                # attention-DP: replicated compute, owner-masked writes into
+                # the dp-sharded drafter pool; outputs come back dp-stacked
+                # and the host reads the owner band (same pattern as the
+                # engine's ADP prefill)
+                d = P("dp")
+                data = (P(), P(), P(), d, d, d, P(), P())
+                out = (d, d, self._pool_spec)
+            else:
+                data = (P(),) * 8
+                out = (P(), P(), self._pool_spec)
             fwd = jax.shard_map(
                 fwd, mesh=self.engine.mesh,
                 in_specs=(self.engine._param_specs, self._specs,
                           self._pool_spec, *data),
-                out_specs=(P(), P(), self._pool_spec))
+                out_specs=out, check_vma=False)
         self._fns[key] = jax.jit(fwd, donate_argnums=(2,))
         return self._fns[key]
 
@@ -258,20 +268,26 @@ class MTPDrafter(Drafter):
         tok[:m] = tokens
         pos = np.minimum(positions[0] + np.arange(mp, dtype=np.int32),
                          self.engine.max_seq_len - 1)
-        slots = np.full(mp, np.int32(2**30), np.int32)
-        slots[:m] = self.kv.slot_mapping(rid, int(positions[0]), m)
+        dp = self.engine.mapping.dp_size
+        owner = self.kv.rank_of(rid) if dp > 1 else 0
         mb = self.engine.max_blocks_per_seq
-        table = np.asarray(self.kv.block_table(rid, mb), np.int32)
+        slots = np.full(max(dp, 1) * mp, np.int32(2**30), np.int32)
+        slots[owner * mp:owner * mp + m] = \
+            self.kv.slot_mapping(rid, int(positions[0]), m)
+        table = np.zeros((max(dp, 1), mb), np.int32)
+        table[owner] = np.asarray(self.kv.block_table(rid, mb), np.int32)
+        kv_len = np.full(max(dp, 1), positions[0] + m, np.int32)
         fn = self._get_fn(mp, H)
         logits, h_last, self.pool = fn(
             self.engine.params, self.params, self.pool,
             jnp.asarray(hid), jnp.asarray(tok), jnp.asarray(pos),
-            jnp.asarray(slots), jnp.asarray(table),
-            jnp.asarray(np.int32(positions[0] + m)),
+            jnp.asarray(slots),
+            jnp.asarray(table if dp > 1 else table[0]),
+            jnp.asarray(kv_len if dp > 1 else kv_len[0]),
             jnp.asarray(np.int32(positions[0])),
             jnp.asarray(np.int32(m - 1)))
-        return (np.asarray(logits, np.float32),
-                np.asarray(h_last, np.float32))
+        return (np.asarray(logits, np.float32)[owner],
+                np.asarray(h_last, np.float32)[owner])
 
     # ---- executor hooks -----------------------------------------------------------
     def on_hidden(self, request, start_pos: int, hiddens: np.ndarray):

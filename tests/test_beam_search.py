@@ -166,3 +166,27 @@ def test_beam_width_blocks_accounting():
             before["free_blocks"] + before["evictable_blocks"]
     finally:
         llm.shutdown()
+
+
+def test_beam_search_under_attention_dp_matches_single_device():
+    """Beam search with attention-DP: forks stay on the owner replica
+    (dp-banded block copies), beam rows ride the rank-grouped decode."""
+    import numpy as np
+
+    prompts = [[3, 5, 3, 5, 7], [2, 9, 2, 9, 2, 9, 11]]
+    sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True,
+                        use_beam_search=True, best_of=3, n=2)
+    base = _mk_llm()
+    try:
+        want = [[o.token_ids for o in base.generate(list(p), sp)[0].outputs]
+                for p in prompts]
+    finally:
+        base.shutdown()
+
+    llm = _mk_llm(data_parallel_size=2)
+    try:
+        got = [[o.token_ids for o in llm.generate(list(p), sp)[0].outputs]
+               for p in prompts]
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)

@@ -227,3 +227,32 @@ def test_mtp_spec_under_tp_matches_plain_greedy():
         llm.shutdown()
     assert got == want, (got, want)
     assert stats["rounds"] > 0, stats
+
+
+@pytest.mark.parametrize("mode", ["ngram", "mtp"])
+def test_spec_under_attention_dp_matches_plain_greedy(mode):
+    """Speculative decoding with attention-DP: verify passes are replicated
+    with owner-masked KV writes; one-model drafter pools are dp-sharded."""
+    prompts = [[3, 5, 3, 5, 3, 5, 7], [2, 9, 2, 9, 2, 9, 11],
+               [7, 7, 7, 7, 1]]
+    base = make_llm(seed=5)
+    try:
+        want = [greedy(base, p) for p in prompts]
+    finally:
+        base.shutdown()
+
+    if mode == "ngram":
+        spec = SpeculativeConfig(mode=SpeculativeMode.NGRAM, max_draft_len=4)
+    else:
+        spec = SpeculativeConfig(mode=SpeculativeMode.MTP, max_draft_len=3)
+    cfg = ModelConfig(**TINY)
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+              max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
+              speculative_config=spec, seed=5, data_parallel_size=2)
+    try:
+        got = [greedy(llm, p) for p in prompts]
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+    assert stats["rounds"] > 0, stats
