@@ -37,6 +37,7 @@ class Attention:
     has_qk_norm: bool = False     # per-head q/k RMSNorm (Qwen3)
     qk_norm_flat: bool = False    # Olmo2: RMSNorm over flattened heads*D
     qk_norm_l2: bool = False      # Llama4: unweighted q/k RMS AFTER rope
+    qk_norm_post_rope: bool = False  # HunYuan: WEIGHTED q/k RMS AFTER rope
     nope: bool = False            # Llama4 NoPE layer: skip rope entirely
     attn_temperature_tuning: bool = False  # Llama4 NoPE q scaling
     floor_scale: float = 8192.0
@@ -177,7 +178,7 @@ class Attention:
                          self.rms_eps).reshape(T, qh, D)
             k = rms_norm(k.reshape(T, kvh * D), params["k_norm"],
                          self.rms_eps).reshape(T, kvh, D)
-        elif self.has_qk_norm:
+        elif self.has_qk_norm and not self.qk_norm_post_rope:
             q = rms_norm(q, params["q_norm"], self.rms_eps)
             k = rms_norm(k, params["k_norm"], self.rms_eps)
 
@@ -189,7 +190,8 @@ class Attention:
                                     cos_t, sin_t, sinks)
 
         q, k = self._position_transform(q, k, meta.positions, cos_t, sin_t,
-                                        mrope=meta.mrope_positions)
+                                        mrope=meta.mrope_positions,
+                                        post_norms=self._post_norms(params))
         k_cache, v_cache = kv_cache
         out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
                                              sinks=sinks)
@@ -201,10 +203,17 @@ class Attention:
                            row_parallel=self.tp_size > 1)
         return y, (k_cache, v_cache)
 
+    def _post_norms(self, params):
+        """HunYuan-style weighted per-head q/k RMSNorm AFTER rope."""
+        if self.has_qk_norm and self.qk_norm_post_rope:
+            return params["q_norm"], params["k_norm"]
+        return None
+
     def _position_transform(self, q, k, positions, cos_t, sin_t,
-                            mrope=None):
-        """RoPE (unless NoPE) + Llama4 post-rope extras: unweighted q/k RMS
-        (Llama4TextL2Norm) and NoPE-layer temperature tuning
+                            mrope=None, post_norms=None):
+        """RoPE (unless NoPE) + post-rope extras: Llama4 unweighted q/k RMS
+        (Llama4TextL2Norm), HunYuan weighted q/k RMSNorm, and NoPE-layer
+        temperature tuning
         (q *= log1p(floor((pos+1)/floor_scale)) * attn_scale + 1)."""
         if not self.nope:
             if mrope is not None and self.rope.mrope_sections:
@@ -218,6 +227,9 @@ class Attention:
             ones = jnp.ones((self.head_dim,), jnp.float32)
             q = rms_norm(q, ones, 1e-6)
             k = rms_norm(k, ones, 1e-6)
+        if post_norms is not None:
+            q = rms_norm(q, post_norms[0], self.rms_eps)
+            k = rms_norm(k, post_norms[1], self.rms_eps)
         if self.attn_temperature_tuning:
             pos = positions.astype(jnp.float32)
             scale = (jnp.log1p(jnp.floor((pos + 1.0) / self.floor_scale))
@@ -258,8 +270,9 @@ class Attention:
             from tensorrt_llm_tpu.ops.attention_xla import (
                 helix_combine, helix_partial_decode_xla,
                 helix_partial_prefill_xla, write_kv_cache)
-            q, k = self._position_transform(q, k, meta.positions,
-                                            cos_t, sin_t)
+            q, k = self._position_transform(
+                q, k, meta.positions, cos_t, sin_t,
+                post_norms=self._post_norms(params))
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)
             r = lax.axis_index("cp")
@@ -291,8 +304,9 @@ class Attention:
             from tensorrt_llm_tpu.ops.attention_xla import (
                 helix_combine, star_local_prefill_xla,
                 star_partial_decode_xla, write_kv_cache)
-            q, k = self._position_transform(q, k, meta.positions,
-                                            cos_t, sin_t)
+            q, k = self._position_transform(
+                q, k, meta.positions, cos_t, sin_t,
+                post_norms=self._post_norms(params))
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)
             if meta.mode == "prefill":

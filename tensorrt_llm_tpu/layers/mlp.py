@@ -141,16 +141,46 @@ class MLP:
               if self.has_bias else (None, None))
         return self.from_float(up, down, up_b=zb[0], down_b=zb[1])
 
-    def from_float(self, up_w, down_w, up_b=None, down_b=None) -> Dict:
-        return {"up": self.up.quantize_from_float(up_w, up_b),
-                "down": self.down.quantize_from_float(down_w, down_b)}
+    def from_float(self, up_w, down_w, up_b=None, down_b=None,
+                   act=None) -> Dict:
+        p = {"up": self.up.quantize_from_float(up_w, up_b),
+             "down": self.down.quantize_from_float(down_w, down_b)}
+        if self.activation == "xielu":
+            # learned xIELU (Apertus, arXiv:2411.13010): softplus-
+            # parameterized positive/negative slopes, defaults 0.8 / 0.3+beta
+            import numpy as np
+            p["act"] = act if act is not None else {
+                "alpha_p": jnp.full((1,), float(np.log(np.expm1(0.8))),
+                                    jnp.float32),
+                "alpha_n": jnp.full((1,), float(np.log(np.expm1(0.3))),
+                                    jnp.float32)}
+        return p
 
     def param_specs(self) -> Dict:
-        return {"up": self.up.param_specs(),
-                "down": self.down.param_specs()}
+        p = {"up": self.up.param_specs(),
+             "down": self.down.param_specs()}
+        if self.activation == "xielu":
+            p["act"] = {"alpha_p": P(), "alpha_n": P()}
+        return p
 
     def __call__(self, params: Dict, x: jax.Array,
                  lora_ids=None) -> jax.Array:
         h = self.up(params["up"], x)
-        h = _ACTIVATIONS[self.activation](h.astype(jnp.float32)).astype(x.dtype)
+        if self.activation == "xielu":
+            h = _xielu(h.astype(jnp.float32), params["act"]).astype(x.dtype)
+        else:
+            h = _ACTIVATIONS[self.activation](
+                h.astype(jnp.float32)).astype(x.dtype)
         return self.down(params["down"], h)
+
+
+def _xielu(x, act, beta: float = 0.5, eps: float = -1e-6):
+    """xIELU (reference transformers XIELUActivation._xielu_python):
+    alpha_p x^2 + beta x for x>0; (expm1(min(x, eps)) - x) alpha_n + beta x
+    for x<=0, with softplus-parameterized learned alphas."""
+    alpha_p = jax.nn.softplus(act["alpha_p"].astype(jnp.float32))
+    alpha_n = beta + jax.nn.softplus(act["alpha_n"].astype(jnp.float32))
+    return jnp.where(
+        x > 0,
+        alpha_p * x * x + beta * x,
+        (jnp.expm1(jnp.minimum(x, eps)) - x) * alpha_n + beta * x)

@@ -4,6 +4,7 @@ from tensorrt_llm_tpu.models.modeling_utils import (  # noqa: F401
     register_auto_model,
     get_model_class,
 )
+import tensorrt_llm_tpu.models.lfm2  # noqa: F401
 import tensorrt_llm_tpu.models.llama  # noqa: F401  (registers architectures)
 import tensorrt_llm_tpu.models.mixtral  # noqa: F401
 import tensorrt_llm_tpu.models.gemma  # noqa: F401
@@ -25,6 +26,7 @@ import tensorrt_llm_tpu.models.exaone4  # noqa: F401
 import tensorrt_llm_tpu.models.glm4_moe  # noqa: F401
 import tensorrt_llm_tpu.models.dots1  # noqa: F401
 import tensorrt_llm_tpu.models.hunyuan  # noqa: F401
+import tensorrt_llm_tpu.models.apertus  # noqa: F401
 import tensorrt_llm_tpu.models.bamba  # noqa: F401
 import tensorrt_llm_tpu.models.qwen2_vl  # noqa: F401
 import tensorrt_llm_tpu.models.minimax  # noqa: F401

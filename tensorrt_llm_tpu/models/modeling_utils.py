@@ -103,6 +103,7 @@ class ModelConfig:
     no_rope_layer_interval: int = 0       # every Nth layer skips rope (0=off)
     attention_chunk_size: Optional[int] = None  # chunked attn on rope layers
     qk_norm_l2: bool = False              # unweighted post-rope q/k RMS
+    qk_norm_post_rope: bool = False       # HunYuan: weighted post-rope q/k RMS
     attn_temperature_tuning: bool = False  # NoPE-layer q temperature scaling
     floor_scale: float = 8192.0
     attn_scale: float = 0.1
@@ -387,6 +388,9 @@ class ModelConfig:
                 "full_attn_beta_factor", "mlp_alpha_factor",
                 "mlp_beta_factor", "layer_norm_eps", "type_vocab_size",
                 "num_labels",
+                # LFM2 short-conv hybrid + HunYuan MoE
+                "conv_L_cache", "conv_bias", "block_auto_adjust_ff_dim",
+                "block_ffn_dim_multiplier", "block_multiple_of", "moe_topk",
                 # Llama4 (HF Llama4TextConfig)
                 "no_rope_layers", "no_rope_layer_interval",
                 "attention_chunk_size", "use_qk_norm",
@@ -489,6 +493,7 @@ class DecoderLayer:
             has_qk_norm=cfg.qk_norm,
             qk_norm_flat=cfg.qk_norm_flat,
             qk_norm_l2=cfg.qk_norm_l2 and not nope,
+            qk_norm_post_rope=cfg.qk_norm_post_rope,
             nope=nope,
             attn_temperature_tuning=(cfg.attn_temperature_tuning and nope),
             floor_scale=cfg.floor_scale,
@@ -965,13 +970,19 @@ class DecoderModelForCausalLM:
 
         if isinstance(layer.mlp, MLP):   # non-gated (Starcoder2/Nemotron)
             cfg = self.cfg
+            act = None
+            if layer.mlp.activation == "xielu":
+                # Apertus learned xIELU params live under mlp.act_fn.*
+                act = {"alpha_p": vec(pre + "mlp.act_fn.alpha_p"),
+                       "alpha_n": vec(pre + "mlp.act_fn.alpha_n")}
             return layer.mlp.from_float(
                 t(pre + self.MLP_UP_KEY + ".weight"),
                 t(pre + self.MLP_DOWN_KEY + ".weight"),
                 up_b=vec(pre + self.MLP_UP_KEY + ".bias")
                 if cfg.mlp_bias else None,
                 down_b=vec(pre + self.MLP_DOWN_KEY + ".bias")
-                if cfg.mlp_bias else None)
+                if cfg.mlp_bias else None,
+                act=act)
         if not isinstance(layer.mlp, MoE):
             return layer.mlp.from_float(
                 t(pre + "mlp.gate_proj.weight"),

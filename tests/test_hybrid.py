@@ -333,3 +333,74 @@ def test_qwen3_next_hf_parity():
         assert got == want.tolist(), (got, want.tolist())
     finally:
         llm.shutdown()
+
+
+def test_lfm2_hf_parity_and_decode():
+    """LFM2 (gated short-conv + attention hybrid): prefill logits vs HF and
+    a chunked-prefill + decode greedy continuation vs HF generate."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+        KVCacheConfig, KVCacheManager)
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams as SP
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Lfm2Config(
+        vocab_size=96, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0, conv_L_cache=3,
+        layer_types=["conv", "full_attention", "conv"],
+        block_multiple_of=32, tie_word_embeddings=False)
+    hf = transformers.AutoModelForCausalLM.from_config(hf_cfg).eval()
+    with torch.no_grad():
+        for n, prm in hf.named_parameters():
+            if "layernorm" in n:
+                prm.mul_(torch.rand_like(prm) + 0.5)
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Lfm2ForCausalLM"
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.load_hf_weights(lambda n: sd.get(n))
+
+    prompt = list(np.random.RandomState(0).randint(1, 95, 12))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor([prompt])).logits[0, -1].numpy()
+        hf_gen = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=6, do_sample=False,
+            pad_token_id=0)[0, len(prompt):].tolist()
+
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=32,
+                        max_slots=8)
+    engine = ModelEngine(model, params, kv, max_seq_len=64,
+                         decode_buckets=(4,), prefill_buckets=(8, 16))
+    req = LlmRequest(prompt, SP(max_tokens=1))
+    kv.add_sequence(req.request_id, prompt)
+    req.start_context()
+    kv.grow_sequence(req.request_id, len(prompt))
+    # chunked prefill exercises conv-state carry across chunks
+    i1 = engine.prepare_prefill_inputs(req, 8)
+    engine.run_prefill(i1)
+    req.context_position += 8
+    ours = np.asarray(engine.run_prefill(
+        engine.prepare_prefill_inputs(req, 4))[0], np.float32)
+    assert np.argmax(ours) == np.argmax(hf_logits), (
+        np.argsort(ours)[-3:], np.argsort(hf_logits)[-3:])
+    corr = np.corrcoef(ours, hf_logits)[0, 1]
+    assert corr > 0.98, corr
+
+    got = []
+    toks = list(prompt)
+    tok = int(np.argmax(ours))
+    for _ in range(6):
+        got.append(tok)
+        toks.append(tok)
+        req.append_token(tok)
+        kv.grow_sequence(req.request_id, len(toks))
+        logits = np.asarray(engine.run_decode(
+            engine.prepare_decode_inputs([req])), np.float32)[0]
+        tok = int(np.argmax(logits))
+    assert got == hf_gen, (got, hf_gen)

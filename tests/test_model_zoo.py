@@ -18,13 +18,20 @@ COMMON = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
               max_position_embeddings=256, attention_dropout=0.0)
 
 
-def hf_parity(hf_cfg, arch, prompt_len=12, corr_min=0.99):
+def hf_parity(hf_cfg, arch, prompt_len=12, corr_min=0.99, perturb=()):
     torch = pytest.importorskip("torch")
     import transformers
 
     torch.manual_seed(0)
     hf_model = transformers.AutoModelForCausalLM.from_config(hf_cfg)
     hf_model.eval()
+    # ones-initialized norms can hide placement bugs (e.g. pre- vs
+    # post-rope qk-norm commute when the weight is constant): scramble the
+    # named params so the test actually pins the order
+    with torch.no_grad():
+        for n, prm in hf_model.named_parameters():
+            if any(t in n for t in perturb):
+                prm.mul_(torch.rand_like(prm) + 0.5)
     sd = {k: v.detach().float().numpy() for k, v in hf_model.state_dict().items()}
 
     cfg = ModelConfig.from_hf_config(hf_cfg)
@@ -444,3 +451,34 @@ def test_hunyuan_dense_parity():
     hf_cfg = transformers.HunYuanDenseV1Config(
         **COMMON, tie_word_embeddings=False, pad_token_id=0)
     hf_parity(hf_cfg, "HunYuanDenseV1ForCausalLM")
+
+
+def test_hunyuan_dense_post_rope_qk_norm_parity():
+    """Perturbed query/key_layernorm weights pin the POST-rope placement
+    (reference modeling_hunyuan_dense.py: norm applied after rotary)."""
+    import transformers
+    hf_cfg = transformers.HunYuanDenseV1Config(
+        **COMMON, tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "HunYuanDenseV1ForCausalLM",
+              perturb=("query_layernorm", "key_layernorm"))
+
+
+def test_hunyuan_moe_parity():
+    """HunYuan MoE: renormalized softmax top-k + always-on shared MLP
+    (reference modeling_hunyuan_moe.py HunyuanMoE)."""
+    import transformers
+    hf_cfg = transformers.HunYuanMoEV1Config(
+        **COMMON, tie_word_embeddings=False, pad_token_id=0,
+        num_experts=4, moe_topk=2)
+    hf_parity(hf_cfg, "HunYuanMoEV1ForCausalLM", corr_min=0.98,
+              perturb=("query_layernorm", "key_layernorm"))
+
+
+def test_apertus_parity():
+    """Apertus: learned-xIELU non-gated MLP + pre-rope qk-norm + llama3
+    rope scaling (HF modeling_apertus.py)."""
+    import transformers
+    hf_cfg = transformers.ApertusConfig(
+        **COMMON, tie_word_embeddings=False, pad_token_id=0)
+    hf_parity(hf_cfg, "ApertusForCausalLM",
+              perturb=("q_norm", "k_norm", "alpha_p", "alpha_n"))
