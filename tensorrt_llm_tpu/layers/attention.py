@@ -219,7 +219,8 @@ class Attention:
             if mrope is not None and self.rope.mrope_sections:
                 from tensorrt_llm_tpu.ops.rope import apply_mrope
                 q, k = apply_mrope(q, k, mrope, cos_t, sin_t,
-                                   self.rope.mrope_sections)
+                                   self.rope.mrope_sections,
+                                   interleaved=self.rope.mrope_interleaved)
             else:
                 q, k = apply_rope(q, k, positions, cos_t, sin_t,
                                   interleaved=self.rope.interleaved)

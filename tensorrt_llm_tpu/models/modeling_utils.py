@@ -104,6 +104,10 @@ class ModelConfig:
     attention_chunk_size: Optional[int] = None  # chunked attn on rope layers
     qk_norm_l2: bool = False              # unweighted post-rope q/k RMS
     qk_norm_post_rope: bool = False       # HunYuan: weighted post-rope q/k RMS
+    # Qwen3-VL DeepStack: visual features from N vision-tower taps are added
+    # to the hidden stream after decoder layers 0..N-1 (arXiv:2406.04334);
+    # they ride input_embeds as N extra feature blocks of width hidden_size
+    deepstack_layers: int = 0
     attn_temperature_tuning: bool = False  # NoPE-layer q temperature scaling
     floor_scale: float = 8192.0
     attn_scale: float = 0.1
@@ -242,6 +246,7 @@ class ModelConfig:
             stype = None   # mrope changes position SELECTION, not freqs
         return RopeConfig(
             mrope_sections=mrope,
+            mrope_interleaved=bool(scaling.get("mrope_interleaved")),
             head_dim=self.qk_rope_head_dim if self.is_mla else self.head_dim,
             theta=self.rope_theta,
             max_position=self.max_position,
@@ -742,12 +747,17 @@ class DecoderModelForCausalLM:
         feature fusion).
         """
         cfg = self.cfg
+        deepstack = None
         if input_embeds is not None:
             # multimodal: pre-fused embeddings (text + projected image
             # features spliced at placeholder rows — reference
             # inputs/registry.py prompt embedding path)
             # fused multimodal embeddings arrive PRE-scaled (Gemma3-VL
             # scales text rows only; image features replace post-scale)
+            if cfg.deepstack_layers:
+                H = cfg.hidden_size
+                deepstack = input_embeds[:, H:].astype(cfg.dtype)
+                input_embeds = input_embeds[:, :H]
             x = input_embeds.astype(cfg.dtype)
         else:
             x = self.embedding(params["embedding"], input_ids)
@@ -765,6 +775,11 @@ class DecoderModelForCausalLM:
                 params["layers"][i], x, residual, rope_tables, kv_caches[i],
                 meta)
             new_caches.append(cache)
+            if deepstack is not None and i < cfg.deepstack_layers:
+                # DeepStack: inject tap i into the full stream (x+residual);
+                # text rows carry zeros in these feature blocks
+                H = cfg.hidden_size
+                x = x + deepstack[:, i * H:(i + 1) * H]
             if return_hidden and i in cap_at:
                 h = x if residual is None else (
                     x.astype(jnp.float32) + residual.astype(jnp.float32)

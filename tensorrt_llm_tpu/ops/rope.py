@@ -45,6 +45,8 @@ class RopeConfig:
     # Qwen2-VL multimodal 3D rope: frequency dims split into
     # (temporal, height, width) sections — see apply_mrope
     mrope_sections: Optional[tuple] = None
+    # Qwen3-VL: T/H/W sections interleave by stride 3 instead of chunking
+    mrope_interleaved: bool = False
 
 
 def _base_inv_freq(cfg: RopeConfig) -> jnp.ndarray:
@@ -132,15 +134,26 @@ def apply_mrope(
     cos_table: jax.Array,    # [P, D/2]
     sin_table: jax.Array,
     sections,                # e.g. (16, 24, 24); sums to D/2
+    interleaved: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Qwen2-VL multimodal 3D rotary embedding (HF
     `apply_multimodal_rotary_pos_emb`): frequency dim j uses the temporal /
     height / width position according to its section.  Text tokens carry
-    identical t==h==w positions, reducing exactly to 1-D rope."""
+    identical t==h==w positions, reducing exactly to 1-D rope.
+    interleaved (Qwen3-VL `apply_interleaved_mrope`): H owns channels
+    1,4,..,3*sec_h-2 and W owns 2,5,..,3*sec_w-1 (stride 3); T the rest —
+    preserving frequency continuity across the three axes."""
     half = cos_table.shape[-1]
-    sel = jnp.repeat(jnp.arange(len(sections)),
-                     jnp.asarray(sections, jnp.int32),
-                     total_repeat_length=half)        # [D/2] in {0,1,2}
+    if interleaved:
+        import numpy as np
+        sel_np = np.zeros(half, np.int32)
+        sel_np[1:3 * sections[1]:3] = 1
+        sel_np[2:3 * sections[2]:3] = 2
+        sel = jnp.asarray(sel_np)
+    else:
+        sel = jnp.repeat(jnp.arange(len(sections)),
+                         jnp.asarray(sections, jnp.int32),
+                         total_repeat_length=half)    # [D/2] in {0,1,2}
     cos3 = cos_table[positions3]                      # [3, T, D/2]
     sin3 = sin_table[positions3]
     onehot = jax.nn.one_hot(sel, len(sections), dtype=cos3.dtype)  # [D/2, 3]

@@ -326,3 +326,127 @@ def test_gemma3_vl_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_qwen3_vl_deepstack_mrope_parity():
+    """Qwen3-VL: learned-pos-embed ViT + DeepStack layer injection +
+    INTERLEAVED M-RoPE give HF-identical greedy continuation."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Qwen3VLConfig(
+        text_config=dict(vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=3,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         head_dim=16, max_position_embeddings=256,
+                         rope_theta=10000.0,
+                         rope_scaling={"rope_type": "default",
+                                       "mrope_section": [2, 3, 3],
+                                       "mrope_interleaved": True}),
+        vision_config=dict(depth=3, hidden_size=32, num_heads=2,
+                           out_hidden_size=64, intermediate_size=64,
+                           in_channels=3, patch_size=14,
+                           num_position_embeddings=64,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           deepstack_visual_indexes=[0, 1]),
+        image_token_id=250, vision_start_token_id=249)
+    hf = transformers.Qwen3VLForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Qwen3VLForConditionalGeneration"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+
+        rng = np.random.RandomState(0)
+        patches = rng.randn(16, 3 * 2 * 14 * 14).astype(np.float32) * 0.5
+        grid = (1, 4, 4)
+        # vision_start (249) must precede the image run for HF grid rope
+        text1, text2 = [5, 9, 249], [23, 31]
+        hf_ids = text1 + [250] * 4 + text2
+
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(patches),
+                image_grid_thw=torch.tensor([list(grid)]),
+                max_new_tokens=6, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        prompt = {"prompt_token_ids": text1 + [250] + text2,
+                  "multi_modal_data": {"image": [
+                      {"pixel_values": patches, "grid_thw": grid}]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=6, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
+
+
+def test_qwen3_vl_moe_parity():
+    """Qwen3-VL-MoE: packed gate_up/down expert tensors + deepstack +
+    interleaved M-RoPE — HF-identical greedy continuation."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.Qwen3VLMoeConfig(
+        text_config=dict(vocab_size=128, hidden_size=64,
+                         intermediate_size=128, moe_intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, head_dim=16, num_experts=4,
+                         num_experts_per_tok=2, max_position_embeddings=256,
+                         rope_scaling={"rope_type": "default",
+                                       "mrope_section": [2, 3, 3],
+                                       "mrope_interleaved": True}),
+        vision_config=dict(depth=2, hidden_size=32, num_heads=2,
+                           out_hidden_size=64, intermediate_size=64,
+                           patch_size=14, num_position_embeddings=64,
+                           spatial_merge_size=2, temporal_patch_size=2,
+                           deepstack_visual_indexes=[0]),
+        image_token_id=120, vision_start_token_id=119)
+    hf = transformers.Qwen3VLMoeForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Qwen3VLMoeForConditionalGeneration"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+
+        rng = np.random.RandomState(0)
+        patches = rng.randn(16, 3 * 2 * 14 * 14).astype(np.float32) * 0.5
+        grid = (1, 4, 4)
+        text1, text2 = [5, 9, 119], [23, 31]
+        hf_ids = text1 + [120] * 4 + text2
+
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(patches),
+                image_grid_thw=torch.tensor([list(grid)]),
+                max_new_tokens=6, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        prompt = {"prompt_token_ids": text1 + [120] + text2,
+                  "multi_modal_data": {"image": [
+                      {"pixel_values": patches, "grid_thw": grid}]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=6, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
