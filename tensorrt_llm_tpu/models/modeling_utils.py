@@ -289,12 +289,20 @@ class ModelConfig:
             cfg.architecture = (archs[0] if archs
                                 else "LlavaForConditionalGeneration")
             vc = get("vision_config")
-            cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
-                                          else vc.to_dict())
+            vc = vc if isinstance(vc, dict) else vc.to_dict()
+            cfg.extra["vision_config"] = vc
+            if (vc.get("model_type") == "pixtral"
+                    and cfg.architecture == "LlavaForConditionalGeneration"):
+                # Pixtral ships under the Llava arch name with a pixtral
+                # vision tower — route to the dedicated class
+                cfg.architecture = "PixtralForConditionalGeneration"
             for k in ("image_token_index", "image_token_id",
                       "video_token_id", "vision_start_token_id",
                       "mm_tokens_per_image", "vision_feature_layer",
-                      "vision_feature_select_strategy"):
+                      "vision_feature_select_strategy",
+                      "image_grid_pinpoints", "spatial_merge_size",
+                      "image_break_token_id", "image_end_token_id",
+                      "projector_hidden_act"):
                 if get(k) is not None:
                     cfg.extra[k] = get(k)
             return cfg

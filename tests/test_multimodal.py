@@ -450,3 +450,138 @@ def test_qwen3_vl_moe_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_llava_next_anyres_parity():
+    """LLaVA-NeXT anyres: tile features re-assembled + unpadded +
+    image_newline — HF-identical greedy continuation."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    S = 28   # tiny CLIP: image 28, patch 14 -> 2x2 patches per tile
+    hf_cfg = transformers.LlavaNextConfig(
+        text_config=dict(model_type="llama", vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=2,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         max_position_embeddings=256),
+        vision_config=dict(model_type="clip_vision_model", hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=2, image_size=S,
+                           patch_size=14, projection_dim=32),
+        image_grid_pinpoints=[[28, 56], [56, 28], [56, 56]],
+        image_token_index=250, vision_feature_layer=-2,
+        vision_feature_select_strategy="default")
+    hf = transformers.LlavaNextForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "LlavaNextForConditionalGeneration"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+
+        rng = np.random.RandomState(0)
+        # a 40x56 original image tiled at pinpoint (56, 56): base + 4 tiles
+        tiles = rng.randn(5, 3, S, S).astype(np.float32) * 0.5
+        image_size = (40, 56)
+        # feature count: base 4 + unpadded grid rows x (cols+1); read it
+        # off our packer (shape-only — the values come from HF generate)
+        import jax.numpy as jnp
+        dummy = np.zeros((5, 4, 64), np.float32)
+        n_feat = llm.model._pack_anyres(
+            llm.engine.params, dummy, image_size).shape[0]
+
+        text1, text2 = [5, 9, 17], [23, 31]
+        hf_ids = text1 + [250] * n_feat + text2
+        # random init gives near-flat logits (top-2 margins ~1e-3), so
+        # match 3 greedy steps and pin the expanded prompt length
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(tiles[None]),
+                image_sizes=torch.tensor([list(image_size)]),
+                max_new_tokens=3, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        exp, emb = llm.model.process_multimodal(
+            llm.engine.params, text1 + [250] + text2,
+            llm.model.preprocess_images(
+                [{"pixel_values": tiles, "image_size": image_size}]))
+        assert len(exp) == len(hf_ids)
+
+        prompt = {"prompt_token_ids": text1 + [250] + text2,
+                  "multi_modal_data": {"image": [
+                      {"pixel_values": tiles, "image_size": image_size}]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=3, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
+
+
+def test_pixtral_parity():
+    """Pixtral: variable-resolution tower (interleaved 2D rope) + IMG/
+    IMG_BREAK/IMG_END row layout — HF-identical greedy continuation."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.LlavaConfig(
+        text_config=dict(model_type="mistral", vocab_size=128,
+                         hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2,
+                         max_position_embeddings=256),
+        vision_config=dict(model_type="pixtral", hidden_size=32,
+                           intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=2, head_dim=16,
+                           image_size=56, patch_size=14,
+                           rope_theta=10000.0),
+        image_token_index=100, projector_hidden_act="gelu",
+        vision_feature_select_strategy="full", image_seq_length=1)
+    hf = transformers.LlavaForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    assert cfg.architecture == "PixtralForConditionalGeneration"
+    cfg.extra["image_break_token_id"] = 12
+    cfg.extra["image_end_token_id"] = 13
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+
+        rng = np.random.RandomState(0)
+        img = rng.randn(3, 28, 42).astype(np.float32) * 0.5   # 2x3 patches
+        h, w = 2, 3
+        row = [100] * w
+        img_ids = row + [12] + row + [13]
+        text1, text2 = [5, 9, 17], [23, 31]
+        hf_ids = text1 + img_ids + text2
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                pixel_values=torch.tensor(img[None]),
+                image_sizes=torch.tensor([[28, 42]]),
+                max_new_tokens=4, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        prompt = {"prompt_token_ids": text1 + [100] + text2,
+                  "multi_modal_data": {"image": [img]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=4, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
