@@ -310,6 +310,9 @@ class LLM:
             req.mrope_positions = mm_extra.get("mrope_positions")
             req.mrope_delta = mm_extra.get("mrope_delta", 0)
             req.prefill_pair_mask = mm_extra.get("prefill_pair_mask")
+            # Mllama: per-request cross-attention state (vision K/V source)
+            req.cross_states = mm_extra.get("cross_states")
+            req.cross_image_start = mm_extra.get("cross_image_start", 0)
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
 

@@ -30,6 +30,7 @@ import tensorrt_llm_tpu.models.apertus  # noqa: F401
 import tensorrt_llm_tpu.models.bamba  # noqa: F401
 import tensorrt_llm_tpu.models.qwen2_vl  # noqa: F401
 import tensorrt_llm_tpu.models.minimax  # noqa: F401
+import tensorrt_llm_tpu.models.mllama  # noqa: F401
 import tensorrt_llm_tpu.models.qwen3_next  # noqa: F401
 import tensorrt_llm_tpu.models.qwen3_vl  # noqa: F401
 import tensorrt_llm_tpu.models.bert  # noqa: F401

@@ -275,6 +275,13 @@ class PyExecutor:
                     chunk = req.remaining_context  # defensive; >=1 by manager
             start = req.context_position
             self.kv.grow_sequence(req.request_id, start + chunk)
+            if start == 0 and getattr(req, "cross_states", None) \
+                    is not None and not getattr(req, "_cross_injected",
+                                                False):
+                # Mllama: write the request's vision K/V into the
+                # slot-addressed cross pools before the first chunk
+                self.engine.inject_cross_states(req)
+                req._cross_injected = True
             pm = getattr(req, "prefill_pair_mask", None)
             if pm is not None:
                 # custom-visibility prefill (Gemma3-VL: image tokens attend

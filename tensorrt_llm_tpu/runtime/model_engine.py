@@ -725,6 +725,29 @@ class ModelEngine:
                 self.kv_caches, jnp.asarray(src), jnp.asarray(dst),
                 jnp.asarray(lsrc), jnp.asarray(ldst))
 
+    # ---------------------------------------------------------------- cross ----
+    def inject_cross_states(self, req):
+        """Mllama: write one request's fixed vision K/V into the cross
+        layers' slot-addressed pools (jitted, donated; padded to the
+        model's max cross length so one executable serves all requests —
+        see models/mllama.py inject_cross)."""
+        states = np.asarray(req.cross_states, np.float32)
+        Nmax = self.model.max_cross_len
+        padded = np.zeros((Nmax, states.shape[1]), np.float32)
+        padded[:states.shape[0]] = states
+        if "cross_inject" not in self._fns:
+            def fn(params, caches, slot, st, clen, istart):
+                return self.model.inject_cross(params, caches, slot, st,
+                                               clen, istart)
+            self._fns["cross_inject"] = jax.jit(fn, donate_argnums=(1,))
+        slot = self.kv_manager.slot_of(req.request_id)
+        with self.lock:
+            self.kv_caches = self._fns["cross_inject"](
+                self.params, self.kv_caches, jnp.asarray(np.int32(slot)),
+                jnp.asarray(padded),
+                jnp.asarray(np.int32(states.shape[0])),
+                jnp.asarray(np.int32(getattr(req, "cross_image_start", 0))))
+
     # ------------------------------------------------------------------ exec ----
     def run_decode(self, inputs: StepInputs) -> np.ndarray:
         """Run one decode step; returns logits [B_real, V]."""

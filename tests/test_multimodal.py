@@ -585,3 +585,71 @@ def test_pixtral_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_mllama_cross_attention_parity():
+    """Mllama (Llama 3.2 Vision): tiled gated vision encoder + cross-
+    attention layers reading slot-injected vision K/V — HF-identical
+    greedy continuation for a single-image prompt."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    V = 96
+    hf_cfg = transformers.MllamaConfig(
+        text_config=dict(vocab_size=V, hidden_size=64,
+                         intermediate_size=128, num_hidden_layers=3,
+                         num_attention_heads=4, num_key_value_heads=2,
+                         cross_attention_layers=[1], rope_theta=10000.0,
+                         max_position_embeddings=256,
+                         rope_scaling={"rope_type": "default"},
+                         pad_token_id=0),
+        vision_config=dict(hidden_size=32, num_hidden_layers=2,
+                           num_global_layers=1, attention_heads=2,
+                           intermediate_size=64, image_size=28,
+                           patch_size=14, max_num_tiles=2,
+                           intermediate_layers_indices=[0],
+                           supported_aspect_ratios=[[1, 1], [1, 2]],
+                           vision_output_dim=64),
+        image_token_index=V)
+    hf = transformers.MllamaForConditionalGeneration(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "MllamaForConditionalGeneration"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+
+        rng = np.random.RandomState(0)
+        tiles = rng.randn(2, 3, 28, 28).astype(np.float32) * 0.5
+        ids = [5, V, 9, 17, 23]          # image token at position 1
+        L = len(ids)
+        # tokens at/after the image attend both tiles
+        cam = np.zeros((1, L, 1, 2), np.int64)
+        cam[0, 1:, 0, :] = 1
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([ids]),
+                pixel_values=torch.tensor(tiles[None, None]),
+                aspect_ratio_ids=torch.tensor([[2]]),
+                aspect_ratio_mask=torch.tensor([[[1, 1]]]),
+                cross_attention_mask=torch.tensor(cam),
+                max_new_tokens=5, do_sample=False)
+        want = out[0][L:].tolist()
+
+        prompt = {"prompt_token_ids": ids,
+                  "multi_modal_data": {"image": [
+                      {"pixel_values": tiles, "aspect_ratio_id": 2,
+                       "num_tiles": 2}]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=5, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
