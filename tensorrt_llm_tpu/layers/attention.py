@@ -98,8 +98,12 @@ class Attention:
         return self.from_float(
             q_w, k_w, v_w, o_w, q_b=zeros[0], k_b=zeros[1], v_b=zeros[2],
             o_b=jnp.zeros((self.hidden_size,), jnp.float32) if self.has_o_bias else None,
-            q_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None,
-            k_norm=jnp.ones((self.head_dim,), jnp.float32) if self.has_qk_norm else None,
+            q_norm=jnp.ones((self.n_local_heads * D if self.qk_norm_flat
+                             else self.head_dim,), jnp.float32)
+            if self.has_qk_norm else None,
+            k_norm=jnp.ones((self.n_local_kv * D if self.qk_norm_flat
+                             else self.head_dim,), jnp.float32)
+            if self.has_qk_norm else None,
             sinks=(jax.random.normal(keys[0], (self.num_heads,), jnp.float32)
                    * 0.5 if self.has_sinks else None))
 

@@ -402,7 +402,8 @@ class ModelConfig:
                 "mlp_beta_factor", "layer_norm_eps", "type_vocab_size",
                 "num_labels",
                 # LFM2 short-conv hybrid + HunYuan MoE
-                "cross_attention_layers",
+                "cross_attention_layers", "num_shared_experts",
+                "block_configs",
                 "conv_L_cache", "conv_bias", "block_auto_adjust_ff_dim",
                 "block_ffn_dim_multiplier", "block_multiple_of", "moe_topk",
                 # Llama4 (HF Llama4TextConfig)
@@ -933,9 +934,10 @@ class DecoderModelForCausalLM:
             params["rope_local"] = tuple(make_rope_tables(cfg.rope_local))
         for i, layer in enumerate(self.layers):
             pre = f"model.layers.{i}."
-            if not hasattr(layer, "attn"):
-                # non-standard block (Mllama cross-attention layer): the
-                # subclass loader fills this slot itself
+            if not hasattr(layer, "attn") or getattr(
+                    layer, "skip_base_load", False):
+                # non-standard block (Mllama cross-attention layer, DeciLM
+                # NAS block): the subclass loader fills this slot itself
                 params["layers"].append(None)
                 continue
             if cfg.post_block_norms:

@@ -482,3 +482,152 @@ def test_apertus_parity():
         **COMMON, tie_word_embeddings=False, pad_token_id=0)
     hf_parity(hf_cfg, "ApertusForCausalLM",
               perturb=("q_norm", "k_norm", "alpha_p", "alpha_n"))
+
+
+# ---- reference-only archs (no transformers class; config-driven) -----------
+
+def _tiny_llm(cfg, **kw):
+    import tensorrt_llm_tpu as tllm
+    return tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                    max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                    seed=0, **kw)
+
+
+def test_decilm_nas_blocks():
+    """DeciLM/Nemotron-NAS: per-layer heterogeneous blocks.  All-no-op
+    layers must reduce to lm_head(norm(embed)); a mixed config (GQA /
+    linear-attention / no-op FFN) must generate deterministically."""
+    import jax.numpy as jnp
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.ops.norms import rms_norm
+
+    noop = {"attention": {"no_op": True}, "ffn": {"no_op": True}}
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=4, head_dim=8, max_position=128,
+        architecture="DeciLMForCausalLM", tie_word_embeddings=False,
+        extra={"block_configs": [noop, noop]})
+    llm = _tiny_llm(cfg)
+    try:
+        prompt = [3, 7, 11]
+        out = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=1, temperature=0.0, ignore_eos=True))
+        got = out[0].outputs[0].token_ids[0]
+        p = llm.engine.params
+        emb = llm.model.embedding(p["embedding"],
+                                  jnp.asarray(prompt[-1:]))
+        h = rms_norm(emb, p["final_norm"], cfg.rms_eps)
+        logits = llm.model.lm_head(p["lm_head"], h)
+        assert got == int(np.argmax(np.asarray(logits)[0]))
+    finally:
+        llm.shutdown()
+
+    mixed = [
+        {"attention": {"n_heads_in_group": 2}, "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"replace_with_linear": True}, "ffn": {"no_op": True}},
+        {"attention": {"no_op": True}, "ffn": {"ffn_mult": 0.5}},
+    ]
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=3,
+        num_heads=4, num_kv_heads=4, head_dim=8, max_position=128,
+        architecture="DeciLMForCausalLM", tie_word_embeddings=False,
+        extra={"block_configs": mixed})
+    llm = _tiny_llm(cfg)
+    try:
+        sp = tllm.SamplingParams(max_tokens=8, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([1, 2, 3], sp)[0].outputs[0].token_ids
+        b = llm.generate([1, 2, 3], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 8
+        # per-layer kv-head counts landed in the pools
+        assert llm.engine.kv_caches[0][0].shape[1] == 2
+        assert llm.engine.kv_caches[1].shape == (1,)
+    finally:
+        llm.shutdown()
+
+
+def test_mistral_large3_weight_renames():
+    """MistralLarge3 == DeepSeek arch + renorm-softmax routing, loaded from
+    mistral-native names; the rename path must produce the same params as
+    HF-style names."""
+    import jax
+    import tensorrt_llm_tpu as tllm
+
+    kw = dict(vocab_size=64, hidden_size=32, intermediate_size=64,
+              num_layers=2, num_heads=2, num_kv_heads=2, head_dim=16,
+              max_position=128, q_lora_rank=None, kv_lora_rank=32,
+              qk_nope_head_dim=16, qk_rope_head_dim=8, v_head_dim=16,
+              num_experts=4, num_experts_per_tok=2,
+              moe_intermediate_size=32, mlp_only_layers=(0,),
+              tie_word_embeddings=False)
+    cfg = ModelConfig(**kw, architecture="MistralLarge3ForCausalLM")
+    llm = _tiny_llm(cfg)
+    try:
+        model = llm.model
+        base = model.init(__import__("jax").random.PRNGKey(0))
+        # export with HF deepseek names is impractical here; instead check
+        # the renamer resolves mistral names for a spot set of keys
+        captured = []
+        def mget(name):
+            captured.append(name)
+            return None
+        try:
+            model.load_hf_weights(mget)
+        except Exception:
+            pass
+        joined = "\n".join(captured)
+        assert "tok_embeddings.weight" in joined
+        sp = tllm.SamplingParams(max_tokens=6, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([5, 9, 5, 9], sp)[0].outputs[0].token_ids
+        b = llm.generate([5, 9, 5, 9], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 6
+    finally:
+        llm.shutdown()
+
+
+def test_minimax_m2_generates():
+    """MiniMax-M2: flat qk-norm + sigmoid-bias-renorm MoE routing."""
+    import tensorrt_llm_tpu as tllm
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=128,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        architecture="MiniMaxM2ForCausalLM", tie_word_embeddings=False)
+    llm = _tiny_llm(cfg)
+    try:
+        assert llm.model.cfg.qk_norm_flat and \
+            llm.model.cfg.moe_score_func == "sigmoid"
+        sp = tllm.SamplingParams(max_tokens=6, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([5, 9, 5, 9], sp)[0].outputs[0].token_ids
+        b = llm.generate([5, 9, 5, 9], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 6
+    finally:
+        llm.shutdown()
+
+
+def test_exaone_moe_generates():
+    """EXAONE-MoE: EXAONE-4 hybrid attention + sigmoid-bias MoE with
+    shared experts."""
+    import tensorrt_llm_tpu as tllm
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=128,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        sliding_window=16, layer_types=["sliding_attention",
+                                        "full_attention"],
+        architecture="ExaoneMoEForCausalLM", tie_word_embeddings=False,
+        extra={"num_shared_experts": 1})
+    llm = _tiny_llm(cfg)
+    try:
+        assert llm.model.cfg.n_shared_experts == 1
+        assert llm.model.cfg.is_nope_layer(1) and \
+            not llm.model.cfg.is_nope_layer(0)
+        sp = tllm.SamplingParams(max_tokens=6, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([5, 9, 5, 9], sp)[0].outputs[0].token_ids
+        b = llm.generate([5, 9, 5, 9], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 6
+    finally:
+        llm.shutdown()
