@@ -656,8 +656,7 @@ class PyExecutor:
             return 1  # one-model drafter taps each step's hidden states
         if self.engine.pp_size > 1:
             return 1  # PP runs single steps; async dispatch pipelines stages
-        if self.engine.mapping.dp_size > 1:
-            return 1  # ADP rank-grouped rows; fused multi-step next round
+
         if getattr(self.engine, "_helix", False) \
                 or getattr(self.engine, "_star", False):
             return 1  # helix/star CP: per-rank slot tables built per step
@@ -695,22 +694,28 @@ class PyExecutor:
             self.kv.grow_sequence(req.request_id, req.num_tokens + k - 1)
         inputs = self.engine.prepare_decode_inputs(reqs, extra_tokens=k - 1)
         B = len(inputs.input_ids)
+        # attention-DP: rows live at rank-grouped positions (row_map)
+        rows = (inputs.row_map if inputs.row_map is not None
+                else np.arange(len(reqs)))
         slot_table = np.full((k, B), np.int64(2**30), np.int32)
         local_table = None
         if getattr(self.engine, "_vswa", False):
             local_table = np.full((k, B), np.int64(2**30), np.int32)
+        sp_rows = [SamplingParams() for _ in range(B)]
         for i, req in enumerate(reqs):
             start = req.num_tokens - 1
-            slot_table[:, i] = self.kv.slot_mapping(req.request_id, start, k)
+            slot_table[:, rows[i]] = self.kv.slot_mapping(
+                req.request_id, start, k)
             if local_table is not None:
-                local_table[:, i] = self.kv.local_slot_mapping(
+                local_table[:, rows[i]] = self.kv.local_slot_mapping(
                     req.request_id, start, k, int(2**30), dedup=False)
-        sp = [r.sampling_params for r in reqs]
-        state = SamplingState.from_params(sp, step=self.iteration, pad_to=B)
+            sp_rows[rows[i]] = req.sampling_params
+        state = SamplingState.from_params(sp_rows, step=self.iteration,
+                                          pad_to=B)
         toks, logps = self.engine.run_decode_multi(inputs, k, state,
                                                    slot_table, local_table)
-        toks = np.asarray(toks)   # [k, B]
-        logps = np.asarray(logps)
+        toks = np.asarray(toks)[:, rows]   # [k, B] -> request order
+        logps = np.asarray(logps)[:, rows]
         for i, req in enumerate(reqs):
             for j in range(k):
                 if not req.is_generating:

@@ -513,6 +513,26 @@ class ModelEngine:
 
         if self.mesh is not None:
             cache_spec = self._cache_specs
+            if self.mapping.dp_size > 1:
+                # attention-DP: rank-grouped rows ride the batch axis —
+                # row-wise inputs (ids/positions/tables/lens/sampling
+                # state) shard over "dp"; slot tables shard their row dim
+                from tensorrt_llm_tpu.runtime.sampler import SamplingState
+                d = P("dp")
+                kB = P(None, "dp")
+                state_spec = SamplingState(
+                    temperature=d, top_k=d, top_p=d, min_p=d, greedy=d,
+                    seeds=d)
+                lt_spec = d if self._vswa else P()   # dummy [1,1] if off
+                steps = jax.shard_map(
+                    steps, mesh=self.mesh,
+                    in_specs=(self._param_specs, cache_spec,
+                              d, d, kB, d, d, state_spec, d, d, kB,
+                              lt_spec),
+                    out_specs=(kB, kB, cache_spec),
+                    check_vma=False,
+                )
+                return jax.jit(steps, donate_argnums=(1,))
             steps = jax.shard_map(
                 steps, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
