@@ -280,6 +280,20 @@ class ModelConfig:
         """Build from a transformers PretrainedConfig (or plain dict)."""
         get = (lambda k, d=None: getattr(hf, k, d)) if not isinstance(hf, dict) \
             else (lambda k, d=None: hf.get(k, d))
+        # VILA composite configs: llm_cfg / vision_tower_cfg /
+        # mm_projector_cfg sub-model dicts (reference modeling_vila.py)
+        if get("llm_cfg") is not None:
+            cfg = cls.from_hf_config(get("llm_cfg"), quant=quant,
+                                     mapping=mapping, dtype=dtype)
+            archs = get("architectures")
+            cfg.architecture = archs[0] if archs else "LlavaLlamaModel"
+            for k in ("vision_tower_cfg", "mm_projector_cfg",
+                      "mm_hidden_size", "image_token_index"):
+                if get(k) is not None:
+                    v = get(k)
+                    cfg.extra[k] = (v if isinstance(v, (dict, int))
+                                    else v.to_dict())
+            return cfg
         # VLM composite configs (LLaVA-class): build from text_config, stash
         # the vision tower config + image token in extra
         if get("vision_config") is not None and get("text_config") is not None:

@@ -653,3 +653,51 @@ def test_mllama_cross_attention_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_vila_downsample_and_generate():
+    """VILA: 2x2 block-concat downsample ordering (row-major within each
+    block) + SigLIP->projector->splice generate."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from tensorrt_llm_tpu.models.vila import downsample_concat
+
+    # characterization: out[(R,C)] = [p(2R,2C); p(2R,2C+1); p(2R+1,2C);
+    # p(2R+1,2C+1)] channels
+    rng = np.random.RandomState(0)
+    f = rng.randn(16, 3).astype(np.float32)      # 4x4 grid
+    out = downsample_concat(f, 2)
+    g = f.reshape(4, 4, 3)
+    want0 = np.concatenate([g[0, 0], g[0, 1], g[1, 0], g[1, 1]])
+    want3 = np.concatenate([g[2, 2], g[2, 3], g[3, 2], g[3, 3]])
+    np.testing.assert_allclose(out[0], want0)
+    np.testing.assert_allclose(out[3], want3)
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=128,
+        architecture="LlavaLlamaModel", tie_word_embeddings=False,
+        extra={"vision_tower_cfg": {"hidden_size": 16,
+                                    "num_hidden_layers": 2,
+                                    "num_attention_heads": 2,
+                                    "intermediate_size": 32,
+                                    "image_size": 28, "patch_size": 14},
+               "mm_projector_cfg": {"mm_projector_type": "mlp_downsample"},
+               "mm_hidden_size": 16,
+               "image_token_index": 60})
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        img = np.random.RandomState(1).randn(3, 28, 28).astype(np.float32)
+        prompt = {"prompt_token_ids": [5, 60, 9],
+                  "multi_modal_data": {"image": [img]}}
+        sp = tllm.SamplingParams(max_tokens=5, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        b = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 5
+        # 28/14 = 2x2 patches -> one downsampled image token
+        assert llm.model.num_image_tokens == 1
+    finally:
+        llm.shutdown()
