@@ -271,7 +271,6 @@ class Attention:
             # block-cyclic over "cp"; every rank writes its own positions
             # (engine-prepared rank-local slots), attends its shard, and the
             # flash softmax stats psum-combine over ICI.
-            assert sinks is None, "sinks under helix CP land later"
             from tensorrt_llm_tpu.ops.attention_xla import (
                 helix_combine, helix_partial_decode_xla,
                 helix_partial_prefill_xla, write_kv_cache)
@@ -292,7 +291,7 @@ class Attention:
                     q, k_cache, v_cache, meta.block_tables, meta.kv_lens,
                     r, cp, self.scale, self.sliding_window, self.logit_cap,
                     self.attention_chunk)
-            out = helix_combine(o, l, m, "cp").astype(q.dtype)
+            out = helix_combine(o, l, m, "cp", sinks=sinks).astype(q.dtype)
             rows = out.shape[0]
             return (self.o(params["o"], out.reshape(rows, qh * D)),
                     (k_cache, v_cache))
@@ -303,9 +302,9 @@ class Attention:
             # chunk_r] rows (zero communication — the scaling win); decode =
             # per-rank partial attention over the contiguous KV chunks,
             # psum-combined like helix.
-            assert sinks is None and self.sliding_window is None \
+            assert self.sliding_window is None \
                 and self.attention_chunk is None, \
-                "sinks/sliding-window under star CP land later"
+                "sliding-window under star CP lands later"
             from tensorrt_llm_tpu.ops.attention_xla import (
                 helix_combine, star_local_prefill_xla,
                 star_partial_decode_xla, write_kv_cache)
@@ -317,12 +316,13 @@ class Attention:
             if meta.mode == "prefill":
                 out = star_local_prefill_xla(
                     q, k, v, meta.positions, meta.kv_lens[0], self.scale,
-                    self.logit_cap)
+                    self.logit_cap, sinks=sinks)
             else:
                 o, l, m = star_partial_decode_xla(
                     q, k_cache, v_cache, meta.block_tables, meta.kv_lens,
                     self.scale, self.logit_cap)
-                out = helix_combine(o, l, m, "cp").astype(q.dtype)
+                out = helix_combine(o, l, m, "cp",
+                                    sinks=sinks).astype(q.dtype)
             rows = out.shape[0]
             return (self.o(params["o"], out.reshape(rows, qh * D)),
                     (k_cache, v_cache))

@@ -407,17 +407,21 @@ def helix_partial_decode_xla(
 
 
 def star_local_prefill_xla(q, k, v, positions, n_valid, scale,
-                           logit_cap=None):
+                           logit_cap=None, sinks=None):
     """Star-attention phase 1: LOCAL causal attention over this rank's
     [anchor; chunk] rows — no cross-rank communication (reference star
     attention context phase, attention_backend/star_flashinfer.py; paper
     arXiv:2411.17116).  positions are the rows' global positions; rows at
-    index >= n_valid are padding (excluded as keys, garbage as queries)."""
+    index >= n_valid are padding (excluded as keys, garbage as queries).
+    sinks: phase 1's softmax is purely local, so the sink logit simply
+    joins the local denominator."""
     T = q.shape[0]
     valid = jnp.arange(T, dtype=jnp.int32) < n_valid
     kv_pos = jnp.where(valid, positions, -1)
-    o, l, _ = _partial_mha(q, k, v, kv_pos[None, :], positions[:, None],
+    o, l, m = _partial_mha(q, k, v, kv_pos[None, :], positions[:, None],
                            scale, None, logit_cap, None)
+    if sinks is not None:
+        l = l + jnp.exp(sinks.astype(l.dtype) - m)
     return (o / jnp.maximum(l, 1e-30)[..., None]).astype(q.dtype)
 
 
@@ -441,11 +445,16 @@ def star_partial_decode_xla(q, k_cache, v_cache, block_tables, local_lens,
     return _partial_mha(q, k, v, pos, q_pos, scale, None, logit_cap, None)
 
 
-def helix_combine(o, l, m, axis_name: str = "cp"):
+def helix_combine(o, l, m, axis_name: str = "cp", sinks=None):
     """Combine per-rank partial attention stats over the mesh axis:
-    out = sum_r exp(m_r - M) o_r / sum_r exp(m_r - M) l_r."""
+    out = sum_r exp(m_r - M) o_r / sum_r exp(m_r - M) l_r.
+    sinks [H]: attention-sink logits (GPT-OSS) join the GLOBAL softmax
+    denominator once — added after the cross-rank max/sum."""
     M = jax.lax.pmax(m, axis_name)
     w = jnp.where(jnp.isfinite(m), jnp.exp(m - M), 0.0)
     o = jax.lax.psum(o * w[..., None], axis_name)
     l = jax.lax.psum(l * w, axis_name)
+    if sinks is not None:
+        # stats are [..., H]; broadcast the per-head sink against them
+        l = l + jnp.exp(sinks.astype(l.dtype) - M)
     return (o / jnp.maximum(l, 1e-30)[..., None])

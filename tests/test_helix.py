@@ -114,3 +114,41 @@ def test_helix_manager_geometry():
                 assert maps[r][p] == -1
     kv.free_sequence(1)
     assert kv.num_seq_blocks(1) == 0
+
+
+@pytest.mark.parametrize("cp", [2, 4])
+def test_helix_with_sinks_matches_single_device(cp):
+    """Attention sinks (GPT-OSS) under helix CP: the sink logit joins the
+    softmax denominator once, AFTER the cross-rank stat combine."""
+    if len(jax.devices()) < cp:
+        pytest.skip("not enough devices")
+    sd = random_sd(3)
+    rng = np.random.RandomState(7)
+    for i in range(TINY["num_layers"]):
+        sd[f"model.layers.{i}.self_attn.sinks"] = \
+            rng.randn(TINY["num_heads"]).astype(np.float32)
+
+    def build_s(mapping):
+        cfg = ModelConfig(**TINY, mapping=mapping, has_sinks=True)
+        model = get_model_class(cfg.architecture)(cfg)
+        params = model.load_hf_weights(sd.get)
+        if mapping.cp_size > 1:
+            kv = HelixKVCacheManager(
+                KVCacheConfig(block_size=8), cfg.num_layers,
+                cfg.num_kv_heads, cfg.head_dim, num_blocks_per_rank=32,
+                cp_size=mapping.cp_size)
+        else:
+            kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                                cfg.num_kv_heads, cfg.head_dim,
+                                num_blocks=64)
+        return ModelEngine(model, params, kv, mapping=mapping,
+                           max_seq_len=64, decode_buckets=(4,),
+                           prefill_buckets=(32,)), kv
+
+    prompt = list(np.random.RandomState(2).randint(1, 255, 26))
+    e1, kv1 = build_s(Mapping())
+    ref = run(e1, kv1, prompt)
+    eh, kvh = build_s(Mapping(cp_size=cp, cp_type="helix"))
+    got = run(eh, kvh, prompt)
+    np.testing.assert_allclose(ref, got, rtol=3e-2, atol=3e-2)
+    assert (np.argmax(ref, -1) == np.argmax(got, -1)).all()

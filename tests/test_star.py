@@ -108,3 +108,45 @@ def test_star_through_llm_api():
     finally:
         star.shutdown()
     assert got == want, (got, want)
+
+
+def test_star_cp2_with_sinks_matches_dense():
+    """Sinks under star CP: local-softmax denominator in phase 1, combined
+    denominator in phase 2 — cp=2 must match dense exactly."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+    from tensorrt_llm_tpu.models import get_model_class
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import KVCacheManager
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+
+    sd = random_sd(5)
+    rng = np.random.RandomState(9)
+    for i in range(TINY["num_layers"]):
+        sd[f"model.layers.{i}.self_attn.sinks"] = \
+            rng.randn(TINY["num_heads"]).astype(np.float32)
+
+    def build_s(mapping):
+        cfg = ModelConfig(**TINY, mapping=mapping, has_sinks=True)
+        model = get_model_class(cfg.architecture)(cfg)
+        params = model.load_hf_weights(sd.get)
+        if mapping.cp_size > 1:
+            kv = StarKVCacheManager(
+                KVCacheConfig(block_size=8), cfg.num_layers,
+                cfg.num_kv_heads, cfg.head_dim, num_blocks_per_rank=32,
+                cp_size=mapping.cp_size)
+        else:
+            kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                                cfg.num_kv_heads, cfg.head_dim,
+                                num_blocks=64)
+        return ModelEngine(model, params, kv, mapping=mapping,
+                           max_seq_len=64, decode_buckets=(4,),
+                           prefill_buckets=(64,)), kv
+
+    prompt = list(np.random.RandomState(4).randint(1, 255, 26))
+    e1, kv1 = build_s(Mapping())
+    ref = run(e1, kv1, prompt)
+    es, kvs = build_s(Mapping(cp_size=2, cp_type="star"))
+    got = run(es, kvs, prompt)
+    np.testing.assert_allclose(ref, got, rtol=3e-2, atol=3e-2)
+    assert (np.argmax(ref, -1) == np.argmax(got, -1)).all()
