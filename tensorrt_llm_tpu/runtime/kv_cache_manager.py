@@ -858,7 +858,10 @@ class HelixKVCacheManager:
             r.free_sequence(seq_id)
 
     def fork_sequence(self, src_id: int, dst_id: int):
-        raise NotImplementedError("beam forks under helix CP land later")
+        """Beam fork: fork every rank's shard of the sequence.  Returns
+        PER-RANK copy pairs [cp][(src, dst), ...] — the engine cp-bands
+        them so each mesh rank copies only its own pool shard."""
+        return [r.fork_sequence(src_id, dst_id) for r in self.ranks]
 
     # ---- tables -------------------------------------------------------------------
     def rank_block_table(self, seq_id: int, r: int,
@@ -1024,7 +1027,10 @@ class StarKVCacheManager:
             r.free_sequence(seq_id)
 
     def fork_sequence(self, src_id: int, dst_id: int):
-        raise NotImplementedError("beam forks under star CP land later")
+        """Beam fork: fork every rank's contiguous shard; the owner-rank
+        bounds carry over.  Returns per-rank pairs [cp][(src, dst), ...]."""
+        self._bounds[dst_id] = self._bounds[src_id]
+        return [r.fork_sequence(src_id, dst_id) for r in self.ranks]
 
     # ---- tables -------------------------------------------------------------------
     def rank_block_table(self, seq_id: int, r: int,

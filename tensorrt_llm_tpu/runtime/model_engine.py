@@ -683,6 +683,10 @@ class ModelEngine:
         (0,0) null pads so their pool shards are untouched."""
         if not pairs and not ring_pairs:
             return
+        cp_banded = bool(pairs) and isinstance(pairs[0], (list, tuple)) \
+            and (not pairs[0] or isinstance(pairs[0][0], (list, tuple)))
+        if cp_banded and not any(pairs):
+            return
         if self.pp_size > 1:
             self._copy_kv_blocks_pp(pairs)
             return
@@ -697,7 +701,19 @@ class ModelEngine:
                 src[i], dst[i] = s, d
             return src, dst
 
-        src, dst = bucket(pairs or [])
+        if cp_banded:
+            # helix/star CP: per-rank pair lists -> [cp, n] id rows so each
+            # mesh rank copies only inside its own block-axis shard
+            n = 8
+            while n < max(len(p) for p in pairs):
+                n *= 2
+            src = np.zeros((len(pairs), n), np.int32)
+            dst = np.zeros((len(pairs), n), np.int32)
+            for r, ps in enumerate(pairs):
+                for i, (a, b) in enumerate(ps):
+                    src[r, i], dst[r, i] = a, b
+        else:
+            src, dst = bucket(pairs or [])
         sliding = self.kv_manager.sliding_layers if self._vswa else set()
         dp = self.mapping.dp_size
         if self._vswa:
@@ -734,10 +750,15 @@ class ModelEngine:
                 return out
             if self.mesh is not None:
                 cache_spec = self._cache_specs
-                ids = P("dp") if dp > 1 else P()
+                if cp_banded:
+                    ids, lids = P("cp"), P()   # no VSWA rings under CP
+                elif dp > 1:
+                    ids = lids = P("dp")
+                else:
+                    ids = lids = P()
                 copy = jax.shard_map(
                     copy, mesh=self.mesh,
-                    in_specs=(cache_spec, ids, ids, ids, ids),
+                    in_specs=(cache_spec, ids, ids, lids, lids),
                     out_specs=cache_spec, check_vma=False)
             self._fns[key] = jax.jit(copy, donate_argnums=(0,))
         with self.lock:

@@ -190,3 +190,30 @@ def test_beam_search_under_attention_dp_matches_single_device():
     finally:
         llm.shutdown()
     assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("cp_type", ["helix", "star"])
+def test_beam_search_under_cp_matches_single_device(cp_type):
+    """Beam search under helix/star CP: forks copy per-rank block shards
+    (cp-banded id rows), beams decode through the partial-attention
+    combine."""
+    if len(jax.devices()) < 2:
+        pytest.skip("not enough devices")
+
+    prompt = [int(x) for x in np.random.RandomState(3).randint(1, 60, 18)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True,
+                        use_beam_search=True, best_of=3, n=2)
+    base = _mk_llm()
+    try:
+        want = [o.token_ids for o in base.generate(list(prompt),
+                                                   sp)[0].outputs]
+    finally:
+        base.shutdown()
+
+    llm = _mk_llm(context_parallel_size=2, context_parallel_type=cp_type)
+    try:
+        got = [o.token_ids for o in llm.generate(list(prompt),
+                                                 sp)[0].outputs]
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
