@@ -73,6 +73,11 @@ class LLM:
 
     def _build(self):
         a = self.args
+        if a.distributed_init is not None:
+            # multi-host: join the jax.distributed world before any device
+            # use so the mesh spans every host's chips
+            from tensorrt_llm_tpu.parallel.mesh import initialize_distributed
+            initialize_distributed(**a.distributed_init)
         mapping = a.mapping()
         quant = a.quant_config()
 

@@ -31,6 +31,12 @@ class LlmArgs:
     context_parallel_size: int = 1          # sequence parallelism width
     context_parallel_type: str = "ulysses"  # ulysses | ring | helix | star
     moe_expert_parallel_size: int = 1
+    # multi-host bring-up (one controller process per host): when set,
+    # jax.distributed wires every host's chips into one device list before
+    # the mesh builds — the reference's MPI world bootstrap
+    # (llmapi/mpi_session.py) as the JAX distributed runtime.
+    # dict(coordinator_address=..., num_processes=..., process_id=...)
+    distributed_init: Optional[dict] = None
 
     # quantization
     quant_algo: Optional[str] = None        # e.g. "W4A16_AWQ"

@@ -293,7 +293,7 @@ def mla_prefill_pallas(
     q_offset: jax.Array,     # scalar int32 (position of q_eff[0])
     scale: float,
     kv_lora_rank: int,
-    tile_size: int = 256,
+    tile_size: int = 512,   # device-tuned: 110 TF/s vs 104 at 256 (v5e)
     q_tile: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
