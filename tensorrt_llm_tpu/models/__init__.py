@@ -16,6 +16,7 @@ import tensorrt_llm_tpu.models.llava  # noqa: F401
 import tensorrt_llm_tpu.models.exaone_moe  # noqa: F401
 import tensorrt_llm_tpu.models.minimax_m2  # noqa: F401
 import tensorrt_llm_tpu.models.mistral_large3  # noqa: F401
+import tensorrt_llm_tpu.models.nemotron_nano_vl  # noqa: F401
 import tensorrt_llm_tpu.models.nemotron_nas  # noqa: F401
 import tensorrt_llm_tpu.models.nemotron_h  # noqa: F401
 import tensorrt_llm_tpu.models.llama4  # noqa: F401

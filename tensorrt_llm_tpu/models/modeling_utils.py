@@ -280,6 +280,22 @@ class ModelConfig:
         """Build from a transformers PretrainedConfig (or plain dict)."""
         get = (lambda k, d=None: getattr(hf, k, d)) if not isinstance(hf, dict) \
             else (lambda k, d=None: hf.get(k, d))
+        # Nemotron-Nano-VL composite: llm_config + RADIO vision_config
+        # (reference modeling_nemotron_nano.py)
+        if get("llm_config") is not None and get("vision_config") is not None:
+            cfg = cls.from_hf_config(get("llm_config"), quant=quant,
+                                     mapping=mapping, dtype=dtype)
+            archs = get("architectures")
+            cfg.architecture = archs[0] if archs else "NemotronH_Nano_VL_V2"
+            vc = get("vision_config")
+            cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
+                                          else vc.to_dict())
+            for k in ("force_image_size", "patch_size", "downsample_ratio",
+                      "projector_hidden_size", "vit_hidden_size",
+                      "image_token_id", "image_token_index", "ps_version"):
+                if get(k) is not None:
+                    cfg.extra[k] = get(k)
+            return cfg
         # VILA composite configs: llm_cfg / vision_tower_cfg /
         # mm_projector_cfg sub-model dicts (reference modeling_vila.py)
         if get("llm_cfg") is not None:

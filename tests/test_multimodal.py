@@ -701,3 +701,44 @@ def test_vila_downsample_and_generate():
         assert llm.model.num_image_tokens == 1
     finally:
         llm.shutdown()
+
+
+def test_nemotron_nano_vl_generates():
+    """Nemotron-H Nano VL: RADIO tower + pixel-shuffle + ReLU^2 projector
+    on the NemotronH hybrid LM — fused-embeds generate."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=128,
+        architecture="NemotronH_Nano_VL_V2", tie_word_embeddings=False,
+        extra={"hybrid_override_pattern": "M*",
+               "vision_config": {"hidden_size": 16, "num_hidden_layers": 2,
+                                 "num_attention_heads": 2,
+                                 "image_size": 32, "patch_size": 8,
+                                 "mlp_ratio": 2.0,
+                                 "args": {"num_cls_tokens": 1,
+                                          "num_registers": 3}},
+               "force_image_size": 32, "patch_size": 8,
+               "downsample_ratio": 0.5, "projector_hidden_size": 48,
+               "vit_hidden_size": 16, "image_token_index": 60,
+               # mamba mixer dims for the hybrid layer
+               "mamba_num_heads": 4, "mamba_head_dim": 8,
+               "ssm_state_size": 16, "n_groups": 1, "expand": 2,
+               "conv_kernel": 4, "chunk_size": 8})
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        assert llm.model.num_image_tokens == 4   # (32/8 / 2)^2
+        img = np.random.RandomState(1).randn(3, 32, 32).astype(np.float32)
+        prompt = {"prompt_token_ids": [5, 60, 9],
+                  "multi_modal_data": {"image": [img]}}
+        sp = tllm.SamplingParams(max_tokens=5, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        b = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 5
+    finally:
+        llm.shutdown()
