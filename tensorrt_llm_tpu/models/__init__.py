@@ -33,6 +33,7 @@ import tensorrt_llm_tpu.models.dots1  # noqa: F401
 import tensorrt_llm_tpu.models.hunyuan  # noqa: F401
 import tensorrt_llm_tpu.models.apertus  # noqa: F401
 import tensorrt_llm_tpu.models.bamba  # noqa: F401
+import tensorrt_llm_tpu.models.phi4mm  # noqa: F401
 import tensorrt_llm_tpu.models.qwen2_vl  # noqa: F401
 import tensorrt_llm_tpu.models.minimax  # noqa: F401
 import tensorrt_llm_tpu.models.mllama  # noqa: F401

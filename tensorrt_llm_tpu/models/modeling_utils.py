@@ -353,7 +353,7 @@ class ModelConfig:
             mlp_only = tuple(range(get("first_k_dense_replace")))
         is_deepseek = get("kv_lora_rank") is not None
         is_gpt_oss = arch == "GptOssForCausalLM"
-        return cls(
+        cfg = cls(
             num_experts=num_experts,
             num_experts_per_tok=get("num_experts_per_tok", 2),
             moe_intermediate_size=get("moe_intermediate_size"),
@@ -444,6 +444,13 @@ class ModelConfig:
                 "moe_layers",
             ) if get(k) is not None},
         )
+        vc = get("vision_config")
+        if vc is not None:
+            # flat multimodal configs (Phi-4-MM: text fields top-level with
+            # vision/audio sub-configs) — stash the tower config
+            cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
+                                          else vc.to_dict())
+        return cfg
 
 
 class DecoderLayer:

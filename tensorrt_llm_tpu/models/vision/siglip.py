@@ -16,7 +16,10 @@ import numpy as np
 class SiglipVisionTower:
     def __init__(self, hidden_size: int, num_layers: int, num_heads: int,
                  intermediate_size: int, image_size: int, patch_size: int,
-                 layer_norm_eps: float = 1e-6, dtype=jnp.bfloat16):
+                 layer_norm_eps: float = 1e-6, feature_layer=None,
+                 dtype=jnp.bfloat16):
+        # feature_layer (Phi-4-MM): tap the RAW hidden state at HF's
+        # output_hidden_states index (-2 = after layer L-2, no post-LN)
         self.H = hidden_size
         self.L = num_layers
         self.nH = num_heads
@@ -29,6 +32,14 @@ class SiglipVisionTower:
         self.dtype = dtype
         self.num_channels = 3
         self.patch_in = 3 * patch_size * patch_size
+        if feature_layer is None:
+            self.run_layers = num_layers
+            self.post_ln = True
+        else:
+            idx = (feature_layer if feature_layer >= 0
+                   else num_layers + 1 + feature_layer)
+            self.run_layers = idx
+            self.post_ln = False
 
     def init(self, key) -> Dict:
         ks = iter(jax.random.split(key, 6 * self.L + 4))
@@ -120,7 +131,7 @@ class SiglipVisionTower:
 
         nH, D = self.nH, self.D
         N = g * g
-        for lp in params["layers"]:
+        for lp in params["layers"][:self.run_layers]:
             h = ln(x, lp["ln1"])
             q = (jnp.dot(h, lp["q"][0]) + lp["q"][1].astype(h.dtype)
                  ).reshape(B, N, nH, D)
@@ -139,4 +150,4 @@ class SiglipVisionTower:
             m = jax.nn.gelu(m.astype(jnp.float32),
                             approximate=True).astype(x.dtype)
             x = x + jnp.dot(m, lp["fc2"][0]) + lp["fc2"][1].astype(x.dtype)
-        return ln(x, params["post_ln"])
+        return ln(x, params["post_ln"]) if self.post_ln else x
