@@ -276,16 +276,24 @@ class LLM:
             text = prompt.get("prompt")
             mm = prompt.get("multi_modal_data") or {}
             images = mm.get("image") or []
-            if images:
-                if hasattr(self.model, "preprocess_images"):
-                    # model-specific pipeline (Qwen2-VL native-resolution
-                    # patches; also accepts HF-processor outputs)
-                    pix = self.model.preprocess_images(images)
+            audios = mm.get("audio") or []
+            if images or audios:
+                pix = []
+                if images:
+                    if hasattr(self.model, "preprocess_images"):
+                        # model-specific pipeline (Qwen2-VL native-
+                        # resolution patches; also HF-processor outputs)
+                        pix = self.model.preprocess_images(images)
+                    else:
+                        from tensorrt_llm_tpu.inputs import (
+                            preprocess_images)
+                        pix = preprocess_images(images, self.model.vision)
+                if audios:
+                    out = self.model.process_multimodal(
+                        self.engine.params, token_ids, pix, audios=audios)
                 else:
-                    from tensorrt_llm_tpu.inputs import preprocess_images
-                    pix = preprocess_images(images, self.model.vision)
-                out = self.model.process_multimodal(
-                    self.engine.params, token_ids, pix)
+                    out = self.model.process_multimodal(
+                        self.engine.params, token_ids, pix)
                 if len(out) == 3:
                     token_ids, prompt_embeds, mm_extra = out
                 else:

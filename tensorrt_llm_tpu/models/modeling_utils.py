@@ -444,12 +444,12 @@ class ModelConfig:
                 "moe_layers",
             ) if get(k) is not None},
         )
-        vc = get("vision_config")
-        if vc is not None:
-            # flat multimodal configs (Phi-4-MM: text fields top-level with
-            # vision/audio sub-configs) — stash the tower config
-            cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
-                                          else vc.to_dict())
+        for sub in ("vision_config", "audio_config"):
+            v = get(sub)
+            if v is not None:
+                # flat multimodal configs (Phi-4-MM: text fields top-level
+                # with vision/audio sub-configs) — stash the tower configs
+                cfg.extra[sub] = v if isinstance(v, dict) else v.to_dict()
         return cfg
 
 

@@ -810,3 +810,65 @@ def test_phi4_multimodal_vision_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_phi4_multimodal_audio_parity():
+    """Phi-4-MM audio: conformer encoder (NeMo subsampling, relative
+    attention bias, GLU conv modules) + speech projection — HF-identical
+    greedy continuation."""
+    torch = pytest.importorskip("torch")
+    import transformers
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    torch.manual_seed(0)
+    vc = transformers.Phi4MultimodalVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8, crop_size=32,
+        image_token_id=90, feature_layer=-2)
+    ac = transformers.Phi4MultimodalAudioConfig(
+        hidden_size=32, intermediate_size=48, num_blocks=2,
+        num_attention_heads=2, ext_pw_out_channel=32,
+        depthwise_separable_out_channel=32, depthwise_multiplier=1,
+        nemo_conv_channels=16, input_size=80, nemo_final_size=10,
+        time_reduction=8, audio_token_id=91, bias_max_distance=100)
+    hf_cfg = transformers.Phi4MultimodalConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, vision_config=vc, audio_config=ac,
+        pad_token_id=0)
+    hf = transformers.Phi4MultimodalForCausalLM(hf_cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    cfg.architecture = "Phi4MultimodalForCausalLM"
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        llm.engine.update_params(llm.model.load_hf_weights(
+            lambda n: sd.get(n)))
+
+        rng = np.random.RandomState(0)
+        T = 64                                 # frames -> 8 audio tokens
+        feats = rng.randn(T, 80).astype(np.float32)
+        n_tok = llm.model._embed_audio(feats, "speech").shape[0]
+
+        text1, text2 = [5, 9, 17], [23, 31]
+        hf_ids = text1 + [91] * n_tok + text2
+        with torch.no_grad():
+            out = hf.generate(
+                input_ids=torch.tensor([hf_ids]),
+                audio_input_features=torch.tensor(feats[None]),
+                audio_embed_sizes=torch.tensor([n_tok]),
+                max_new_tokens=4, do_sample=False)
+        want = out[0][len(hf_ids):].tolist()
+
+        prompt = {"prompt_token_ids": text1 + [91] + text2,
+                  "multi_modal_data": {"audio": [feats]}}
+        got = llm.generate([prompt], tllm.SamplingParams(
+            max_tokens=4, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        llm.shutdown()
