@@ -40,6 +40,13 @@ class SamplingParams:
     # guided decoding (grammar-constrained sampling)
     guided_decoding: Optional["GuidedDecodingParams"] = None
     end_id: Optional[int] = None        # overrides tokenizer eos
+    # logit controls (reference sampling_params.py: bad_words,
+    # embedding_bias, no_repeat_ngram_size, min_tokens, logits_processor)
+    min_tokens: int = 0                 # suppress eos/stop ids before this
+    bad_words: Optional[List[List[int]]] = None   # banned token phrases
+    logit_bias: Optional[dict] = None   # token id -> additive bias
+    no_repeat_ngram_size: Optional[int] = None
+    logits_processor: Optional[object] = None  # f(token_ids, logits)->logits
 
     def __post_init__(self):
         assert self.max_tokens >= 1

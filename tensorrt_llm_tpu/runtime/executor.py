@@ -664,8 +664,13 @@ class PyExecutor:
                or r.sampling_params.presence_penalty != 0.0
                or r.sampling_params.frequency_penalty != 0.0
                or r.sampling_params.stop
+               or r.sampling_params.min_tokens
+               or r.sampling_params.bad_words
+               or r.sampling_params.logit_bias
+               or r.sampling_params.no_repeat_ngram_size
+               or r.sampling_params.logits_processor is not None
                for r in reqs):
-            return 1  # penalties/stop-strings need per-token host state
+            return 1  # penalties/stop/logit controls need host state
         k = self.max_decode_steps
         for r in reqs:
             sp = r.sampling_params
@@ -743,6 +748,7 @@ class PyExecutor:
         if mask is not None:
             logits = logits + mask
         logits = self._apply_penalties(reqs, logits)
+        logits = self._apply_logit_controls(reqs, logits)
         state = SamplingState.from_params(sp, step=self.iteration,
                                           pad_to=logits.shape[0])
         tokens, logp = sample_tokens(logits, state)
@@ -800,6 +806,48 @@ class PyExecutor:
                     return_counts=True)
                 counts[i, ids] = c
         return apply_penalties(logits, counts, rep, pres, freq)
+
+    def _apply_logit_controls(self, reqs, logits):
+        """Host-side per-request logit edits (reference: embedding_bias,
+        bad-words/no-repeat-ngram ban kernels, min-tokens eos suppression,
+        user logits processors) — these force single-step decode."""
+        touched = False
+        out = logits
+        for i, r in enumerate(reqs):
+            sp = r.sampling_params
+            if not (sp.min_tokens or sp.bad_words or sp.logit_bias
+                    or sp.no_repeat_ngram_size or sp.logits_processor):
+                continue
+            if not touched:
+                out = np.array(np.asarray(logits), np.float32)
+                touched = True
+            row = out[i]
+            toks = r.all_token_ids
+            if sp.logit_bias:
+                for t, b in sp.logit_bias.items():
+                    row[int(t)] += float(b)
+            if sp.min_tokens and r.num_output_tokens < sp.min_tokens:
+                eos = (sp.end_id if sp.end_id is not None
+                       else self.eos_token_id)
+                for t in ([eos] if eos is not None else []) + list(
+                        sp.stop_token_ids or []):
+                    row[int(t)] = -1e30
+            if sp.bad_words:
+                for w in sp.bad_words:
+                    if len(w) == 1 or (len(toks) >= len(w) - 1
+                                       and toks[-(len(w) - 1):]
+                                       == list(w[:-1])):
+                        row[int(w[-1])] = -1e30
+            n = sp.no_repeat_ngram_size
+            if n and len(toks) >= n - 1:
+                tail = tuple(toks[-(n - 1):]) if n > 1 else ()
+                for j in range(len(toks) - n + 1):
+                    if tuple(toks[j:j + n - 1]) == tail:
+                        row[int(toks[j + n - 1])] = -1e30
+            if sp.logits_processor is not None:
+                out[i] = np.asarray(
+                    sp.logits_processor(list(toks), row), np.float32)
+        return out
 
     def _check_stop_strings(self, req: LlmRequest):
         sp = req.sampling_params

@@ -73,3 +73,59 @@ def test_stop_string(llm):
         max_tokens=20, temperature=0.0, ignore_eos=True, stop=[stop],
         include_stop_str_in_output=True))[0].outputs[0]
     assert stop in out2.text
+
+
+def test_logit_controls():
+    """min_tokens / bad_words / logit_bias / no_repeat_ngram /
+    logits_processor (reference sampling_params coverage)."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      head_dim=16, max_position=256)
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+                   max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
+                   seed=0)
+    try:
+        prompt = [3, 5, 3, 5, 7]
+        base = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=10, temperature=0.0,
+            ignore_eos=True))[0].outputs[0].token_ids
+
+        # logit_bias dominates everything when huge
+        got = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=4, temperature=0.0, ignore_eos=True,
+            logit_bias={41: 1e9}))[0].outputs[0].token_ids
+        assert got == [41, 41, 41, 41], got
+
+        # bad_words: ban the single token the base run picks first
+        got = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=1, temperature=0.0, ignore_eos=True,
+            bad_words=[[base[0]]]))[0].outputs[0].token_ids
+        assert got[0] != base[0]
+
+        # min_tokens suppresses a stop id that would otherwise fire
+        got = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=6, temperature=0.0, min_tokens=6,
+            stop_token_ids=[base[0]],
+            logit_bias={base[0]: 1e9}))[0].outputs[0].token_ids
+        assert len(got) == 6
+
+        # no_repeat_ngram_size=1: every token distinct
+        got = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=8, temperature=0.0, ignore_eos=True,
+            no_repeat_ngram_size=1))[0].outputs[0].token_ids
+        assert len(set(got)) == len(got), got
+
+        # user logits processor forces a fixed token
+        def proc(toks, logits):
+            logits[:] = -1e30
+            logits[13] = 0.0
+            return logits
+        got = llm.generate(list(prompt), tllm.SamplingParams(
+            max_tokens=3, temperature=0.0, ignore_eos=True,
+            logits_processor=proc))[0].outputs[0].token_ids
+        assert got == [13, 13, 13], got
+    finally:
+        llm.shutdown()
