@@ -183,6 +183,15 @@ class LLM:
                 MoeLoadBalancer)
             self.moe_balancer = MoeLoadBalancer(
                 self.model, self.engine, interval=a.moe_rebalance_interval)
+        do_warmup = a.enable_warmup
+        if do_warmup is None:
+            from tensorrt_llm_tpu.utils import is_tpu_backend
+            do_warmup = is_tpu_backend()
+        if do_warmup:
+            # compile every bucket a request can reach before serving
+            # starts (the CUDA-graph capture analog): a mid-run compile
+            # over a slow link stalls every in-flight request
+            self.engine.warmup(multi_steps=a.max_decode_steps)
         self.executor = PyExecutor(
             self.engine, a.make_scheduler_config(), eos_token_id=eos,
             max_seq_len=a.max_seq_len, max_decode_steps=a.max_decode_steps,

@@ -82,6 +82,10 @@ class LlmArgs:
 
     # executor hang watchdog (reference pyexecutor/hang_detector.py); 0 = off
     watchdog_timeout: float = 300.0
+    # precompile every decode/prefill/table bucket at startup (the CUDA-
+    # graph capture analog).  None = auto: on for real TPU backends where a
+    # mid-run compile stalls serving, off for CPU tests
+    enable_warmup: Optional[bool] = None
 
     # iteration-window profiling: "start,stop" iteration numbers
     # (reference env TLLM_PROFILE_START_STOP, py_executor.py:63)

@@ -674,9 +674,12 @@ class PyExecutor:
         k = self.max_decode_steps
         for r in reqs:
             sp = r.sampling_params
-            remaining = sp.max_tokens - r.num_output_tokens
-            remaining = min(remaining, self.max_seq_len - r.num_tokens + 1)
-            k = min(k, max(remaining, 1))
+            # budget overshoot is fine (excess sampled tokens are dropped
+            # host-side; their KV rows get overwritten) — clamping k to the
+            # remaining budget would compile a fresh k-variant per tail.
+            # Stay within the engine's position ceiling though.
+            room = self.max_seq_len - r.num_tokens + 1
+            k = min(k, max(room, 1))
             if not sp.ignore_eos or sp.stop_token_ids:
                 # could stop early on eos: cap overshoot at 4 wasted steps
                 k = min(k, 4)

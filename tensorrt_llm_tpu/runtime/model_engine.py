@@ -1361,10 +1361,17 @@ class ModelEngine:
                 tuner.maybe_tune("w4a16", key, cands, run)
 
     # ------------------------------------------------------------------ warmup ----
-    def warmup(self, decode: bool = True, prefill: bool = True):
-        """Precompile all buckets (the analog of CUDA-graph capture warmup)."""
+    def warmup(self, decode: bool = True, prefill: bool = True,
+               multi_steps: int = 0):
+        """Precompile all buckets (the analog of CUDA-graph capture
+        warmup).  Decode compiles every BLOCK-TABLE bucket a sequence can
+        grow through (tables pad to power-of-4 page counts — crossing a
+        boundary mid-run must not hit the compiler), and the fused
+        multi-step executable when the executor will use one."""
+        import numpy as np
         from tensorrt_llm_tpu.runtime.request import LlmRequest
         from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+        from tensorrt_llm_tpu.runtime.sampler import SamplingState
         self.autotune_kernels()
         kv = self.kv_manager
         if prefill:
@@ -1378,11 +1385,35 @@ class ModelEngine:
                 self.run_prefill(self.prepare_prefill_inputs(req, req.prompt_len))
                 kv.free_sequence(req.request_id)
         if decode:
+            # representative lengths hitting each table bucket up to the
+            # engine limit
+            bs = kv.block_size
+            lens, mb = [], 16
+            while True:
+                lens.append(min(mb * bs - 1, self.max_seq_len - 1, 
+                                kv.num_blocks * bs // 2))
+                if mb * bs - 1 >= self.max_seq_len - 1                         or mb >= self.max_blocks_per_seq:
+                    break
+                mb *= 4
+            lens = sorted(set(max(2, l) for l in lens))
             for B in self.decode_buckets:
-                req = LlmRequest([1, 2], SamplingParams(max_tokens=1))
-                kv.add_sequence(req.request_id, req.prompt_token_ids)
-                kv.grow_sequence(req.request_id, 2)
-                reqs = [req] * B
-                self.run_decode(self.prepare_decode_inputs(reqs))
-                kv.free_sequence(req.request_id)
+                for L in lens:
+                    req = LlmRequest([1] * L, SamplingParams(max_tokens=1))
+                    kv.add_sequence(req.request_id, req.prompt_token_ids)
+                    kv.grow_sequence(req.request_id, L)
+                    reqs = [req] * B
+                    inputs = self.prepare_decode_inputs(reqs)
+                    self.run_decode(inputs)
+                    # executor uses k = max_decode_steps, capped at 4
+                    # when eos can stop early — warm both variants
+                    for k in sorted({multi_steps, min(multi_steps, 4)}):
+                        if k <= 1:
+                            continue
+                        st = np.full((k, len(inputs.input_ids)),
+                                     np.int64(2 ** 30), np.int32)
+                        state = SamplingState.from_params(
+                            [req.sampling_params] * len(reqs),
+                            step=0, pad_to=len(inputs.input_ids))
+                        self.run_decode_multi(inputs, k, state, st)
+                    kv.free_sequence(req.request_id)
         logger.info("engine warmup done (%d executables)", len(self._fns))
