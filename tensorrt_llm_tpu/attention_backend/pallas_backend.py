@@ -4,11 +4,17 @@ The analog of the reference's `TrtllmAttention`
 (`_torch/attention_backend/trtllm.py:1443`, dispatching to FMHA for context
 and XQA/MMHA for generation):
 
-  * decode — measured on v5e, XLA's fused dynamic-gather attention runs at
-    ~94% of HBM roofline and beats the hand-written scalar-prefetch paged
-    kernel (`ops/paged_attention.py`, ~36%), so the XLA path is the default
-    and the Pallas kernel sits behind TLLM_PAGED_KERNEL=1 (it wins when block
-    tables can't be padded small, e.g. very long context);
+  * decode — the Pallas scalar-prefetch paged kernel
+    (`ops/paged_attention.py`) is the default.  Honest v5e measurements
+    (cache mutated every iteration so the gather can't hoist out of the
+    timing loop): at 8K context the kernel runs 1.35 ms vs XLA's
+    materialized dynamic-gather at 2.25 ms (the gather also allocates the
+    full padded-table intermediate, ~270 MB at MB=256), and the gap widens
+    with table padding; at short context they are within ~15%.
+    TLLM_PAGED_KERNEL=0 opts back to the XLA path.  Beware measuring the
+    XLA path with a loop-invariant cache: XLA sometimes hoists the gather
+    (reads >roofline) and sometimes lowers it pathologically (~3 s/call) —
+    both artifacts.
   * prefill — Pallas flash kernel (FMHA analog) for the quadratic-memory-free
     path.
 """
@@ -64,7 +70,8 @@ class PallasAttention(XlaAttention):
                 logit_cap=self.logit_cap,
             )
             return out, k_cache, v_cache
-        if meta.mode != "decode" or os.environ.get("TLLM_PAGED_KERNEL") != "1":
+        if meta.mode != "decode" \
+                or os.environ.get("TLLM_PAGED_KERNEL", "1") == "0":
             return super().__call__(q, k, v, k_cache, v_cache, meta)
         k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                           meta.slot_mapping)

@@ -177,7 +177,7 @@ def paged_decode_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     logit_cap: Optional[float] = None,
-    tile_size: int = 256,
+    tile_size: int = 512,   # device-tuned: 177 GB/s valid KV vs 155 at 256
     interpret: bool = False,
 ) -> jax.Array:
     B, Hq, D = q.shape

@@ -17,7 +17,8 @@ EXPECTED_SAMPLING_PARAMS = {
     "stop", "stop_token_ids", "include_stop_str_in_output", "ignore_eos",
     "logprobs", "prompt_logprobs", "n", "best_of", "use_beam_search",
     "detokenize", "skip_special_tokens", "guided_decoding", "end_id",
-    "length_penalty",
+    "length_penalty",    "min_tokens", "bad_words", "logit_bias",
+    "no_repeat_ngram_size", "logits_processor",
 }
 
 EXPECTED_LLM_ARGS_SUPERSET = {
