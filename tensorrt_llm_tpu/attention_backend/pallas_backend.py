@@ -43,9 +43,9 @@ class PallasAttention(XlaAttention):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
                  sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        if sinks is not None:
-            # attention sinks (GPT-OSS): Pallas kernels don't carry the sink
-            # logit yet; the XLA path does (in-kernel sinks land next round)
+        if sinks is not None and meta.mode != "decode":
+            # prefill sinks ride the XLA path (in-kernel flash-prefill
+            # sinks land later); decode sinks are in the paged kernel
             return super().__call__(q, k, v, k_cache, v_cache, meta,
                                     sinks=sinks)
         if isinstance(k_cache, tuple) or self.head_dim % 128 != 0 \
@@ -82,5 +82,6 @@ class PallasAttention(XlaAttention):
             scale=self.scale,
             sliding_window=self.sliding_window,
             logit_cap=self.logit_cap,
+            sinks=sinks,
         )
         return out, k_cache, v_cache

@@ -43,6 +43,7 @@ def _paged_decode_kernel(
     q_ref,        # [1, Hq, D] VMEM (this sequence's query)
     k_hbm,        # [NB, Hkv, BS, D] ANY/HBM
     v_hbm,
+    sinks_ref,    # [Hq, 1] f32 VMEM (zeros when has_sinks=False)
     # outputs
     o_ref,        # [1, Hq, D] VMEM
     # scratch
@@ -60,6 +61,7 @@ def _paged_decode_kernel(
     scale: float,
     sliding_window: Optional[int],
     logit_cap: Optional[float],
+    has_sinks: bool,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -159,6 +161,10 @@ def _paged_decode_kernel(
     @pl.when(t == n_t - 1)
     def _finalize():
         l = l_buf[:, :1]
+        if has_sinks:
+            # GPT-OSS attention sinks: the per-head learned logit joins
+            # the softmax denominator once, against the global max
+            l = l + jnp.exp(sinks_ref[:, :1] - m_buf[:, :1])
         safe_l = jnp.where(l > 0, l, 1.0)
         o_ref[0] = (acc_buf[:] / safe_l).astype(o_ref.dtype)
 
@@ -179,6 +185,7 @@ def paged_decode_attention(
     logit_cap: Optional[float] = None,
     tile_size: int = 512,   # device-tuned: 177 GB/s valid KV vs 155 at 256
     interpret: bool = False,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
     NB, Hkv, BS, _ = k_cache.shape
@@ -198,6 +205,7 @@ def paged_decode_attention(
             pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((Hq, 1), lambda b, t, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
         scratch_shapes=[
@@ -218,6 +226,7 @@ def paged_decode_attention(
         scale=scale,
         sliding_window=sliding_window,
         logit_cap=logit_cap,
+        has_sinks=sinks is not None,
     )
     return pl.pallas_call(
         kernel,
@@ -227,4 +236,6 @@ def paged_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(block_tables, kv_lens, q, k_cache, v_cache)
+    )(block_tables, kv_lens, q, k_cache, v_cache,
+      (jnp.zeros((Hq, 1), jnp.float32) if sinks is None
+       else jnp.asarray(sinks, jnp.float32).reshape(Hq, 1)))

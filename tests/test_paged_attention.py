@@ -115,3 +115,26 @@ def test_mla_prefill_pallas_matches_xla(T, S):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_paged_decode_sinks():
+    """GPT-OSS attention sinks in the Pallas decode kernel: the learned
+    per-head logit joins the softmax denominator once."""
+    from tensorrt_llm_tpu.ops.attention_xla import paged_decode_xla
+
+    key = jax.random.PRNGKey(5)
+    B, Hq, Hkv, D, BS, MB = 2, 4, 2, 128, 8, 8
+    NB = B * MB + 1
+    k_cache, v_cache = make_cache(key, NB, Hkv, BS, D)
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, Hq, D), jnp.bfloat16)
+    sinks = jax.random.normal(jax.random.PRNGKey(7), (Hq,), jnp.float32)
+    tables = jnp.asarray(np.arange(1, NB).reshape(B, MB).astype(np.int32))
+    kv_lens = jnp.asarray(np.array([23, 64], np.int32))
+    ref = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens,
+                           scale=0.1, sinks=sinks)
+    out = paged_decode_attention(q, k_cache, v_cache, tables, kv_lens,
+                                 scale=0.1, sinks=sinks,
+                                 tile_size=2 * BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
