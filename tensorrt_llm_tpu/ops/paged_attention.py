@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from tensorrt_llm_tpu.utils import cdiv
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
@@ -198,6 +200,58 @@ def paged_decode_attention(
     PPT = TS // BS
     n_tiles = (MB * BS) // TS
 
+    if D < 128:
+        # sub-128 head dims can't DMA pages directly (Mosaic lane tiling);
+        # run the lane-packed variant over an aligned page view
+        assert 128 % D == 0 and (BS * D) % 128 == 0, (D, BS)
+        r = 128 // D
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, 128 - D)))
+        kv_view = (k_cache.reshape(NB, Hkv, BS * D // 128, 128),
+                   v_cache.reshape(NB, Hkv, BS * D // 128, 128))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, Hq, 128), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((Hq, 1), lambda b, t, *_: (0, 0)),
+                pl.BlockSpec((r, 128, 128), lambda b, t, *_: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Hq, 128), lambda b, t, *_: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, Hkv, TS // r, 128), k_cache.dtype),
+                pltpu.VMEM((2, Hkv, TS // r, 128), v_cache.dtype),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, PPT)),
+                pltpu.SemaphoreType.DMA((2, PPT)),
+            ],
+        )
+        kernel = functools.partial(
+            _paged_decode_kernel_packed,
+            tile_size=TS, page_size=BS, n_kv_heads=Hkv, head_dim=D,
+            scale=scale, sliding_window=sliding_window,
+            logit_cap=logit_cap, has_sinks=sinks is not None)
+        sel_np = np.zeros((r, 128, 128), np.float32)
+        for i in range(r):
+            for d in range(D):
+                sel_np[i, i * D + d, d] = 1.0
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Hq, 128), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(block_tables, kv_lens, qp, kv_view[0], kv_view[1],
+          (jnp.zeros((Hq, 1), jnp.float32) if sinks is None
+           else jnp.asarray(sinks, jnp.float32).reshape(Hq, 1)),
+          jnp.asarray(sel_np, jnp.bfloat16))
+        return out[..., :D]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, n_tiles),
@@ -239,3 +293,164 @@ def paged_decode_attention(
     )(block_tables, kv_lens, q, k_cache, v_cache,
       (jnp.zeros((Hq, 1), jnp.float32) if sinks is None
        else jnp.asarray(sinks, jnp.float32).reshape(Hq, 1)))
+
+
+def _paged_decode_kernel_packed(
+    # scalar prefetch
+    bt_ref,       # [B, MB] int32 page ids
+    kvlen_ref,    # [B] int32
+    # inputs
+    q_ref,        # [1, Hq, 128] VMEM (query in lane slot 0, zero elsewhere)
+    k_hbm,        # [NB, Hkv, BS*D//128, 128] ANY (lane-packed page view)
+    v_hbm,
+    sinks_ref,    # [Hq, 1] f32
+    sel_ref,      # [r, 128, 128] bf16 lane-selection matrices
+    # outputs
+    o_ref,        # [1, Hq, 128] VMEM (result in lane slot 0)
+    # scratch
+    k_buf,        # [2, Hkv, TS//r, 128]
+    v_buf,
+    m_buf,        # [Hq, 128] f32
+    l_buf,
+    acc_buf,      # [Hq, 128] f32
+    k_sems,
+    v_sems,
+    *,
+    tile_size: int,
+    page_size: int,
+    n_kv_heads: int,
+    head_dim: int,
+    scale: float,
+    sliding_window: Optional[int],
+    logit_cap: Optional[float],
+    has_sinks: bool,
+):
+    """Sub-128 head dims: Mosaic can't DMA pages whose trailing dim is
+    below the 128-lane tile, so the page view packs r = 128//D consecutive
+    tokens per lane row and the kernel runs r lane-shifted q dots per tile
+    (same FLOPs, aligned DMAs)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    TS, BS, D = tile_size, page_size, head_dim
+    r = 128 // D
+    rows_per_page = BS // r
+    PPT = TS // BS
+    kv_len = kvlen_ref[b]
+    n_tiles = pl.cdiv(kv_len, TS)
+
+    def start_tile_dma(tile, slot):
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            pltpu.make_async_copy(
+                k_hbm.at[page],
+                k_buf.at[slot, :, pl.ds(p * rows_per_page, rows_per_page),
+                         :],
+                k_sems.at[slot, p]).start()
+            pltpu.make_async_copy(
+                v_hbm.at[page],
+                v_buf.at[slot, :, pl.ds(p * rows_per_page, rows_per_page),
+                         :],
+                v_sems.at[slot, p]).start()
+
+    def wait_tile_dma(tile, slot):
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            pltpu.make_async_copy(
+                k_hbm.at[page],
+                k_buf.at[slot, :, pl.ds(p * rows_per_page, rows_per_page),
+                         :],
+                k_sems.at[slot, p]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[page],
+                v_buf.at[slot, :, pl.ds(p * rows_per_page, rows_per_page),
+                         :],
+                v_sems.at[slot, p]).wait()
+
+    @pl.when(t == 0)
+    def _init():
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+        start_tile_dma(0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch():
+        start_tile_dma(t + 1, (t + 1) % 2)
+
+    @pl.when(t < n_tiles)
+    def _compute():
+        slot = t % 2
+        wait_tile_dma(t, slot)
+
+        Hq = q_ref.shape[1]
+        G = Hq // n_kv_heads
+        TSp = TS // r
+        qfull = q_ref[0].astype(jnp.float32) * scale      # [Hq, 128]
+
+        # lane-selection matrices (input sel_ref): P_i[l, d] = 1 iff
+        # l == i*D + d (d < D) — moving sub-slot i's lanes down to [0, D)
+        # is a matmul, which Mosaic handles where lane rolls/slices don't
+        sels = [sel_ref[i] for i in range(r)]
+
+        m_prev = m_buf[:, :1]
+        l_prev = l_buf[:, :1]
+        acc_prev = acc_buf[:]
+
+        m_rows, l_rows, acc_rows = [], [], []
+        for h in range(n_kv_heads):
+            k_h = k_buf[slot, h]        # [TSp, 128] (r tokens per row)
+            v_h = v_buf[slot, h]
+            m_p = m_prev[h * G:(h + 1) * G]
+            l_p = l_prev[h * G:(h + 1) * G]
+            a_p = acc_prev[h * G:(h + 1) * G]
+            qs = qfull[h * G:(h + 1) * G].astype(jnp.bfloat16)
+
+            subs = []
+            m_c = m_p
+            for i in range(r):
+                k_i = jnp.dot(k_h, sels[i],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)      # [TSp, 128]
+                s = jax.lax.dot_general(
+                    qs, k_i, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [G, TSp]
+                if logit_cap:
+                    s = logit_cap * jnp.tanh(s / logit_cap)
+                kv_pos = (t * TS + i
+                          + r * jax.lax.broadcasted_iota(jnp.int32, (1, TSp),
+                                                         1))
+                valid = kv_pos < kv_len
+                if sliding_window is not None:
+                    valid &= kv_pos >= kv_len - sliding_window
+                s = jnp.where(valid, s, NEG_INF)
+                subs.append(s)
+                m_c = jnp.maximum(m_c, jnp.max(s, axis=1, keepdims=True))
+
+            alpha = jnp.exp(m_p - m_c)
+            l_n = l_p * alpha
+            a_n = a_p * alpha
+            for i in range(r):
+                p_ = jnp.exp(subs[i] - m_c)               # [G, TSp]
+                l_n = l_n + jnp.sum(p_, axis=1, keepdims=True)
+                v_i = jnp.dot(v_h, sels[i],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)      # [TSp, 128]
+                pv = jnp.dot(p_.astype(jnp.bfloat16), v_i,
+                             preferred_element_type=jnp.float32)  # [G, 128]
+                a_n = a_n + pv
+            m_rows.append(m_c)
+            l_rows.append(l_n)
+            acc_rows.append(a_n)
+
+        m_buf[:, :1] = jnp.concatenate(m_rows, axis=0)
+        l_buf[:, :1] = jnp.concatenate(l_rows, axis=0)
+        acc_buf[:] = jnp.concatenate(acc_rows, axis=0)
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        l = l_buf[:, :1]
+        if has_sinks:
+            l = l + jnp.exp(sinks_ref[:, :1] - m_buf[:, :1])
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_buf[:] / safe_l).astype(o_ref.dtype)

@@ -138,3 +138,30 @@ def test_paged_decode_sinks():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("D", [64, 32])
+def test_paged_decode_packed_subtile_head_dim(D):
+    """Sub-128 head dims run the lane-packed kernel (r tokens per lane
+    row, r shifted dots) — parity vs the XLA gather path."""
+    from tensorrt_llm_tpu.ops.attention_xla import paged_decode_xla
+
+    rng = np.random.RandomState(3)
+    B, Hq, Hkv, BS, MB = 2, 8, 2, 8, 8
+    NB = B * MB + 1
+    key = jax.random.PRNGKey(4)
+    k_cache, v_cache = make_cache(key, NB, Hkv, BS, D)
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, Hq, D), jnp.bfloat16)
+    sinks = jax.random.normal(jax.random.PRNGKey(8), (Hq,), jnp.float32)
+    tables = jnp.asarray(np.arange(1, NB).reshape(B, MB).astype(np.int32))
+    kv_lens = jnp.asarray(np.array([13, 64], np.int32))
+    for sk in (None, sinks):
+        ref = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens,
+                               scale=0.1, sliding_window=24, sinks=sk)
+        out = paged_decode_attention(q, k_cache, v_cache, tables, kv_lens,
+                                     scale=0.1, sliding_window=24,
+                                     sinks=sk, tile_size=2 * BS,
+                                     interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            rtol=2e-2, atol=2e-2)
