@@ -270,10 +270,12 @@ class LLM:
     def generate_async(self, prompt, sampling_params: Optional[SamplingParams] = None,
                        streaming: bool = False,
                        disaggregated_params=None,
-                       lora_request: Optional[str] = None) -> "GenerationFuture":
+                       lora_request: Optional[str] = None,
+                       cache_salt: Optional[str] = None) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
         prompt_embeds = None
         mm_extra = None
+        mm_hash = None
         if isinstance(prompt, dict):
             # multimodal prompt schema (reference inputs/registry.py):
             # {"prompt" | "prompt_token_ids", "multi_modal_data": {"image": [...]}}
@@ -287,6 +289,17 @@ class LLM:
             images = mm.get("image") or []
             audios = mm.get("audio") or []
             if images or audios:
+                # KV-reuse identity: two prompts with identical token ids but
+                # different pixels must NOT share cached KV blocks — hash the
+                # raw multimodal content into the reuse salt (reference
+                # BlockKey mm hashes, kvCacheManager.h:148-195).
+                import hashlib
+                hh = hashlib.sha256()
+                for a in (*images, *audios):
+                    arr = np.asarray(a)
+                    hh.update(str(arr.shape).encode())
+                    hh.update(arr.tobytes())
+                mm_hash = hh.hexdigest()[:32]
                 pix = []
                 if images:
                     if hasattr(self.model, "preprocess_images"):
@@ -319,9 +332,19 @@ class LLM:
             rtype = disaggregated_params.request_type
             if rtype == "context_only":
                 sampling_params.max_tokens = 1
+        # Fold everything that changes KV content for the same token ids into
+        # the prefix-reuse identity (reference BlockKey{tokens, loraTaskId,
+        # mm hashes, salt}, kvCacheManager.h:148-195): user salt, LoRA
+        # adapter name, multimodal content hash.
+        salt_parts = [] if cache_salt is None else [f"user:{cache_salt}"]
+        if lora_request is not None:
+            salt_parts.append(f"lora:{lora_request}")
+        if mm_hash is not None:
+            salt_parts.append(f"mm:{mm_hash}")
         req = LlmRequest(token_ids, sampling_params, request_type=rtype,
                          disagg_params=disaggregated_params,
-                         lora_request=lora_request)
+                         lora_request=lora_request,
+                         cache_salt="|".join(salt_parts) or None)
         if lora_request is not None:
             assert self.lora_manager is not None, \
                 "pass lora_adapters={name: path} to LLM to enable multi-LoRA"

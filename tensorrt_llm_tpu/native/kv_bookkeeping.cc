@@ -264,7 +264,12 @@ void tllm_kvbm_free_seq(void* h, int64_t seq) {
 void tllm_kvbm_block_table(void* h, int64_t seq, int32_t* out,
                            int64_t max_blocks) {
   Manager& m = *static_cast<Manager*>(h);
-  const auto& ids = m.sequences[seq].block_ids;
+  auto it = m.sequences.find(seq);
+  if (it == m.sequences.end()) {  // unknown/freed: zero-fill, no phantom entry
+    for (int64_t i = 0; i < max_blocks; ++i) out[i] = 0;
+    return;
+  }
+  const auto& ids = it->second.block_ids;
   int64_t n = (int64_t)ids.size() < max_blocks ? (int64_t)ids.size()
                                                : max_blocks;
   for (int64_t i = 0; i < n; ++i) out[i] = ids[i];
@@ -275,7 +280,9 @@ void tllm_kvbm_block_table(void* h, int64_t seq, int32_t* out,
 int32_t tllm_kvbm_slot_mapping(void* h, int64_t seq, int64_t start, int64_t n,
                                int32_t* out) {
   Manager& m = *static_cast<Manager*>(h);
-  const auto& ids = m.sequences[seq].block_ids;
+  auto it = m.sequences.find(seq);
+  if (it == m.sequences.end()) return -1;  // unknown id: surface, don't insert
+  const auto& ids = it->second.block_ids;
   for (int64_t i = 0; i < n; ++i) {
     int64_t pos = start + i;
     int64_t b = pos / m.block_size;

@@ -77,6 +77,12 @@ class BeamSearch:
         logp = _log_softmax(np.asarray(logits_row, np.float32))
         top = np.argsort(logp)[::-1][: self.width]
         prompt = list(self.req.prompt_token_ids)
+        # Fork ALL non-root beams from the request's sequence before any
+        # _admit: if beam 0 finishes immediately (max_tokens==1 or EOS is the
+        # argmax token), _admit frees its sequence and a later fork from it
+        # would raise.  Ring pairs mirror step(): VSWA sliding-layer rings
+        # need their own slot copies at seeding too.
+        seeded = []
         for j, tok in enumerate(top):
             if j == 0:
                 sid = self.req.request_id
@@ -84,9 +90,12 @@ class BeamSearch:
                 sid = _new_seq_id()
                 self.engine.copy_kv_blocks(
                     self.kv.fork_sequence(self.req.request_id, sid),
+                    getattr(self.kv, "ring_fork_pairs",
+                            lambda *a: None)(self.req.request_id, sid),
                     owner=self.owner)
-            seq = _BeamSeq(sid, prompt + [int(tok)])
-            self._admit(seq, float(logp[tok]))
+            seeded.append((sid, int(tok)))
+        for sid, tok in seeded:
+            self._admit(_BeamSeq(sid, prompt + [tok]), float(logp[tok]))
         self._check_done()
 
     def _score(self, tokens_out_len: int, cum: float) -> float:

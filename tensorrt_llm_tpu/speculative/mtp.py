@@ -91,12 +91,17 @@ class MTPDrafter(Drafter):
         }
         if self.cfg.mtp_weights is not None:
             self.load_weights(self.cfg.mtp_weights)
-        # single-layer pool sharing the main pool geometry
+        # Single-layer pool sharing the main pool geometry.  Under
+        # attention-DP kv.num_blocks is the PER-RANK count while _place()
+        # shards the block axis over 'dp' — size the global axis as
+        # num_blocks * dp_size (matching DpKVCacheManager.allocate_pools) so
+        # each rank's shard covers the full rank-local slot-id range.
+        n_blocks = kv.num_blocks * max(getattr(kv, "dp_size", 1), 1)
         if cfg.is_mla:
-            shape = (kv.num_blocks, 1, kv.block_size, cfg.kv_pool_dim)
+            shape = (n_blocks, 1, kv.block_size, cfg.kv_pool_dim)
             self.pool = jnp.zeros(shape, jnp.bfloat16)
         else:
-            shape = (kv.num_blocks, cfg.num_kv_heads, kv.block_size,
+            shape = (n_blocks, cfg.num_kv_heads, kv.block_size,
                      cfg.head_dim)
             self.pool = (jnp.zeros(shape, jnp.bfloat16),
                          jnp.zeros(shape, jnp.bfloat16))

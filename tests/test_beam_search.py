@@ -217,3 +217,23 @@ def test_beam_search_under_cp_matches_single_device(cp_type):
     finally:
         llm.shutdown()
     assert got == want, (got, want)
+
+
+def test_beam_search_max_tokens_one():
+    """Regression: beam 0 finishing at seeding (max_tokens==1) used to free
+    the parent KV sequence before the other beams forked from it, killing
+    the executor thread.  All beams must seed, and the executor must stay
+    alive for later requests."""
+    llm = _mk_llm()
+    sp = SamplingParams(max_tokens=1, use_beam_search=True, best_of=3, n=3,
+                        ignore_eos=True)
+    try:
+        out = llm.generate([[5, 9, 2]], sp)[0]
+        assert len(out.outputs) == 3
+        assert all(len(o.token_ids) == 1 for o in out.outputs)
+        # executor survived: a normal request still completes
+        out2 = llm.generate([[4, 8]], SamplingParams(max_tokens=4,
+                                                     ignore_eos=True))[0]
+        assert len(out2.outputs[0].token_ids) == 4
+    finally:
+        llm.shutdown()

@@ -150,3 +150,31 @@ def test_multi_lora_under_tp(tmp_path):
     assert got1 == got2, (got1, got2)
     # adapters actually change outputs
     assert got1["a1"] != base1 or got1["a2"] != base1
+
+
+def test_kv_reuse_keyed_on_lora_identity(tmp_path):
+    """Identical token ids under different LoRA adapters must NOT share
+    cached KV blocks (reference BlockKey folds loraTaskId into the reuse
+    key, kvCacheManager.h:148-195); same-adapter repeats still reuse."""
+    ckpt = write_checkpoint(str(tmp_path / "ckpt"))
+    ada = write_adapter(str(tmp_path / "a"), seed=1)
+    adb = write_adapter(str(tmp_path / "b"), seed=2)
+    prompt = list(range(1, 17))  # two full 8-token blocks
+
+    llm = mk_llm(ckpt, lora_adapters={"a": ada, "b": adb})
+
+    def run(**kw):
+        fut = llm.generate_async(list(prompt), SP, **kw)
+        fut.result(timeout=120)
+        return fut.req.num_cached_tokens
+
+    try:
+        assert run() == 0                       # cold
+        assert run() > 0                        # base reuses base
+        assert run(lora_request="a") == 0       # adapter != base: no reuse
+        assert run(lora_request="a") > 0        # same adapter reuses
+        assert run(lora_request="b") == 0       # different adapter: no reuse
+        assert run(cache_salt="tenant-x") == 0  # user salt isolates
+        assert run(cache_salt="tenant-x") > 0
+    finally:
+        llm.shutdown()
