@@ -417,6 +417,12 @@ class LLM:
     def tokenizer(self):
         return self._tokenizer
 
+    @property
+    def num_devices(self) -> int:
+        """Chips this instance computes on (per-chip throughput divisor)."""
+        mesh = getattr(self.engine, "mesh", None)
+        return mesh.devices.size if mesh is not None else 1
+
     def get_stats(self) -> List[dict]:
         return self.executor.get_stats()
 

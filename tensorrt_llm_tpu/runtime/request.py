@@ -91,6 +91,7 @@ class LlmRequest:
 
         self.logprobs: List[dict] = []
         self.stop_string: Optional[str] = None  # which stop string matched
+        self.token_times: List[tuple] = []      # (cum tokens, time) per emit
 
         # disaggregated serving (reference llmRequest.h:76-81 request types)
         self.request_type = request_type   # full | context_only | generation_only
@@ -173,6 +174,11 @@ class LlmRequest:
     def emit(self, finished: bool, error: Optional[str] = None):
         new = self.output_token_ids[self._streamed:]
         self._streamed = len(self.output_token_ids)
+        if new:
+            # (cumulative tokens, wall time) per emission — feeds the bench
+            # CLI's inter-token-latency percentiles (reference
+            # bench/dataclasses/statistics.py per-token timestamps)
+            self.token_times.append((self._streamed, time.time()))
         self.out_queue.put(RequestOutputPiece(
             request_id=self.request_id,
             new_token_ids=new,
