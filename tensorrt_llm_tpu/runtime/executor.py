@@ -128,6 +128,18 @@ class PyExecutor:
         self._thread: Optional[threading.Thread] = None
         self._error: Optional[BaseException] = None
 
+        # Multi-host lockstep (reference: rank-0 ingestion + broadcast,
+        # executor_request_queue.py:346-426): with >1 controller processes
+        # every rank must see the same requests in the same iteration, so
+        # ingestion becomes a collective: rank 0 drains its local queue and
+        # broadcasts (requests, cancels, shutdown) to all ranks each loop
+        # iteration.
+        import jax
+        self._num_procs = jax.process_count()
+        self._proc_id = jax.process_index()
+        self._stop_loop = False
+        self._cancel_sync: set = set()
+
     # ---------------------------------------------------------------- lifecycle --
     def start(self):
         assert self._thread is None
@@ -166,7 +178,11 @@ class PyExecutor:
     # ---------------------------------------------------------------- loop ------
     def _loop_main(self):
         try:
-            while not self._shutdown.is_set():
+            # multiproc: only the collective stop flag ends the loop, so
+            # rank 0 always broadcasts shutdown before leaving and no rank
+            # hangs in the ingest collective
+            while not self._stop_loop and (
+                    self._num_procs > 1 or not self._shutdown.is_set()):
                 worked = self._step()
                 self.watchdog.heartbeat(
                     busy=bool(self.active or self.waiting))
@@ -181,6 +197,9 @@ class PyExecutor:
                 req.emit(finished=True, error=str(e))
 
     def _fetch_new_requests(self):
+        if self._num_procs > 1:
+            self._fetch_new_requests_multiproc()
+            return
         while True:
             try:
                 req = self.request_queue.get_nowait()
@@ -189,6 +208,66 @@ class PyExecutor:
             if req.request_type == "generation_only":
                 self._admit_generation_only(req)
             else:
+                self.waiting.append(req)
+
+    def _fetch_new_requests_multiproc(self):
+        """Collective ingestion: exactly one broadcast pair per loop
+        iteration on every rank, so ranks self-synchronize on the header
+        collective.  The payload carries (new requests, cancellations,
+        shutdown flag); non-zero ranks reconstruct shadow LlmRequests with
+        rank-0's request ids so KV bookkeeping stays identical everywhere."""
+        import pickle
+
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        if self._proc_id == 0:
+            reqs = []
+            while True:
+                try:
+                    req = self.request_queue.get_nowait()
+                except queue.Empty:
+                    break
+                assert req.request_type == "full", (
+                    "disaggregated request types are single-controller only")
+                reqs.append(req)
+            payload = pickle.dumps({
+                "reqs": [(r.request_id, r.prompt_token_ids,
+                          r.sampling_params, r.cache_salt, r.lora_request)
+                         for r in reqs],
+                "cancel": sorted(self._cancelled),
+                "stop": self._shutdown.is_set(),
+            })
+            # pad to a power-of-two bucket: broadcast shapes must match on
+            # all ranks and stay few to bound pjit cache entries
+            size = max(64, 1 << (len(payload) - 1).bit_length())
+            header = np.array([len(payload), size], np.int64)
+            buf = np.zeros(size, np.uint8)
+            buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+        else:
+            reqs = None
+            header = np.zeros(2, np.int64)
+        header = np.asarray(multihost_utils.broadcast_one_to_all(header))
+        nbytes, size = int(header[0]), int(header[1])
+        if self._proc_id != 0:
+            buf = np.zeros(size, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        state = pickle.loads(buf[:nbytes].tobytes())
+
+        # every rank handles exactly the broadcast cancel set this iteration
+        # (a cancel() arriving on rank 0 mid-iteration must wait for the next
+        # broadcast or ranks would free KV on different iterations)
+        self._cancel_sync = set(state["cancel"])
+        if state["stop"]:
+            self._stop_loop = True
+        if self._proc_id == 0:
+            self.waiting.extend(reqs)
+        else:
+            for rid, toks, sp, salt, lora in state["reqs"]:
+                req = LlmRequest(list(toks), sp, request_id=rid,
+                                 cache_salt=salt, lora_request=lora)
+                # keep beam/fork id allocation in lockstep with rank 0
+                LlmRequest._id_counter = max(LlmRequest._id_counter, rid)
                 self.waiting.append(req)
 
     def _admit_generation_only(self, req):
@@ -215,20 +294,26 @@ class PyExecutor:
         self.active.append(req)
 
     def _handle_cancellations(self):
-        if not self._cancelled:
+        # multiproc: act only on the collectively-agreed cancel set so every
+        # rank frees KV in the same iteration
+        pending = (self._cancel_sync if self._num_procs > 1
+                   else self._cancelled)
+        if not pending:
             return
         for req in list(self.active):
-            if req.request_id in self._cancelled:
+            if req.request_id in pending:
                 self.kv.free_sequence(req.request_id)
                 self.active.remove(req)
                 req.finish(FinishReason.CANCELLED)
                 req.emit(finished=True)
+                pending.discard(req.request_id)
                 self._cancelled.discard(req.request_id)
         for req in list(self.waiting):
-            if req.request_id in self._cancelled:
+            if req.request_id in pending:
                 self.waiting.remove(req)
                 req.finish(FinishReason.CANCELLED)
                 req.emit(finished=True)
+                pending.discard(req.request_id)
                 self._cancelled.discard(req.request_id)
 
     def _step(self) -> bool:

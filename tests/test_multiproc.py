@@ -1,0 +1,76 @@
+"""Multi-host executor path, exercised for real as 2 OS processes.
+
+SURVEY.md §4(b): the reference's multi-GPU tests need hardware; our
+multi-host story is testable with multiprocess CPU JAX (gloo collectives).
+Two processes each hold 2 virtual CPU devices; the LLM builds a TP=4 mesh
+spanning both, rank 0 ingests + broadcasts requests every loop iteration
+(reference `executor_request_queue.py:346-426`), and the greedy outputs
+must exactly match a single-process TP=4 run of the same model.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+WORKER = Path(__file__).parent / "multiproc_worker.py"
+REPO_ROOT = Path(__file__).parent.parent
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_tp_matches_single_process(tmp_path):
+    port = _free_port()
+    out_path = tmp_path / "rank0.json"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(rank), "2", str(port),
+             str(out_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO_ROOT),
+            env={**os.environ,
+                 "PYTHONPATH": str(REPO_ROOT) + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")})
+        for rank in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out.decode(errors="replace"))
+            assert p.returncode == 0, (
+                f"worker failed (rc={p.returncode}):\n{logs[-1][-4000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    multi = json.loads(out_path.read_text())
+
+    # single-process reference: same model/config, TP=4 on the in-process
+    # 8-device virtual mesh — greedy outputs must match exactly
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    from multiproc_worker import PROMPTS, TINY
+
+    llm = LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+              max_seq_len=128, max_batch_size=8, kv_num_blocks=128,
+              kv_block_size=8, tensor_parallel_size=4)
+    try:
+        outs = llm.generate(PROMPTS,
+                            SamplingParams(max_tokens=8, ignore_eos=True))
+        single = [o.outputs[0].token_ids for o in outs]
+    finally:
+        llm.shutdown()
+
+    assert multi == single
