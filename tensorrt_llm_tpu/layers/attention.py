@@ -122,7 +122,8 @@ class Attention:
                 bcols.append(q_b[r * qh * D:(r + 1) * qh * D])
                 bcols.append(k_b[r * kvh * D:(r + 1) * kvh * D])
                 bcols.append(v_b[r * kvh * D:(r + 1) * kvh * D])
-        fused_w = jnp.concatenate(cols, axis=1)
+        from tensorrt_llm_tpu.quantization.hf_ingest import wcat
+        fused_w = wcat(cols, axis=1)
         fused_b = jnp.concatenate(bcols) if bcols else None
         p = {"qkv": self.qkv.quantize_from_float(fused_w, fused_b),
              "o": self.o.quantize_from_float(o_w, o_b)}

@@ -311,11 +311,24 @@ class Linear:
                 if self.has_bias else None)
         return self.method.make_params(w, bias, self.dtype)
 
-    def quantize_from_float(self, w: jax.Array,
+    def quantize_from_float(self, w,
                             bias: Optional[jax.Array] = None) -> Params:
-        """Pack *full* (unsharded) float weights [in, out]."""
+        """Pack *full* (unsharded) weights [in, out].  `w` is float OR a
+        pre-quantized QTensor from an AWQ/GPTQ checkpoint — the latter is
+        packed exactly, never re-quantized (reference linear.py:1618-1692)."""
         assert w.shape == (self.in_features, self.out_features), (
             w.shape, (self.in_features, self.out_features))
+        from tensorrt_llm_tpu.quantization.hf_ingest import QTensor
+        if isinstance(w, QTensor):
+            if isinstance(self.method, W4A16LinearMethod):
+                if self.method.group_size != w.group_size:
+                    self.method.group_size = w.group_size
+                return self.method.from_quantized(
+                    jnp.asarray(w.q), jnp.asarray(w.scales),
+                    None if w.zeros is None else jnp.asarray(w.zeros), bias)
+            # excluded/other-method layer in a quantized checkpoint:
+            # exact dequantization, then that method's own packing
+            w = jnp.asarray(w.dequant())
         return self.method.make_params(w, bias, self.dtype)
 
     def param_specs(self) -> Dict[str, P]:

@@ -65,7 +65,8 @@ class GatedMLP:
         for r in range(tp):
             cols.append(gate_w[:, r * per:(r + 1) * per])
             cols.append(up_w[:, r * per:(r + 1) * per])
-        fused_w = jnp.concatenate(cols, axis=1)
+        from tensorrt_llm_tpu.quantization.hf_ingest import wcat
+        fused_w = wcat(cols, axis=1)
         fused_b = None
         if gate_b is not None:
             bcols = []

@@ -92,6 +92,29 @@ class LLM:
             model_path = str(a.model)
             from transformers import AutoConfig
             hf_cfg = AutoConfig.from_pretrained(model_path)
+            if quant is None:
+                # pre-quantized HF checkpoint (AWQ/GPTQ): adopt its config so
+                # LLM(model=awq_dir) just works (reference linear.py:1618-1692)
+                from tensorrt_llm_tpu.quantization.hf_ingest import (
+                    quant_config_from_hf)
+                hq = quant_config_from_hf(
+                    getattr(hf_cfg, "quantization_config", None))
+                if hq is not None:
+                    from tensorrt_llm_tpu.quantization import (
+                        QuantAlgo as _QA, QuantConfig as _QC)
+                    kwargs = dict(quant_algo=_QA(hq["algo"]),
+                                  group_size=hq["group_size"],
+                                  has_zero_point=True,
+                                  pre_quantized=True,
+                                  ckpt_format=hq["format"],
+                                  ckpt_v2=hq["v2"])
+                    if hq["exclude_modules"]:
+                        kwargs["exclude_modules"] = tuple(
+                            hq["exclude_modules"]) + ("embed",)
+                    quant = _QC(**kwargs)
+                    logger.info("adopting %s quantization_config "
+                                "(group_size=%d) from checkpoint",
+                                hq["format"], hq["group_size"])
             cfg = ModelConfig.from_hf_config(hf_cfg, quant=quant,
                                              mapping=mapping, dtype=a.dtype)
             params = None

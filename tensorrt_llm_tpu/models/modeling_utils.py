@@ -941,7 +941,22 @@ class DecoderModelForCausalLM:
         import numpy as np
         cfg = self.cfg
 
+        quant = cfg.quant
+        pre_q = bool(quant is not None
+                     and getattr(quant, "pre_quantized", False))
+
         def t(name):  # HF linear weights are [out, in] -> ours [in, out]
+            if pre_q:
+                # AWQ/GPTQ checkpoint: quantized linears ship
+                # qweight/qzeros/scales instead of .weight — ingest exactly
+                # (QTensor is already [in, out]; floats still transpose)
+                from tensorrt_llm_tpu.quantization.hf_ingest import (
+                    maybe_load_quantized)
+                qt = maybe_load_quantized(get_tensor, name,
+                                          quant.ckpt_format,
+                                          v2=quant.ckpt_v2)
+                if qt is not None:
+                    return qt
             return jnp.asarray(np.asarray(get_tensor(name))).astype(jnp.float32).T
 
         def vec(name):

@@ -52,6 +52,12 @@ class QuantConfig:
     has_zero_point: bool = False
     # Module name substrings excluded from quantization (e.g. lm_head).
     exclude_modules: tuple = field(default_factory=lambda: ("lm_head", "embed"))
+    # Checkpoint carries qweight/qzeros/scales tensors (HF AWQ/GPTQ); the
+    # weight loader ingests them exactly instead of re-quantizing floats
+    # (reference: _torch/modules/linear.py:1618-1692).
+    pre_quantized: bool = False
+    ckpt_format: Optional[str] = None   # "awq" | "gptq"
+    ckpt_v2: bool = False               # gptq_v2 zeros convention
 
     @property
     def is_weight_only_w4(self) -> bool:
