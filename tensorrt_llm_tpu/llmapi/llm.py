@@ -294,7 +294,9 @@ class LLM:
                        streaming: bool = False,
                        disaggregated_params=None,
                        lora_request: Optional[str] = None,
-                       cache_salt: Optional[str] = None) -> "GenerationFuture":
+                       cache_salt: Optional[str] = None,
+                       kv_retention_priority: Optional[int] = None,
+                       ) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
         prompt_embeds = None
         mm_extra = None
@@ -367,7 +369,8 @@ class LLM:
         req = LlmRequest(token_ids, sampling_params, request_type=rtype,
                          disagg_params=disaggregated_params,
                          lora_request=lora_request,
-                         cache_salt="|".join(salt_parts) or None)
+                         cache_salt="|".join(salt_parts) or None,
+                         retention_priority=kv_retention_priority)
         if lora_request is not None:
             assert self.lora_manager is not None, \
                 "pass lora_adapters={name: path} to LLM to enable multi-LoRA"

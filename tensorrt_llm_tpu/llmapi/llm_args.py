@@ -54,6 +54,10 @@ class LlmArgs:
     kv_num_blocks: Optional[int] = None
     free_mem_fraction: float = 0.85
     enable_block_reuse: bool = True
+    # secondary host-memory KV tier: evicted reuse blocks offload to host
+    # RAM and onboard back on a prefix hit (reference KvCacheConfig
+    # host_cache_size / secondary pool).  0 = off.
+    kv_host_cache_blocks: int = 0
 
     # scheduler
     scheduler_policy: str = "guaranteed_no_evict"
@@ -148,6 +152,7 @@ class LlmArgs:
             free_mem_fraction=self.free_mem_fraction,
             enable_block_reuse=self.enable_block_reuse,
             kv_quant=KvCacheQuantAlgo(self.kv_cache_quant),
+            host_cache_blocks=self.kv_host_cache_blocks,
         )
 
     def make_scheduler_config(self) -> SchedulerConfig:

@@ -83,6 +83,9 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tllm_kvbm_match.restype = i64
     lib.tllm_kvbm_match.argtypes = [p, pi32, i64, u64, i32]
     lib.tllm_kvbm_stats.argtypes = [p, pi64]
+    lib.tllm_kvbm_set_priority.argtypes = [p, i64, i32]
+    lib.tllm_kvbm_drain_evictions.restype = i64
+    lib.tllm_kvbm_drain_evictions.argtypes = [p, pi32, i64]
     return lib
 
 

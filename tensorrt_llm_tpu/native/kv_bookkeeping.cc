@@ -20,6 +20,7 @@
 #include <cstring>
 #include <deque>
 #include <list>
+#include <map>
 #include <unordered_map>
 #include <vector>
 
@@ -46,12 +47,17 @@ uint64_t chain_hash(uint64_t parent, const int32_t* toks, int64_t n,
   return h;
 }
 
+// Default retention priority (reference KvCacheRetentionConfig,
+// executor.h:559).
+constexpr int32_t kDefaultPriority = 35;
+
 struct SeqInfo {
   std::vector<int32_t> block_ids;
   std::vector<uint64_t> block_hashes;
   int64_t num_tokens = 0;
   uint64_t salt = 0;
   int has_salt = 0;
+  int32_t priority = kDefaultPriority;
 };
 
 struct Manager {
@@ -64,11 +70,22 @@ struct Manager {
   std::vector<int32_t> ref_count;
   std::vector<uint64_t> block_hash;
   std::vector<uint8_t> has_hash;
+  std::vector<int32_t> block_priority;  // set at seal (first-writer wins)
   std::unordered_map<uint64_t, int32_t> cached;  // full-block reuse index
-  // LRU of evictable cached blocks: least-recently-inserted first
-  std::list<int32_t> evict_order;
-  std::unordered_map<int32_t, std::list<int32_t>::iterator> evict_pos;
+  // Evictable cached blocks bucketed by retention priority: the lowest
+  // priority evicts first, LRU (least-recently-inserted) within a bucket —
+  // reference priority eviction (evictionPolicy.h:29,70).
+  std::map<int32_t, std::list<int32_t>> evict_buckets;
+  struct EvictPos {
+    int32_t priority;
+    std::list<int32_t>::iterator it;
+  };
+  std::unordered_map<int32_t, EvictPos> evict_pos;
+  int64_t n_evictable = 0;
   std::unordered_map<int64_t, SeqInfo> sequences;
+  // Blocks dropped from the reuse index since the last drain (the Python
+  // wrapper offloads their contents to the host tier).
+  std::vector<int32_t> pending_evictions;
 
   // stats (reference KvCacheStats, kvCacheManager.h:213-236)
   int64_t num_reused = 0;
@@ -77,13 +94,14 @@ struct Manager {
 
   explicit Manager(int32_t nb, int32_t bs, bool reuse)
       : num_blocks(nb), block_size(bs), enable_reuse(reuse),
-        ref_count(nb, 0), block_hash(nb, 0), has_hash(nb, 0) {
+        ref_count(nb, 0), block_hash(nb, 0), has_hash(nb, 0),
+        block_priority(nb, kDefaultPriority) {
     // block 0 is the reserved null block (padding rows in block tables)
     for (int32_t i = 1; i < nb; ++i) free_blocks.push_back(i);
   }
 
   int64_t num_free() const {
-    return (int64_t)free_blocks.size() + (int64_t)evict_order.size();
+    return (int64_t)free_blocks.size() + n_evictable;
   }
 
   int32_t take_block() {
@@ -91,15 +109,19 @@ struct Manager {
     if (!free_blocks.empty()) {
       bid = free_blocks.front();
       free_blocks.pop_front();
-    } else if (!evict_order.empty()) {
-      bid = evict_order.front();
-      evict_order.pop_front();
+    } else if (n_evictable > 0) {
+      auto bit = evict_buckets.begin();  // lowest priority first
+      bid = bit->second.front();
+      bit->second.pop_front();
+      if (bit->second.empty()) evict_buckets.erase(bit);
       evict_pos.erase(bid);
+      --n_evictable;
       if (has_hash[bid]) {
         cached.erase(block_hash[bid]);
         has_hash[bid] = 0;
       }
       ++num_evicted;
+      pending_evictions.push_back(bid);
     } else {
       return -1;  // out of blocks
     }
@@ -112,8 +134,11 @@ struct Manager {
     if (ref_count[bid] == 0) {
       auto it = evict_pos.find(bid);
       if (it != evict_pos.end()) {
-        evict_order.erase(it->second);
+        auto bit = evict_buckets.find(it->second.priority);
+        bit->second.erase(it->second.it);
+        if (bit->second.empty()) evict_buckets.erase(bit);
         evict_pos.erase(it);
+        --n_evictable;
       }
     }
     ++ref_count[bid];
@@ -123,8 +148,10 @@ struct Manager {
     --ref_count[bid];
     if (ref_count[bid] == 0) {
       if (has_hash[bid] && enable_reuse) {
-        evict_order.push_back(bid);
-        evict_pos[bid] = std::prev(evict_order.end());
+        auto& bucket = evict_buckets[block_priority[bid]];
+        bucket.push_back(bid);
+        evict_pos[bid] = {block_priority[bid], std::prev(bucket.end())};
+        ++n_evictable;
       } else {
         free_blocks.push_back(bid);
       }
@@ -210,10 +237,32 @@ void tllm_kvbm_seal(void* h, int64_t seq, const int32_t* toks, int64_t n) {
       m.cached[hh] = bid;
       m.block_hash[bid] = hh;
       m.has_hash[bid] = 1;
+      m.block_priority[bid] = info.priority;
     }
     info.block_hashes.push_back(hh);
     parent = hh;
   }
+}
+
+// Set the retention priority used for blocks this sequence seals from now
+// on (reference KvCacheRetentionConfig decode/context priorities).
+void tllm_kvbm_set_priority(void* h, int64_t seq, int32_t priority) {
+  Manager& m = *static_cast<Manager*>(h);
+  auto it = m.sequences.find(seq);
+  if (it != m.sequences.end()) it->second.priority = priority;
+}
+
+// Drain block ids evicted from the reuse index since the last call.
+// Writes up to max ids into out; returns the count (ids beyond max are
+// retained for the next drain).
+int64_t tllm_kvbm_drain_evictions(void* h, int32_t* out, int64_t max) {
+  Manager& m = *static_cast<Manager*>(h);
+  int64_t n = 0;
+  while (n < max && !m.pending_evictions.empty()) {
+    out[n++] = m.pending_evictions.front();
+    m.pending_evictions.erase(m.pending_evictions.begin());
+  }
+  return n;
 }
 
 // Fork dst from src for beam search: blocks whose KV is fully written
@@ -236,6 +285,7 @@ int64_t tllm_kvbm_fork(void* h, int64_t src, int64_t dst, int32_t* out_src,
   d.num_tokens = s.num_tokens;
   d.salt = s.salt;
   d.has_salt = s.has_salt;
+  d.priority = s.priority;
   for (int64_t i = 0; i < shared; ++i) {
     m.ref_block(s.block_ids[i]);
     d.block_ids.push_back(s.block_ids[i]);
@@ -322,7 +372,7 @@ int64_t tllm_kvbm_match(void* h, const int32_t* toks, int64_t n,
 void tllm_kvbm_stats(void* h, int64_t* out) {
   Manager& m = *static_cast<Manager*>(h);
   out[0] = (int64_t)m.free_blocks.size();
-  out[1] = (int64_t)m.evict_order.size();
+  out[1] = m.n_evictable;
   out[2] = m.num_reused;
   out[3] = m.num_allocated;
   out[4] = m.num_evicted;

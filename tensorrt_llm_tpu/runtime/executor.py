@@ -86,6 +86,10 @@ class PyExecutor:
             vocab_size or engine.model.cfg.vocab_size)
         self.engine = engine
         self.kv = engine.kv_manager
+        if hasattr(self.kv, "attach_block_io"):
+            # host KV tier rides the engine's disagg page copy machinery
+            self.kv.attach_block_io(engine.extract_kv_blocks,
+                                    engine.inject_kv_blocks)
         scheduler_cfg = scheduler_cfg or SchedulerConfig()
         # prefill chunks can never exceed the largest compiled bucket
         max_prefill = engine.prefill_buckets[-1]
@@ -233,7 +237,8 @@ class PyExecutor:
                 reqs.append(req)
             payload = pickle.dumps({
                 "reqs": [(r.request_id, r.prompt_token_ids,
-                          r.sampling_params, r.cache_salt, r.lora_request)
+                          r.sampling_params, r.cache_salt, r.lora_request,
+                          r.retention_priority)
                          for r in reqs],
                 "cancel": sorted(self._cancelled),
                 "stop": self._shutdown.is_set(),
@@ -263,9 +268,10 @@ class PyExecutor:
         if self._proc_id == 0:
             self.waiting.extend(reqs)
         else:
-            for rid, toks, sp, salt, lora in state["reqs"]:
+            for rid, toks, sp, salt, lora, prio in state["reqs"]:
                 req = LlmRequest(list(toks), sp, request_id=rid,
-                                 cache_salt=salt, lora_request=lora)
+                                 cache_salt=salt, lora_request=lora,
+                                 retention_priority=prio)
                 # keep beam/fork id allocation in lockstep with rank 0
                 LlmRequest._id_counter = max(LlmRequest._id_counter, rid)
                 self.waiting.append(req)
@@ -343,6 +349,10 @@ class PyExecutor:
                 cached = self.kv.add_sequence(req.request_id,
                                               req.prompt_token_ids,
                                               req.cache_salt)
+                if req.retention_priority is not None and \
+                        hasattr(self.kv, "set_seq_priority"):
+                    self.kv.set_seq_priority(req.request_id,
+                                             req.retention_priority)
                 req.num_cached_tokens = cached
                 req.context_position = cached
                 req.start_context()

@@ -44,6 +44,11 @@ class KVCacheConfig:
     max_tokens: Optional[int] = None
     kv_quant: KvCacheQuantAlgo = KvCacheQuantAlgo.NONE
     dtype: jnp.dtype = jnp.bfloat16
+    # Secondary host-memory tier (reference secondary block pool +
+    # onboard/offload transfers, kvCacheManager.h:1045 /
+    # kvCacheTransferManager.cpp): up to this many evicted reuse blocks are
+    # offloaded to host RAM and onboarded back on a prefix hit.  0 = off.
+    host_cache_blocks: int = 0
     # "kv": separate K and V pools per layer; "latent": one pool per layer
     # (MLA compressed KV + rope key — reference mlaCacheFormatter layout)
     layout: str = "kv"
@@ -52,14 +57,21 @@ class KVCacheConfig:
     separate_window_pools: bool = True
 
 
+# Default retention priority — reference KvCacheRetentionConfig
+# (executor.h:559) uses 35 as the default eviction priority.
+DEFAULT_RETENTION_PRIORITY = 35
+
+
 class SequenceInfo:
-    __slots__ = ("block_ids", "num_tokens", "block_hashes", "salt")
+    __slots__ = ("block_ids", "num_tokens", "block_hashes", "salt",
+                 "priority")
 
     def __init__(self):
         self.block_ids: List[int] = []
         self.num_tokens = 0
         self.block_hashes: List[int] = []
         self.salt = None
+        self.priority = DEFAULT_RETENTION_PRIORITY
 
 
 class _PyBookkeeping:
@@ -75,36 +87,66 @@ class _PyBookkeeping:
         # reuse index: chain-hash -> block_id (only FULL immutable blocks)
         self.cached_blocks: Dict[int, int] = {}
         self.block_hash: List[Optional[int]] = [None] * num_blocks
-        # LRU of evictable cached blocks (ref==0, in cached_blocks)
-        self.evictable = collections.OrderedDict()  # block_id -> None
+        # evictable cached blocks (ref==0, in cached_blocks), bucketed by
+        # retention priority: lowest priority evicts first, LRU within a
+        # bucket (reference priority eviction, evictionPolicy.h:29,70 +
+        # KvCacheRetentionConfig executor.h:559)
+        self.evictable: Dict[int, collections.OrderedDict] = {}
+        self.block_priority = [DEFAULT_RETENTION_PRIORITY] * num_blocks
         self.sequences: Dict[int, SequenceInfo] = {}
         self.num_reused_blocks = 0
         self.num_allocated_blocks = 0
         self.num_evicted_blocks = 0
+        # block ids evicted from the reuse index since the last drain — the
+        # wrapper offloads their contents to the host tier before the new
+        # owner's first device write lands (reference offload,
+        # kvCacheTransferManager.cpp)
+        self.pending_evictions: List[int] = []
 
     @staticmethod
     def _chain_hash(parent: int, tokens: tuple, salt) -> int:
         return hash((parent, tokens, salt))
 
+    def _n_evictable(self) -> int:
+        return sum(len(b) for b in self.evictable.values())
+
+    def set_seq_priority(self, seq_id: int, priority: int):
+        info = self.sequences.get(seq_id)
+        if info is not None:
+            info.priority = int(priority)
+
     def _take_block(self) -> int:
         if self.free_blocks:
             bid = self.free_blocks.popleft()
         elif self.evictable:
-            bid, _ = self.evictable.popitem(last=False)  # LRU
+            prio = min(p for p, b in self.evictable.items() if b)
+            bucket = self.evictable[prio]
+            bid, _ = bucket.popitem(last=False)  # LRU within priority
+            if not bucket:
+                del self.evictable[prio]
             h = self.block_hash[bid]
             if h is not None:
                 self.cached_blocks.pop(h, None)
                 self.block_hash[bid] = None
             self.num_evicted_blocks += 1
+            self.pending_evictions.append(bid)
         else:
             raise RuntimeError("KV cache out of blocks")
         self.ref_count[bid] = 1
         self.num_allocated_blocks += 1
         return bid
 
+    def drain_evictions(self) -> List[int]:
+        out, self.pending_evictions = self.pending_evictions, []
+        return out
+
     def _ref_block(self, bid: int):
         if self.ref_count[bid] == 0:
-            self.evictable.pop(bid, None)
+            for p, bucket in list(self.evictable.items()):
+                if bucket.pop(bid, None) is not None:
+                    if not bucket:
+                        del self.evictable[p]
+                    break
         self.ref_count[bid] += 1
 
     def _unref_block(self, bid: int):
@@ -112,13 +154,16 @@ class _PyBookkeeping:
         assert self.ref_count[bid] >= 0
         if self.ref_count[bid] == 0:
             if self.block_hash[bid] is not None and self.enable_reuse:
-                self.evictable[bid] = None  # keep contents, evict LRU later
+                # keep contents, evict by (priority, LRU) later
+                self.evictable.setdefault(
+                    self.block_priority[bid],
+                    collections.OrderedDict())[bid] = None
             else:
                 self.free_blocks.append(bid)
 
     # ---- ops mirrored by the native backend ---------------------------------
     def num_free_blocks(self) -> int:
-        return len(self.free_blocks) + len(self.evictable)
+        return len(self.free_blocks) + self._n_evictable()
 
     def match_prefix(self, token_ids: List[int], cache_salt=None) -> int:
         """Dry-run reuse lookup: cached prefix tokens, no side effects."""
@@ -185,6 +230,7 @@ class _PyBookkeeping:
             if h not in self.cached_blocks:
                 self.cached_blocks[h] = bid
                 self.block_hash[bid] = h
+                self.block_priority[bid] = info.priority
             info.block_hashes.append(h)
             parent = h
 
@@ -200,6 +246,7 @@ class _PyBookkeeping:
         dst = SequenceInfo()
         dst.num_tokens = src.num_tokens
         dst.salt = src.salt
+        dst.priority = src.priority
         pairs = []
         for bid in src.block_ids[:shared]:
             self._ref_block(bid)
@@ -234,7 +281,7 @@ class _PyBookkeeping:
     def stats(self) -> dict:
         return {
             "free_blocks": len(self.free_blocks),
-            "evictable_blocks": len(self.evictable),
+            "evictable_blocks": self._n_evictable(),
             "reused_blocks": self.num_reused_blocks,
             "allocated_blocks": self.num_allocated_blocks,
             "evicted_blocks": self.num_evicted_blocks,
@@ -268,6 +315,20 @@ class _NativeBookkeeping:
 
     def num_free_blocks(self) -> int:
         return int(self._lib.tllm_kvbm_num_free(self._h))
+
+    def set_seq_priority(self, seq_id: int, priority: int):
+        self._lib.tllm_kvbm_set_priority(self._h, seq_id, int(priority))
+
+    def drain_evictions(self) -> List[int]:
+        import numpy as np
+        out: List[int] = []
+        buf = np.zeros(256, np.int32)
+        ptr = buf.ctypes.data_as(self._ct.POINTER(self._ct.c_int32))
+        while True:
+            n = int(self._lib.tllm_kvbm_drain_evictions(self._h, ptr, 256))
+            out.extend(buf[:n].tolist())
+            if n < 256:
+                return out
 
     def match_prefix(self, token_ids, cache_salt=None) -> int:
         _keep, ptr = self._tok_buf(token_ids)
@@ -417,6 +478,20 @@ class KVCacheManager:
         self.events: collections.deque = collections.deque(maxlen=4096)
         self._next_event_id = 0
         self._event_hashes: Dict[int, List[int]] = {}  # seq -> chain hashes
+        # ---- secondary host tier (reference BlockManager secondary pool +
+        # kvCacheTransferManager onboard/offload).  The host cache maps the
+        # wrapper-level salted chain hash of a full block to its extracted
+        # page contents (one pytree of np arrays per layer); device<->host
+        # copies ride the engine's disagg extract/inject machinery.
+        self.host_cache: "collections.OrderedDict[int, list]" = \
+            collections.OrderedDict()
+        self._extract_fn = None
+        self._inject_fn = None
+        self._block_whash: Dict[int, int] = {}   # bid -> content chain hash
+        self._seq_whash: Dict[int, List[int]] = {}
+        self._seq_salt: Dict[int, object] = {}
+        self.num_offloaded = 0
+        self.num_onboarded = 0
 
     @property
     def is_native(self) -> bool:
@@ -576,6 +651,49 @@ class KVCacheManager:
     def has_sequence(self, seq_id: int) -> bool:
         return self._bk.num_seq_blocks(seq_id) >= 0
 
+    # ------------------------------------------------------------ host tier ----
+    @property
+    def host_tier_enabled(self) -> bool:
+        return (self.cfg.host_cache_blocks > 0
+                and self.cfg.enable_block_reuse and not self.vswa
+                and self._extract_fn is not None)
+
+    def attach_block_io(self, extract_fn, inject_fn):
+        """Hook the engine's page copy machinery (extract_kv_blocks /
+        inject_kv_blocks) so evicted reuse blocks can offload to host RAM
+        and onboard back — same transfer plane as disaggregated serving."""
+        self._extract_fn = extract_fn
+        self._inject_fn = inject_fn
+
+    @staticmethod
+    def _whash(parent: int, chunk: tuple, salt) -> int:
+        return hash((parent, chunk, salt))
+
+    def _drain_offloads(self):
+        """Offload reuse blocks evicted by the last backend op to the host
+        tier — called before any new device write can overwrite them."""
+        bids = self._bk.drain_evictions()
+        if not bids:
+            return
+        enabled = self.host_tier_enabled
+        for bid in bids:
+            wh = self._block_whash.pop(bid, None)
+            if not enabled or wh is None:
+                continue
+            if wh in self.host_cache:
+                self.host_cache.move_to_end(wh)
+                continue
+            self.host_cache[wh] = self._extract_fn([bid])
+            self.num_offloaded += 1
+            while len(self.host_cache) > self.cfg.host_cache_blocks:
+                self.host_cache.popitem(last=False)
+
+    def set_seq_priority(self, seq_id: int, priority: int):
+        """Retention priority for blocks this sequence stores for reuse
+        (reference KvCacheRetentionConfig, executor.h:559): lower evicts
+        first."""
+        self._bk.set_seq_priority(seq_id, priority)
+
     # ------------------------------------------------------------------ ops -----
     def add_sequence(self, seq_id: int, token_ids: List[int],
                      cache_salt=None) -> int:
@@ -584,16 +702,55 @@ class KVCacheManager:
         Returns the number of *tokens* whose KV is already cached (multiple of
         block_size, and strictly less than len(token_ids) so at least one
         token is recomputed to produce logits — same rule as the reference's
-        partial-reuse guard).
+        partial-reuse guard).  After the device-tier match the host tier is
+        probed: consecutive host-cached blocks are onboarded (allocated on
+        device + page-injected), extending the match like the reference's
+        secondary-pool onboarding.
         """
         self.slots.add(seq_id)
         if self._ring is not None:
             self._ring.add(seq_id)
-        return self._bk.add_sequence(seq_id, token_ids, cache_salt)
+        matched = self._bk.add_sequence(seq_id, token_ids, cache_salt)
+        bs = self.block_size
+        self._seq_salt[seq_id] = cache_salt
+        whs: List[int] = []
+        parent = 0
+        for b in range(matched // bs):
+            parent = self._whash(
+                parent, tuple(token_ids[b * bs:(b + 1) * bs]), cache_salt)
+            whs.append(parent)
+        self._seq_whash[seq_id] = whs
+        if self.host_tier_enabled and self.host_cache:
+            n_full = (len(token_ids) - 1) // bs  # last token recomputed
+            b = matched // bs
+            while b < n_full:
+                chunk = tuple(token_ids[b * bs:(b + 1) * bs])
+                wh = self._whash(parent, chunk, cache_salt)
+                payload = self.host_cache.get(wh)
+                if payload is None:
+                    break
+                try:
+                    self._bk.grow_sequence(seq_id, (b + 1) * bs)
+                except RuntimeError:
+                    break  # device pool exhausted: stop onboarding
+                # offload anything that grow just evicted BEFORE injecting
+                # (the freed block may be the one we are about to write)
+                self._drain_offloads()
+                bid = self._bk.block_table(seq_id, b + 1)[b]
+                self._inject_fn([bid], payload)
+                self.host_cache.move_to_end(wh)
+                self._block_whash[bid] = wh
+                self.num_onboarded += 1
+                whs.append(wh)
+                parent = wh
+                matched = (b + 1) * bs
+                b += 1
+        return matched
 
     def grow_sequence(self, seq_id: int, new_total_tokens: int):
         """Ensure the sequence owns enough blocks for new_total_tokens."""
         self._bk.grow_sequence(seq_id, new_total_tokens)
+        self._drain_offloads()
 
     def can_grow(self, seq_id: int, new_total_tokens: int) -> bool:
         need = self.blocks_needed(new_total_tokens) - self.num_seq_blocks(seq_id)
@@ -605,6 +762,19 @@ class KVCacheManager:
         self._bk.seal_full_blocks(seq_id, token_ids)
         if not self.cfg.enable_block_reuse:
             return
+        # record each block's content hash for host-tier offload identity
+        bs = self.block_size
+        whs = self._seq_whash.setdefault(seq_id, [])
+        n_full = len(token_ids) // bs
+        if len(whs) < n_full:
+            salt = self._seq_salt.get(seq_id)
+            table = self._bk.block_table(seq_id, n_full)
+            parent = whs[-1] if whs else 0
+            for b in range(len(whs), n_full):
+                chunk = tuple(token_ids[b * bs:(b + 1) * bs])
+                parent = self._whash(parent, chunk, salt)
+                whs.append(parent)
+                self._block_whash[table[b]] = parent
         # emit "stored" events with wrapper-level chain hashes (deterministic
         # int-tuple hashing => comparable across server processes)
         hashes = self._event_hashes.setdefault(seq_id, [])
@@ -621,8 +791,26 @@ class KVCacheManager:
 
     def match_prefix(self, token_ids: List[int], cache_salt=None) -> int:
         """Cached prefix length (tokens) for a prospective prompt — a
-        side-effect-free reuse-index lookup backing the KV-aware router."""
-        return self._bk.match_prefix(token_ids, cache_salt)
+        side-effect-free reuse-index lookup backing the KV-aware router.
+        Counts both tiers (host blocks would onboard on admission)."""
+        matched = self._bk.match_prefix(token_ids, cache_salt)
+        if self.host_tier_enabled and self.host_cache:
+            bs = self.block_size
+            parent = 0
+            for b in range(matched // bs):
+                parent = self._whash(
+                    parent, tuple(token_ids[b * bs:(b + 1) * bs]), cache_salt)
+            n_full = (len(token_ids) - 1) // bs
+            b = matched // bs
+            while b < n_full:
+                chunk = tuple(token_ids[b * bs:(b + 1) * bs])
+                wh = self._whash(parent, chunk, cache_salt)
+                if wh not in self.host_cache:
+                    break
+                matched += bs
+                parent = wh
+                b += 1
+        return matched
 
     def get_events(self, since_id: int = 0) -> List[dict]:
         """Events with id >= since_id (bounded history)."""
@@ -634,13 +822,17 @@ class KVCacheManager:
         engine must copy on device (reference: KV block sharing for beams,
         kvCacheManager.h GenerationRequest per-beam block tables)."""
         self.slots.add(dst_id)
-        return self._bk.fork_sequence(src_id, dst_id)
+        pairs = self._bk.fork_sequence(src_id, dst_id)
+        self._drain_offloads()
+        return pairs
 
     def free_sequence(self, seq_id: int):
         self.slots.release(seq_id)
         if self._ring is not None:
             self._ring.release(seq_id)
         self._event_hashes.pop(seq_id, None)
+        self._seq_whash.pop(seq_id, None)
+        self._seq_salt.pop(seq_id, None)
         self._bk.free_sequence(seq_id)
 
     # ------------------------------------------------------------------ tables --
@@ -660,6 +852,9 @@ class KVCacheManager:
     def stats(self) -> dict:
         s = self._bk.stats()
         s["num_blocks"] = self.num_blocks
+        s["host_cached_blocks"] = len(self.host_cache)
+        s["offloaded_blocks"] = self.num_offloaded
+        s["onboarded_blocks"] = self.num_onboarded
         return s
 
 
@@ -708,6 +903,9 @@ class DpKVCacheManager:
 
     def grow_sequence(self, seq_id, n):
         self._r(seq_id).grow_sequence(seq_id, n)
+
+    def set_seq_priority(self, seq_id, priority):
+        self._r(seq_id).set_seq_priority(seq_id, priority)
 
     def can_grow(self, seq_id, n):
         return self._r(seq_id).can_grow(seq_id, n)

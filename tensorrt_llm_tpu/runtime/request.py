@@ -58,7 +58,8 @@ class LlmRequest:
                  lora_request: Optional[Any] = None,
                  cache_salt: Optional[str] = None,
                  request_type: str = "full",
-                 disagg_params: Optional[Any] = None):
+                 disagg_params: Optional[Any] = None,
+                 retention_priority: Optional[int] = None):
         if request_id is None:
             LlmRequest._id_counter += 1
             request_id = LlmRequest._id_counter
@@ -67,6 +68,10 @@ class LlmRequest:
         self.sampling_params = sampling_params
         self.lora_request = lora_request
         self.cache_salt = cache_salt
+        # KV retention priority for blocks this request stores for reuse
+        # (reference KvCacheRetentionConfig, executor.h:559): lower evicts
+        # first; None = manager default (35).
+        self.retention_priority = retention_priority
 
         self.state = RequestState.QUEUED
         self.output_token_ids: List[int] = []
