@@ -25,6 +25,9 @@ def main(argv=None):
                    help="W4A16 | W4A16_AWQ | W4A16_GPTQ | W8A16")
     p.add_argument("--kv-block-size", type=int, default=16)
     p.add_argument("--served-model-name", default=None)
+    p.add_argument("--tool-parser", default=None,
+                   help="function-call parser family: qwen3 | deepseek_v3 "
+                        "| harmony (reference serve/tool_parser/)")
     p.add_argument("--extra-llm-api-options", default=None,
                    help="YAML file with LlmArgs overrides")
     args = p.parse_args(argv)
@@ -42,7 +45,8 @@ def main(argv=None):
         kv_block_size=args.kv_block_size,
         extra_llm_api_options=args.extra_llm_api_options,
     )
-    server = OpenAIServer(llm, args.served_model_name or args.model)
+    server = OpenAIServer(llm, args.served_model_name or args.model,
+                          tool_parser=args.tool_parser)
     server.run(args.host, args.port)
 
 

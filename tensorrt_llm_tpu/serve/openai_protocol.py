@@ -86,9 +86,31 @@ class ChatCompletionRequest(BaseModel):
     ignore_eos: bool = False
     response_format: Optional[Dict[str, Any]] = None
     tools: Optional[List[Dict[str, Any]]] = None
+    # "auto" | "none" | "required" | {"type": "function",
+    #                                 "function": {"name": ...}}
+    tool_choice: Union[str, Dict[str, Any]] = "auto"
+
+    def forced_tool(self) -> Optional[Dict[str, Any]]:
+        """The tool definition when tool_choice forces one function."""
+        if not isinstance(self.tool_choice, dict) or not self.tools:
+            return None
+        want = self.tool_choice.get("function", {}).get("name")
+        for t in self.tools:
+            if t.get("function", {}).get("name") == want:
+                return t
+        return None
 
     def to_sampling_params(self) -> SamplingParams:
         max_toks = self.max_completion_tokens or self.max_tokens or 512
+        guided = _guided_from_response_format(self.response_format)
+        forced = self.forced_tool()
+        if forced is not None and guided is None:
+            # forced function call: constrain the whole completion to the
+            # tool's parameter schema (reference: guided decoding applied
+            # for tool_choice in serve/openai_server.py)
+            schema = forced.get("function", {}).get("parameters")
+            guided = (GuidedDecodingParams(json=schema) if schema
+                      else GuidedDecodingParams(json_object=True))
         return SamplingParams(
             max_tokens=max_toks,
             temperature=self.temperature,
@@ -100,7 +122,58 @@ class ChatCompletionRequest(BaseModel):
             presence_penalty=self.presence_penalty,
             frequency_penalty=self.frequency_penalty,
             ignore_eos=self.ignore_eos,
-            guided_decoding=_guided_from_response_format(self.response_format),
+            guided_decoding=guided,
+        )
+
+
+class ResponsesRequest(BaseModel):
+    """OpenAI Responses API (reference serve/openai_server.py:273-279)."""
+    model: str
+    input: Union[str, List[Dict[str, Any]]]
+    instructions: Optional[str] = None
+    max_output_tokens: Optional[int] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    stream: bool = False
+    tools: Optional[List[Dict[str, Any]]] = None
+    ignore_eos: bool = False     # extension: benchmarking aid
+
+    def to_messages(self) -> List["ChatMessage"]:
+        msgs: List[ChatMessage] = []
+        if self.instructions:
+            msgs.append(ChatMessage(role="system",
+                                    content=self.instructions))
+        if isinstance(self.input, str):
+            msgs.append(ChatMessage(role="user", content=self.input))
+        else:
+            for item in self.input:
+                if item.get("type", "message") == "message":
+                    msgs.append(ChatMessage(role=item.get("role", "user"),
+                                            content=item.get("content")))
+        return msgs
+
+    def chat_tools(self) -> Optional[List[Dict[str, Any]]]:
+        """Responses-style flat tool defs -> chat-completions nesting."""
+        if not self.tools:
+            return None
+        out = []
+        for t in self.tools:
+            if "function" in t:
+                out.append(t)
+            else:
+                out.append({"type": "function", "function": {
+                    "name": t.get("name"),
+                    "description": t.get("description"),
+                    "parameters": t.get("parameters"),
+                }})
+        return out
+
+    def to_sampling_params(self) -> SamplingParams:
+        return SamplingParams(
+            max_tokens=self.max_output_tokens or 512,
+            temperature=self.temperature,
+            top_p=self.top_p,
+            ignore_eos=self.ignore_eos,
         )
 
 
@@ -136,7 +209,15 @@ def completion_response(req: CompletionRequest, texts: List[str],
 
 def chat_response(req: ChatCompletionRequest, text: str,
                   finish_reason: Optional[str],
-                  usage: Dict[str, int]) -> Dict:
+                  usage: Dict[str, int],
+                  tool_calls: Optional[List[Dict]] = None,
+                  reasoning: Optional[str] = None) -> Dict:
+    message: Dict[str, Any] = {"role": "assistant", "content": text}
+    if tool_calls:
+        message["tool_calls"] = tool_calls
+        finish_reason = "tool_calls"
+    if reasoning:
+        message["reasoning_content"] = reasoning
     return {
         "id": random_id("chatcmpl"),
         "object": "chat.completion",
@@ -144,10 +225,44 @@ def chat_response(req: ChatCompletionRequest, text: str,
         "model": req.model,
         "choices": [{
             "index": 0,
-            "message": {"role": "assistant", "content": text},
+            "message": message,
             "finish_reason": finish_reason,
         }],
         "usage": usage,
+    }
+
+
+def responses_response(model: str, text: str, usage: Dict[str, int],
+                       tool_calls: Optional[List[Dict]] = None,
+                       reasoning: Optional[str] = None) -> Dict:
+    """OpenAI Responses API object (reference /v1/responses,
+    serve/openai_server.py:273-279)."""
+    rid = random_id("resp")
+    output: List[Dict[str, Any]] = []
+    if reasoning:
+        output.append({"type": "reasoning", "id": random_id("rs"),
+                       "summary": [{"type": "summary_text",
+                                    "text": reasoning}]})
+    if text:
+        output.append({
+            "type": "message", "id": random_id("msg"), "role": "assistant",
+            "status": "completed",
+            "content": [{"type": "output_text", "text": text,
+                         "annotations": []}],
+        })
+    for tc in tool_calls or []:
+        output.append({
+            "type": "function_call", "id": random_id("fc"),
+            "call_id": tc["id"], "name": tc["function"]["name"],
+            "arguments": tc["function"]["arguments"],
+            "status": "completed",
+        })
+    return {
+        "id": rid, "object": "response", "created_at": int(time.time()),
+        "status": "completed", "model": model, "output": output,
+        "usage": {"input_tokens": usage.get("prompt_tokens", 0),
+                  "output_tokens": usage.get("completion_tokens", 0),
+                  "total_tokens": usage.get("total_tokens", 0)},
     }
 
 

@@ -21,18 +21,26 @@ from tensorrt_llm_tpu.llmapi.llm import LLM
 from tensorrt_llm_tpu.serve.openai_protocol import (
     ChatCompletionRequest,
     CompletionRequest,
+    ResponsesRequest,
     chat_chunk,
     chat_response,
     completion_response,
     random_id,
+    responses_response,
 )
+from tensorrt_llm_tpu.serve.tool_parser import get_tool_parser
 from tensorrt_llm_tpu.utils import logger
 
 
 class OpenAIServer:
-    def __init__(self, llm: LLM, model_name: str = "tpu-llm"):
+    def __init__(self, llm: LLM, model_name: str = "tpu-llm",
+                 tool_parser: Optional[str] = None):
+        """tool_parser: model family for function-call markup parsing
+        ("qwen3" | "deepseek_v3" | "harmony" | ... — reference
+        serve/tool_parser/ + harmony_adapter.py)."""
         self.llm = llm
         self.model_name = model_name
+        self.tool_parser_name = tool_parser
         self.app = web.Application()
         self.started_at = time.time()
         self.app.add_routes([
@@ -40,6 +48,7 @@ class OpenAIServer:
             web.get("/v1/models", self.models),
             web.post("/v1/completions", self.completions),
             web.post("/v1/chat/completions", self.chat_completions),
+            web.post("/v1/responses", self.responses),
             web.get("/metrics", self.metrics),
             web.get("/perf_metrics", self.perf_metrics),
             web.get("/kv_cache_events", self.kv_cache_events),
@@ -207,60 +216,206 @@ class OpenAIServer:
         return resp
 
     # ------------------------------------------------------------------ chat ------
-    def _apply_chat_template(self, messages):
+    def _apply_chat_template(self, messages, tools=None):
         tok = self.llm.tokenizer
-        msgs = [{"role": m.role, "content": m.content} for m in messages]
+        msgs = []
+        for m in messages:
+            d = {"role": m.role, "content": m.content}
+            if m.tool_calls:
+                d["tool_calls"] = m.tool_calls
+            msgs.append(d)
         if tok is not None and getattr(tok, "chat_template", None):
-            return tok.apply_chat_template(
-                msgs, tokenize=False, add_generation_prompt=True)
+            kwargs = dict(tokenize=False, add_generation_prompt=True)
+            if tools:
+                # HF chat templates accept tool definitions directly
+                try:
+                    return tok.apply_chat_template(msgs, tools=tools,
+                                                   **kwargs)
+                except TypeError:
+                    pass
+            return tok.apply_chat_template(msgs, **kwargs)
         # fallback template
         text = ""
+        if tools:
+            text += ("<|system|>\nYou may call these tools; reply with "
+                     '<tool_call>\\n{"name": ..., "arguments": {...}}\\n'
+                     "</tool_call> to invoke one:\n"
+                     + json.dumps(tools) + "\n")
         for m in msgs:
             text += f"<|{m['role']}|>\n{m['content']}\n"
         return text + "<|assistant|>\n"
+
+    def _make_tool_parser(self, body):
+        """Parser instance for this request (None when tools are absent,
+        parsing is disabled, or tool_choice forces a schema-guided call)."""
+        if not body.tools or body.tool_choice == "none" \
+                or body.forced_tool() is not None:
+            return None
+        return get_tool_parser(self.tool_parser_name)
 
     async def chat_completions(self, request: web.Request):
         try:
             body = ChatCompletionRequest(**await request.json())
         except Exception as e:  # noqa: BLE001
             return web.json_response({"error": str(e)}, status=400)
-        prompt = self._apply_chat_template(body.messages)
+        prompt = self._apply_chat_template(body.messages, body.tools)
         sp = body.to_sampling_params()
         try:
             future = self.llm.generate_async(prompt, sp, streaming=body.stream)
         except ValueError as e:
             return web.json_response({"error": str(e)}, status=400)
+        parser = self._make_tool_parser(body)
 
         if body.stream:
-            resp = web.StreamResponse(
-                headers={"Content-Type": "text/event-stream"})
-            await resp.prepare(request)
-            rid = random_id("chatcmpl")
-            await resp.write(
-                f"data: {json.dumps(chat_chunk(rid, body.model, {'role': 'assistant'}))}\n\n".encode())
-            prev_len = 0
-            it = iter(future)
-            while True:
-                out = await asyncio.to_thread(lambda: next(it, None))
-                if out is None:
-                    break
-                text = out.outputs[0].text
-                delta = text[prev_len:]
-                prev_len = len(text)
-                fr = out.outputs[0].finish_reason if out.finished else None
-                await resp.write(
-                    f"data: {json.dumps(chat_chunk(rid, body.model, {'content': delta}, fr))}\n\n".encode())
-                if out.finished:
-                    break
-            await resp.write(b"data: [DONE]\n\n")
-            await resp.write_eof()
-            return resp
+            return await self._stream_chat(request, body, future, parser)
 
         out = await asyncio.to_thread(future.result)
         p, c = len(out.prompt_token_ids), len(out.outputs[0].token_ids)
+        usage = {"prompt_tokens": p, "completion_tokens": c,
+                 "total_tokens": p + c}
+        text, calls, reasoning = out.outputs[0].text, [], None
+        forced = body.forced_tool()
+        if forced is not None:
+            # schema-guided forced call: the whole completion is arguments
+            from tensorrt_llm_tpu.serve.tool_parser import ToolCall
+            calls = [ToolCall(name=forced["function"]["name"],
+                              arguments=text)]
+            text = None
+        elif parser is not None:
+            ev = parser.parse_full(text)
+            text, calls = ev.text, ev.calls
+            reasoning = ev.reasoning or None
         return web.json_response(chat_response(
-            body, out.outputs[0].text, out.outputs[0].finish_reason,
-            {"prompt_tokens": p, "completion_tokens": c, "total_tokens": p + c}))
+            body, text, out.outputs[0].finish_reason, usage,
+            tool_calls=[c.to_openai(i) for i, c in enumerate(calls)] or None,
+            reasoning=reasoning))
+
+    async def _stream_chat(self, request, body, future, parser):
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        rid = random_id("chatcmpl")
+
+        async def emit(delta, fr=None):
+            await resp.write(
+                f"data: {json.dumps(chat_chunk(rid, body.model, delta, fr))}\n\n".encode())
+
+        await emit({"role": "assistant"})
+        prev_len = 0
+        n_calls = 0
+        finish = None
+        it = iter(future)
+        while True:
+            out = await asyncio.to_thread(lambda: next(it, None))
+            if out is None:
+                break
+            text = out.outputs[0].text
+            delta = text[prev_len:]
+            prev_len = len(text)
+            fr = out.outputs[0].finish_reason if out.finished else None
+            if parser is None:
+                if delta or fr:
+                    await emit({"content": delta} if delta else {}, fr)
+            else:
+                events = [parser.feed(delta)]
+                if out.finished:
+                    events.append(parser.flush())
+                for ev in events:
+                    if ev.text:
+                        await emit({"content": ev.text})
+                    if ev.reasoning:
+                        await emit({"reasoning_content": ev.reasoning})
+                    for call in ev.calls:
+                        await emit({"tool_calls": [call.to_openai(n_calls)]})
+                        n_calls += 1
+                if fr:
+                    finish = "tool_calls" if n_calls else fr
+                    await emit({}, finish)
+            if out.finished:
+                break
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    # ------------------------------------------------------------- responses ----
+    async def responses(self, request: web.Request):
+        """OpenAI Responses API (reference serve/openai_server.py:273-279)."""
+        try:
+            body = ResponsesRequest(**await request.json())
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=400)
+        tools = body.chat_tools()
+        prompt = self._apply_chat_template(body.to_messages(), tools)
+        sp = body.to_sampling_params()
+        try:
+            future = self.llm.generate_async(prompt, sp, streaming=body.stream)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        parser = get_tool_parser(self.tool_parser_name) if tools else None
+
+        if not body.stream:
+            out = await asyncio.to_thread(future.result)
+            p, c = len(out.prompt_token_ids), len(out.outputs[0].token_ids)
+            text = out.outputs[0].text
+            calls, reasoning = [], None
+            if parser is not None:
+                ev = parser.parse_full(text)
+                text, calls, reasoning = ev.text, ev.calls, \
+                    (ev.reasoning or None)
+            return web.json_response(responses_response(
+                body.model, text,
+                {"prompt_tokens": p, "completion_tokens": c,
+                 "total_tokens": p + c},
+                tool_calls=[cl.to_openai(i) for i, cl in enumerate(calls)],
+                reasoning=reasoning))
+
+        # streaming: response.created / output_text.delta / completed events
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        rid = random_id("resp")
+
+        async def ev(etype, data):
+            await resp.write(
+                f"event: {etype}\ndata: {json.dumps(data)}\n\n".encode())
+
+        await ev("response.created",
+                 {"type": "response.created",
+                  "response": {"id": rid, "object": "response",
+                               "status": "in_progress",
+                               "model": body.model}})
+        prev_len = 0
+        full = ""
+        it = iter(future)
+        while True:
+            out = await asyncio.to_thread(lambda: next(it, None))
+            if out is None:
+                break
+            text = out.outputs[0].text
+            delta, prev_len = text[prev_len:], len(text)
+            full = text
+            if delta:
+                await ev("response.output_text.delta",
+                         {"type": "response.output_text.delta",
+                          "delta": delta})
+            if out.finished:
+                p = len(out.prompt_token_ids)
+                c = len(out.outputs[0].token_ids)
+                calls = []
+                if parser is not None:
+                    full, calls = parser.parse(full)
+                final = responses_response(
+                    body.model, full,
+                    {"prompt_tokens": p, "completion_tokens": c,
+                     "total_tokens": p + c},
+                    tool_calls=[cl.to_openai(i)
+                                for i, cl in enumerate(calls)])
+                final["id"] = rid
+                await ev("response.completed",
+                         {"type": "response.completed", "response": final})
+                break
+        await resp.write_eof()
+        return resp
 
     # ------------------------------------------------------------------ run -------
     def run(self, host: str = "0.0.0.0", port: int = 8000):

@@ -1,0 +1,275 @@
+"""Tool-call parsing + /v1/responses (reference serve/tool_parser/,
+serve/harmony_adapter.py, openai_server.py:273-279)."""
+
+import json
+
+import pytest
+
+from tensorrt_llm_tpu.serve.tool_parser import (
+    DeepSeekV3ToolParser, HarmonyParser, Qwen3ToolParser, get_tool_parser)
+
+
+# ---------------------------------------------------------------- qwen3 ----
+QWEN_ONE = ('I will check the weather.\n<tool_call>\n'
+            '{"name": "get_weather", "arguments": {"city": "Tokyo"}}\n'
+            '</tool_call>')
+QWEN_TWO = (QWEN_ONE + '\n<tool_call>\n'
+            '{"name": "get_time", "arguments": {"tz": "JST"}}\n'
+            '</tool_call>')
+
+
+def test_qwen3_single_call():
+    text, calls = Qwen3ToolParser().parse(QWEN_ONE)
+    assert text.strip() == "I will check the weather."
+    assert len(calls) == 1
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"city": "Tokyo"}
+
+
+def test_qwen3_multiple_calls():
+    _, calls = Qwen3ToolParser().parse(QWEN_TWO)
+    assert [c.name for c in calls] == ["get_weather", "get_time"]
+
+
+def test_qwen3_no_call():
+    text, calls = Qwen3ToolParser().parse("just words < not a tag >")
+    assert calls == []
+    assert text == "just words < not a tag >"
+
+
+def test_qwen3_streaming_split_marker():
+    """Begin/end markers split across arbitrary chunk boundaries."""
+    p = Qwen3ToolParser()
+    text_out, calls = "", []
+    for i in range(0, len(QWEN_ONE), 3):  # 3-char chunks
+        ev = p.feed(QWEN_ONE[i:i + 3])
+        text_out += ev.text
+        calls += ev.calls
+    tail = p.flush()
+    text_out += tail.text
+    calls += tail.calls
+    assert text_out.strip() == "I will check the weather."
+    assert len(calls) == 1 and calls[0].name == "get_weather"
+    # no partial marker ever leaked into the text
+    assert "<tool_call" not in text_out
+
+
+def test_qwen3_unterminated_block_flush():
+    p = Qwen3ToolParser()
+    p.feed('<tool_call>\n{"name": "f", "arguments": {}}')
+    ev = p.flush()
+    assert len(ev.calls) == 1 and ev.calls[0].name == "f"
+
+
+# ------------------------------------------------------------- deepseek ----
+DSV3 = ("Let me look that up.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>"
+        "function<｜tool▁sep｜>get_weather\n```json\n"
+        '{"location": "Paris"}\n```<｜tool▁call▁end｜>'
+        "<｜tool▁calls▁end｜><｜end▁of▁sentence｜>")
+
+
+def test_deepseek_parse():
+    text, calls = DeepSeekV3ToolParser().parse(DSV3)
+    assert text.strip() == "Let me look that up."
+    assert len(calls) == 1
+    assert calls[0].name == "get_weather"
+    assert json.loads(calls[0].arguments) == {"location": "Paris"}
+
+
+def test_deepseek_streaming():
+    p = DeepSeekV3ToolParser()
+    text_out, calls = "", []
+    for i in range(0, len(DSV3), 5):
+        ev = p.feed(DSV3[i:i + 5])
+        text_out += ev.text
+        calls += ev.calls
+    tail = p.flush()
+    text_out, calls = text_out + tail.text, calls + tail.calls
+    assert text_out.strip() == "Let me look that up."
+    assert len(calls) == 1 and calls[0].name == "get_weather"
+    assert "tool▁" not in text_out
+
+
+# -------------------------------------------------------------- harmony ----
+HARMONY = ("<|channel|>analysis<|message|>User wants weather; I should call "
+           "the function.<|end|><|start|>assistant<|channel|>commentary "
+           "to=functions.get_weather <|constrain|>json<|message|>"
+           '{"city": "Oslo"}<|call|>')
+HARMONY_FINAL = ("<|channel|>analysis<|message|>thinking...<|end|>"
+                 "<|start|>assistant<|channel|>final<|message|>"
+                 "The weather is sunny.<|return|>")
+
+
+def test_harmony_tool_call():
+    ev = HarmonyParser().parse_full(HARMONY)
+    assert "call the function" in ev.reasoning
+    assert ev.text == ""
+    assert len(ev.calls) == 1
+    assert ev.calls[0].name == "get_weather"
+    assert json.loads(ev.calls[0].arguments) == {"city": "Oslo"}
+
+
+def test_harmony_final_channel():
+    ev = HarmonyParser().parse_full(HARMONY_FINAL)
+    assert ev.reasoning == "thinking..."
+    assert ev.text == "The weather is sunny."
+    assert ev.calls == []
+
+
+def test_harmony_streaming_chunked():
+    p = HarmonyParser()
+    text, reasoning, calls = "", "", []
+    for i in range(0, len(HARMONY_FINAL), 4):
+        ev = p.feed(HARMONY_FINAL[i:i + 4])
+        text += ev.text
+        reasoning += ev.reasoning
+        calls += ev.calls
+    tail = p.flush()
+    text += tail.text
+    reasoning += tail.reasoning
+    assert text == "The weather is sunny."
+    assert reasoning == "thinking..."
+    assert "<|" not in text
+
+
+def test_factory():
+    assert isinstance(get_tool_parser("qwen3"), Qwen3ToolParser)
+    assert isinstance(get_tool_parser("gpt_oss"), HarmonyParser)
+    assert get_tool_parser(None) is None
+    with pytest.raises(ValueError):
+        get_tool_parser("nope")
+
+
+# ------------------------------------------------------- server level ------
+TOOLS = [{"type": "function", "function": {
+    "name": "get_weather", "description": "weather lookup",
+    "parameters": {"type": "object",
+                   "properties": {"city": {"type": "string"}},
+                   "required": ["city"]}}}]
+
+
+class ScriptedTokenizer:
+    """decode() replays a fixed script so a random tiny model 'emits'
+    tool-call markup deterministically."""
+    eos_token_id = 0
+    chat_template = None
+
+    def __init__(self, script):
+        self.script = script
+
+    def encode(self, text):
+        return [1 + (i % 100) for i in range(8)]
+
+    def decode(self, ids, skip_special_tokens=True):
+        # len(ids) grows as decode proceeds; map progress to script chars
+        # (ceil so the 8th token reveals the whole script)
+        per = -(-len(self.script) // 8)
+        return self.script[:len(ids) * per]
+
+    def apply_chat_template(self, msgs, tokenize=False,
+                            add_generation_prompt=True, tools=None):
+        return "\n".join(str(m.get("content")) for m in msgs)
+
+
+@pytest.fixture(scope="module")
+def tool_server():
+    import asyncio
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tensorrt_llm_tpu.llmapi import LLM
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                      max_position=256)
+    llm = LLM(model=cfg, tokenizer=ScriptedTokenizer(QWEN_ONE),
+              max_seq_len=128, max_batch_size=8, kv_num_blocks=128,
+              kv_block_size=8)
+    server = OpenAIServer(llm, "tiny", tool_parser="qwen3")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    yield tc, loop
+    loop.run_until_complete(tc.close())
+    loop.close()
+    llm.shutdown()
+
+
+def test_chat_tool_calls_nonstreaming(tool_server):
+    tc, loop = tool_server
+    r = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+        "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "ignore_eos": True, "tools": TOOLS}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    msg = body["choices"][0]["message"]
+    assert msg["tool_calls"][0]["function"]["name"] == "get_weather"
+    assert json.loads(msg["tool_calls"][0]["function"]["arguments"]) == \
+        {"city": "Tokyo"}
+    assert body["choices"][0]["finish_reason"] == "tool_calls"
+
+
+def test_chat_tool_calls_streaming(tool_server):
+    tc, loop = tool_server
+
+    async def run():
+        r = await tc.post("/v1/chat/completions", json={
+            "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 8, "ignore_eos": True, "stream": True,
+            "tools": TOOLS})
+        assert r.status == 200
+        return (await r.read()).decode()
+
+    text = loop.run_until_complete(run())
+    datas = [json.loads(l[6:]) for l in text.splitlines()
+             if l.startswith("data: ") and l != "data: [DONE]"]
+    deltas = [d["choices"][0]["delta"] for d in datas]
+    tc_deltas = [d for d in deltas if "tool_calls" in d]
+    assert tc_deltas, f"no tool_calls delta in stream: {deltas}"
+    assert tc_deltas[0]["tool_calls"][0]["function"]["name"] == "get_weather"
+    finishes = [d["choices"][0].get("finish_reason") for d in datas]
+    assert "tool_calls" in finishes
+    # content deltas must never leak tool markup
+    content = "".join(d.get("content", "") for d in deltas)
+    assert "<tool_call" not in content
+
+
+def test_chat_without_tools_unaffected(tool_server):
+    tc, loop = tool_server
+    r = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+        "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "ignore_eos": True}))
+    body = loop.run_until_complete(r.json())
+    msg = body["choices"][0]["message"]
+    assert "tool_calls" not in msg  # parser only runs when tools present
+
+
+def test_responses_api(tool_server):
+    tc, loop = tool_server
+    r = loop.run_until_complete(tc.post("/v1/responses", json={
+        "model": "tiny", "input": "what's the weather",
+        "max_output_tokens": 8, "ignore_eos": True}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    assert body["object"] == "response"
+    assert body["status"] == "completed"
+    kinds = [o["type"] for o in body["output"]]
+    assert "message" in kinds
+    assert body["usage"]["output_tokens"] == 8
+
+
+def test_responses_streaming(tool_server):
+    tc, loop = tool_server
+
+    async def run():
+        r = await tc.post("/v1/responses", json={
+            "model": "tiny", "input": "hello", "max_output_tokens": 6,
+            "stream": True, "ignore_eos": True})
+        assert r.status == 200
+        return (await r.read()).decode()
+
+    text = loop.run_until_complete(run())
+    assert "response.created" in text
+    assert "response.output_text.delta" in text
+    assert "response.completed" in text
