@@ -454,7 +454,14 @@ class PyExecutor:
         # ---- speculative decode (greedy requests, when a drafter is set) ----
         decode_reqs = [r for r in batch.decode
                        if r.is_generating and not getattr(r, "_beam", None)]
-        if self.drafter is not None:
+        # spec concurrency gate (reference NGramDecodingConfig
+        # .max_concurrency via suggest_spec_config): big decode batches
+        # amortize per-step cost already, so speculation turns off
+        spec_cap = getattr(getattr(self.drafter, "cfg", None),
+                           "max_concurrency", None)
+        spec_on = self.drafter is not None and (
+            spec_cap is None or len(decode_reqs) <= spec_cap)
+        if spec_on:
             remaining = []
             for req in decode_reqs:
                 if req.sampling_params.greedy and \
@@ -749,9 +756,6 @@ class PyExecutor:
             return 1  # per-token host masks can't ride the fused scan
         if self._needs_hidden and any(r.sampling_params.greedy for r in reqs):
             return 1  # one-model drafter taps each step's hidden states
-        if self.engine.pp_size > 1:
-            return 1  # PP runs single steps; async dispatch pipelines stages
-
         if getattr(self.engine, "_helix", False) \
                 or getattr(self.engine, "_star", False):
             return 1  # helix/star CP: per-rank slot tables built per step

@@ -547,7 +547,10 @@ class ModelEngine:
                          local_slot_table: Optional[np.ndarray] = None):
         """Run `num_steps` fused decode steps. Returns (tokens [k, B],
         logprobs [k, B]) as device arrays."""
-        assert self.pp_size == 1, "fused multi-step decode is gated off under PP"
+        if self.pp_size > 1:
+            return self._run_decode_multi_pp(inputs, num_steps,
+                                             sampling_state, slot_table,
+                                             local_slot_table)
         key = ("multi", num_steps)
         if key not in self._fns:
             self._fns[key] = self._make_multi_step_fn(num_steps)
@@ -565,6 +568,45 @@ class ModelEngine:
                 jnp.asarray(inputs.lora_ids),
                 jnp.asarray(local_slot_table), lt)
         return toks, logps
+
+    def _run_decode_multi_pp(self, inputs: StepInputs, num_steps: int,
+                             sampling_state, slot_table,
+                             local_slot_table=None):
+        """Multi-step decode under PP: chained stage dispatches with
+        on-device sampling between steps — step k+1's input ids are step
+        k's sampled tokens as DEVICE arrays, so the host never syncs
+        inside the chunk (the PP analog of the fused lax.scan; the
+        reference likewise runs its overlap loop under PP,
+        py_executor.py:1101)."""
+        from dataclasses import replace as _dc_replace
+
+        from tensorrt_llm_tpu.runtime.sampler import sample_tokens
+        if "pp_sample" not in self._fns:
+            self._fns["pp_sample"] = jax.jit(
+                lambda lg, st, k: sample_tokens(lg, st, step_offset=k))
+        samp = self._fns["pp_sample"]
+        slot_table = np.asarray(slot_table)
+        lst = (np.asarray(local_slot_table)
+               if local_slot_table is not None else None)
+        ids = jnp.asarray(inputs.input_ids)
+        pos = jnp.asarray(inputs.positions)
+        lens = jnp.asarray(inputs.kv_lens)
+        toks, logps = [], []
+        for k in range(num_steps):
+            si = _dc_replace(inputs, input_ids=ids, positions=pos,
+                             kv_lens=lens, slot_mapping=slot_table[k])
+            if lst is not None and self._vswa:
+                si.local_slot_mapping = lst[k]
+            logits = self._run_pp("decode", si)
+            t, lp = samp(logits, sampling_state, jnp.int32(k))
+            toks.append(t)
+            logps.append(lp)
+            # sampled on the LAST stage's mesh — hand back to stage 0 for
+            # the next step (ICI transfer, still no host sync)
+            ids = jax.device_put(
+                t, NamedSharding(self.pp_stages[0]["mesh"], P()))
+            pos, lens = pos + 1, lens + 1
+        return jnp.stack(toks), jnp.stack(logps)
 
     def _make_step_fn(self, mode: str, with_hidden: bool = False,
                       capture: str = "final", embeds_input: bool = False):
@@ -1197,7 +1239,11 @@ class ModelEngine:
                         chunk_causal: bool = True):
         """Verify a draft tree (or run a custom-visibility prefill) in one
         forward; returns per-row logits (+ hiddens when requested)."""
-        assert self.pp_size == 1, "tree verify under PP lands later"
+        if self.pp_size > 1:
+            assert not with_hidden, (
+                "hidden-tapping drafters (EAGLE/MTP) stay single-step "
+                "under PP — cross-stage hidden capture lands later")
+            return self._run_pp_tree(inputs, pair_mask, chunk_causal)
         embeds = inputs.input_embeds is not None
         key = ("tree", with_hidden, capture, embeds, chunk_causal)
         if key not in self._fns:
@@ -1222,6 +1268,76 @@ class ModelEngine:
                 return logits, hidden
             logits, self.kv_caches = out
         return logits
+
+    def _make_pp_tree_fn(self, s: int, embeds_input: bool,
+                         chunk_causal: bool):
+        """Tree-verification stage function: the PP stage step with a
+        [T, T] pair-mask threaded through the attention metadata."""
+        model = self.model
+        st = self.pp_stages[s]
+        lo, hi = st["lo"], st["hi"]
+        first, last = s == 0, s == len(self.pp_stages) - 1
+        vswa = self._vswa
+
+        def step(params, caches, x_or_ids, positions, slot_mapping,
+                 block_tables, kv_lens, q_offset, logit_indices, seq_slots,
+                 lora_ids, local_slots, local_tables, pair_mask):
+            meta = AttentionMetadata(
+                positions=positions, slot_mapping=slot_mapping,
+                block_tables=block_tables, kv_lens=kv_lens,
+                q_offset=jnp.int32(0), seq_slots=seq_slots,
+                lora_ids=lora_ids,
+                local_slot_mapping=local_slots if vswa else None,
+                local_block_tables=local_tables if vswa else None,
+                pair_mask=pair_mask, chunk_causal=chunk_causal,
+                mode="prefill")
+            if first:
+                if embeds_input:
+                    h = x_or_ids.astype(model.cfg.dtype)
+                    return model._run_layers(params, h, None, caches, meta,
+                                             lo, hi)
+                return model.forward_first_stage(params, x_or_ids, caches,
+                                                 meta, hi)
+            if last:
+                return model.forward_last_stage(params, x_or_ids, caches,
+                                                meta, lo, logit_indices)
+            return model.forward_mid_stage(params, x_or_ids, caches, meta,
+                                           lo, hi)
+
+        step = jax.shard_map(
+            step, mesh=st["mesh"],
+            in_specs=(st["specs"], st["cache_specs"],
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                      P()),
+            out_specs=(P(), st["cache_specs"]),
+            check_vma=False)
+        return jax.jit(step, donate_argnums=(1,))
+
+    def _run_pp_tree(self, inputs: StepInputs, pair_mask, chunk_causal):
+        embeds = inputs.input_embeds is not None
+        with self.lock:
+            h = jnp.asarray(inputs.input_embeds if embeds
+                            else inputs.input_ids)
+            ls, lt = self._locals_of(inputs)
+            pm = jnp.asarray(pair_mask)
+            common = (jnp.asarray(inputs.positions),
+                      jnp.asarray(inputs.slot_mapping),
+                      jnp.asarray(inputs.block_tables),
+                      jnp.asarray(inputs.kv_lens),
+                      jnp.asarray(inputs.q_offset),
+                      jnp.asarray(inputs.logit_indices),
+                      jnp.asarray(inputs.seq_slots),
+                      jnp.asarray(inputs.lora_ids), ls, lt, pm)
+            for s, st in enumerate(self.pp_stages):
+                key = ("tree", embeds, chunk_causal)
+                if key not in st["fns"]:
+                    st["fns"][key] = self._make_pp_tree_fn(
+                        s, embeds, chunk_causal)
+                if s > 0:
+                    h = jax.device_put(h, NamedSharding(st["mesh"], P()))
+                h, st["caches"] = st["fns"][key](
+                    st["params"], st["caches"], h, *common)
+            return h
 
     def prepare_tree_verify_inputs(self, req, tokens, positions,
                                    write_mask) -> StepInputs:

@@ -25,6 +25,7 @@ class SpeculativeMode(str, enum.Enum):
     MTP = "MTP"                      # one-model, hidden-state tap
     EAGLE3 = "EAGLE3"                # one-model, multi-level feature fusion
     USER_PROVIDED = "USER_PROVIDED"  # user callable proposes drafts
+    AUTO = "AUTO"                    # heuristic pick (reference auto_heuristic)
 
 
 @dataclass
@@ -49,6 +50,23 @@ class SpeculativeConfig:
     tree_branches: Optional[tuple] = None
     # only greedy requests use speculation (rejection sampling lands later)
     greedy_only: bool = True
+    # disable speculation when more than this many requests are decoding in
+    # one step (large batches amortize decode cost already — reference
+    # NGramDecodingConfig.max_concurrency); None = always on
+    max_concurrency: Optional[int] = None
+
+
+def suggest_spec_config(max_batch_size: int) -> SpeculativeConfig:
+    """Draft-model-free default for mode=AUTO (reference
+    `_torch/speculative/auto_heuristic.py:1` suggest_spec_config): NGram
+    speculation, deeper drafts at small batch, disabled past 32 concurrent
+    decodes."""
+    return SpeculativeConfig(
+        mode=SpeculativeMode.NGRAM,
+        max_draft_len=5 if max_batch_size <= 4 else 3,
+        max_matching_ngram_size=3 if max_batch_size <= 4 else 5,
+        max_concurrency=32,
+    )
 
 
 class Drafter:
@@ -107,6 +125,12 @@ def get_drafter(cfg: SpeculativeConfig, llm_args=None) -> Drafter:
     from tensorrt_llm_tpu.speculative.ngram import NGramDrafter
     from tensorrt_llm_tpu.speculative.draft_target import DraftTargetDrafter
     from tensorrt_llm_tpu.speculative.mtp import MTPDrafter
+    if isinstance(cfg, str):
+        # LLM(speculative_config="AUTO") / mode-name shorthand
+        cfg = SpeculativeConfig(mode=SpeculativeMode(cfg.upper()))
+    if cfg.mode == SpeculativeMode.AUTO:
+        mbs = getattr(llm_args, "max_batch_size", 8) if llm_args else 8
+        cfg = suggest_spec_config(mbs)
     if cfg.mode == SpeculativeMode.NGRAM:
         return NGramDrafter(cfg)
     if cfg.mode == SpeculativeMode.DRAFT_TARGET:
