@@ -119,6 +119,7 @@ def get_attention_backend(name: str = "auto"):
     # populate registry
     import tensorrt_llm_tpu.attention_backend.xla_backend  # noqa: F401
     import tensorrt_llm_tpu.attention_backend.pallas_backend  # noqa: F401
+    import tensorrt_llm_tpu.attention_backend.sparse_backend  # noqa: F401
     if name == "auto":
         from tensorrt_llm_tpu.utils import is_tpu_backend
         name = "pallas" if is_tpu_backend() else "xla"

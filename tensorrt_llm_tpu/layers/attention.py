@@ -197,16 +197,25 @@ class Attention:
         q, k = self._position_transform(q, k, meta.positions, cos_t, sin_t,
                                         mrope=meta.mrope_positions,
                                         post_norms=self._post_norms(params))
-        k_cache, v_cache = kv_cache
-        out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache, meta,
-                                             sinks=sinks)
+        if isinstance(kv_cache, (tuple, list)) and len(kv_cache) == 3:
+            # sparse backend: third leaf is the per-page KT summary pool
+            k_cache, v_cache, kt_cache = kv_cache
+            out, k_cache, v_cache, kt_cache = self.backend(
+                q, k, v, k_cache, v_cache, meta, sinks=sinks,
+                kt_cache=kt_cache)
+            new_cache = (k_cache, v_cache, kt_cache)
+        else:
+            k_cache, v_cache = kv_cache
+            out, k_cache, v_cache = self.backend(q, k, v, k_cache, v_cache,
+                                                 meta, sinks=sinks)
+            new_cache = (k_cache, v_cache)
         out = out.reshape(T, qh * D)
         y = self.o(params["o"], out)
         if lora and "o" in lora and meta.lora_ids is not None:
             from tensorrt_llm_tpu.lora.multi_lora import apply_lora
             y = apply_lora(out, y, lora["o"], meta.lora_ids,
                            row_parallel=self.tp_size > 1)
-        return y, (k_cache, v_cache)
+        return y, new_cache
 
     def _post_norms(self, params):
         """HunYuan-style weighted per-head q/k RMSNorm AFTER rope."""

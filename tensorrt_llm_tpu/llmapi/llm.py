@@ -123,6 +123,16 @@ class LLM:
         cfg.max_position = max(cfg.max_position, a.max_seq_len)
         if a.moe_redundant_experts:
             cfg.moe_redundant_experts = a.moe_redundant_experts
+        if a.attention_backend == "sparse" and cfg.sparse_attention is None:
+            # RocketKV-style block-top-k decode (reference sparse backends)
+            cfg.sparse_attention = {
+                "topk_blocks": a.sparse_attention_topk_blocks,
+                "sink_blocks": a.sparse_attention_sink_blocks,
+                "recent_blocks": a.sparse_attention_recent_blocks,
+            }
+        if cfg.sparse_attention is not None:
+            assert mapping.cp_size == 1 and not cfg.is_mla, \
+                "sparse attention: GQA layers, no context parallelism"
 
         self.model_config = cfg
         self._tokenizer = self._load_tokenizer(model_path)
@@ -163,6 +173,11 @@ class LLM:
         kvcfg = a.make_kv_cache_config()
         if cfg.is_mla:
             kvcfg.layout = "latent"
+        if cfg.sparse_attention is not None:
+            from tensorrt_llm_tpu.quantization.mode import KvCacheQuantAlgo
+            kvcfg.sparse_kt = True
+            assert kvcfg.kv_quant == KvCacheQuantAlgo.NONE, \
+                "sparse KT summaries require unquantized KV pools"
         num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
         if mapping.cp_size > 1 and mapping.cp_type == "helix":
             from tensorrt_llm_tpu.runtime.kv_cache_manager import (

@@ -63,8 +63,13 @@ class LlmArgs:
     scheduler_policy: str = "guaranteed_no_evict"
     enable_chunked_prefill: bool = True
 
-    # attention
+    # attention: "auto" | "xla" | "pallas" | "sparse" (RocketKV-style
+    # block-top-k long-context decode, reference
+    # _torch/attention_backend/sparse/rocket.py)
     attention_backend: str = "auto"
+    sparse_attention_topk_blocks: int = 64
+    sparse_attention_sink_blocks: int = 1
+    sparse_attention_recent_blocks: int = 2
 
     # LoRA: adapter directory merged into base weights at load
     lora_path: Optional[str] = None

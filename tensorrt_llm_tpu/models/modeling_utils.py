@@ -156,6 +156,10 @@ class ModelConfig:
     dtype: Any = jnp.bfloat16
     quant: Optional[QuantConfig] = None
     mapping: Mapping = field(default_factory=Mapping)
+    # sparse long-context decode (reference sparse attention backends,
+    # _torch/attention_backend/sparse/): {"topk_blocks", "sink_blocks",
+    # "recent_blocks"}; None = dense
+    sparse_attention: Optional[dict] = None
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -533,7 +537,13 @@ class DecoderLayer:
         nope = cfg.is_nope_layer(self.layer_idx)
         chunk = (cfg.attention_chunk_size
                  if cfg.attention_chunk_size and self.sliding else None)
+        backend_cls = None
+        if cfg.sparse_attention is not None and not self.sliding:
+            from tensorrt_llm_tpu.attention_backend.sparse_backend import (
+                make_sparse_backend)
+            backend_cls = make_sparse_backend(cfg.sparse_attention)
         return Attention(
+            backend_cls=backend_cls,
             hidden_size=cfg.hidden_size,
             num_heads=cfg.num_heads,
             num_kv_heads=cfg.num_kv_heads,

@@ -458,3 +458,91 @@ def helix_combine(o, l, m, axis_name: str = "cp", sinks=None):
         # stats are [..., H]; broadcast the per-head sink against them
         l = l + jnp.exp(sinks.astype(l.dtype) - M)
     return (o / jnp.maximum(l, 1e-30)[..., None])
+
+
+# ---- sparse (RocketKV-style block-top-k) decode --------------------------------
+def update_kt_cache(kt_cache: jax.Array, k_cache: jax.Array,
+                    slot_mapping: jax.Array) -> jax.Array:
+    """Refresh per-block key summaries for blocks the step just wrote.
+
+    kt_cache [NB, Hkv, D] holds the mean key of each page — the compressed
+    "KT cache" the block scorer reads instead of full keys (the TPU analog
+    of the reference's Rocket KT cache,
+    `_torch/attention_backend/sparse/rocket.py` triton_rocket_update_kt_*;
+    one summary row per page = block_size x less HBM read at scoring time).
+    Must run AFTER write_kv_cache so summaries include this step's keys.
+    """
+    assert not isinstance(k_cache, tuple), \
+        "sparse KT summaries require unquantized KV pools"
+    nb, hkv, bs, d = k_cache.shape
+    bids = slot_mapping // bs                       # [T]; OOB stays OOB
+    safe = jnp.clip(bids, 0, nb - 1)
+    summ = k_cache[safe].mean(axis=2)               # [T, Hkv, D]
+    bids = jnp.where(slot_mapping >= nb * bs, nb, bids)
+    return kt_cache.at[bids].set(summ.astype(kt_cache.dtype), mode="drop")
+
+
+def select_blocks(q: jax.Array, kt_cache: jax.Array,
+                  block_tables: jax.Array, kv_lens: jax.Array,
+                  block_size: int, topk: int, sink_blocks: int = 1,
+                  recent_blocks: int = 2) -> jax.Array:
+    """Score each sequence's pages against the query via the KT summaries
+    and return the indices (into the block table, ascending) of the top-k
+    pages.  Sink pages (prefix) and recent pages are always kept — the
+    Rocket/SnapKV recipe."""
+    B, Hq, D = q.shape
+    MB = block_tables.shape[1]
+    kt = jnp.take(kt_cache, block_tables, axis=0)   # [B, MB, Hkv, D]
+    hkv = kt.shape[2]
+    g = Hq // hkv
+    qf = q.astype(jnp.float32).reshape(B, hkv, g, D)
+    s = jnp.einsum("bhgd,bmhd->bhgm", qf, kt.astype(jnp.float32))
+    s = jnp.max(s, axis=2).sum(axis=1)              # [B, MB]
+    n_valid = (kv_lens[:, None] + block_size - 1) // block_size
+    idx = jnp.arange(MB, dtype=jnp.int32)[None, :]
+    s = jnp.where(idx < n_valid, s, -jnp.inf)
+    force = (idx < sink_blocks) | (idx >= n_valid - recent_blocks)
+    s = jnp.where(force & (idx < n_valid), jnp.inf, s)
+    k = min(topk, MB)
+    sel = jax.lax.top_k(s, k)[1]                    # [B, k]
+    return jnp.sort(sel, axis=1).astype(jnp.int32)
+
+
+def sparse_paged_decode_xla(
+    q: jax.Array,             # [B, Hq, D]
+    k_cache: jax.Array,       # [NB, Hkv, BS, D]
+    v_cache: jax.Array,
+    block_tables: jax.Array,  # [B, MB]
+    sel_idx: jax.Array,       # [B, K] selected block INDICES into the table
+    kv_lens: jax.Array,       # [B]
+    scale: float,
+    logit_cap: Optional[float] = None,
+    sinks: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Decode attention over only the selected pages.  Token positions are
+    reconstructed from sel_idx (page index * block_size + offset) so causal
+    validity is exact; unselected pages are simply never gathered — the
+    HBM saving sparsity exists for."""
+    nb, hkv, bs, d = k_cache.shape
+    B, Hq, _ = q.shape
+    n_rep = Hq // hkv
+    sel_tables = jnp.take_along_axis(block_tables, sel_idx, axis=1)  # [B, K]
+    k = gather_dequant(k_cache, sel_tables, q.dtype)  # [B, K, Hkv, BS, D]
+    v = gather_dequant(v_cache, sel_tables, q.dtype)
+    K = sel_idx.shape[1]
+    S = K * bs
+    k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
+    v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
+    qf = (q.astype(jnp.float32) * scale).reshape(B, hkv, n_rep, d)
+    scores = jnp.einsum("bhgd,bshd->bhgs", qf, k.astype(jnp.float32))
+    if logit_cap:
+        scores = logit_cap * jnp.tanh(scores / logit_cap)
+    kv_pos = (sel_idx[:, :, None] * bs
+              + jnp.arange(bs, dtype=jnp.int32)[None, None, :]
+              ).reshape(B, S)[:, None, None, :]     # [B, 1, 1, S]
+    mask = kv_pos < kv_lens[:, None, None, None]
+    sink_r = (sinks.reshape(1, hkv, n_rep, 1).astype(jnp.float32)
+              if sinks is not None else None)
+    probs = _masked_softmax(scores, mask, sink_r)
+    out = jnp.einsum("bhgs,bshd->bhgd", probs, v.astype(jnp.float32))
+    return out.reshape(B, Hq, d).astype(q.dtype)

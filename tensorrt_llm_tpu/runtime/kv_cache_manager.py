@@ -49,6 +49,9 @@ class KVCacheConfig:
     # kvCacheTransferManager.cpp): up to this many evicted reuse blocks are
     # offloaded to host RAM and onboarded back on a prefix hit.  0 = off.
     host_cache_blocks: int = 0
+    # sparse decode (RocketKV-style): allocate a per-page key-summary pool
+    # [NB, Hkv, D] alongside K/V for full-attention layers
+    sparse_kt: bool = False
     # "kv": separate K and V pools per layer; "latent": one pool per layer
     # (MLA compressed KV + rope key — reference mlaCacheFormatter layout)
     layout: str = "kv"
@@ -620,6 +623,11 @@ class KVCacheManager:
                 # dequant is a pure dtype convert
                 return (jnp.zeros(shape, jnp.float8_e4m3fn),
                         jnp.zeros(shape, jnp.float8_e4m3fn))
+            if self.cfg.sparse_kt and not (
+                    self.vswa and layer in self.sliding_layers):
+                # RocketKV-style per-page key summaries (3rd cache leaf)
+                return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                        jnp.zeros((shape[0], shape[1], shape[3]), dtype))
             return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
         return [pool(i) for i in range(self.num_layers)]

@@ -1,0 +1,141 @@
+"""Sparse (RocketKV-style block-top-k) attention backend
+(reference _torch/attention_backend/sparse/rocket.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.ops.attention_xla import (
+    paged_decode_xla, select_blocks, sparse_paged_decode_xla,
+    update_kt_cache, write_kv_cache)
+
+BS, HKV, HQ, D = 8, 2, 4, 32
+
+
+def _fill_cache(rng, n_blocks, kv_len):
+    """Paged K/V pools with kv_len real tokens in blocks [0..)."""
+    k_cache = jnp.zeros((n_blocks, HKV, BS, D), jnp.float32)
+    v_cache = jnp.zeros((n_blocks, HKV, BS, D), jnp.float32)
+    kt = jnp.zeros((n_blocks, HKV, D), jnp.float32)
+    k_new = jnp.asarray(rng.randn(kv_len, HKV, D), jnp.float32)
+    v_new = jnp.asarray(rng.randn(kv_len, HKV, D), jnp.float32)
+    slots = jnp.arange(kv_len, dtype=jnp.int32)  # blocks 0..; identity table
+    k_cache, v_cache = write_kv_cache(k_cache, v_cache, k_new, v_new, slots)
+    kt = update_kt_cache(kt, k_cache, slots)
+    return k_cache, v_cache, kt
+
+
+def test_kt_summary_is_block_mean():
+    rng = np.random.RandomState(0)
+    k_cache, _, kt = _fill_cache(rng, n_blocks=4, kv_len=3 * BS)
+    np.testing.assert_allclose(np.asarray(kt[:3]),
+                               np.asarray(k_cache[:3]).mean(axis=2),
+                               rtol=1e-6)
+
+
+def test_sparse_equals_dense_when_topk_covers_all():
+    """With topk >= n_valid blocks the sparse decode must match the dense
+    paged decode bit-for-bit in float32."""
+    rng = np.random.RandomState(1)
+    n_blocks, kv_len = 6, 5 * BS - 3
+    k_cache, v_cache, kt = _fill_cache(rng, n_blocks, kv_len)
+    q = jnp.asarray(rng.randn(1, HQ, D), jnp.float32)
+    tables = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    kv_lens = jnp.array([kv_len], jnp.int32)
+    scale = D ** -0.5
+    dense = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens, scale)
+    sel = select_blocks(q, kt, tables, kv_lens, BS, topk=n_blocks)
+    sparse = sparse_paged_decode_xla(q, k_cache, v_cache, tables, sel,
+                                     kv_lens, scale)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_select_blocks_keeps_sink_and_recent():
+    rng = np.random.RandomState(2)
+    n_blocks, kv_len = 16, 16 * BS
+    _, _, kt = _fill_cache(rng, n_blocks, kv_len)
+    q = jnp.asarray(rng.randn(1, HQ, D), jnp.float32)
+    tables = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    sel = np.asarray(select_blocks(q, kt, tables,
+                                   jnp.array([kv_len], jnp.int32), BS,
+                                   topk=6, sink_blocks=1, recent_blocks=2))
+    assert 0 in sel[0], "sink block dropped"
+    assert 15 in sel[0] and 14 in sel[0], "recent blocks dropped"
+    assert len(set(sel[0].tolist())) == 6
+
+
+def test_sparse_high_recall_on_needle():
+    """A 'needle' block whose keys align with the query must be selected
+    and dominate the output like it does under dense attention."""
+    rng = np.random.RandomState(3)
+    n_blocks, kv_len = 32, 32 * BS
+    k_cache, v_cache, kt = _fill_cache(rng, n_blocks, kv_len)
+    q = jnp.asarray(rng.randn(1, HQ, D), jnp.float32)
+    # plant the needle: block 13's keys point strongly along q so its
+    # softmax weight dwarfs every unselected block's
+    qk = np.asarray(q).reshape(HKV, HQ // HKV, D).mean(axis=1)  # [HKV, D]
+    needle = np.array(k_cache)
+    needle[13] = np.tile(qk[:, None, :] * 10.0, (1, BS, 1))
+    k_cache = jnp.asarray(needle)
+    kt = update_kt_cache(kt, k_cache,
+                         jnp.arange(13 * BS, 14 * BS, dtype=jnp.int32))
+    tables = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    kv_lens = jnp.array([kv_len], jnp.int32)
+    scale = D ** -0.5
+    sel = select_blocks(q, kt, tables, kv_lens, BS, topk=8)
+    assert 13 in np.asarray(sel)[0], "needle block not selected"
+    dense = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens, scale)
+    sparse = sparse_paged_decode_xla(q, k_cache, v_cache, tables, sel,
+                                     kv_lens, scale)
+    # the needle dominates the softmax, so 8/32 blocks reproduce dense
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse),
+                               rtol=0.05, atol=0.05)
+
+
+def test_e2e_sparse_backend_matches_dense_greedy():
+    """LLM(attention_backend="sparse") with topk covering every block must
+    reproduce the dense engine's greedy tokens exactly."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    TINY = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                max_position=256)
+    sp = tllm.SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    prompt = [(11 * i + 5) % 256 for i in range(20)]
+
+    dense = tllm.LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+                     max_seq_len=128, max_batch_size=4, kv_num_blocks=64,
+                     kv_block_size=8, seed=0)
+    ref = dense.generate([prompt], sp)[0].outputs[0].token_ids
+    dense.shutdown()
+
+    sparse = tllm.LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+                      max_seq_len=128, max_batch_size=4, kv_num_blocks=64,
+                      kv_block_size=8, seed=0, attention_backend="sparse",
+                      sparse_attention_topk_blocks=64)
+    out = sparse.generate([prompt], sp)[0].outputs[0].token_ids
+    st = sparse.executor.kv.stats()
+    sparse.shutdown()
+    assert out == ref, (out, ref)
+    assert st is not None
+
+
+def test_e2e_sparse_restricted_topk_decodes():
+    """Aggressively small topk still decodes coherently (no crash, right
+    lengths) — numerics differ from dense by design."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    TINY = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
+                num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                max_position=256)
+    llm = tllm.LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+                   max_seq_len=256, max_batch_size=2, kv_num_blocks=64,
+                   kv_block_size=8, attention_backend="sparse",
+                   sparse_attention_topk_blocks=4)
+    sp = tllm.SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    out = llm.generate([[(3 * i + 1) % 256 for i in range(100)]], sp)
+    assert len(out[0].outputs[0].token_ids) == 6
+    llm.shutdown()
