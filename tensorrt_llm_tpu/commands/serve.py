@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument("--tool-parser", default=None,
                    help="function-call parser family: qwen3 | deepseek_v3 "
                         "| harmony (reference serve/tool_parser/)")
+    p.add_argument("--register-to", default=None,
+                   help="disagg front-end base URL to join on startup")
+    p.add_argument("--advertise-url", default=None,
+                   help="this worker's URL as seen by the front end")
+    p.add_argument("--disagg-role", default="generation",
+                   choices=["context", "generation"])
     p.add_argument("--extra-llm-api-options", default=None,
                    help="YAML file with LlmArgs overrides")
     args = p.parse_args(argv)
@@ -45,8 +51,13 @@ def main(argv=None):
         kv_block_size=args.kv_block_size,
         extra_llm_api_options=args.extra_llm_api_options,
     )
-    server = OpenAIServer(llm, args.served_model_name or args.model,
-                          tool_parser=args.tool_parser)
+    server = OpenAIServer(
+        llm, args.served_model_name or args.model,
+        tool_parser=args.tool_parser,
+        register_to=args.register_to,
+        advertise_url=args.advertise_url
+        or f"http://{args.host}:{args.port}",
+        disagg_role=args.disagg_role)
     server.run(args.host, args.port)
 
 
@@ -54,19 +65,32 @@ def main_disaggregated(argv):
     """`trtllm-tpu-serve disaggregated` — the two-pool front end
     (reference: trtllm-serve disaggregated, serve/openai_disagg_server.py)."""
     p = argparse.ArgumentParser("trtllm-tpu-serve disaggregated")
-    p.add_argument("--ctx-servers", nargs="+", required=True,
-                   help="context (prefill) worker base URLs")
-    p.add_argument("--gen-servers", nargs="+", required=True,
+    p.add_argument("--ctx-servers", nargs="*", default=[],
+                   help="context (prefill) worker base URLs (more may "
+                        "join at runtime via /register)")
+    p.add_argument("--gen-servers", nargs="*", default=[],
                    help="generation (decode) worker base URLs")
     p.add_argument("--router", default="round_robin",
-                   choices=["round_robin", "load_based"])
+                   choices=["round_robin", "load_based", "kv_aware"])
+    p.add_argument("--health-interval", type=float, default=5.0,
+                   help="seconds between worker health sweeps (0 = off)")
+    p.add_argument("--conditional-max-prompt", type=int, default=0,
+                   help="prompts up to this many tokens skip the remote "
+                        "prefill hop (conditional disaggregation)")
+    p.add_argument("--conditional-cached-fraction", type=float, default=0.0,
+                   help="skip the prefill hop when a decode worker caches "
+                        "at least this fraction of the prompt")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     args = p.parse_args(argv)
 
     from tensorrt_llm_tpu.serve.disagg_server import OpenAIDisaggServer
-    OpenAIDisaggServer(args.ctx_servers, args.gen_servers,
-                       args.router).run(args.host, args.port)
+    OpenAIDisaggServer(
+        args.ctx_servers, args.gen_servers, args.router,
+        health_interval=args.health_interval,
+        conditional_max_prompt=args.conditional_max_prompt,
+        conditional_cached_fraction=args.conditional_cached_fraction,
+    ).run(args.host, args.port)
 
 
 if __name__ == "__main__":

@@ -16,81 +16,258 @@ and KV_AWARE (longest cached prefix wins, load breaks ties — the reference's
 KV-cache-aware router `serve/router.py:76-139`; instead of mirroring the
 event stream into a radix view, each candidate answers an exact, side-effect-
 free /prefix_match probe).
+
+Cluster management (reference `serve/router.py:68` health checks,
+`serve/metadata_server.py` + `serve/disagg_auto_scaling.py` worker
+join/leave): each pool is a dynamic ServerPool — workers POST /register
+and /unregister (or just die), a background health loop probes /health and
+fences servers after consecutive failures, and fenced servers rejoin
+automatically when they recover.  Conditional disaggregation (reference
+`conditional_disagg_config`): short prompts, or prompts whose prefix is
+already mostly cached on a generation server, skip the remote prefill hop
+and run both phases on the generation server.
 """
 
 from __future__ import annotations
 
+import asyncio
 import base64
 import itertools
-from typing import List, Optional
+import time
+from typing import Dict, List, Optional
 
 from aiohttp import ClientSession, web
 
 from tensorrt_llm_tpu.utils import logger
 
 
+class ServerPool:
+    """Dynamic worker-pool membership + health fencing (reference router
+    health checks, serve/router.py:68 + disagg_auto_scaling worker
+    tracking)."""
+
+    def __init__(self, urls: Optional[List[str]] = None,
+                 fail_threshold: int = 3):
+        self.servers: Dict[str, dict] = {}
+        self.fail_threshold = fail_threshold
+        for u in urls or []:
+            self.add(u)
+
+    def add(self, url: str):
+        url = url.rstrip("/")
+        if url not in self.servers:
+            self.servers[url] = {"healthy": True, "fails": 0,
+                                 "joined": time.time()}
+            logger.info("pool: %s joined", url)
+
+    def remove(self, url: str):
+        if self.servers.pop(url.rstrip("/"), None) is not None:
+            logger.info("pool: %s left", url)
+
+    @property
+    def urls(self) -> List[str]:
+        return list(self.servers)
+
+    def healthy_urls(self) -> List[str]:
+        return [u for u, s in self.servers.items() if s["healthy"]]
+
+    def mark(self, url: str, ok: bool):
+        s = self.servers.get(url)
+        if s is None:
+            return
+        if ok:
+            if not s["healthy"]:
+                logger.info("pool: %s recovered", url)
+            s["fails"] = 0
+            s["healthy"] = True
+        else:
+            s["fails"] += 1
+            if s["fails"] >= self.fail_threshold and s["healthy"]:
+                s["healthy"] = False
+                logger.warning("pool: %s fenced after %d failed health "
+                               "checks", url, s["fails"])
+
+    async def check_health(self, session: ClientSession,
+                           timeout: float = 2.0):
+        """One health sweep over every member (fenced ones too — that is
+        how they rejoin)."""
+        for u in self.urls:
+            try:
+                async with session.get(f"{u}/health",
+                                       timeout=timeout) as r:
+                    self.mark(u, r.status == 200)
+            except Exception:  # noqa: BLE001
+                self.mark(u, False)
+
+    def snapshot(self) -> List[dict]:
+        return [{"url": u, **{k: v for k, v in s.items()}}
+                for u, s in self.servers.items()]
+
+
 class Router:
     """Pick a server for the next request."""
 
-    def __init__(self, urls: List[str], policy: str = "round_robin"):
-        assert urls, "router needs at least one server"
-        self.urls = list(urls)
+    def __init__(self, urls, policy: str = "round_robin"):
+        self.pool = urls if isinstance(urls, ServerPool) else ServerPool(urls)
         self.policy = policy
-        self._rr = itertools.cycle(self.urls)
+        self._rr = itertools.cycle([])
+        self._rr_urls: List[str] = []
+
+    @property
+    def urls(self) -> List[str]:
+        return self.pool.urls
+
+    def _candidates(self) -> List[str]:
+        urls = self.pool.healthy_urls()
+        if not urls:
+            raise web.HTTPServiceUnavailable(text="no healthy backend")
+        return urls
 
     async def pick(self, session: ClientSession,
                    token_ids: Optional[List[int]] = None) -> str:
-        if self.policy == "round_robin" or len(self.urls) == 1:
+        cands = self._candidates()
+        if self.policy == "round_robin" or len(cands) == 1:
+            if cands != self._rr_urls:  # membership changed: rebuild cycle
+                self._rr_urls = cands
+                self._rr = itertools.cycle(cands)
             return next(self._rr)
         # load: fewest active sequences right now (both remaining policies)
         loads = []
-        for u in self.urls:
+        for u in cands:
             try:
                 async with session.get(f"{u}/kv_cache_events") as r:
                     stats = await r.json()
                 loads.append((stats.get("active_sequences", 0), u))
+                self.pool.mark(u, True)
             except Exception:  # noqa: BLE001 — skip unhealthy servers
-                loads.append((float("inf"), u))
-        healthy = [(l, u) for l, u in loads if l != float("inf")]
-        if not healthy:
+                self.pool.mark(u, False)
+        if not loads:
             raise web.HTTPServiceUnavailable(text="no healthy backend")
         if self.policy == "kv_aware" and token_ids:
             # longest cached prefix wins; load breaks ties
             scored = []
-            for load, u in healthy:
-                try:
-                    async with session.post(
-                            f"{u}/prefix_match",
-                            json={"prompt_token_ids": list(token_ids)}) as r:
-                        m = (await r.json()).get("matched_tokens", 0)
-                except Exception:  # noqa: BLE001
-                    m = 0
-                scored.append((-m, load, u))
+            for load, u in loads:
+                scored.append((-(await self.prefix_match(session, u,
+                                                         token_ids)),
+                               load, u))
             scored.sort()
             return scored[0][2]
-        healthy.sort()
-        return healthy[0][1]
+        loads.sort()
+        return loads[0][1]
+
+    @staticmethod
+    async def prefix_match(session: ClientSession, url: str,
+                           token_ids) -> int:
+        try:
+            async with session.post(
+                    f"{url}/prefix_match",
+                    json={"prompt_token_ids": list(token_ids)}) as r:
+                return (await r.json()).get("matched_tokens", 0)
+        except Exception:  # noqa: BLE001
+            return 0
 
 
 class OpenAIDisaggServer:
     def __init__(self, ctx_urls: List[str], gen_urls: List[str],
                  router_policy: str = "round_robin",
-                 model_name: str = "tpu-llm"):
-        self.ctx_router = Router(ctx_urls, router_policy)
-        self.gen_router = Router(gen_urls, router_policy)
+                 model_name: str = "tpu-llm",
+                 health_interval: float = 5.0,
+                 conditional_max_prompt: int = 0,
+                 conditional_cached_fraction: float = 0.0):
+        """conditional_max_prompt: prompts with at most this many tokens
+        skip the remote prefill hop (0 = off).  conditional_cached_fraction:
+        skip the hop when a generation server already caches at least this
+        fraction of the prompt (0 = off) — reference conditional
+        disaggregation."""
+        self.ctx_pool = ServerPool(ctx_urls)
+        self.gen_pool = ServerPool(gen_urls)
+        self.ctx_router = Router(self.ctx_pool, router_policy)
+        self.gen_router = Router(self.gen_pool, router_policy)
         self.model_name = model_name
+        self.health_interval = health_interval
+        self.conditional_max_prompt = conditional_max_prompt
+        self.conditional_cached_fraction = conditional_cached_fraction
+        self._health_task = None
         self.app = web.Application(client_max_size=1 << 30)
         self.app.add_routes([
             web.get("/health", self.health),
+            web.get("/cluster", self.cluster),
+            web.post("/register", self.register),
+            web.post("/unregister", self.unregister),
             web.post("/v1/completions", self.completions),
         ])
+        self.app.on_startup.append(self._start_health_loop)
+        self.app.on_cleanup.append(self._stop_health_loop)
+
+    # ------------------------------------------------------------ cluster ----
+    async def _start_health_loop(self, app):
+        if self.health_interval > 0:
+            self._health_task = asyncio.ensure_future(self._health_loop())
+
+    async def _stop_health_loop(self, app):
+        if self._health_task is not None:
+            self._health_task.cancel()
+
+    async def _health_loop(self):
+        async with ClientSession() as session:
+            while True:
+                await asyncio.sleep(self.health_interval)
+                await self.ctx_pool.check_health(session)
+                await self.gen_pool.check_health(session)
+
+    def _pool(self, role: str) -> ServerPool:
+        if role not in ("context", "generation", "ctx", "gen"):
+            raise web.HTTPBadRequest(text=f"bad role {role!r}")
+        return self.ctx_pool if role.startswith("c") else self.gen_pool
+
+    async def register(self, request: web.Request):
+        """Worker join (reference disagg_auto_scaling worker watch):
+        body {"url": ..., "role": "context" | "generation"}."""
+        body = await request.json()
+        self._pool(body.get("role", "")).add(body["url"])
+        return web.json_response({"status": "ok"})
+
+    async def unregister(self, request: web.Request):
+        body = await request.json()
+        self._pool(body.get("role", "")).remove(body["url"])
+        return web.json_response({"status": "ok"})
+
+    async def cluster(self, request):
+        return web.json_response({
+            "context": self.ctx_pool.snapshot(),
+            "generation": self.gen_pool.snapshot(),
+        })
 
     async def health(self, request):
         return web.json_response({"status": "ok"})
 
+    # ------------------------------------------------------------ serving ----
+    async def _should_skip_prefill_hop(self, session, body) -> bool:
+        """Conditional disaggregation: serve both phases on a generation
+        server when the remote-prefill hop cannot pay for itself."""
+        ids = body.get("prompt_token_ids")
+        if ids is None:
+            return False
+        if self.conditional_max_prompt and \
+                len(ids) <= self.conditional_max_prompt:
+            return True
+        if self.conditional_cached_fraction > 0:
+            for u in self.gen_pool.healthy_urls():
+                m = await Router.prefix_match(session, u, ids)
+                if m >= self.conditional_cached_fraction * len(ids):
+                    return True
+        return False
+
     async def completions(self, request: web.Request):
         body = await request.json()
         async with ClientSession() as session:
+            if await self._should_skip_prefill_hop(session, body):
+                gen_url = await self.gen_router.pick(
+                    session, body.get("prompt_token_ids"))
+                async with session.post(f"{gen_url}/v1/completions",
+                                        json=body) as r:
+                    return web.json_response(await r.json(),
+                                             status=r.status)
             # 1) context phase (KV-aware: route to the prefill server that
             # already caches the longest prompt prefix)
             ctx_url = await self.ctx_router.pick(
@@ -111,7 +288,7 @@ class OpenAIDisaggServer:
 
     def run(self, host: str = "0.0.0.0", port: int = 8000):
         logger.info("disagg server on %s:%d (ctx=%s gen=%s)", host, port,
-                    self.ctx_router.urls, self.gen_router.urls)
+                    self.ctx_pool.urls, self.gen_pool.urls)
         web.run_app(self.app, host=host, port=port)
 
 

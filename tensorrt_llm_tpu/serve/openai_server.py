@@ -34,15 +34,27 @@ from tensorrt_llm_tpu.utils import logger
 
 class OpenAIServer:
     def __init__(self, llm: LLM, model_name: str = "tpu-llm",
-                 tool_parser: Optional[str] = None):
+                 tool_parser: Optional[str] = None,
+                 register_to: Optional[str] = None,
+                 advertise_url: Optional[str] = None,
+                 disagg_role: str = "generation"):
         """tool_parser: model family for function-call markup parsing
         ("qwen3" | "deepseek_v3" | "harmony" | ... — reference
-        serve/tool_parser/ + harmony_adapter.py)."""
+        serve/tool_parser/ + harmony_adapter.py).
+        register_to/advertise_url/disagg_role: announce this worker to a
+        disaggregated front end on startup and withdraw on shutdown
+        (reference metadata-server registration, disagg_auto_scaling.py)."""
         self.llm = llm
         self.model_name = model_name
         self.tool_parser_name = tool_parser
+        self.register_to = register_to
+        self.advertise_url = advertise_url
+        self.disagg_role = disagg_role
         self.app = web.Application()
         self.started_at = time.time()
+        if register_to:
+            self.app.on_startup.append(self._register_worker)
+            self.app.on_cleanup.append(self._unregister_worker)
         self.app.add_routes([
             web.get("/health", self.health),
             web.get("/v1/models", self.models),
@@ -61,6 +73,25 @@ class OpenAIServer:
         ])
 
     # ------------------------------------------------------------------ misc ----
+    async def _register_worker(self, app):
+        from aiohttp import ClientSession
+        try:
+            async with ClientSession() as s:
+                await s.post(f"{self.register_to}/register", json={
+                    "url": self.advertise_url, "role": self.disagg_role})
+        except Exception as e:  # noqa: BLE001 — front end may come up later
+            logger.warning("worker registration with %s failed: %s",
+                           self.register_to, e)
+
+    async def _unregister_worker(self, app):
+        from aiohttp import ClientSession
+        try:
+            async with ClientSession() as s:
+                await s.post(f"{self.register_to}/unregister", json={
+                    "url": self.advertise_url, "role": self.disagg_role})
+        except Exception:  # noqa: BLE001
+            pass
+
     async def health(self, request):
         return web.json_response({"status": "ok"})
 
