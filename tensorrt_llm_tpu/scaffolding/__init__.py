@@ -16,8 +16,17 @@ from tensorrt_llm_tpu.scaffolding.controller import (
     MajorityVoteController,
 )
 from tensorrt_llm_tpu.scaffolding.scaffolding_llm import ScaffoldingLlm
+from tensorrt_llm_tpu.scaffolding.tree_search import (
+    CertaintyStopController,
+    JudgeRewardController,
+    MCTSController,
+    ThoughtNode,
+    TreeOfThoughtsController,
+)
 
 __all__ = [
     "Controller", "GenerationTask", "MajorityVoteController",
-    "BestOfNController", "ScaffoldingLlm",
+    "BestOfNController", "ScaffoldingLlm", "MCTSController",
+    "TreeOfThoughtsController", "CertaintyStopController",
+    "JudgeRewardController", "ThoughtNode",
 ]

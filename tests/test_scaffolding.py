@@ -78,3 +78,116 @@ def test_custom_controller_multi_round():
         assert toks == want
     finally:
         llm.shutdown()
+
+
+# ---- tree-search / adaptive controllers (reference contrib controllers) ----
+class CharTokenizer:
+    eos_token_id = 0
+    chat_template = None
+
+    def encode(self, text):
+        return [1 + (ord(c) % 60) for c in str(text)[:48]] or [1]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+
+def mk_text_llm():
+    return LLM(model=ModelConfig(**TINY), tokenizer=CharTokenizer(),
+               max_seq_len=64, max_batch_size=8, kv_num_blocks=128,
+               kv_block_size=8)
+
+
+def test_parse_judge_score():
+    from tensorrt_llm_tpu.scaffolding.tree_search import parse_judge_score
+    assert parse_judge_score("7") == 0.7
+    assert parse_judge_score(" 8.5 / 10") == 0.85
+    assert parse_judge_score("fifty") == 0.0
+    assert parse_judge_score("999") == 1.0  # clamped
+    assert parse_judge_score(None) == 0.0
+
+
+def test_mcts_controller_searches_and_answers():
+    from tensorrt_llm_tpu.scaffolding import MCTSController, ScaffoldingLlm
+    llm = mk_text_llm()
+    try:
+        ctl = MCTSController(
+            max_iterations=2, max_depth=2, num_thoughts_per_step=2,
+            thought_tokens=3, answer_tokens=3,
+            sampling_params=SamplingParams(temperature=0.8, logprobs=1,
+                                           ignore_eos=True))
+        out = ScaffoldingLlm(llm, ctl).generate("what is 2+2?")
+        assert isinstance(out["answer"], str) and out["answer"]
+        assert out["iterations"] >= 1
+        root = out["root"]
+        assert root.children, "no expansion happened"
+        assert all(c.visits >= 1 for c in root.children)
+    finally:
+        llm.shutdown()
+
+
+def test_tot_controller_beam_prunes():
+    from tensorrt_llm_tpu.scaffolding import (ScaffoldingLlm,
+                                              TreeOfThoughtsController)
+    llm = mk_text_llm()
+    try:
+        ctl = TreeOfThoughtsController(
+            max_depth=2, branching=3, beam_width=2,
+            thought_tokens=3, answer_tokens=3,
+            sampling_params=SamplingParams(temperature=0.8, logprobs=1,
+                                           ignore_eos=True))
+        out = ScaffoldingLlm(llm, ctl).generate("prove it")
+        assert out["answer"]
+        # reasoning path depth == max_depth thoughts
+        assert len(out["reasoning"].split("\n")) == 2
+    finally:
+        llm.shutdown()
+
+
+def test_certainty_stop_early_exit():
+    from tensorrt_llm_tpu.scaffolding import (CertaintyStopController,
+                                              ScaffoldingLlm)
+    llm = mk_text_llm()
+    try:
+        ctl = CertaintyStopController(
+            chunk_tokens=3, max_chunks=6, agreement=2, probe_tokens=2,
+            extract=lambda s: "42")   # probes always agree -> early stop
+        out = ScaffoldingLlm(llm, ctl).generate("hard problem")
+        assert out["early_stop"] is True
+        assert out["chunks"] == 2     # stopped at the agreement threshold
+        assert out["answer"] == "42"
+    finally:
+        llm.shutdown()
+
+
+def test_certainty_stop_runs_to_budget_when_uncertain():
+    from tensorrt_llm_tpu.scaffolding import (CertaintyStopController,
+                                              ScaffoldingLlm)
+    llm = mk_text_llm()
+    try:
+        seen = iter(range(1000))
+
+        ctl = CertaintyStopController(
+            chunk_tokens=3, max_chunks=3, agreement=2, probe_tokens=2,
+            extract=lambda s: str(next(seen)))  # never agrees
+        out = ScaffoldingLlm(llm, ctl).generate("harder problem")
+        assert out["early_stop"] is False
+        assert out["chunks"] == 3
+    finally:
+        llm.shutdown()
+
+
+def test_judge_reward_controller():
+    from tensorrt_llm_tpu.scaffolding import (JudgeRewardController,
+                                              ScaffoldingLlm)
+    llm = mk_text_llm()
+    try:
+        ctl = JudgeRewardController(
+            n_samples=3, answer_tokens=3,
+            sampling_params=SamplingParams(temperature=0.9,
+                                           ignore_eos=True))
+        out = ScaffoldingLlm(llm, ctl).generate("rate me")
+        assert len(out["all_scores"]) == 3
+        assert out["score"] == max(out["all_scores"])
+    finally:
+        llm.shutdown()
