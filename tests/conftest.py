@@ -17,3 +17,12 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: CPU jit compiles dominate suite wall time
+# (~26 min cold); warm runs reuse cached executables across processes.
+_cache_dir = os.environ.get(
+    "TLLM_TEST_JIT_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
