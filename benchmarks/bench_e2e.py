@@ -1,0 +1,73 @@
+"""End-to-end tokens/s/chip benchmark -> BENCH_E2E_r2.json (VERDICT #2).
+
+Runs trtllm-tpu-bench on the real chip for BASELINE.json configs #3/#4
+(TinyLlama-1.1B W4A16; Llama-3-8B-shaped W4A16 + INT8 KV, TP=1) at the
+reference's headline ISL/OSL 1000/1000
+(`/root/reference/docs/source/developer-guide/perf-overview.md:63-67` —
+tables are "output tokens/sec per GPU"), recording throughput plus
+TTFT/TPOT percentiles.
+
+Usage: python benchmarks/bench_e2e.py [--out BENCH_E2E_r2.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def run_config(name: str, argv: list) -> dict:
+    from tensorrt_llm_tpu.commands import bench
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    t0 = time.time()
+    with contextlib.redirect_stdout(buf):
+        bench.main(argv)
+    out = buf.getvalue()
+    # the report is the last JSON object printed
+    report = json.loads(out[out.index("{"):])
+    report["config"] = name
+    report["bench_wall_s"] = round(time.time() - t0, 1)
+    print(f"[{name}] {report.get('output_tokens_per_sec_per_chip', '?')} "
+          f"tok/s/chip (wall {report['bench_wall_s']}s)", flush=True)
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_E2E_r2.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="reduced request count for smoke runs")
+    ap.add_argument("--isl", type=int, default=1000)
+    ap.add_argument("--osl", type=int, default=1000)
+    args = ap.parse_args()
+
+    n = 8 if args.quick else 32
+    conc = 8 if args.quick else 16
+    common = ["--isl", str(args.isl), "--osl", str(args.osl),
+              "--num-requests", str(n), "--concurrency", str(conc),
+              "--max-seq-len", str(args.isl + args.osl + 64)]
+
+    reports = []
+    # config #3: TinyLlama-1.1B W4A16, single chip
+    reports.append(run_config(
+        "tinyllama-1.1b-w4a16",
+        ["throughput", "--model", "tinyllama-1.1b", "--quant", "W4A16",
+         "--max-batch-size", str(conc), *common]))
+    # config #4 (TP=1 slice): Llama-3-8B shapes, W4A16 + INT8 KV
+    reports.append(run_config(
+        "llama-3-8b-w4a16-int8kv",
+        ["throughput", "--model", "llama-3-8b", "--quant", "W4A16",
+         "--kv-dtype", "int8", "--max-batch-size", str(conc), *common]))
+
+    with open(args.out, "w") as f:
+        json.dump({"isl": args.isl, "osl": args.osl,
+                   "reports": reports}, f, indent=2)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -199,11 +199,33 @@ def synthetic_requests(isl: int, osl: int, num: int, vocab: int,
             for _ in range(num)]
 
 
+# Shape presets for checkpoint-free perf runs (BASELINE.json configs #3/#4:
+# "shapes matter, weights can be random"; reference perf tables are per-GPU
+# tokens/s at fixed ISL/OSL, docs/source/developer-guide/perf-overview.md).
+MODEL_SHAPES = {
+    "tinyllama-1.1b": dict(vocab_size=32000, hidden_size=2048,
+                           intermediate_size=5632, num_layers=22,
+                           num_heads=32, num_kv_heads=4, head_dim=64,
+                           max_position=4096),
+    "llama-3-8b": dict(vocab_size=128256, hidden_size=4096,
+                       intermediate_size=14336, num_layers=32,
+                       num_heads=32, num_kv_heads=8, head_dim=128,
+                       max_position=8192),
+    "llama-2-7b": dict(vocab_size=32000, hidden_size=4096,
+                       intermediate_size=11008, num_layers=32,
+                       num_heads=32, num_kv_heads=32, head_dim=128,
+                       max_position=4096),
+}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("trtllm-tpu-bench")
     p.add_argument("mode", nargs="?", default="throughput",
                    choices=["throughput", "latency"])
-    p.add_argument("--model", required=True)
+    p.add_argument("--model", required=True,
+                   help="HF checkpoint path, or a shape preset "
+                        f"({', '.join(MODEL_SHAPES)}) for random-weight "
+                        "perf runs")
     p.add_argument("--dataset", default=None,
                    help="JSONL file of {'input_ids'|'prompt', 'output_tokens'}")
     p.add_argument("--isl", type=int, default=128)
@@ -228,10 +250,14 @@ def main(argv=None):
 
     kw = {}
     if args.kv_dtype:
-        kw["kv_cache_dtype"] = args.kv_dtype
+        kw["kv_cache_quant"] = args.kv_dtype.upper()
     if args.max_num_tokens:
         kw["max_num_tokens"] = args.max_num_tokens
-    llm = LLM(model=args.model, tensor_parallel_size=args.tp_size,
+    model = args.model
+    if args.model.lower() in MODEL_SHAPES:
+        from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+        model = ModelConfig(**MODEL_SHAPES[args.model.lower()])
+    llm = LLM(model=model, tensor_parallel_size=args.tp_size,
               quant_algo=args.quant, max_batch_size=args.max_batch_size,
               max_seq_len=args.max_seq_len,
               skip_tokenizer_init=args.dataset is None, **kw)

@@ -159,6 +159,8 @@ class PyExecutor:
         if self._thread:
             self._thread.join(timeout=30)
             self._thread = None
+        if self.drafter is not None and hasattr(self.drafter, "flush"):
+            self.drafter.flush()  # capture-style drafters write final shard
 
     # ---------------------------------------------------------------- submit ----
     def submit(self, request: LlmRequest) -> LlmRequest:
@@ -521,6 +523,13 @@ class PyExecutor:
                     # the finished piece was held back until the payload
                     # existed (clients read kv_payload on completion)
                     req.emit(finished=True)
+                if self.drafter is not None and \
+                        not getattr(req, "_drafter_notified", False):
+                    # non-spec finishes (normal decode path) must still
+                    # reach the drafter — capture-style drafters
+                    # (SAVE_HIDDEN_STATES) flush per-request state here
+                    req._drafter_notified = True
+                    self.drafter.on_request_finished(req)
                 self.kv.free_sequence(req.request_id)
                 self.guided.drop(req.request_id)
                 self.active.remove(req)
@@ -617,6 +626,7 @@ class PyExecutor:
                 req.finish(reason)
         self.drafter.on_accepted(req, accepted)
         if req.is_finished:
+            req._drafter_notified = True
             self.drafter.on_request_finished(req)
             req.emit(finished=True)
         else:
@@ -723,6 +733,7 @@ class PyExecutor:
         req.spec_pending = max(appended - 1, 0)
         self.drafter.on_accepted(req, accepted[:appended])
         if req.is_finished:
+            req._drafter_notified = True
             self.drafter.on_request_finished(req)
             req.emit(finished=True)
         else:

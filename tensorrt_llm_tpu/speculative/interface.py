@@ -26,6 +26,7 @@ class SpeculativeMode(str, enum.Enum):
     EAGLE3 = "EAGLE3"                # one-model, multi-level feature fusion
     USER_PROVIDED = "USER_PROVIDED"  # user callable proposes drafts
     AUTO = "AUTO"                    # heuristic pick (reference auto_heuristic)
+    SAVE_HIDDEN_STATES = "SAVE_HIDDEN_STATES"  # capture hiddens to disk
 
 
 @dataclass
@@ -54,6 +55,12 @@ class SpeculativeConfig:
     # one step (large batches amortize decode cost already — reference
     # NGramDecodingConfig.max_concurrency); None = always on
     max_concurrency: Optional[int] = None
+    # SAVE_HIDDEN_STATES: output dir / shard prefix / records per shard /
+    # capture width ("final" | "eagle3")
+    save_dir: Optional[str] = None
+    save_file_prefix: str = "data"
+    save_write_interval: int = 16
+    save_capture: str = "final"
 
 
 def suggest_spec_config(max_batch_size: int) -> SpeculativeConfig:
@@ -142,4 +149,8 @@ def get_drafter(cfg: SpeculativeConfig, llm_args=None) -> Drafter:
         return Eagle3Drafter(cfg, llm_args)
     if cfg.mode == SpeculativeMode.USER_PROVIDED:
         return UserProvidedDrafter(cfg)
+    if cfg.mode == SpeculativeMode.SAVE_HIDDEN_STATES:
+        from tensorrt_llm_tpu.speculative.save_hidden import (
+            SaveHiddenStatesDrafter)
+        return SaveHiddenStatesDrafter(cfg)
     raise ValueError(cfg.mode)

@@ -256,3 +256,42 @@ def test_spec_under_attention_dp_matches_plain_greedy(mode):
         llm.shutdown()
     assert got == want, (got, want)
     assert stats["rounds"] > 0, stats
+
+
+def test_save_hidden_states_mode(tmp_path):
+    """SAVE_HIDDEN_STATES (reference save_hidden_state.py): requests decode
+    normally while the hidden tap records every position; finished requests
+    land in .npz shards with one hidden row per token."""
+    import numpy as np
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from tensorrt_llm_tpu.speculative import SpeculativeConfig, SpeculativeMode
+    from tensorrt_llm_tpu.speculative.save_hidden import (
+        load_hidden_state_shards)
+
+    H = 64
+    cfg = ModelConfig(vocab_size=64, hidden_size=H, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position=128)
+    spec = SpeculativeConfig(mode=SpeculativeMode.SAVE_HIDDEN_STATES,
+                             save_dir=str(tmp_path), save_write_interval=1)
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   speculative_config=spec)
+    sp = tllm.SamplingParams(max_tokens=5, temperature=0.0, ignore_eos=True)
+    prompts = [[1, 2, 3, 4, 5], [7, 8, 9]]
+    outs = llm.generate(prompts, sp)
+    ref = [o.outputs[0].token_ids for o in outs]
+    llm.shutdown()
+
+    recs = load_hidden_state_shards(str(tmp_path))
+    assert len(recs) == 2
+    by_len = sorted(recs, key=lambda r: len(r["input_ids"]))
+    for rec, prompt, out in zip(by_len, [prompts[1], prompts[0]],
+                                [ref[1], ref[0]]):
+        ids = rec["input_ids"].tolist()
+        assert ids[:len(prompt)] == prompt
+        assert rec["hidden_state"].shape[1] == H
+        assert rec["hidden_state"].shape[0] == len(ids)
+        # every captured row is a real activation, not padding
+        assert (np.abs(rec["hidden_state"]).sum(axis=1) > 0).all()
