@@ -326,8 +326,17 @@ class LLM:
             token_ids = [int(t) for t in inner]
             text = prompt.get("prompt")
             mm = prompt.get("multi_modal_data") or {}
-            images = mm.get("image") or []
+            images = list(mm.get("image") or [])
             audios = mm.get("audio") or []
+            videos = mm.get("video") or []
+            if videos:
+                # video -> uniform temporal sampling -> frame sequence
+                # (reference inputs video path; EVS pruning utilities in
+                # inputs/evs.py)
+                from tensorrt_llm_tpu.inputs.evs import sample_video_frames
+                nf = int(mm.get("num_frames", 8))
+                for vid in videos:
+                    images.extend(sample_video_frames(vid, nf))
             if images or audios:
                 # KV-reuse identity: two prompts with identical token ids but
                 # different pixels must NOT share cached KV blocks — hash the
