@@ -31,10 +31,18 @@ class LoraAdapter:
     # module path (HF naming, e.g. "model.layers.0.self_attn.q_proj")
     #   -> (A [r, in], B [out, r])
     weights: Dict[str, tuple] = field(default_factory=dict)
+    # DoRA (weight-decomposed LoRA): per-output-row magnitude vectors
+    # (reference lora_manager.py norm_dora_magnitude / doraScaling.cu);
+    # module path -> m [out]
+    magnitudes: Dict[str, "np.ndarray"] = field(default_factory=dict)
 
     @property
     def scaling(self) -> float:
         return self.alpha / self.rank
+
+    @property
+    def is_dora(self) -> bool:
+        return bool(self.magnitudes)
 
 
 def load_lora_adapter(path: str) -> LoraAdapter:
@@ -57,17 +65,26 @@ def load_lora_adapter(path: str) -> LoraAdapter:
 
     adapter = LoraAdapter(rank=cfg["r"], alpha=cfg.get("lora_alpha", cfg["r"]))
     pat = re.compile(r"^base_model\.model\.(.+)\.lora_(A|B)\.weight$")
+    # DoRA (PEFT use_dora=True): per-module magnitude vectors
+    mag_pat = re.compile(
+        r"^base_model\.model\.(.+)\.lora_magnitude_vector(?:\.weight)?$")
     pairs: Dict[str, dict] = {}
     for name, arr in tensors.items():
         m = pat.match(name)
-        if not m:
+        if m:
+            pairs.setdefault(m.group(1), {})[m.group(2)] = \
+                np.asarray(arr, np.float32)
             continue
-        pairs.setdefault(m.group(1), {})[m.group(2)] = np.asarray(arr, np.float32)
+        m = mag_pat.match(name)
+        if m:
+            adapter.magnitudes[m.group(1)] = \
+                np.asarray(arr, np.float32).reshape(-1)
     for mod, ab in pairs.items():
         if "A" in ab and "B" in ab:
             adapter.weights[mod] = (ab["A"], ab["B"])
-    logger.info("loaded LoRA adapter: rank=%d alpha=%s modules=%d",
-                adapter.rank, adapter.alpha, len(adapter.weights))
+    logger.info("loaded LoRA adapter: rank=%d alpha=%s modules=%d dora=%s",
+                adapter.rank, adapter.alpha, len(adapter.weights),
+                adapter.is_dora)
     return adapter
 
 
@@ -79,6 +96,14 @@ def merge_lora_into_state(get_tensor, adapter: LoraAdapter):
         mod = name[:-len(".weight")] if name.endswith(".weight") else None
         if arr is not None and mod in adapter.weights:
             A, B = adapter.weights[mod]
-            arr = np.asarray(arr, np.float32) + adapter.scaling * (B @ A)
+            v = np.asarray(arr, np.float32) + adapter.scaling * (B @ A)
+            m = adapter.magnitudes.get(mod)
+            if m is not None:
+                # DoRA: W' = m * V / ||V||_row (rows = output channels in
+                # the HF [out, in] layout) — reference norm_dora_magnitude
+                # (lora_manager.py:233)
+                norm = np.linalg.norm(v, axis=1, keepdims=True)
+                v = m[:, None] * v / np.maximum(norm, 1e-12)
+            arr = v
         return arr
     return wrapped

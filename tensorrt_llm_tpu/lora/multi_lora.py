@@ -43,8 +43,16 @@ class MultiLoraManager:
 
     @classmethod
     def from_paths(cls, paths: Dict[str, str], cfg) -> "MultiLoraManager":
-        return cls({name: load_lora_adapter(p) for name, p in paths.items()},
-                   cfg)
+        adapters = {name: load_lora_adapter(p)
+                    for name, p in paths.items()}
+        for name, a in adapters.items():
+            # runtime multi-LoRA applies additive BA deltas per batch row;
+            # DoRA's row renormalization depends on the merged weight and
+            # cannot ride that path — merge it at load instead
+            assert not a.is_dora, (
+                f"adapter {name!r} is DoRA — use lora_path= (merge at "
+                "load); runtime multi-LoRA slots are additive-only")
+        return cls(adapters, cfg)
 
     def slot_of(self, name: Optional[str]) -> int:
         if name is None:
