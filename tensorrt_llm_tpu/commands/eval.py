@@ -16,7 +16,8 @@ def main(argv=None):
     p = argparse.ArgumentParser("trtllm-tpu-eval")
     p.add_argument("--model", required=True)
     p.add_argument("--task", default="perplexity",
-                   choices=["perplexity", "mmlu", "gsm8k"])
+                   choices=["perplexity", "mmlu", "gsm8k", "cnn_dailymail",
+                            "json_mode", "longbench_retrieval"])
     p.add_argument("--data", default=None, help="dataset path (jsonl)")
     p.add_argument("--num-samples", type=int, default=64)
     p.add_argument("--tp-size", type=int, default=1)

@@ -141,7 +141,156 @@ class GSM8K(Task):
                 "accuracy": round(acc, 2)}
 
 
-_TASKS = {t.name: t for t in (Perplexity(), MMLU(), GSM8K())}
+def _rouge_l(candidate: List[str], reference: List[str]) -> float:
+    """ROUGE-L F1 over token lists (LCS-based, no external deps)."""
+    m, n = len(candidate), len(reference)
+    if m == 0 or n == 0:
+        return 0.0
+    dp = [0] * (n + 1)
+    for i in range(1, m + 1):
+        prev = 0
+        for j in range(1, n + 1):
+            cur = dp[j]
+            dp[j] = prev + 1 if candidate[i - 1] == reference[j - 1] \
+                else max(dp[j], dp[j - 1])
+            prev = cur
+    lcs = dp[n]
+    p, r = lcs / m, lcs / n
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+class CnnDailymail(Task):
+    """Summarization scored by ROUGE-L (reference evaluate/ cnn_dailymail
+    via lm_eval + ROUGE thresholds in the accuracy harness).
+
+    data jsonl rows: {"article": str, "highlights": str}
+    """
+
+    name = "cnn_dailymail"
+
+    def evaluate(self, llm, data_path=None, num_samples=64) -> dict:
+        from tensorrt_llm_tpu.llmapi import SamplingParams
+        assert data_path, "cnn_dailymail requires --data"
+        rows = self._load_jsonl(data_path, num_samples)
+        prompts = [f"Summarize the following article in 2-3 sentences.\n\n"
+                   f"{r['article']}\n\nSummary:" for r in rows]
+        outs = llm.generate(prompts, SamplingParams(max_tokens=128,
+                                                    temperature=0.0))
+        scores = [_rouge_l(o.outputs[0].text.lower().split(),
+                           r["highlights"].lower().split())
+                  for r, o in zip(rows, outs)]
+        return {"task": "cnn_dailymail", "num_samples": len(rows),
+                "rouge_l": round(100.0 * float(np.mean(scores)), 2)}
+
+
+class JsonModeEval(Task):
+    """Structured-output validity (reference evaluate/json_mode_eval):
+    each row's schema constrains generation via guided decoding; score =
+    % of outputs that parse as JSON AND validate against the schema.
+
+    data jsonl rows: {"prompt": str, "schema": {...json schema...}}
+    """
+
+    name = "json_mode"
+
+    @staticmethod
+    def _validates(obj, schema) -> bool:
+        t = schema.get("type")
+        if t == "object":
+            if not isinstance(obj, dict):
+                return False
+            props = schema.get("properties", {})
+            for key in schema.get("required", []):
+                if key not in obj:
+                    return False
+            return all(key not in props
+                       or JsonModeEval._validates(val, props[key])
+                       for key, val in obj.items())
+        if t == "array":
+            return isinstance(obj, list) and all(
+                JsonModeEval._validates(v, schema.get("items", {}))
+                for v in obj)
+        if t == "string":
+            return isinstance(obj, str)
+        if t == "integer":
+            return isinstance(obj, int) and not isinstance(obj, bool)
+        if t == "number":
+            return isinstance(obj, (int, float)) and \
+                not isinstance(obj, bool)
+        if t == "boolean":
+            return isinstance(obj, bool)
+        return True  # untyped: anything goes
+
+    def evaluate(self, llm, data_path=None, num_samples=64) -> dict:
+        from tensorrt_llm_tpu.llmapi import SamplingParams
+        from tensorrt_llm_tpu.llmapi.sampling_params import (
+            GuidedDecodingParams)
+        assert data_path, "json_mode requires --data"
+        rows = self._load_jsonl(data_path, num_samples)
+        valid = 0
+        for r in rows:
+            sp = SamplingParams(
+                max_tokens=128, temperature=0.0,
+                guided_decoding=GuidedDecodingParams(json=r["schema"]))
+            out = llm.generate([r["prompt"]], sp)[0].outputs[0].text
+            try:
+                obj = json.loads(out.strip().strip("\x00"))
+            except json.JSONDecodeError:
+                continue
+            if self._validates(obj, r["schema"]):
+                valid += 1
+        return {"task": "json_mode", "num_samples": len(rows),
+                "valid_pct": round(100.0 * valid / max(len(rows), 1), 2)}
+
+
+class LongBenchRetrieval(Task):
+    """Long-context retrieval (LongBench-v2-style capability probe,
+    reference evaluate/ LongBench): a key fact is buried at a configurable
+    depth inside filler context; score = exact recall of the fact.
+
+    data jsonl rows: {"context": str, "question": str, "answer": str} —
+    or synthesize with make_needle_rows().
+    """
+
+    name = "longbench_retrieval"
+
+    @staticmethod
+    def make_needle_rows(n: int = 8, context_tokens: int = 1500,
+                         seed: int = 0) -> List[dict]:
+        rng = np.random.RandomState(seed)
+        rows = []
+        filler = ("The sky was clear that day and the market opened "
+                  "quietly. ")
+        for i in range(n):
+            code = int(rng.randint(1000, 9999))
+            depth = float(rng.uniform(0.1, 0.9))
+            n_fill = max(context_tokens // 12, 8)
+            pre = int(n_fill * depth)
+            ctx = (filler * pre
+                   + f" The secret access code is {code}. "
+                   + filler * (n_fill - pre))
+            rows.append({"context": ctx,
+                         "question": "What is the secret access code?",
+                         "answer": str(code)})
+        return rows
+
+    def evaluate(self, llm, data_path=None, num_samples=64) -> dict:
+        from tensorrt_llm_tpu.llmapi import SamplingParams
+        rows = (self._load_jsonl(data_path, num_samples) if data_path
+                else self.make_needle_rows(min(num_samples, 8)))
+        prompts = [f"{r['context']}\n\nQuestion: {r['question']}\nAnswer:"
+                   for r in rows]
+        outs = llm.generate(prompts, SamplingParams(max_tokens=16,
+                                                    temperature=0.0))
+        correct = sum(1 for r, o in zip(rows, outs)
+                      if str(r["answer"]) in o.outputs[0].text)
+        return {"task": "longbench_retrieval", "num_samples": len(rows),
+                "recall_pct": round(100.0 * correct / max(len(rows), 1), 2)}
+
+
+_TASKS = {t.name: t for t in (Perplexity(), MMLU(), GSM8K(),
+                              CnnDailymail(), JsonModeEval(),
+                              LongBenchRetrieval())}
 
 
 def get_task(name: str) -> Task:

@@ -136,3 +136,59 @@ def test_compute_threshold():
     assert 65.0 < t < 75.0
     # more samples -> tighter threshold
     assert compute_threshold(4096, 75.0) > t
+
+
+def test_rouge_l_scoring():
+    from tensorrt_llm_tpu.evaluate.tasks import _rouge_l
+    assert _rouge_l("the cat sat".split(), "the cat sat".split()) == 1.0
+    assert _rouge_l("a b c".split(), "x y z".split()) == 0.0
+    mid = _rouge_l("the cat sat down".split(), "the dog sat".split())
+    assert 0.0 < mid < 1.0
+
+
+def test_json_schema_validator():
+    from tensorrt_llm_tpu.evaluate.tasks import JsonModeEval
+    schema = {"type": "object", "required": ["name"],
+              "properties": {"name": {"type": "string"},
+                             "age": {"type": "integer"}}}
+    ok = JsonModeEval._validates
+    assert ok({"name": "x", "age": 3}, schema)
+    assert not ok({"age": 3}, schema)          # missing required
+    assert not ok({"name": 1}, schema)         # wrong type
+    assert not ok({"name": "x", "age": True}, schema)  # bool is not int
+    assert ok([1, 2], {"type": "array", "items": {"type": "integer"}})
+
+
+def test_eval_tasks_run_on_tiny_model(llm, tmp_path):
+    """cnn_dailymail / json_mode / longbench tasks run end-to-end (scores
+    are meaningless on a random tiny model; the harness mechanics are the
+    contract being tested)."""
+    import json as _json
+
+    from tensorrt_llm_tpu import evaluate
+
+    rows = [{"article": "one two three four five", "highlights": "short"}]
+    p = tmp_path / "cnn.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = evaluate.get_task("cnn_dailymail").evaluate(llm, str(p), 2)
+    assert "rouge_l" in out and out["num_samples"] == 1
+
+    rows = [{"prompt": "emit json",
+             "schema": {"type": "object", "required": ["a"],
+                        "properties": {"a": {"type": "boolean"}}}}]
+    p = tmp_path / "jm.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = evaluate.get_task("json_mode").evaluate(llm, str(p), 2)
+    assert out["num_samples"] == 1 and "valid_pct" in out
+    # a bounded schema is fully DFA-driven: even a random model emits
+    # schema-valid JSON under guided decoding (unbounded integers may
+    # legitimately run to max_tokens on a random model)
+    assert out["valid_pct"] == 100.0
+
+    task = evaluate.get_task("longbench_retrieval")
+    rows = task.make_needle_rows(n=2, context_tokens=60)
+    assert all(r["answer"] in r["context"] for r in rows)
+    p = tmp_path / "lb.jsonl"
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = task.evaluate(llm, str(p), 2)
+    assert out["num_samples"] == 2 and "recall_pct" in out
