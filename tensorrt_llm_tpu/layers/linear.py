@@ -76,9 +76,14 @@ class UnquantizedLinearMethod(LinearMethodBase):
 class W4A16LinearMethod(LinearMethodBase):
     """Per-group int4 weights; fused dequant GEMM via the Pallas kernel."""
 
-    def __init__(self, group_size: int = 128, has_zeros: bool = False):
+    def __init__(self, group_size: int = 128, has_zeros: bool = False,
+                 clip_search: bool = False):
         self.group_size = group_size
         self.has_zeros = has_zeros
+        # calibrated quantization: per-group clip-ratio search minimizing
+        # reconstruction error (quantization/calibrate.py — the built-in
+        # analog of the reference's ModelOpt calibration flow)
+        self.clip_search = clip_search
 
     def _pack(self, q, n_scale_groups):
         """Tiled row-interleaved packing (TPU fast path: contiguous block
@@ -90,8 +95,14 @@ class W4A16LinearMethod(LinearMethodBase):
         return pack_w4(q, pack_group_for(K, n_scale_groups))
 
     def make_params(self, w, bias, dtype):
-        q, scales, zeros = quantize_w4(
-            w, self.group_size, symmetric=not self.has_zeros)
+        if self.clip_search:
+            from tensorrt_llm_tpu.quantization.calibrate import (
+                quantize_w4_calibrated)
+            q, scales, zeros = quantize_w4_calibrated(
+                w, self.group_size, symmetric=not self.has_zeros)
+        else:
+            q, scales, zeros = quantize_w4(
+                w, self.group_size, symmetric=not self.has_zeros)
         p = {"qweight": self._pack(q, scales.shape[0]),
              "scales": scales}
         if zeros is not None:
@@ -265,7 +276,9 @@ def make_linear_method(quant: Optional[QuantConfig],
     if quant.is_weight_only_w4:
         has_zeros = quant.has_zero_point or quant.quant_algo in (
             QuantAlgo.W4A16_AWQ, QuantAlgo.W4A16_GPTQ)
-        return W4A16LinearMethod(quant.group_size, has_zeros)
+        return W4A16LinearMethod(quant.group_size, has_zeros,
+                                 clip_search=getattr(quant, "clip_search",
+                                                     False))
     if quant.quant_algo == QuantAlgo.W8A16:
         return W8A16LinearMethod()
     if quant.quant_algo == QuantAlgo.FP8:

@@ -42,6 +42,9 @@ class LlmArgs:
     quant_algo: Optional[str] = None        # e.g. "W4A16_AWQ"
     quant_group_size: int = 128
     kv_cache_quant: str = "NONE"
+    # calibrated self-quantization: per-group clip search (see
+    # quantization/calibrate.py)
+    quant_clip_search: bool = False
 
     # engine limits
     max_batch_size: int = 64
@@ -146,6 +149,7 @@ class LlmArgs:
             quant_algo=QuantAlgo(self.quant_algo),
             kv_cache_quant_algo=KvCacheQuantAlgo(self.kv_cache_quant),
             group_size=self.quant_group_size,
+            clip_search=self.quant_clip_search,
         )
 
     def make_kv_cache_config(self) -> KVCacheConfig:

@@ -58,6 +58,10 @@ class QuantConfig:
     pre_quantized: bool = False
     ckpt_format: Optional[str] = None   # "awq" | "gptq"
     ckpt_v2: bool = False               # gptq_v2 zeros convention
+    # self-quantization calibration: per-group clip-ratio search minimizing
+    # reconstruction error (quantization/calibrate.py; the built-in analog
+    # of the reference's ModelOpt calibration, quantize_by_modelopt.py:114)
+    clip_search: bool = False
 
     @property
     def is_weight_only_w4(self) -> bool:
