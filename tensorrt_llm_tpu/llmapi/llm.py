@@ -165,9 +165,15 @@ class LLM:
 
         self.lora_manager = None
         if a.lora_adapters:
-            from tensorrt_llm_tpu.lora.multi_lora import MultiLoraManager
+            from tensorrt_llm_tpu.lora.multi_lora import (
+                MultiLoraManager, PagedMultiLoraManager)
             self.lora_manager = MultiLoraManager.from_paths(
                 a.lora_adapters, cfg)
+            if a.lora_max_device_adapters and \
+                    a.lora_max_device_adapters < len(a.lora_adapters):
+                self.lora_manager = PagedMultiLoraManager(
+                    self.lora_manager.adapters, cfg,
+                    a.lora_max_device_adapters)
             params = self.lora_manager.attach(params, cfg.dtype)
 
         kvcfg = a.make_kv_cache_config()
@@ -207,6 +213,8 @@ class LLM:
         self.engine = ModelEngine(
             self.model, params, self.kv_manager, mapping=mapping,
             max_batch_size=a.max_batch_size, max_seq_len=a.max_seq_len)
+        if hasattr(self.lora_manager, "bind_engine"):
+            self.lora_manager.bind_engine(self.engine)
 
         eos = None
         if self._tokenizer is not None:
@@ -398,7 +406,14 @@ class LLM:
         if lora_request is not None:
             assert self.lora_manager is not None, \
                 "pass lora_adapters={name: path} to LLM to enable multi-LoRA"
-            req.lora_slot = self.lora_manager.slot_of(lora_request)
+            if hasattr(self.lora_manager, "acquire"):
+                # paged PEFT cache: pin the adapter's device slot for the
+                # request's lifetime (swap-in on miss)
+                req.lora_slot = self.lora_manager.acquire(lora_request)
+                mgr = self.lora_manager
+                req.on_finished = lambda r, n=lora_request: mgr.release(n)
+            else:
+                req.lora_slot = self.lora_manager.slot_of(lora_request)
         if prompt_embeds is not None:
             req.prompt_embeds = prompt_embeds
         if mm_extra:

@@ -79,6 +79,10 @@ class LlmArgs:
     # runtime multi-LoRA: {adapter_name: peft_dir}; requests select adapters
     # via generate_async(..., lora_request=name)
     lora_adapters: Optional[dict] = None
+    # paged PEFT cache (reference PeftCacheManager): keep at most this many
+    # adapters resident on device, LRU-swapping the rest in from host on
+    # demand.  None = all adapters resident.
+    lora_max_device_adapters: Optional[int] = None
 
     # speculative decoding
     speculative_config: Optional[Any] = None   # SpeculativeConfig

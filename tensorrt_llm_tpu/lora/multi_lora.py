@@ -40,6 +40,9 @@ class MultiLoraManager:
         self.slots = {n: i for i, n in enumerate(self.names)}
         self.adapters = adapters
         self.cfg = cfg
+        # paged mode sizes ranks against the FULL adapter pool so swapped-in
+        # adapters always fit the device stacks
+        self._rank_adapters: Optional[Dict[str, LoraAdapter]] = None
 
     @classmethod
     def from_paths(cls, paths: Dict[str, str], cfg) -> "MultiLoraManager":
@@ -80,10 +83,25 @@ class MultiLoraManager:
                     A, B = ad.weights[key]  # A [r, in], B [out_sub, r]
                     pairs.append((A, B, lo, hi))
             per.append(pairs)
-        if not any(per):
-            return None
-        r_tot = max(sum(A.shape[0] for A, _, _, _ in pairs) or 1
-                    for pairs in per)
+        if self._rank_adapters is None:
+            if not any(per):
+                return None
+            r_tot = max(sum(A.shape[0] for A, _, _, _ in pairs) or 1
+                        for pairs in per)
+        else:
+            # paged mode: stack exists iff ANY pool adapter touches this
+            # (layer, linear), sized to the pool-wide max rank so swapped-in
+            # adapters always fit and the param-tree structure never changes
+            r_tot = 0
+            for ad in self._rank_adapters.values():
+                r = sum(ad.weights[f"model.layers.{layer}.{suffix}"][0]
+                        .shape[0]
+                        for suffix, _, _ in subs
+                        if f"model.layers.{layer}.{suffix}" in ad.weights)
+                r_tot = max(r_tot, r)
+            if r_tot == 0:
+                return None
+        r_tot = max(r_tot, 1)
         A_st = np.zeros((L, in_dim, r_tot), np.float32)
         B_st = np.zeros((L, r_tot, out_dim), np.float32)
         for li, pairs in enumerate(per):
@@ -155,6 +173,102 @@ class MultiLoraManager:
         logger.info("multi-LoRA: %d adapters (%s), %d fused linears patched",
                     len(self.names) - 1, self.names[1:], n)
         return params
+
+
+class PagedMultiLoraManager(MultiLoraManager):
+    """Bounded device adapter slots with LRU paging (the reference's
+    PeftCacheManager: host-resident adapter pool, device cache of
+    max_device_adapters slots, swap-in on demand).
+
+    Adapters stay host-resident; at most `capacity` live in the stacked
+    device tensors at once.  acquire(name) pins an adapter slot for a
+    request's lifetime (swapping one in if absent — a few .at[slot].set
+    writes under the engine lock); release(name) unpins it.  Eviction
+    picks the least-recently-used slot with no in-flight requests.
+    """
+
+    def __init__(self, adapters: Dict[str, LoraAdapter],
+                 cfg, max_device_adapters: int = 4):
+        assert adapters, "paged multi-LoRA needs at least one adapter"
+        self.capacity = min(max_device_adapters, len(adapters))
+        resident = sorted(adapters)[: self.capacity]
+        super().__init__({n: adapters[n] for n in resident}, cfg)
+        self.all_adapters = dict(adapters)
+        self._rank_adapters = self.all_adapters
+        self._engine = None
+        self._refs: Dict[str, int] = {n: 0 for n in resident}
+        self._lru: List[str] = list(resident)   # least-recent first
+        self.num_swaps = 0
+
+    def bind_engine(self, engine):
+        assert getattr(engine, "pp_size", 1) == 1, \
+            "paged multi-LoRA under PP lands later (per-stage param writes)"
+        self._engine = engine
+
+    # ---- paging ---------------------------------------------------------------
+    def _touch(self, name: str):
+        if name in self._lru:
+            self._lru.remove(name)
+        self._lru.append(name)
+
+    def acquire(self, name: Optional[str]) -> int:
+        """Slot for `name`, swapping it in if needed; pins until release."""
+        if name is None:
+            return 0
+        if name not in self.all_adapters:
+            raise KeyError(name)
+        if name not in self.slots:
+            self._swap_in(name)
+        self._refs[name] = self._refs.get(name, 0) + 1
+        self._touch(name)
+        return self.slots[name]
+
+    def release(self, name: Optional[str]):
+        if name and name in self._refs:
+            self._refs[name] = max(self._refs[name] - 1, 0)
+
+    def slot_of(self, name: Optional[str]) -> int:
+        # non-pinning lookup (compat); acquire() is the serving path
+        return 0 if name is None else self.slots.get(name, -1)
+
+    def _pick_victim(self) -> str:
+        for cand in self._lru:
+            if self._refs.get(cand, 0) == 0:
+                return cand
+        raise RuntimeError(
+            "all device adapter slots are pinned by in-flight requests — "
+            "raise lora_max_device_adapters")
+
+    def _swap_in(self, name: str):
+        assert self._engine is not None, "bind_engine() before serving"
+        victim = self._pick_victim()
+        slot = self.slots.pop(victim)
+        self.adapters.pop(victim)
+        self._refs.pop(victim, None)
+        self._lru.remove(victim)
+        self.adapters[name] = self.all_adapters[name]
+        self.slots[name] = slot
+        self.names[slot] = name
+        self._refs[name] = 0
+        self.num_swaps += 1
+
+        # stacks for just this adapter, with pool-wide ranks/structure
+        tmp = MultiLoraManager({name: self.all_adapters[name]}, self.cfg)
+        tmp._rank_adapters = self.all_adapters
+        import jax.numpy as jnp
+        eng = self._engine
+        with eng.lock:
+            params = eng.params
+            for i, lp in enumerate(params["layers"]):
+                lora = tmp.build_layer_lora(i)
+                for key, (A, B) in lora.items():
+                    holder = lp["attn"] if key in ("qkv", "o") else lp["mlp"]
+                    sA, sB = holder["lora"][key]
+                    holder["lora"][key] = (
+                        sA.at[slot].set(jnp.asarray(A[1]).astype(sA.dtype)),
+                        sB.at[slot].set(jnp.asarray(B[1]).astype(sB.dtype)))
+        logger.info("multi-LoRA: paged %r into slot %d (evicted %r)",
+                    name, slot, victim)
 
 
 def apply_lora(x, base_out, lora: Tuple, lora_ids, row_parallel=False):

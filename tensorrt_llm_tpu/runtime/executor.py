@@ -313,6 +313,7 @@ class PyExecutor:
                 self.kv.free_sequence(req.request_id)
                 self.active.remove(req)
                 req.finish(FinishReason.CANCELLED)
+                self._run_finish_hook(req)
                 req.emit(finished=True)
                 pending.discard(req.request_id)
                 self._cancelled.discard(req.request_id)
@@ -320,9 +321,21 @@ class PyExecutor:
             if req.request_id in pending:
                 self.waiting.remove(req)
                 req.finish(FinishReason.CANCELLED)
+                self._run_finish_hook(req)
                 req.emit(finished=True)
                 pending.discard(req.request_id)
                 self._cancelled.discard(req.request_id)
+
+    @staticmethod
+    def _run_finish_hook(req):
+        """One-shot per-request finish callback (paged-LoRA slot unpin)."""
+        cb = getattr(req, "on_finished", None)
+        if cb is not None:
+            req.on_finished = None
+            try:
+                cb(req)
+            except Exception:  # noqa: BLE001 — hooks must not kill the loop
+                logger.exception("request finish hook failed")
 
     def _step(self) -> bool:
         t0 = time.perf_counter()
@@ -530,6 +543,7 @@ class PyExecutor:
                     # (SAVE_HIDDEN_STATES) flush per-request state here
                     req._drafter_notified = True
                     self.drafter.on_request_finished(req)
+                self._run_finish_hook(req)
                 self.kv.free_sequence(req.request_id)
                 self.guided.drop(req.request_id)
                 self.active.remove(req)

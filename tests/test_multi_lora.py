@@ -178,3 +178,60 @@ def test_kv_reuse_keyed_on_lora_identity(tmp_path):
         assert run(cache_salt="tenant-x") > 0
     finally:
         llm.shutdown()
+
+
+def test_paged_peft_cache_swaps_and_matches(tmp_path):
+    """Paged PEFT cache (reference PeftCacheManager): 3 adapters, 2 device
+    slots — every adapter's output must match the all-resident manager,
+    and serving adapter 'c' must trigger an LRU swap."""
+    ckpt = write_checkpoint(str(tmp_path / "base"))
+    paths = {n: write_adapter(str(tmp_path / n), seed=i + 1, r=2 + 2 * i)
+             for i, n in enumerate(["a", "b", "c"])}
+    prompt = [3, 5, 7, 9]
+
+    full = mk_llm(ckpt, lora_adapters=paths)
+    want = {n: full.generate_async([list(prompt)][0], SP,
+                                   lora_request=n).result()
+            .outputs[0].token_ids for n in ["a", "b", "c"]}
+    full.shutdown()
+
+    paged = mk_llm(ckpt, lora_adapters=paths, lora_max_device_adapters=2)
+    from tensorrt_llm_tpu.lora.multi_lora import PagedMultiLoraManager
+    assert isinstance(paged.lora_manager, PagedMultiLoraManager)
+    got = {}
+    for n in ["a", "b", "c", "a"]:   # the last 'a' swaps back in
+        got[n] = paged.generate_async(list(prompt), SP,
+                                      lora_request=n).result() \
+            .outputs[0].token_ids
+    assert paged.lora_manager.num_swaps >= 2
+    # the unpin hook runs at the END of the executor step that emitted the
+    # final token — wait for the loop to drain before snapshotting
+    import time as _t
+    for _ in range(100):
+        if not paged.executor.active and \
+                all(v == 0 for v in paged.lora_manager._refs.values()):
+            break
+        _t.sleep(0.05)
+    st_refs = dict(paged.lora_manager._refs)
+    paged.shutdown()
+    for n in ["a", "b", "c"]:
+        assert got[n] == want[n], (n, got[n], want[n])
+    # every request released its pin
+    assert all(v == 0 for v in st_refs.values()), st_refs
+
+
+def test_paged_peft_base_requests_untouched(tmp_path):
+    """Base-model requests (no adapter) never touch the paging machinery
+    and still match a no-LoRA engine."""
+    ckpt = write_checkpoint(str(tmp_path / "base"))
+    paths = {n: write_adapter(str(tmp_path / n), seed=i + 1)
+             for i, n in enumerate(["a", "b", "c"])}
+    prompt = [2, 4, 6]
+    plain = mk_llm(ckpt)
+    want = plain.generate([list(prompt)], SP)[0].outputs[0].token_ids
+    plain.shutdown()
+    paged = mk_llm(ckpt, lora_adapters=paths, lora_max_device_adapters=2)
+    got = paged.generate([list(prompt)], SP)[0].outputs[0].token_ids
+    assert paged.lora_manager.num_swaps == 0
+    paged.shutdown()
+    assert got == want
