@@ -48,11 +48,18 @@ class PallasAttention(XlaAttention):
             # sinks land later); decode sinks are in the paged kernel
             return super().__call__(q, k, v, k_cache, v_cache, meta,
                                     sinks=sinks)
-        if isinstance(k_cache, tuple) or self.head_dim % 128 != 0 \
+        int8_decode_ok = (
+            isinstance(k_cache, tuple) and meta.mode == "decode"
+            and self.head_dim % 128 == 0 and not meta.cyclic
+            and self.attention_chunk is None
+            and os.environ.get("TLLM_PAGED_INT8", "1") == "1")
+        if (isinstance(k_cache, tuple) and not int8_decode_ok) \
+                or self.head_dim % 128 != 0 \
                 or meta.cyclic or self.attention_chunk is not None \
                 or meta.pair_mask is not None:
-            # INT8 KV pools: the Pallas kernels read bf16 pages; use the XLA
-            # dequant-at-gather path (in-kernel int8 dequant lands next round).
+            # INT8 KV pools run the dedicated int8 decode kernel (half the
+            # page bytes, scales folded into logits/probabilities); prefill
+            # and non-128 head dims use the XLA dequant-at-gather path.
             # head_dim < 128: Mosaic pads the trailing HBM dim to the lane
             # width, which breaks page-slice DMA — XLA path instead.
             # cyclic VSWA rings: kernels don't carry ring positions yet.

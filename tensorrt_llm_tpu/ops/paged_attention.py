@@ -171,6 +171,158 @@ def _paged_decode_kernel(
         o_ref[0] = (acc_buf[:] / safe_l).astype(o_ref.dtype)
 
 
+def _paged_decode_kernel_int8(
+    # scalar prefetch
+    bt_ref,       # [B, MB] int32 page ids
+    kvlen_ref,    # [B] int32
+    # inputs
+    q_ref,        # [1, Hq, D] VMEM
+    k_hbm,        # [NB, Hkv, BS, D] int8 ANY
+    v_hbm,        # [NB, Hkv, BS, D] int8 ANY
+    ks_hbm,       # [NB, 1, Hkv*BS] f32 ANY (flat per-page scale rows)
+    vs_hbm,
+    sinks_ref,    # [Hq, 1] f32 VMEM
+    # outputs
+    o_ref,        # [1, Hq, D] VMEM
+    # scratch
+    k_buf,        # [2, Hkv, TS, D] int8
+    v_buf,
+    ks_buf,       # [2, PPT, Hkv*BS] f32
+    vs_buf,
+    m_buf,        # [Hq, 128] f32
+    l_buf,
+    acc_buf,      # [Hq, D] f32
+    k_sems,       # [2, PPT]
+    v_sems,
+    s_sems,       # [2, PPT, 2]
+    *,
+    tile_size: int,
+    page_size: int,
+    n_kv_heads: int,
+    scale: float,
+    sliding_window: Optional[int],
+    logit_cap: Optional[float],
+    has_sinks: bool,
+):
+    """INT8-KV paged decode: int8 pages stream at half the HBM bytes and the
+    per-(token, head) scales fold into the logits (K) and probabilities (V)
+    instead of the [TS, D] tiles — the dequant itself is a single int8->bf16
+    upcast feeding the MXU (reference `KvCacheDataType::INT8` decode path,
+    `unfusedAttentionKernels.h:63-69` + MMHA dequant)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    TS, BS = tile_size, page_size
+    PPT = TS // BS
+    kv_len = kvlen_ref[b]
+    n_tiles = pl.cdiv(kv_len, TS)
+
+    def start_tile_dma(tile, slot):
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            pltpu.make_async_copy(
+                k_hbm.at[page], k_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p]).start()
+            pltpu.make_async_copy(
+                v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                v_sems.at[slot, p]).start()
+            pltpu.make_async_copy(
+                ks_hbm.at[page], ks_buf.at[slot, pl.ds(p, 1), :],
+                s_sems.at[slot, p, 0]).start()
+            pltpu.make_async_copy(
+                vs_hbm.at[page], vs_buf.at[slot, pl.ds(p, 1), :],
+                s_sems.at[slot, p, 1]).start()
+
+    def wait_tile_dma(tile, slot):
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            pltpu.make_async_copy(
+                k_hbm.at[page], k_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p]).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                v_sems.at[slot, p]).wait()
+            pltpu.make_async_copy(
+                ks_hbm.at[page], ks_buf.at[slot, pl.ds(p, 1), :],
+                s_sems.at[slot, p, 0]).wait()
+            pltpu.make_async_copy(
+                vs_hbm.at[page], vs_buf.at[slot, pl.ds(p, 1), :],
+                s_sems.at[slot, p, 1]).wait()
+
+    @pl.when(t == 0)
+    def _init():
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+        start_tile_dma(0, 0)
+
+    @pl.when(t + 1 < n_tiles)
+    def _prefetch():
+        start_tile_dma(t + 1, (t + 1) % 2)
+
+    @pl.when(t < n_tiles)
+    def _compute():
+        slot = t % 2
+        wait_tile_dma(t, slot)
+
+        Hq = q_ref.shape[1]
+        G = Hq // n_kv_heads
+        q = q_ref[0].astype(jnp.float32) * scale  # [Hq, D]
+
+        kv_pos = t * TS + jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
+        valid = kv_pos < kv_len
+        if sliding_window is not None:
+            valid &= kv_pos >= kv_len - sliding_window
+
+        m_prev = m_buf[:, :1]
+        l_prev = l_buf[:, :1]
+        acc_prev = acc_buf[:]
+
+        m_rows, l_rows, acc_rows = [], [], []
+        for h in range(n_kv_heads):
+            k_h = k_buf[slot, h].astype(jnp.bfloat16)   # [TS, D]
+            v_h = v_buf[slot, h].astype(jnp.bfloat16)
+            # per-token scales: lanes [h*BS, (h+1)*BS) of each page row,
+            # flattened page-major to match kv position order t = p*BS + j
+            ksv = ks_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
+            vsv = vs_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
+            q_h = q[h * G:(h + 1) * G, :].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [G, TS]
+            s = s * ksv
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_p = m_prev[h * G:(h + 1) * G]
+            l_p = l_prev[h * G:(h + 1) * G]
+            a_p = acc_prev[h * G:(h + 1) * G]
+            m_c = jnp.max(s, axis=1, keepdims=True)
+            m_n = jnp.maximum(m_p, m_c)
+            p_ = jnp.exp(s - m_n)
+            alpha = jnp.exp(m_p - m_n)
+            l_n = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
+            pv = jnp.dot((p_ * vsv).astype(jnp.bfloat16), v_h,
+                         preferred_element_type=jnp.float32)  # [G, D]
+            a_n = a_p * alpha + pv
+            m_rows.append(m_n)
+            l_rows.append(l_n)
+            acc_rows.append(a_n)
+
+        m_buf[:, :1] = jnp.concatenate(m_rows, axis=0)
+        l_buf[:, :1] = jnp.concatenate(l_rows, axis=0)
+        acc_buf[:] = jnp.concatenate(acc_rows, axis=0)
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        l = l_buf[:, :1]
+        if has_sinks:
+            l = l + jnp.exp(sinks_ref[:, :1] - m_buf[:, :1])
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0] = (acc_buf[:] / safe_l).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "logit_cap", "tile_size",
@@ -190,7 +342,8 @@ def paged_decode_attention(
     sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, Hq, D = q.shape
-    NB, Hkv, BS, _ = k_cache.shape
+    is_int8 = isinstance(k_cache, tuple)
+    NB, Hkv, BS, _ = (k_cache[0] if is_int8 else k_cache).shape
     MB = block_tables.shape[1]
     TS = min(tile_size, MB * BS)
     # tile must be a whole number of pages and divide the table
@@ -199,6 +352,54 @@ def paged_decode_attention(
         TS -= BS
     PPT = TS // BS
     n_tiles = (MB * BS) // TS
+
+    if is_int8:
+        assert D % 128 == 0, (
+            "int8 paged kernel requires D % 128 == 0; dispatch layer must "
+            "route smaller head dims to the XLA path")
+        (kd, ks), (vd, vs) = k_cache, v_cache
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((Hq, 1), lambda b, t, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
+                pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
+                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
+                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, PPT)),
+                pltpu.SemaphoreType.DMA((2, PPT)),
+                pltpu.SemaphoreType.DMA((2, PPT, 2)),
+            ],
+        )
+        kernel = functools.partial(
+            _paged_decode_kernel_int8,
+            tile_size=TS, page_size=BS, n_kv_heads=Hkv,
+            scale=scale, sliding_window=sliding_window,
+            logit_cap=logit_cap, has_sinks=sinks is not None)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, Hq, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(block_tables, kv_lens, q, kd, vd,
+          ks.reshape(NB, 1, Hkv * BS), vs.reshape(NB, 1, Hkv * BS),
+          (jnp.zeros((Hq, 1), jnp.float32) if sinks is None
+           else jnp.asarray(sinks, jnp.float32).reshape(Hq, 1)))
 
     if D < 128:
         # sub-128 head dims can't DMA pages directly (Mosaic lane tiling);

@@ -165,3 +165,54 @@ def test_paged_decode_packed_subtile_head_dim(D):
         np.testing.assert_allclose(
             np.asarray(out, np.float32), np.asarray(ref, np.float32),
             rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("B,Hq,Hkv,D,BS,MB,sinks,win", [
+    (2, 8, 2, 128, 16, 8, False, None),
+    (4, 4, 4, 128, 16, 4, False, None),
+    (2, 8, 4, 128, 8, 8, True, None),
+    (2, 4, 2, 128, 16, 8, False, 48),
+    (1, 8, 2, 256, 16, 8, False, None),
+])
+def test_paged_decode_int8_matches_xla(B, Hq, Hkv, D, BS, MB, sinks, win):
+    """INT8-KV Pallas decode kernel (scales folded into logits/probs) vs the
+    XLA dequant-at-gather path on identical int8 pools."""
+    NB = B * MB + 1
+    kd = jnp.zeros((NB, Hkv, BS, D), jnp.int8)
+    ks = jnp.ones((NB, Hkv, BS), jnp.float32)
+    vd = jnp.zeros((NB, Hkv, BS, D), jnp.int8)
+    vs = jnp.ones((NB, Hkv, BS), jnp.float32)
+    k_cache, v_cache = (kd, ks), (vd, vs)
+    rng = np.random.RandomState(0)
+    tables = np.zeros((B, MB), np.int32)
+    used = list(range(1, NB))
+    rng.shuffle(used)
+    for b in range(B):
+        tables[b] = used[b * MB:(b + 1) * MB]
+    kv_lens = np.array([rng.randint(1, MB * BS + 1) for _ in range(B)],
+                       np.int32)
+    # fill via the real append path so data/scales are per-token quantized
+    for b in range(B):
+        T = int(kv_lens[b])
+        k_new = jax.random.normal(jax.random.PRNGKey(10 + b), (T, Hkv, D),
+                                  jnp.bfloat16) * (1 + b)
+        v_new = jax.random.normal(jax.random.PRNGKey(20 + b), (T, Hkv, D),
+                                  jnp.bfloat16)
+        slots = jnp.asarray(
+            [tables[b][t // BS] * BS + t % BS for t in range(T)], jnp.int32)
+        k_cache, v_cache = write_kv_cache(k_cache, v_cache, k_new, v_new,
+                                          slots)
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Hq, D), jnp.bfloat16)
+    tables = jnp.asarray(tables)
+    kv_lens_j = jnp.asarray(kv_lens)
+    sk = (jax.random.normal(jax.random.PRNGKey(7), (Hq,), jnp.float32)
+          if sinks else None)
+
+    ref = paged_decode_xla(q, k_cache, v_cache, tables, kv_lens_j,
+                           scale=0.125, sliding_window=win, sinks=sk)
+    out = paged_decode_attention(q, k_cache, v_cache, tables, kv_lens_j,
+                                 scale=0.125, sliding_window=win,
+                                 tile_size=2 * BS, interpret=True, sinks=sk)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
