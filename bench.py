@@ -31,7 +31,9 @@ def _rtt() -> float:
 
 
 def bench_w4a16_shape(M, K, N, rtt, inner=None):
-    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul
+    from tensorrt_llm_tpu.autotuner import AutoTuner, autotune
+    from tensorrt_llm_tpu.ops.w4a16_gemm import (RAMP_SLAB, _pick_block_k,
+                                                 w4a16_matmul)
     from tensorrt_llm_tpu.quantization import (choose_block_n, pack_w4,
                                                pack_w4_tiled, quantize_w4)
 
@@ -45,6 +47,28 @@ def bench_w4a16_shape(M, K, N, rtt, inner=None):
     # engine runs (LinearMethod packing + startup autotune)
     bn = choose_block_n(N)
     p = pack_w4_tiled(q, bn) if bn else pack_w4(q)
+
+    # device-timed tactic selection, mirroring ModelEngine.autotune_kernels
+    tuner = AutoTuner.get()
+    key = (K, N, int(bn is not None))
+    if not tuner.lookup("w4a16", key):
+        G = 128
+        bk_max = _pick_block_k(K, G)
+        cands = [{"block_k": bk} for bk in
+                 {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
+                 if K % bk == 0]
+        if bn is not None and K % RAMP_SLAB == 0 and RAMP_SLAB % G == 0:
+            cands += [{"variant": "ramp"},
+                      {"variant": "ramp", "ramp_bk_big": 8 * RAMP_SLAB}]
+
+        def run(tactic):
+            def body(i, xx):
+                o = w4a16_matmul(xx, p, s, **tactic)
+                return xx + (jnp.max(jnp.abs(o)) * 1e-30).astype(xx.dtype)
+            return jax.lax.fori_loop(0, tuner.chain_len, body, x)
+
+        with autotune():
+            tuner.maybe_tune("w4a16", key, cands, run)
 
     @jax.jit
     def chained(x0, p, s):

@@ -336,6 +336,208 @@ def _w4a16_matmul_pallas_tiled(
     )(*operands)
 
 
+RAMP_SLAB = 1024  # K rows per manual-DMA slab (512 packed rows)
+
+
+def _w4a16_kernel_ramp(
+    x_ref,        # [BM, K] bf16 (whole K resident)
+    s_ref,        # [total_groups, BN] f32
+    *rest,        # opt z_ref, opt b_ref, p_hbm(ANY), out_ref, w_buf, acc, sem
+    steps_per_j: int,
+    slabs_at: tuple,
+    slab_off: tuple,
+    pack_group: int,
+    per_channel: bool,
+    n_j: int,
+    has_zeros: bool,
+    has_bias: bool,
+    activation: Optional[str],
+    out_dtype,
+):
+    """Manual-DMA W4A16 kernel with a non-uniform k schedule.
+
+    The grid-pipelined tiled kernel pays one un-overlapped weight DMA per
+    (i, j) block — ~20% of a (16,4096,4096) call at bk=4096.  Here the
+    kernel drives its own double-buffered slab copies over a FLAT (j, k)
+    step sequence, so the whole call has exactly ONE cold DMA, and the ramp
+    schedule makes that first chunk a single slab while steady-state steps
+    stay large.  The scale FMA is ordered `partial * s + acc` so Mosaic can
+    emit a fused multiply-add.  (The CUTLASS analog is the persistent tile
+    scheduler in `launchers/fpA_intB_launcher_sm90.inl` — same goal: no
+    per-tile pipeline restart.)"""
+    it = iter(rest)
+    z_ref = next(it) if has_zeros else None
+    b_ref = next(it) if has_bias else None
+    p_hbm = next(it)      # [n_n, n_slabs, SLAB//2, BN] int8 ANY
+    out_ref = next(it)
+    w_buf = next(it)      # [2, big, SLAB//2, BN] int8 VMEM
+    acc_ref = next(it)
+    sems = next(it)
+    t = pl.program_id(1)
+    S = steps_per_j
+    n_t = S * n_j
+    Gp = pack_group
+
+    def dma(flat, slot, wait):
+        j = flat // S
+        k = flat % S
+        for step in range(S):
+            @pl.when(k == step)
+            def _():
+                ns = slabs_at[step]
+                cp = pltpu.make_async_copy(
+                    p_hbm.at[j, pl.ds(slab_off[step], ns)],
+                    w_buf.at[slot, pl.ds(0, ns)],
+                    sems.at[slot],
+                )
+                cp.wait() if wait else cp.start()
+
+    @pl.when(t == 0)
+    def _first():
+        dma(0, 0, wait=False)
+
+    @pl.when((t % S) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(t + 1 < n_t)
+    def _prefetch():
+        dma(t + 1, (t + 1) % 2, wait=False)
+
+    dma(t, t % 2, wait=True)
+    slot = t % 2
+    k = t % S
+
+    acc = acc_ref[:]
+    for step in range(S):
+        @pl.when(k == step)
+        def _():
+            ns = slabs_at[step]
+            k_base = slab_off[step] * RAMP_SLAB
+            cps = RAMP_SLAB // Gp
+            a = acc
+            for sl in range(ns):
+                for c in range(cps):
+                    pblk = w_buf[slot, sl,
+                                 c * (Gp // 2):(c + 1) * (Gp // 2), :]
+                    w_c = pltpu.bitcast(pblk, jnp.int4).astype(jnp.bfloat16)
+                    k0 = k_base + sl * RAMP_SLAB + c * Gp
+                    x_c = x_ref[:, k0:k0 + Gp]
+                    partial = jnp.dot(x_c, w_c,
+                                      preferred_element_type=jnp.float32)
+                    row = 0 if per_channel else k0 // Gp
+                    s_g = s_ref[pl.ds(row, 1), :]
+                    a = partial * s_g + a
+                    if has_zeros:
+                        xsum = jnp.sum(x_c.astype(jnp.float32), axis=1,
+                                       keepdims=True)
+                        a = a - xsum * (s_g * z_ref[pl.ds(row, 1), :])
+            acc_ref[:] = a
+
+    @pl.when((t % S) == S - 1)
+    def _epilogue():
+        r = acc_ref[:]
+        if has_bias:
+            r = r + b_ref[0, :][None, :].astype(jnp.float32)
+        r = _ACTIVATIONS[activation](r)
+        out_ref[:] = r.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "schedule",
+                     "interpret"),
+)
+def _w4a16_matmul_ramp(
+    x: jax.Array,
+    packed4: jax.Array,     # [n_n, n_slabs, SLAB//2, BN]
+    scales: jax.Array,
+    zeros: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    activation: Optional[str],
+    out_dtype,
+    block_m: int,
+    schedule: tuple,        # slabs per k step, sum == n_slabs
+    interpret: bool,
+):
+    M, K = x.shape
+    n_n, n_slabs, half_slab, BN = packed4.shape
+    N = n_n * BN
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+    Gp = pack_group_for(K, n_scale_groups)
+    S = len(schedule)
+    big = max(schedule)
+    offs = []
+    o = 0
+    for v in schedule:
+        offs.append(o)
+        o += v
+
+    in_specs = [
+        pl.BlockSpec((block_m, K), lambda i, t: (0, 0)),
+        pl.BlockSpec((n_scale_groups, BN), lambda i, t, S=S: (0, t // S)),
+    ]
+    operands = [x.astype(jnp.bfloat16), scales.astype(jnp.float32)]
+    if zeros is not None:
+        in_specs.append(pl.BlockSpec((n_scale_groups, BN),
+                                     lambda i, t, S=S: (0, t // S)))
+        operands.append(zeros.astype(jnp.float32))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, BN), lambda i, t, S=S: (0, t // S)))
+        operands.append(bias.reshape(1, N).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(packed4)
+
+    kernel = functools.partial(
+        _w4a16_kernel_ramp,
+        steps_per_j=S,
+        slabs_at=tuple(schedule),
+        slab_off=tuple(offs),
+        pack_group=Gp,
+        per_channel=G >= K,
+        n_j=n_n,
+        has_zeros=zeros is not None,
+        has_bias=bias is not None,
+        activation=activation,
+        out_dtype=out_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(1, n_n * S),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, BN), lambda i, t, S=S: (0, t // S)),
+        out_shape=jax.ShapeDtypeStruct((round_up(M, block_m), N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, big, RAMP_SLAB // 2, BN), jnp.int8),
+            pltpu.VMEM((block_m, BN), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=K * N // 2 + M * K * 2 + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
+def ramp_schedule(K: int, bk0: int = RAMP_SLAB,
+                  bk_big: int = 4 * RAMP_SLAB) -> tuple:
+    """First step one small slab (the only cold DMA), then big steps."""
+    n_slabs = K // RAMP_SLAB
+    sched = [max(1, bk0 // RAMP_SLAB)]
+    rest = n_slabs - sched[0]
+    big = max(1, bk_big // RAMP_SLAB)
+    while rest > 0:
+        take = min(big, rest)
+        sched.append(take)
+        rest -= take
+    return tuple(sched)
+
+
 def w4a16_matmul_xla(
     x: jax.Array,
     packed: jax.Array,
@@ -370,6 +572,9 @@ def w4a16_matmul(
     block_m: Optional[int] = None,
     block_k: Optional[int] = None,
     block_n: Optional[int] = None,
+    variant: Optional[str] = None,
+    ramp_bk0: Optional[int] = None,
+    ramp_bk_big: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused dequant-GEMM: ``act(x @ deq(packed, scales, zeros) + bias)``.
@@ -401,18 +606,34 @@ def w4a16_matmul(
                                out_dtype)
         return out.reshape(*lead, N)
     if tiled:
-        if block_k is None:
+        if block_k is None and variant is None:
             from tensorrt_llm_tpu.autotuner import AutoTuner
-            tactic = AutoTuner.get().lookup("w4a16", (K, N, 1))
-            block_k = (tactic or {}).get("block_k")
-        bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
+            tactic = AutoTuner.get().lookup("w4a16", (K, N, 1)) or {}
+            block_k = tactic.get("block_k")
+            variant = tactic.get("variant")
+            ramp_bk0 = tactic.get("ramp_bk0", ramp_bk0)
+            ramp_bk_big = tactic.get("ramp_bk_big", ramp_bk_big)
         bm = block_m or min(256, max(16, round_up(M, 16)))
+        ramp_ok = (
+            variant == "ramp"
+            and K % RAMP_SLAB == 0 and RAMP_SLAB % Gp == 0
+            and bm * K * 2 <= (8 << 20))  # whole-K x tile must fit VMEM
         Mp = round_up(M, bm)
         if Mp != M:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        out = _w4a16_matmul_pallas_tiled(
-            x2, packed, scales, zeros, bias, activation, out_dtype,
-            bm, bk, bool(interpret))
+        if ramp_ok:
+            n_n, half, BN = packed.shape
+            sched = ramp_schedule(K, ramp_bk0 or RAMP_SLAB,
+                                  ramp_bk_big or 4 * RAMP_SLAB)
+            out = _w4a16_matmul_ramp(
+                x2, packed.reshape(n_n, K // RAMP_SLAB, RAMP_SLAB // 2, BN),
+                scales, zeros, bias, activation, out_dtype,
+                bm, sched, bool(interpret))
+        else:
+            bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
+            out = _w4a16_matmul_pallas_tiled(
+                x2, packed, scales, zeros, bias, activation, out_dtype,
+                bm, bk, bool(interpret))
         if Mp != M:
             out = out[:M]
         return out.reshape(*lead, N)

@@ -118,3 +118,31 @@ def test_w4a16_batched_leading_dims():
     out2 = w4a16_matmul(x, packed, scales)
     np.testing.assert_allclose(np.asarray(out.reshape(8, 512)),
                                np.asarray(out2), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("M,K,N,group,symmetric,act", [
+    (16, 2048, 512, 128, True, None),
+    (16, 2048, 512, 128, False, None),     # zeros (rank-1 correction)
+    (5, 4096, 256, 128, True, "silu"),     # ramp schedule 1+3 slabs, bias+act
+    (16, 2048, 512, -1, True, None),       # per-channel
+])
+def test_w4a16_ramp_variant(M, K, N, group, symmetric, act):
+    """Manual-DMA ramp kernel == XLA reference (tiled packing, all epilogues)."""
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
+    q, scales, zeros = quantize_w4(w, group, symmetric=symmetric)
+    p3 = pack_w4_tiled(q, 256)
+    bias = (jax.random.normal(jax.random.PRNGKey(6), (N,), jnp.float32)
+            if act else None)
+    out = w4a16_matmul(x, p3, scales, zeros, bias=bias, activation=act,
+                       variant="ramp", interpret=True)
+    ref = np.asarray(w4a16_matmul_xla(x, p3, scales, zeros, bias=bias,
+                                      activation=act), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref,
+        rtol=2e-2, atol=2e-2 * max(np.abs(ref).max(), 1.0))
+    # also against fp32 with the reference tolerance
+    check(out if act is None else out, ref) if act is None else None
