@@ -43,27 +43,27 @@ class PallasAttention(XlaAttention):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
                  sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        if sinks is not None and meta.mode != "decode":
-            # prefill sinks ride the XLA path (in-kernel flash-prefill
-            # sinks land later); decode sinks are in the paged kernel
-            return super().__call__(q, k, v, k_cache, v_cache, meta,
-                                    sinks=sinks)
+        D = self.head_dim
+        bs = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape[2]
+        # D % 128 == 0 pages DMA directly; smaller dims use the lane-packed
+        # page view (r = 128 // D tokens per lane row), which needs D to
+        # divide 128 and whole pages to be lane-aligned
+        lane_ok = D % 128 == 0 or (128 % D == 0 and (bs * D) % 128 == 0)
         int8_decode_ok = (
             isinstance(k_cache, tuple) and meta.mode == "decode"
-            and self.head_dim % 128 == 0 and not meta.cyclic
+            and D % 128 == 0 and not meta.cyclic
             and self.attention_chunk is None
             and os.environ.get("TLLM_PAGED_INT8", "1") == "1")
         if (isinstance(k_cache, tuple) and not int8_decode_ok) \
-                or self.head_dim % 128 != 0 \
+                or not lane_ok \
                 or meta.cyclic or self.attention_chunk is not None \
                 or meta.pair_mask is not None:
             # INT8 KV pools run the dedicated int8 decode kernel (half the
-            # page bytes, scales folded into logits/probabilities); prefill
-            # and non-128 head dims use the XLA dequant-at-gather path.
-            # head_dim < 128: Mosaic pads the trailing HBM dim to the lane
-            # width, which breaks page-slice DMA — XLA path instead.
+            # page bytes, scales folded into logits/probabilities); int8
+            # prefill and odd head dims use the XLA dequant-at-gather path.
             # cyclic VSWA rings: kernels don't carry ring positions yet.
-            return super().__call__(q, k, v, k_cache, v_cache, meta)
+            return super().__call__(q, k, v, k_cache, v_cache, meta,
+                                    sinks=sinks)
         if meta.mode == "prefill" and os.environ.get("TLLM_FLASH_PREFILL", "1") == "1":
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)
@@ -75,11 +75,13 @@ class PallasAttention(XlaAttention):
                 scale=self.scale,
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
+                sinks=sinks,
             )
             return out, k_cache, v_cache
         if meta.mode != "decode" \
                 or os.environ.get("TLLM_PAGED_KERNEL", "1") == "0":
-            return super().__call__(q, k, v, k_cache, v_cache, meta)
+            return super().__call__(q, k, v, k_cache, v_cache, meta,
+                                    sinks=sinks)
         k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                           meta.slot_mapping)
         out = paged_decode_attention(

@@ -57,3 +57,26 @@ def test_flash_prefill_sliding_window():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("D,win", [(64, None), (128, None), (64, 24)])
+def test_flash_prefill_sinks(D, win):
+    """In-kernel attention sinks (GPT-OSS): denominator-only logit vs XLA."""
+    from tensorrt_llm_tpu.ops.attention_xla import mha_xla, gather_dequant
+    Hq, Hkv, BS, MB = 8, 2, 16, 4
+    T = 32
+    q, k_cache, v_cache, bt = build_seq(
+        jax.random.PRNGKey(3), 0, T, Hq, Hkv, D, BS, MB)
+    kv_len = jnp.int32(T)
+    sinks = jax.random.normal(jax.random.PRNGKey(9), (Hq,), jnp.float32)
+    flat = gather_dequant(k_cache, bt).transpose(0, 2, 1, 3).reshape(-1, Hkv, D)[:T]
+    flatv = gather_dequant(v_cache, bt).transpose(0, 2, 1, 3).reshape(-1, Hkv, D)[:T]
+    ref = mha_xla(q, flat, flatv, scale=D ** -0.5, causal=True,
+                  sliding_window=win, sinks=sinks)
+    out = flash_prefill_attention(q, k_cache, v_cache, bt, kv_len,
+                                  jnp.int32(0), scale=D ** -0.5,
+                                  sliding_window=win, tile_size=2 * BS,
+                                  interpret=True, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
