@@ -242,6 +242,9 @@ def main(argv=None):
     p.add_argument("--max-batch-size", type=int, default=64)
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--max-num-tokens", type=int, default=None)
+    p.add_argument("--decode-steps", type=int, default=None,
+                   help="fused multi-step decode chunk size "
+                        "(tokens per dispatch; default engine setting)")
     p.add_argument("--report-json", default=None,
                    help="also write the report to this path")
     args = p.parse_args(argv)
@@ -251,6 +254,8 @@ def main(argv=None):
     kw = {}
     if args.kv_dtype:
         kw["kv_cache_quant"] = args.kv_dtype.upper()
+    if args.decode_steps:
+        kw["max_decode_steps"] = args.decode_steps
     if args.max_num_tokens:
         kw["max_num_tokens"] = args.max_num_tokens
     model = args.model

@@ -71,6 +71,23 @@ class PyExecutor:
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
         self.max_decode_steps = max(1, max_decode_steps)
+        # overlap decode (reference _executor_loop_overlap +
+        # _process_previous_batch, py_executor.py:1660,1936): chunks are
+        # dispatched with the PREVIOUS chunk's device-resident sampled
+        # tokens as input, so the host never blocks between dispatches;
+        # fetch + stop handling trail behind, up to `depth` chunks deep.
+        import collections
+        import os as _os2
+        self._inflight = collections.deque()
+        self._inflight_comp = None
+        self._virtual: dict = {}   # req_id -> dispatched-but-unapplied tokens
+        self._overlap_depth = max(1, int(
+            _os2.environ.get("TLLM_OVERLAP_DEPTH", "4")))
+        self._overlap_enabled = (
+            _os2.environ.get("TLLM_OVERLAP_DECODE", "1") == "1")
+        # test hook: pretend results never land early so the pipeline
+        # always runs at full depth (CPU arrays are ready instantly)
+        self._force_lag = _os2.environ.get("TLLM_OVERLAP_LAG") == "1"
         # speculative decoding (reference: _torch/speculative/)
         self.drafter = drafter
         if drafter is not None:
@@ -308,6 +325,10 @@ class PyExecutor:
                    else self._cancelled)
         if not pending:
             return
+        if self._inflight and any(self._virtual.get(rid) for rid in pending):
+            # in-flight chunks still write a cancelled sequence's slots:
+            # sync before its blocks go back to the pool
+            self._drain_inflight()
         for req in list(self.active):
             if req.request_id in pending:
                 self.kv.free_sequence(req.request_id)
@@ -342,10 +363,18 @@ class PyExecutor:
         self._fetch_new_requests()
         self._handle_cancellations()
         if not self.active and not self.waiting:
+            if self._inflight:
+                self._drain_inflight()
             return False
 
         batch = self.scheduler.schedule(self.active, self.waiting)
         if batch.empty:
+            if self._inflight:
+                # nothing schedulable (e.g. every request finished while
+                # chunks were in flight): sync so emission/cleanup proceed
+                self._drain_inflight()
+                self._cleanup_finished()
+                return True
             return False
         self.iteration += 1
         self._maybe_profile()
@@ -476,6 +505,10 @@ class PyExecutor:
                            "max_concurrency", None)
         spec_on = self.drafter is not None and (
             spec_cap is None or len(decode_reqs) <= spec_cap)
+        if self._inflight and (beam_reqs or spec_on):
+            # spec/beam paths read request state and dispatch their own
+            # steps: sync the overlap pipeline BEFORE they run
+            self._drain_inflight()
         if spec_on:
             remaining = []
             for req in decode_reqs:
@@ -488,9 +521,17 @@ class PyExecutor:
             decode_reqs = remaining
 
         # ---- decode batch ---------------------------------------------------------
+        if self._inflight and not decode_reqs:
+            self._drain_inflight()
         if decode_reqs:
             k = self._decode_steps_for(decode_reqs)
-            if k > 1:
+            overlap = k > 1 and self._overlap_ok(decode_reqs)
+            if self._inflight and not overlap:
+                self._drain_inflight()
+            if overlap:
+                self._overlap_decode(decode_reqs, k)
+                stats.num_decode_tokens = len(decode_reqs) * k
+            elif k > 1:
                 self._decode_multi(decode_reqs, k)
                 stats.num_decode_tokens = len(decode_reqs) * k
             else:
@@ -517,8 +558,25 @@ class PyExecutor:
                 stats.num_decode_tokens = len(decode_reqs)
 
         # ---- cleanup finished -----------------------------------------------------
+        self._cleanup_finished()
+
+        stats.kv_stats = self.kv.stats()
+        stats.step_time_ms = (time.perf_counter() - t0) * 1e3
+        stats.tokens_generated = self.total_tokens_generated
+        self.stats_history.append(stats)
+        if len(self.stats_history) > 1000:
+            self.stats_history = self.stats_history[-1000:]
+        return True
+
+    def _cleanup_finished(self):
         for req in list(self.active):
             if req.is_finished:
+                if self._virtual.get(req.request_id):
+                    # later in-flight chunks still write this sequence's
+                    # slots — freeing now would hand its blocks to a new
+                    # prefill mid-write.  The next iteration's composition
+                    # change drains the pipeline, then cleanup proceeds.
+                    continue
                 if req.request_type == "context_only" \
                         and req.kv_payload is None:
                     # disagg send side: capture the prompt KV pages before
@@ -548,14 +606,6 @@ class PyExecutor:
                 self.guided.drop(req.request_id)
                 self.active.remove(req)
                 self.tracer.record_request(req)
-
-        stats.kv_stats = self.kv.stats()
-        stats.step_time_ms = (time.perf_counter() - t0) * 1e3
-        stats.tokens_generated = self.total_tokens_generated
-        self.stats_history.append(stats)
-        if len(self.stats_history) > 1000:
-            self.stats_history = self.stats_history[-1000:]
-        return True
 
     def _flush_pending(self, req: LlmRequest):
         """Write KV for tokens accepted by tree verification but not yet in
@@ -802,7 +852,8 @@ class PyExecutor:
             # host-side; their KV rows get overwritten) — clamping k to the
             # remaining budget would compile a fresh k-variant per tail.
             # Stay within the engine's position ceiling though.
-            room = self.max_seq_len - r.num_tokens + 1
+            room = self.max_seq_len - r.num_tokens \
+                - self._virtual.get(r.request_id, 0) + 1
             k = min(k, max(room, 1))
             if not sp.ignore_eos or sp.stop_token_ids:
                 # could stop early on eos: cap overshoot at 4 wasted steps
@@ -846,6 +897,11 @@ class PyExecutor:
                                           pad_to=B)
         toks, logps = self.engine.run_decode_multi(inputs, k, state,
                                                    slot_table, local_table)
+        self._apply_multi(reqs, rows, k, toks, logps)
+
+    def _apply_multi(self, reqs, rows, k, toks, logps):
+        """Host-side bookkeeping for one fused chunk: append sampled tokens,
+        stop checks, emission (the reference's _update_requests)."""
         toks = np.asarray(toks)[:, rows]   # [k, B] -> request order
         logps = np.asarray(logps)[:, rows]
         for i, req in enumerate(reqs):
@@ -865,6 +921,97 @@ class PyExecutor:
                     req.emit(finished=True)
             if req.is_generating:
                 req.emit(finished=False)
+
+    # -------------------------------------------------------------- overlap ----
+    def _overlap_ok(self, reqs) -> bool:
+        """Overlap decode preconditions: plain fused-multi-step requests on
+        a single controller (beam/spec/guided/helix/star already forced
+        k == 1 by _decode_steps_for)."""
+        return (self._overlap_enabled
+                and self._num_procs == 1
+                and not getattr(self.engine, "_helix", False)
+                and not getattr(self.engine, "_star", False))
+
+    def _drain_inflight(self):
+        while self._inflight:
+            ch = self._inflight.popleft()
+            for r in ch["reqs"]:
+                self._virtual[r.request_id] = max(
+                    0, self._virtual.get(r.request_id, 0) - ch["k"])
+            self._apply_multi(ch["reqs"], ch["rows"], ch["k"],
+                              ch["toks"], ch["logps"])
+        self._inflight_comp = None
+        self._virtual = {k: v for k, v in self._virtual.items() if v > 0}
+
+    def _overlap_decode(self, reqs, k: int):
+        """Dispatch one fused chunk fed from the previous chunk's
+        device-resident tokens; apply completed chunks without blocking
+        (block only at the pipeline depth cap)."""
+        comp = (tuple(r.request_id for r in reqs), k)
+        if self._inflight and self._inflight_comp != comp:
+            self._drain_inflight()
+
+        virt = [self._virtual.get(r.request_id, 0) for r in reqs]
+        for r, v in zip(reqs, virt):
+            self.kv.grow_sequence(r.request_id, r.num_tokens + v + k - 1)
+        inputs = self.engine.prepare_decode_inputs(
+            reqs, extra_tokens=k - 1, virtual_extra=virt)
+        if self._inflight:
+            prev = self._inflight[-1]
+            if prev["toks_dev"].shape[1] == len(inputs.input_ids):
+                inputs.input_ids = prev["toks_dev"][prev["k"] - 1]
+            else:
+                # padded batch bucket changed (shouldn't with a stable
+                # composition, but stay safe): sync instead
+                self._drain_inflight()
+                virt = [0] * len(reqs)
+                inputs = self.engine.prepare_decode_inputs(
+                    reqs, extra_tokens=k - 1)
+
+        B = len(inputs.input_ids)
+        rows = (inputs.row_map if inputs.row_map is not None
+                else np.arange(len(reqs)))
+        slot_table = np.full((k, B), np.int64(2**30), np.int32)
+        local_table = None
+        if getattr(self.engine, "_vswa", False):
+            local_table = np.full((k, B), np.int64(2**30), np.int32)
+        sp_rows = [SamplingParams() for _ in range(B)]
+        for i, req in enumerate(reqs):
+            start = req.num_tokens + virt[i] - 1
+            slot_table[:, rows[i]] = self.kv.slot_mapping(
+                req.request_id, start, k)
+            if local_table is not None:
+                local_table[:, rows[i]] = self.kv.local_slot_mapping(
+                    req.request_id, start, k, int(2**30), dedup=False)
+            sp_rows[rows[i]] = req.sampling_params
+        state = SamplingState.from_params(sp_rows, step=self.iteration,
+                                          pad_to=B)
+        toks, logps = self.engine.run_decode_multi(inputs, k, state,
+                                                   slot_table, local_table)
+        self._inflight.append({"reqs": list(reqs), "rows": rows, "k": k,
+                               "toks": toks, "logps": logps,
+                               "toks_dev": toks})
+        self._inflight_comp = comp
+        for r in reqs:
+            self._virtual[r.request_id] = \
+                self._virtual.get(r.request_id, 0) + k
+
+        # apply whatever has landed; block only past the depth cap
+        while self._inflight:
+            ch = self._inflight[0]
+            ready = (not self._force_lag
+                     and getattr(ch["toks"], "is_ready", lambda: True)())
+            if not ready and len(self._inflight) <= self._overlap_depth:
+                break
+            self._inflight.popleft()
+            for r in ch["reqs"]:
+                self._virtual[r.request_id] = max(
+                    0, self._virtual.get(r.request_id, 0) - ch["k"])
+            self._apply_multi(ch["reqs"], ch["rows"], ch["k"],
+                              ch["toks"], ch["logps"])
+        if self._inflight_comp is not None and not self._inflight:
+            self._virtual = {k_: v for k_, v in self._virtual.items()
+                             if v > 0}
 
     # ---------------------------------------------------------------- sampling ----
     def _sample_and_update(self, reqs: List[LlmRequest], logits):

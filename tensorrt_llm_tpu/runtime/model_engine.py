@@ -899,21 +899,31 @@ class ModelEngine:
         return logits, hidden
 
     # ------------------------------------------------------------------ input prep --
-    def _table_bucket(self, reqs, extra_tokens: int = 0) -> int:
+    def _table_bucket(self, reqs, extra_tokens: int = 0,
+                      virtual_extra=None) -> int:
         """Pad block tables to a power-of-two page count >= the batch max —
         cuts the XLA gather's padded-KV waste (the reference pads to the
         CUDA-graph capture size the same way)."""
-        need = max((cdiv(r.num_tokens + extra_tokens, self.kv_manager.block_size)
-                    for r in reqs), default=1)
+        ve = virtual_extra or [0] * len(reqs)
+        need = max((cdiv(r.num_tokens + v + extra_tokens,
+                         self.kv_manager.block_size)
+                    for r, v in zip(reqs, ve)), default=1)
         mb = 16
         while mb < need:
             mb *= 4
         return min(mb, self.max_blocks_per_seq)
 
-    def prepare_decode_inputs(self, reqs, extra_tokens: int = 0) -> StepInputs:
+    def prepare_decode_inputs(self, reqs, extra_tokens: int = 0,
+                              virtual_extra=None) -> StepInputs:
         """Assemble padded decode inputs for a batch of generating requests.
         extra_tokens widens the block-table bucket for fused multi-step
         decode (positions num_tokens..num_tokens+extra-1 must be gatherable).
+
+        virtual_extra (overlap decode): per-request counts of tokens already
+        DISPATCHED but not yet applied host-side — positions/lens advance as
+        if they had landed; input_ids rows are placeholders the caller
+        replaces with the previous chunk's device-resident sampled tokens
+        (the reference's overlap scheduler, py_executor.py:1660).
 
         Attention-DP: rows are grouped by each request's dp rank (rank r
         owns rows [r*Bp/dp, (r+1)*Bp/dp)); row_map records each request's
@@ -932,7 +942,8 @@ class ModelEngine:
             Bp = bloc * dp
         else:
             Bp = pick_bucket(B, self.decode_buckets)
-        MB = self._table_bucket(reqs, extra_tokens)
+        MB = self._table_bucket(reqs, extra_tokens, virtual_extra)
+        ve = virtual_extra or [0] * len(reqs)
         input_ids = np.zeros(Bp, np.int32)
         positions = np.zeros(Bp, np.int32)
         slots = np.full(Bp, PAD_SLOT, np.int32)
@@ -955,7 +966,7 @@ class ModelEngine:
                 row = i
             row_map[i] = row
             toks = req.all_token_ids
-            pos = req.num_tokens - 1          # position of the new token
+            pos = req.num_tokens + ve[i] - 1  # position of the new token
             input_ids[row] = toks[-1]
             positions[row] = pos
             if self._mrope:
