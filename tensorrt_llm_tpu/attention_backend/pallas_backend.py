@@ -49,18 +49,19 @@ class PallasAttention(XlaAttention):
         # page view (r = 128 // D tokens per lane row), which needs D to
         # divide 128 and whole pages to be lane-aligned
         lane_ok = D % 128 == 0 or (128 % D == 0 and (bs * D) % 128 == 0)
-        int8_decode_ok = (
-            isinstance(k_cache, tuple) and meta.mode == "decode"
+        int8_ok = (
+            isinstance(k_cache, tuple)
+            and meta.mode in ("decode", "prefill")
             and D % 128 == 0 and not meta.cyclic
             and self.attention_chunk is None
             and os.environ.get("TLLM_PAGED_INT8", "1") == "1")
-        if (isinstance(k_cache, tuple) and not int8_decode_ok) \
+        if (isinstance(k_cache, tuple) and not int8_ok) \
                 or not lane_ok \
                 or meta.cyclic or self.attention_chunk is not None \
                 or meta.pair_mask is not None:
-            # INT8 KV pools run the dedicated int8 decode kernel (half the
-            # page bytes, scales folded into logits/probabilities); int8
-            # prefill and odd head dims use the XLA dequant-at-gather path.
+            # INT8 KV pools run the dedicated int8 kernels (half the page
+            # bytes, scales folded into logits/probabilities); odd head
+            # dims use the XLA dequant-at-gather path.
             # cyclic VSWA rings: kernels don't carry ring positions yet.
             return super().__call__(q, k, v, k_cache, v_cache, meta,
                                     sinks=sinks)

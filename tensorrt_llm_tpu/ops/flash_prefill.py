@@ -154,6 +154,138 @@ def _flash_prefill_kernel(
                 o_ref.dtype)
 
 
+def _flash_prefill_kernel_int8(
+    # scalar prefetch
+    bt_ref,       # [1, MB] int32
+    meta_ref,     # [2] int32: (kv_len, q_offset)
+    # inputs
+    q_ref,        # [Hkv, TQ, G, D] VMEM
+    k_hbm,        # [NB, Hkv, BS, D] int8 ANY
+    v_hbm,
+    ks_hbm,       # [NB, 1, Hkv*BS] f32 ANY (flat per-page scale rows)
+    vs_hbm,
+    sinks_ref,    # [Hkv*TQ*G, 1] f32
+    # outputs
+    o_ref,        # [Hkv, TQ, G, D] VMEM
+    # scratch
+    k_buf,        # [2, Hkv, TS, D] int8
+    v_buf,
+    ks_buf,       # [2, PPT, Hkv*BS] f32
+    vs_buf,
+    m_buf,        # [Hkv*TQ*G, 128] f32
+    l_buf,
+    acc_buf,      # [Hkv*TQ*G, D] f32
+    k_sems,       # [2, PPT]
+    v_sems,
+    s_sems,       # [2, PPT, 2]
+    *,
+    tile_size: int,
+    page_size: int,
+    scale: float,
+    has_sinks: bool,
+    sliding_window: Optional[int],
+    logit_cap: Optional[float],
+):
+    """INT8-KV flash prefill: int8 pages stream at half the bytes; the
+    per-(token, head) K scale folds into the logits and the V scale into
+    the probabilities (same trick as `_paged_decode_kernel_int8`)."""
+    qt = pl.program_id(0)
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    TS, BS = tile_size, page_size
+    PPT = TS // BS
+    Hkv, TQ, G, D = q_ref.shape
+    R = TQ * G
+
+    kv_len = meta_ref[0]
+    q_off = meta_ref[1]
+    q_end = jnp.minimum(q_off + (qt + 1) * TQ, kv_len)
+    n_need = pl.cdiv(q_end, TS)
+
+    def tile_dma(tile, slot):
+        copies = []
+        for p in range(PPT):
+            page = bt_ref[0, tile * PPT + p]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[page], k_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
+                v_sems.at[slot, p]))
+            copies.append(pltpu.make_async_copy(
+                ks_hbm.at[page], ks_buf.at[slot, pl.ds(p, 1), :],
+                s_sems.at[slot, p, 0]))
+            copies.append(pltpu.make_async_copy(
+                vs_hbm.at[page], vs_buf.at[slot, pl.ds(p, 1), :],
+                s_sems.at[slot, p, 1]))
+        return copies
+
+    @pl.when(t == 0)
+    def _init():
+        m_buf[:] = jnp.full_like(m_buf, NEG_INF)
+        l_buf[:] = jnp.zeros_like(l_buf)
+        acc_buf[:] = jnp.zeros_like(acc_buf)
+        for c in tile_dma(0, 0):
+            c.start()
+
+    @pl.when(t + 1 < n_need)
+    def _prefetch():
+        for c in tile_dma(t + 1, (t + 1) % 2):
+            c.start()
+
+    @pl.when(t < n_need)
+    def _compute():
+        slot = t % 2
+        for c in tile_dma(t, slot):
+            c.wait()
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, TS), 1)
+        q_pos = q_off + qt * TQ + row // G
+        kv_pos = t * TS + col
+        valid = (kv_pos <= q_pos) & (kv_pos < kv_len)
+        if sliding_window is not None:
+            valid &= kv_pos > q_pos - sliding_window
+
+        for h in range(Hkv):
+            q_h = q_ref[h].reshape(R, D).astype(jnp.bfloat16)
+            k_t = k_buf[slot, h].astype(jnp.bfloat16)       # [TS, D]
+            v_t = v_buf[slot, h].astype(jnp.bfloat16)
+            ksv = ks_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
+            vsv = vs_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
+            s = jax.lax.dot_general(
+                q_h, k_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [R, TS]
+            s = s * ksv
+            if logit_cap:
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            s = jnp.where(valid, s, NEG_INF)
+
+            rs = pl.ds(h * R, R)
+            m_p = m_buf[rs, :1]
+            l_p = l_buf[rs, :1]
+            m_c = jnp.max(s, axis=1, keepdims=True)
+            m_n = jnp.maximum(m_p, m_c)
+            p_ = jnp.exp(s - m_n)
+            alpha = jnp.exp(m_p - m_n)
+            l_buf[rs, :1] = l_p * alpha + jnp.sum(p_, axis=1, keepdims=True)
+            pv = jnp.dot((p_ * vsv).astype(jnp.bfloat16), v_t,
+                         preferred_element_type=jnp.float32)  # [R, D]
+            acc_buf[rs, :] = acc_buf[rs, :] * alpha + pv
+            m_buf[rs, :1] = m_n
+
+    @pl.when(t == n_t - 1)
+    def _finalize():
+        for h in range(Hkv):
+            rs = pl.ds(h * R, R)
+            l = l_buf[rs, :1]
+            if has_sinks:
+                l = l + jnp.exp(sinks_ref[rs, :1] - m_buf[rs, :1])
+            safe_l = jnp.where(l > 0, l, 1.0)
+            o_ref[h] = (acc_buf[rs, :] / safe_l).reshape(TQ, G, D).astype(
+                o_ref.dtype)
+
+
 def _flash_prefill_kernel_packed(
     # scalar prefetch
     bt_ref,       # [1, MB] int32
@@ -317,7 +449,8 @@ def flash_prefill_attention(
     sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     T, Hq, D = q.shape
-    NB, Hkv, BS, _ = k_cache.shape
+    is_int8 = isinstance(k_cache, tuple)
+    NB, Hkv, BS, _ = (k_cache[0] if is_int8 else k_cache).shape
     G = Hq // Hkv
     MB = block_table.shape[0]
 
@@ -346,6 +479,56 @@ def flash_prefill_attention(
         sinks_rows = jnp.tile(
             jnp.asarray(sinks, jnp.float32).reshape(Hkv, 1, G),
             (1, TQ, 1)).reshape(Hkv * TQ * G, 1)
+
+    if is_int8:
+        assert D % 128 == 0, (
+            "int8 flash prefill requires D % 128 == 0; the dispatch layer "
+            "routes smaller head dims to the XLA path")
+        (kd, ks), (vd, vs) = k_cache, v_cache
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_q_tiles, n_kv_tiles),
+            in_specs=[
+                pl.BlockSpec((Hkv, TQ, G, D),
+                             lambda qt, t, *_: (0, qt, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((Hkv * R, 1), lambda qt, t, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((Hkv, TQ, G, D),
+                                   lambda qt, t, *_: (0, qt, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
+                pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
+                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
+                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
+                pltpu.VMEM((Hkv * R, 128), jnp.float32),
+                pltpu.VMEM((Hkv * R, 128), jnp.float32),
+                pltpu.VMEM((Hkv * R, D), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, PPT)),
+                pltpu.SemaphoreType.DMA((2, PPT)),
+                pltpu.SemaphoreType.DMA((2, PPT, 2)),
+            ],
+        )
+        kernel = functools.partial(
+            _flash_prefill_kernel_int8,
+            tile_size=TS, page_size=BS, scale=scale,
+            has_sinks=sinks is not None,
+            sliding_window=sliding_window, logit_cap=logit_cap)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Hkv, T, G, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(block_table.reshape(1, MB), meta, q4, kd, vd,
+          ks.reshape(NB, 1, Hkv * BS), vs.reshape(NB, 1, Hkv * BS),
+          sinks_rows)
+        return out.transpose(1, 0, 2, 3).reshape(T, Hq, D)
 
     if D < 128:
         assert 128 % D == 0 and (BS * D) % 128 == 0, (D, BS)

@@ -80,3 +80,40 @@ def test_flash_prefill_sinks(D, win):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("T_prefix,T_chunk,win,sinks", [
+    (0, 32, None, False),
+    (24, 16, None, False),
+    (0, 32, 24, True),
+])
+def test_flash_prefill_int8(T_prefix, T_chunk, win, sinks):
+    """INT8-KV flash prefill (scales folded into logits/probs) vs the XLA
+    dequant-at-gather path over identical per-token-quantized pools."""
+    Hq, Hkv, D, BS, MB = 8, 2, 128, 16, 4
+    NB = MB + 1
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    kc = ((jnp.zeros((NB, Hkv, BS, D), jnp.int8),
+           jnp.ones((NB, Hkv, BS), jnp.float32)))
+    vc = ((jnp.zeros((NB, Hkv, BS, D), jnp.int8),
+           jnp.ones((NB, Hkv, BS), jnp.float32)))
+    total = T_prefix + T_chunk
+    k_all = jax.random.normal(keys[0], (total, Hkv, D), jnp.bfloat16)
+    v_all = jax.random.normal(keys[1], (total, Hkv, D), jnp.bfloat16)
+    bt = jnp.arange(1, NB, dtype=jnp.int32)
+    slots = bt[jnp.arange(total) // BS] * BS + jnp.arange(total) % BS
+    kc, vc = write_kv_cache(kc, vc, k_all, v_all, slots)
+    q = jax.random.normal(keys[2], (T_chunk, Hq, D), jnp.bfloat16)
+    kv_len = jnp.int32(total)
+    q_off = jnp.int32(T_prefix)
+    sk = (jax.random.normal(keys[3], (Hq,), jnp.float32) if sinks else None)
+
+    ref = paged_prefill_xla(q, kc, vc, bt, kv_len, q_off, scale=D ** -0.5,
+                            sliding_window=win, sinks=sk)
+    out = flash_prefill_attention(q, kc, vc, bt, kv_len, q_off,
+                                  scale=D ** -0.5, sliding_window=win,
+                                  tile_size=2 * BS, interpret=True,
+                                  sinks=sk)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
