@@ -290,10 +290,23 @@ class LLM:
         reference /release_memory endpoint + _torch/virtual_memory.py).
         Refuses while requests are in flight; generate() after release
         requires resume_memory() first."""
+        import time as _time
         ex = self.executor
-        if ex.active or ex.waiting or not ex.request_queue.empty():
-            raise RuntimeError("cannot release weight memory with requests "
-                               "in flight")
+        # finished requests linger in `active` for an iteration while the
+        # overlap pipeline's trailing chunks drain — wait for true idle,
+        # but refuse immediately if anything is genuinely generating
+        deadline = _time.time() + 5.0
+        while True:
+            if any(not r.is_finished for r in ex.active) or ex.waiting \
+                    or not ex.request_queue.empty():
+                raise RuntimeError("cannot release weight memory with "
+                                   "requests in flight")
+            if not ex.active:
+                break
+            if _time.time() > deadline:
+                raise RuntimeError("executor did not drain finished "
+                                   "requests in time")
+            _time.sleep(0.01)
         self.engine.release_weight_memory()
 
     def resume_memory(self) -> None:
