@@ -350,6 +350,27 @@ class LLM:
                        kv_retention_priority: Optional[int] = None,
                        ) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
+        if sampling_params.n > 1 and not sampling_params.use_beam_search:
+            # parallel sampling (OpenAI `n`): n independent samples of the
+            # same prompt as sibling requests — the prefix-reuse tree
+            # shares the prompt KV blocks between them (reference returns
+            # n sequences per request the same way)
+            if streaming:
+                raise ValueError("streaming with n > 1 is not supported; "
+                                 "use n futures or beam search")
+            import dataclasses as _dc
+            subs = []
+            for j in range(sampling_params.n):
+                sp_j = _dc.replace(
+                    sampling_params, n=1,
+                    seed=(sampling_params.seed + j
+                          if sampling_params.seed is not None else None))
+                subs.append(self.generate_async(
+                    prompt, sp_j, streaming=False,
+                    disaggregated_params=disaggregated_params,
+                    lora_request=lora_request, cache_salt=cache_salt,
+                    kv_retention_priority=kv_retention_priority))
+            return _FanoutFuture(subs)
         prompt_embeds = None
         mm_extra = None
         mm_hash = None
@@ -655,6 +676,33 @@ class GenerationFuture:
 
     def cancel(self):
         self.llm.executor.cancel(self.req.request_id)
+
+
+class _FanoutFuture:
+    """Aggregates the n sibling requests of a parallel-sampling call
+    (SamplingParams.n > 1) into one RequestOutput with n outputs."""
+
+    def __init__(self, subs):
+        self.subs = subs
+
+    def result(self, timeout: Optional[float] = None) -> RequestOutput:
+        results = [s.result(timeout=timeout) for s in self.subs]
+        outputs = []
+        for j, r in enumerate(results):
+            o = r.outputs[0]
+            outputs.append(CompletionOutput(
+                index=j, text=o.text, token_ids=o.token_ids,
+                finish_reason=o.finish_reason, logprobs=o.logprobs,
+                cumulative_logprob=o.cumulative_logprob))
+        first = results[0]
+        return RequestOutput(
+            request_id=first.request_id, prompt=first.prompt,
+            prompt_token_ids=first.prompt_token_ids,
+            outputs=outputs, finished=True)
+
+    def cancel(self):
+        for s in self.subs:
+            s.cancel()
 
 
 def _has_weights(path: str) -> bool:

@@ -48,6 +48,7 @@ class CompletionRequest(BaseModel):
             top_p=self.top_p,
             top_k=self.top_k,
             min_p=self.min_p,
+            n=self.n,
             stop=self.stop,
             seed=self.seed,
             logprobs=self.logprobs,
@@ -116,6 +117,7 @@ class ChatCompletionRequest(BaseModel):
             temperature=self.temperature,
             top_p=self.top_p,
             top_k=self.top_k,
+            n=self.n,
             stop=self.stop,
             seed=self.seed,
             logprobs=self.top_logprobs if self.logprobs else None,
@@ -207,27 +209,34 @@ def completion_response(req: CompletionRequest, texts: List[str],
     }
 
 
-def chat_response(req: ChatCompletionRequest, text: str,
-                  finish_reason: Optional[str],
-                  usage: Dict[str, int],
-                  tool_calls: Optional[List[Dict]] = None,
-                  reasoning: Optional[str] = None) -> Dict:
+def chat_choice(index: int, text: Optional[str],
+                finish_reason: Optional[str],
+                tool_calls: Optional[List[Dict]] = None,
+                reasoning: Optional[str] = None) -> Dict:
     message: Dict[str, Any] = {"role": "assistant", "content": text}
     if tool_calls:
         message["tool_calls"] = tool_calls
         finish_reason = "tool_calls"
     if reasoning:
         message["reasoning_content"] = reasoning
+    return {"index": index, "message": message,
+            "finish_reason": finish_reason}
+
+
+def chat_response(req: ChatCompletionRequest, text: str,
+                  finish_reason: Optional[str],
+                  usage: Dict[str, int],
+                  tool_calls: Optional[List[Dict]] = None,
+                  reasoning: Optional[str] = None,
+                  extra_choices: Optional[List[Dict]] = None) -> Dict:
+    choices = [chat_choice(0, text, finish_reason, tool_calls, reasoning)]
+    choices.extend(extra_choices or [])
     return {
         "id": random_id("chatcmpl"),
         "object": "chat.completion",
         "created": int(time.time()),
         "model": req.model,
-        "choices": [{
-            "index": 0,
-            "message": message,
-            "finish_reason": finish_reason,
-        }],
+        "choices": choices,
         "usage": usage,
     }
 

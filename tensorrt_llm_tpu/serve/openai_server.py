@@ -22,6 +22,7 @@ from tensorrt_llm_tpu.serve.openai_protocol import (
     ChatCompletionRequest,
     CompletionRequest,
     ResponsesRequest,
+    chat_choice,
     chat_chunk,
     chat_response,
     completion_response,
@@ -240,6 +241,10 @@ class OpenAIServer:
             return web.json_response({"error": str(e)}, status=400)
         prompts = body.prompt if isinstance(body.prompt, list) and \
             body.prompt and isinstance(body.prompt[0], (str, list)) else [body.prompt]
+        if body.stream and body.n > 1:
+            return web.json_response(
+                {"error": "streaming with n > 1 is not supported"},
+                status=400)
         sp = body.to_sampling_params()
         try:
             futures = [self.llm.generate_async(p, sp) for p in prompts]
@@ -251,10 +256,12 @@ class OpenAIServer:
 
         outs = await asyncio.gather(*[
             asyncio.to_thread(f.result) for f in futures])
-        texts = [o.outputs[0].text for o in outs]
-        reasons = [o.outputs[0].finish_reason for o in outs]
+        # n > 1 fans out to multiple outputs per prompt; choices flatten
+        # prompt-major (OpenAI semantics)
+        texts = [o.text for out in outs for o in out.outputs]
+        reasons = [o.finish_reason for out in outs for o in out.outputs]
         p_toks = sum(len(o.prompt_token_ids) for o in outs)
-        c_toks = sum(len(o.outputs[0].token_ids) for o in outs)
+        c_toks = sum(len(o.token_ids) for out in outs for o in out.outputs)
         return web.json_response(completion_response(
             body, texts, reasons,
             {"prompt_tokens": p_toks, "completion_tokens": c_toks,
@@ -347,25 +354,34 @@ class OpenAIServer:
             return await self._stream_chat(request, body, future, parser)
 
         out = await asyncio.to_thread(future.result)
-        p, c = len(out.prompt_token_ids), len(out.outputs[0].token_ids)
+        p = len(out.prompt_token_ids)
+        c = sum(len(o.token_ids) for o in out.outputs)
         usage = {"prompt_tokens": p, "completion_tokens": c,
                  "total_tokens": p + c}
-        text, calls, reasoning = out.outputs[0].text, [], None
-        forced = body.forced_tool()
-        if forced is not None:
-            # schema-guided forced call: the whole completion is arguments
-            from tensorrt_llm_tpu.serve.tool_parser import ToolCall
-            calls = [ToolCall(name=forced["function"]["name"],
-                              arguments=text)]
-            text = None
-        elif parser is not None:
-            ev = parser.parse_full(text)
-            text, calls = ev.text, ev.calls
-            reasoning = ev.reasoning or None
+
+        def parse_one(o):
+            text, calls, reasoning = o.text, [], None
+            forced = body.forced_tool()
+            if forced is not None:
+                # schema-guided forced call: the completion is arguments
+                from tensorrt_llm_tpu.serve.tool_parser import ToolCall
+                calls = [ToolCall(name=forced["function"]["name"],
+                                  arguments=text)]
+                text = None
+            elif parser is not None:
+                ev = parser.parse_full(text)
+                text, calls = ev.text, ev.calls
+                reasoning = ev.reasoning or None
+            return (text, o.finish_reason,
+                    [c.to_openai(i) for i, c in enumerate(calls)] or None,
+                    reasoning)
+
+        first = parse_one(out.outputs[0])
+        extra = [chat_choice(j, *parse_one(o))
+                 for j, o in enumerate(out.outputs[1:], start=1)]
         return web.json_response(chat_response(
-            body, text, out.outputs[0].finish_reason, usage,
-            tool_calls=[c.to_openai(i) for i, c in enumerate(calls)] or None,
-            reasoning=reasoning))
+            body, first[0], first[1], usage, tool_calls=first[2],
+            reasoning=first[3], extra_choices=extra))
 
     async def _stream_chat(self, request, body, future, parser):
         resp = web.StreamResponse(

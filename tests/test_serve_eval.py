@@ -224,3 +224,29 @@ def test_release_resume_memory(client):
     # generation still works and is deterministic after the round trip
     r = loop.run_until_complete(tc.get("/health_generate"))
     assert r.status == 200
+
+
+def test_parallel_sampling_n(client):
+    """OpenAI `n` parameter: n choices per prompt, prompt KV shared via
+    prefix reuse (reference returns n sequences per request)."""
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny", "prompt": "hello world", "max_tokens": 8,
+        "n": 3, "temperature": 0.9, "ignore_eos": True}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    assert len(body["choices"]) == 3
+    assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+
+    r = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+        "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "n": 2, "temperature": 0.9, "ignore_eos": True}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    assert len(body["choices"]) == 2
+
+    # streaming with n>1 is rejected, not silently wrong
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny", "prompt": "hello", "max_tokens": 4,
+        "n": 2, "stream": True}))
+    assert r.status == 400
