@@ -348,6 +348,7 @@ class LLM:
                        lora_request: Optional[str] = None,
                        cache_salt: Optional[str] = None,
                        kv_retention_priority: Optional[int] = None,
+                       priority: float = 0.5,
                        ) -> "GenerationFuture":
         sampling_params = sampling_params or SamplingParams()
         if sampling_params.n > 1 and not sampling_params.use_beam_search:
@@ -369,7 +370,8 @@ class LLM:
                     prompt, sp_j, streaming=False,
                     disaggregated_params=disaggregated_params,
                     lora_request=lora_request, cache_salt=cache_salt,
-                    kv_retention_priority=kv_retention_priority))
+                    kv_retention_priority=kv_retention_priority,
+                    priority=priority))
             return _FanoutFuture(subs)
         prompt_embeds = None
         mm_extra = None
@@ -452,7 +454,8 @@ class LLM:
                          disagg_params=disaggregated_params,
                          lora_request=lora_request,
                          cache_salt="|".join(salt_parts) or None,
-                         retention_priority=kv_retention_priority)
+                         retention_priority=kv_retention_priority,
+                         priority=priority)
         if lora_request is not None:
             assert self.lora_manager is not None, \
                 "pass lora_adapters={name: path} to LLM to enable multi-LoRA"

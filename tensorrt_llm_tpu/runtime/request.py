@@ -59,7 +59,8 @@ class LlmRequest:
                  cache_salt: Optional[str] = None,
                  request_type: str = "full",
                  disagg_params: Optional[Any] = None,
-                 retention_priority: Optional[int] = None):
+                 retention_priority: Optional[int] = None,
+                 priority: float = 0.5):
         if request_id is None:
             LlmRequest._id_counter += 1
             request_id = LlmRequest._id_counter
@@ -72,6 +73,9 @@ class LlmRequest:
         # (reference KvCacheRetentionConfig, executor.h:559): lower evicts
         # first; None = manager default (35).
         self.retention_priority = retention_priority
+        # scheduling priority in [0, 1], default 0.5 (reference executor.h
+        # Request::priority): higher admits from the waiting queue first
+        self.priority = priority
 
         self.state = RequestState.QUEUED
         self.output_token_ids: List[int] = []

@@ -114,7 +114,11 @@ class Scheduler:
             n_scheduled += 1
 
         # 2) in-progress context (chunked prefill continuations), then new
-        #    requests from the waiting queue
+        #    requests from the waiting queue — higher scheduling priority
+        #    first, FIFO within a priority level (reference executor.h
+        #    Request::priority; stable sort preserves arrival order)
+        waiting = sorted(waiting,
+                         key=lambda r: -getattr(r, "priority", 0.5))
         for req in ctx_reqs + list(waiting):
             if n_scheduled >= cfg.max_batch_size or token_budget <= 0:
                 break

@@ -258,7 +258,16 @@ class OpenAIServer:
             asyncio.to_thread(f.result) for f in futures])
         # n > 1 fans out to multiple outputs per prompt; choices flatten
         # prompt-major (OpenAI semantics)
-        texts = [o.text for out in outs for o in out.outputs]
+        if body.echo:
+            # OpenAI echo: the prompt text is prepended to each choice
+            def full(out, o):
+                p = out.prompt
+                if p is None and self.llm.tokenizer is not None:
+                    p = self.llm.tokenizer.decode(out.prompt_token_ids)
+                return (p or "") + (o.text or "")
+            texts = [full(out, o) for out in outs for o in out.outputs]
+        else:
+            texts = [o.text for out in outs for o in out.outputs]
         reasons = [o.finish_reason for out in outs for o in out.outputs]
         p_toks = sum(len(o.prompt_token_ids) for o in outs)
         c_toks = sum(len(o.token_ids) for out in outs for o in out.outputs)

@@ -169,3 +169,41 @@ def test_stop_token(executor):
     assert toks[-1] == first[0]
     assert reason == FinishReason.EOS
     assert len(toks) == 1
+
+
+def test_scheduling_priority_orders_waiting_queue():
+    """Higher-priority requests admit first when capacity frees up
+    (reference executor.h Request::priority)."""
+    import numpy as np
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=1, num_heads=2, num_kv_heads=2, head_dim=32,
+                      max_position=128)
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+              max_batch_size=1, kv_num_blocks=32, kv_block_size=8, seed=0)
+    try:
+        sp = SamplingParams(max_tokens=12, temperature=0.0, ignore_eos=True)
+        rng = np.random.RandomState(0)
+        # saturate the single slot, then queue low before high
+        first = llm.generate_async(list(rng.randint(1, 127, 4)), sp)
+        low = llm.generate_async(list(rng.randint(1, 127, 4)), sp,
+                                 priority=0.1)
+        high = llm.generate_async(list(rng.randint(1, 127, 4)), sp,
+                                  priority=0.9)
+        order = []
+        import threading
+        done = []
+        for name, fut in (("low", low), ("high", high)):
+            def wait(n=name, f=fut):
+                f.result()
+                order.append(n)
+            t = threading.Thread(target=wait)
+            t.start()
+            done.append(t)
+        first.result()
+        for t in done:
+            t.join(timeout=60)
+        assert order and order[0] == "high", order
+    finally:
+        llm.shutdown()

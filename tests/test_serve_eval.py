@@ -250,3 +250,13 @@ def test_parallel_sampling_n(client):
         "model": "tiny", "prompt": "hello", "max_tokens": 4,
         "n": 2, "stream": True}))
     assert r.status == 400
+
+
+def test_completions_echo(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny", "prompt": "hello world", "max_tokens": 4,
+        "echo": True, "temperature": 0.0, "ignore_eos": True}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    assert body["choices"][0]["text"].startswith("hello world")
