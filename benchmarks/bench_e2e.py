@@ -62,6 +62,15 @@ def main():
         "llama-3-8b-w4a16-int8kv",
         ["throughput", "--model", "llama-3-8b", "--quant", "W4A16",
          "--kv-dtype", "int8", "--max-batch-size", str(conc), *common]))
+    # reference headline single-chip model: GPT-OSS 20B (MoE + sinks +
+    # sliding windows; perf-overview.md:121-132 tables)
+    try:
+        reports.append(run_config(
+            "gpt-oss-20b-w4a16",
+            ["throughput", "--model", "gpt-oss-20b", "--quant", "W4A16",
+             "--max-batch-size", str(conc), *common]))
+    except Exception as e:  # noqa: BLE001 — don't lose #3/#4 numbers
+        print(f"[gpt-oss-20b] FAILED: {e}", flush=True)
 
     with open(args.out, "w") as f:
         json.dump({"isl": args.isl, "osl": args.osl,

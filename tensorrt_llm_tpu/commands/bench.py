@@ -22,6 +22,7 @@ matching the reference's prepare_dataset.py format
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import threading
 import time
@@ -215,6 +216,27 @@ MODEL_SHAPES = {
                        intermediate_size=11008, num_layers=32,
                        num_heads=32, num_kv_heads=32, head_dim=128,
                        max_position=4096),
+    # reference headline single-chip model (perf-overview.md GPT-OSS 20B
+    # tables): 24-layer 32-expert top-4 MoE, alternating sliding/full
+    # attention with sinks.  Constructed as an HF config so the real
+    # GptOss model class (MoE + sinks + VSWA rings) runs, weights random.
+    # quant_group_size=64: hidden 2880 is not a multiple of 128 (the real
+    # checkpoints are MXFP4 with group 32; 64 keeps scale overhead lower)
+    "gpt-oss-20b": dict(quant_group_size=64, hf_config=dict(
+        architectures=["GptOssForCausalLM"], model_type="gpt_oss",
+        vocab_size=201088, hidden_size=2880, intermediate_size=2880,
+        num_hidden_layers=24, num_attention_heads=64,
+        num_key_value_heads=8, head_dim=64,
+        num_local_experts=32, num_experts_per_tok=4,
+        sliding_window=128,
+        layer_types=["sliding_attention", "full_attention"] * 12,
+        rope_theta=150000.0, attention_bias=True, attention_dropout=0.0,
+        tie_word_embeddings=False, max_position_embeddings=131072,
+        rms_norm_eps=1e-5,
+        rope_scaling={"rope_type": "yarn", "factor": 32.0,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "truncate": False,
+                      "original_max_position_embeddings": 4096})),
 }
 
 
@@ -260,8 +282,21 @@ def main(argv=None):
         kw["max_num_tokens"] = args.max_num_tokens
     model = args.model
     if args.model.lower() in MODEL_SHAPES:
-        from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
-        model = ModelConfig(**MODEL_SHAPES[args.model.lower()])
+        shapes = dict(MODEL_SHAPES[args.model.lower()])
+        if "quant_group_size" in shapes:
+            kw["quant_group_size"] = shapes.pop("quant_group_size")
+        if "hf_config" in shapes:
+            # write a checkpoint-free HF config dir so the registered
+            # model class (MoE/sinks/hybrid) runs with random weights
+            
+            import tempfile
+            d = tempfile.mkdtemp(prefix="tllm-bench-")
+            with open(os.path.join(d, "config.json"), "w") as f:
+                json.dump(shapes["hf_config"], f)
+            model = d
+        else:
+            from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+            model = ModelConfig(**shapes)
     llm = LLM(model=model, tensor_parallel_size=args.tp_size,
               quant_algo=args.quant, max_batch_size=args.max_batch_size,
               max_seq_len=args.max_seq_len,
