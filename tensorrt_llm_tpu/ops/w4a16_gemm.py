@@ -617,6 +617,7 @@ def w4a16_matmul(
         ramp_ok = (
             variant == "ramp"
             and K % RAMP_SLAB == 0 and RAMP_SLAB % Gp == 0
+            and round_up(M, bm) == bm    # single M block (decode shapes)
             and bm * K * 2 <= (8 << 20))  # whole-K x tile must fit VMEM
         Mp = round_up(M, bm)
         if Mp != M:

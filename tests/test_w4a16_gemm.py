@@ -146,3 +146,20 @@ def test_w4a16_ramp_variant(M, K, N, group, symmetric, act):
         rtol=2e-2, atol=2e-2 * max(np.abs(ref).max(), 1.0))
     # also against fp32 with the reference tolerance
     check(out if act is None else out, ref) if act is None else None
+
+
+def test_w4a16_ramp_large_m_falls_back_correctly():
+    """M larger than one row block must not silently truncate: the ramp
+    constraint falls back to the tiled kernel and output stays exact."""
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+    M, K, N = 400, 2048, 512
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
+    q, scales, _ = quantize_w4(w, 128, True)
+    p3 = pack_w4_tiled(q, 256)
+    out = w4a16_matmul(x, p3, scales, variant="ramp", interpret=True)
+    ref = np.asarray(w4a16_matmul_xla(x, p3, scales), np.float32)
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-2, atol=2e-2 * np.abs(ref).max())
