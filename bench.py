@@ -32,8 +32,8 @@ def _rtt() -> float:
 
 def bench_w4a16_shape(M, K, N, rtt, inner=None):
     from tensorrt_llm_tpu.autotuner import AutoTuner, autotune
-    from tensorrt_llm_tpu.ops.w4a16_gemm import (RAMP_SLAB, _pick_block_k,
-                                                 w4a16_matmul)
+    from tensorrt_llm_tpu.ops.w4a16_gemm import (w4a16_matmul,
+                                                 w4a16_tactic_candidates)
     from tensorrt_llm_tpu.quantization import (choose_block_n, pack_w4,
                                                pack_w4_tiled, quantize_w4)
 
@@ -52,14 +52,7 @@ def bench_w4a16_shape(M, K, N, rtt, inner=None):
     tuner = AutoTuner.get()
     key = (K, N, int(bn is not None))
     if not tuner.lookup("w4a16", key):
-        G = 128
-        bk_max = _pick_block_k(K, G)
-        cands = [{"block_k": bk} for bk in
-                 {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
-                 if K % bk == 0]
-        if bn is not None and K % RAMP_SLAB == 0 and RAMP_SLAB % G == 0:
-            cands += [{"variant": "ramp"},
-                      {"variant": "ramp", "ramp_bk_big": 8 * RAMP_SLAB}]
+        cands = w4a16_tactic_candidates(K, N, tiled=bn is not None)
 
         def run(tactic):
             def body(i, xx):

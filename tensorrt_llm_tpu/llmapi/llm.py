@@ -307,12 +307,14 @@ class LLM:
                 raise RuntimeError("executor did not drain finished "
                                    "requests in time")
             _time.sleep(0.01)
+        ex.weights_released = True   # submit() refuses until resume
         self.engine.release_weight_memory()
 
     def resume_memory(self) -> None:
         """Re-upload weights released by release_memory (reference
         /resume_memory)."""
         self.engine.resume_weight_memory()
+        self.executor.weights_released = False
 
     def rebalance_experts(self) -> dict:
         """Recompute + install Wide-EP expert placement from live load stats

@@ -528,7 +528,7 @@ def ramp_schedule(K: int, bk0: int = RAMP_SLAB,
                   bk_big: int = 4 * RAMP_SLAB) -> tuple:
     """First step one small slab (the only cold DMA), then big steps."""
     n_slabs = K // RAMP_SLAB
-    sched = [max(1, bk0 // RAMP_SLAB)]
+    sched = [min(max(1, bk0 // RAMP_SLAB), n_slabs)]
     rest = n_slabs - sched[0]
     big = max(1, bk_big // RAMP_SLAB)
     while rest > 0:
@@ -536,6 +536,23 @@ def ramp_schedule(K: int, bk0: int = RAMP_SLAB,
         sched.append(take)
         rest -= take
     return tuple(sched)
+
+
+def w4a16_tactic_candidates(K: int, N: int, tiled: bool,
+                            group: int = 128) -> list:
+    """Autotuner candidate tactics for a W4A16 weight shape — shared by
+    engine warmup (ModelEngine.autotune_kernels) and bench.py so both
+    always time the same tactic set."""
+    G = max(group, 128)
+    bk_max = _pick_block_k(K, G)
+    cands = [{"block_k": bk} for bk in
+             {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
+             if K % bk == 0]
+    if tiled and K % RAMP_SLAB == 0 and RAMP_SLAB % G == 0:
+        # manual-DMA ramp kernel (single cold DMA per call)
+        cands += [{"variant": "ramp"},
+                  {"variant": "ramp", "ramp_bk_big": 8 * RAMP_SLAB}]
+    return cands
 
 
 def w4a16_matmul_xla(

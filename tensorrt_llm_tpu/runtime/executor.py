@@ -181,6 +181,9 @@ class PyExecutor:
 
     # ---------------------------------------------------------------- submit ----
     def submit(self, request: LlmRequest) -> LlmRequest:
+        if getattr(self, "weights_released", False):
+            raise RuntimeError("model weights are released from device "
+                               "memory; call resume_memory() first")
         if request.prompt_len == 0:
             raise ValueError("prompt must contain at least one token")
         if request.prompt_len >= self.max_seq_len:
@@ -860,9 +863,12 @@ class PyExecutor:
                 k = min(k, 4)
         k = max(k, 1)
         # shrink until the extra KV blocks for k-1 lookahead positions fit
+        # (virtual = overlap-dispatched positions the pool already covers)
         while k > 1:
             extra = sum(
-                self.kv.blocks_needed(r.num_tokens + k - 1)
+                self.kv.blocks_needed(r.num_tokens
+                                      + self._virtual.get(r.request_id, 0)
+                                      + k - 1)
                 - self.kv.num_seq_blocks(r.request_id)
                 for r in reqs)
             if extra <= self.kv.num_free_blocks:
@@ -932,15 +938,25 @@ class PyExecutor:
                 and not getattr(self.engine, "_helix", False)
                 and not getattr(self.engine, "_star", False))
 
-    def _drain_inflight(self):
+    def _drain_inflight(self, only_ready: bool = False):
+        """Apply in-flight chunks oldest-first.  only_ready=True stops at
+        the first chunk whose results have not landed yet (while the
+        pipeline stays within its depth cap)."""
         while self._inflight:
-            ch = self._inflight.popleft()
+            ch = self._inflight[0]
+            if only_ready:
+                ready = (not self._force_lag
+                         and getattr(ch["toks"], "is_ready", lambda: True)())
+                if not ready and len(self._inflight) <= self._overlap_depth:
+                    break
+            self._inflight.popleft()
             for r in ch["reqs"]:
                 self._virtual[r.request_id] = max(
                     0, self._virtual.get(r.request_id, 0) - ch["k"])
             self._apply_multi(ch["reqs"], ch["rows"], ch["k"],
                               ch["toks"], ch["logps"])
-        self._inflight_comp = None
+        if not self._inflight:
+            self._inflight_comp = None
         self._virtual = {k: v for k, v in self._virtual.items() if v > 0}
 
     def _overlap_decode(self, reqs, k: int):
@@ -952,8 +968,21 @@ class PyExecutor:
             self._drain_inflight()
 
         virt = [self._virtual.get(r.request_id, 0) for r in reqs]
-        for r, v in zip(reqs, virt):
-            self.kv.grow_sequence(r.request_id, r.num_tokens + v + k - 1)
+        try:
+            for r, v in zip(reqs, virt):
+                self.kv.grow_sequence(r.request_id, r.num_tokens + v + k - 1)
+        except RuntimeError:
+            # pool exhausted mid-pipeline (e.g. overshoot past requests that
+            # finished in an unapplied chunk): sync, free finished, retry
+            self._drain_inflight()
+            self._cleanup_finished()
+            reqs = [r for r in reqs if r.is_generating]
+            if not reqs:
+                return
+            virt = [0] * len(reqs)
+            comp = (tuple(r.request_id for r in reqs), k)
+            for r in reqs:
+                self.kv.grow_sequence(r.request_id, r.num_tokens + k - 1)
         inputs = self.engine.prepare_decode_inputs(
             reqs, extra_tokens=k - 1, virtual_extra=virt)
         if self._inflight:
@@ -997,21 +1026,7 @@ class PyExecutor:
                 self._virtual.get(r.request_id, 0) + k
 
         # apply whatever has landed; block only past the depth cap
-        while self._inflight:
-            ch = self._inflight[0]
-            ready = (not self._force_lag
-                     and getattr(ch["toks"], "is_ready", lambda: True)())
-            if not ready and len(self._inflight) <= self._overlap_depth:
-                break
-            self._inflight.popleft()
-            for r in ch["reqs"]:
-                self._virtual[r.request_id] = max(
-                    0, self._virtual.get(r.request_id, 0) - ch["k"])
-            self._apply_multi(ch["reqs"], ch["rows"], ch["k"],
-                              ch["toks"], ch["logps"])
-        if self._inflight_comp is not None and not self._inflight:
-            self._virtual = {k_: v for k_, v in self._virtual.items()
-                             if v > 0}
+        self._drain_inflight(only_ready=True)
 
     # ---------------------------------------------------------------- sampling ----
     def _sample_and_update(self, reqs: List[LlmRequest], logits):

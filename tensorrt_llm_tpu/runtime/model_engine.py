@@ -1490,7 +1490,7 @@ class ModelEngine:
 
         from tensorrt_llm_tpu.autotuner import AutoTuner, autotune
         from tensorrt_llm_tpu.ops.w4a16_gemm import (
-            RAMP_SLAB, _pick_block_k, w4a16_matmul)
+            w4a16_matmul, w4a16_tactic_candidates)
         from tensorrt_llm_tpu.quantization import pack_group_for
         from tensorrt_llm_tpu.utils import is_tpu_backend
 
@@ -1518,16 +1518,8 @@ class ModelEngine:
             if key in seen or tuner.lookup("w4a16", key):
                 continue
             seen[key] = True
-            G = max(K // scales.shape[0], 128)
-            bk_max = _pick_block_k(K, G)
-            cands = [{"block_k": bk} for bk in
-                     {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
-                     if K % bk == 0]
-            if tiled and K % RAMP_SLAB == 0 and RAMP_SLAB % G == 0:
-                # manual-DMA ramp kernel (single cold DMA per call)
-                cands += [{"variant": "ramp"},
-                          {"variant": "ramp",
-                           "ramp_bk_big": 8 * RAMP_SLAB}]
+            cands = w4a16_tactic_candidates(
+                K, N, tiled, group=K // scales.shape[0])
             x = jnp.zeros((m_bucket, K), jnp.bfloat16)
 
             def run(tactic, _x=x, _p=leaf, _s=scales):

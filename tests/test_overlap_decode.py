@@ -133,3 +133,36 @@ def test_overlap_cancel_mid_pipeline(lagged):
     assert len(out.outputs[0].token_ids) == 120
     wait_idle(llm)
     llm.shutdown()
+
+
+def test_overlap_kv_exhaustion_recovers(lagged):
+    """A nearly-full KV pool under deep pipelining must not kill the
+    executor loop: the guard accounts for virtual positions and the grow
+    path drains + retries instead of propagating."""
+    rng = np.random.RandomState(5)
+    llm = LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+              max_seq_len=256, max_batch_size=4, kv_num_blocks=18,
+              kv_block_size=8, seed=0)
+    try:
+        sp = SamplingParams(max_tokens=60, temperature=0.0, ignore_eos=True)
+        futs = [llm.generate_async(list(rng.randint(1, 198, 10)), sp)
+                for _ in range(3)]
+        outs = [f.result(timeout=120).outputs[0].token_ids for f in futs]
+        assert all(len(o) == 60 for o in outs)
+        assert llm.executor._error is None
+    finally:
+        llm.shutdown()
+
+
+def test_release_memory_refuses_submissions(lagged):
+    llm = make_llm()
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    llm.generate([[1, 2, 3]], sp)
+    llm.release_memory()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        llm.generate([[4, 5]], sp)
+    llm.resume_memory()
+    out = llm.generate([[4, 5]], sp)
+    assert len(out[0].outputs[0].token_ids) == 4
+    llm.shutdown()
