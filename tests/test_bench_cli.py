@@ -115,3 +115,34 @@ def test_dataset_file(tmp_path, llm):
     assert len(rows2) == 2
     rep = run_throughput(llm, rows, concurrency=2, warmup=False)
     assert rep["output_tokens"] == 20
+
+
+def test_gpt_oss_preset_config_path(tmp_path, monkeypatch):
+    """The gpt-oss-20b preset rides the hf_config-dir path: validate the
+    exact mechanism (config.json -> from_hf_config -> GptOss model ->
+    bench run) at a downsized copy of the same config."""
+    import json
+    from tensorrt_llm_tpu.commands import bench
+
+    small = dict(bench.MODEL_SHAPES["gpt-oss-20b"]["hf_config"])
+    small.update(hidden_size=64, num_hidden_layers=2,
+                 num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+                 intermediate_size=64, num_local_experts=4,
+                 num_experts_per_tok=2, vocab_size=256,
+                 sliding_window=16, layer_types=["sliding_attention",
+                                                 "full_attention"],
+                 max_position_embeddings=256)
+    small["rope_scaling"] = dict(small["rope_scaling"],
+                                 original_max_position_embeddings=32)
+    monkeypatch.setitem(bench.MODEL_SHAPES, "gpt-oss-20b",
+                        {"quant_group_size": 32, "hf_config": small})
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.main(["throughput", "--model", "gpt-oss-20b",
+                    "--quant", "W4A16", "--isl", "8", "--osl", "8",
+                    "--num-requests", "2", "--concurrency", "2",
+                    "--max-batch-size", "2", "--max-seq-len", "64"])
+    out = buf.getvalue()
+    report = json.loads(out[out.index("{"):])
+    assert report["output_tokens"] == 16
