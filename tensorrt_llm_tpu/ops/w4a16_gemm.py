@@ -213,6 +213,7 @@ def _w4a16_kernel_tiled(
     has_bias: bool,
     activation: Optional[str],
     out_dtype,
+    mixed: bool = False,
 ):
     it = iter(rest)
     z_ref = next(it) if has_zeros else None
@@ -245,7 +246,10 @@ def _w4a16_kernel_tiled(
         # native S4 storage, and the int8->nibble bitcast relayout
         # de-fuses into a materialized transpose (35 GB/s).
         pblk = p_ref[0, c * Gh:(c + 1) * Gh, :]
-        w_c = pltpu.bitcast(pblk, jnp.int4).astype(jnp.bfloat16)  # [Gp, BN]
+        w4 = pltpu.bitcast(pblk, jnp.int4)
+        # mixed: hand the s4 view straight to the dot and let Mosaic fold
+        # the upcast into the MXU feed (tactic-gated; measured on device)
+        w_c = w4 if mixed else w4.astype(jnp.bfloat16)  # [Gp, BN]
         x_c = x_ref[:, c * Gp:(c + 1) * Gp]
         partial = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
         row = 0 if per_channel else k_idx * n_chunks + c
@@ -268,7 +272,7 @@ def _w4a16_kernel_tiled(
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "out_dtype", "block_m", "block_k",
-                     "interpret"),
+                     "mixed", "interpret"),
 )
 def _w4a16_matmul_pallas_tiled(
     x: jax.Array,
@@ -281,6 +285,7 @@ def _w4a16_matmul_pallas_tiled(
     block_m: int,
     block_k: int,
     interpret: bool,
+    mixed: bool = False,
 ):
     M, K = x.shape
     n_n, half, BN = packed3.shape
@@ -317,6 +322,7 @@ def _w4a16_matmul_pallas_tiled(
         has_bias=bias is not None,
         activation=activation,
         out_dtype=out_dtype,
+        mixed=mixed,
     )
     return pl.pallas_call(
         kernel,
@@ -353,6 +359,7 @@ def _w4a16_kernel_ramp(
     has_bias: bool,
     activation: Optional[str],
     out_dtype,
+    mixed: bool = False,
 ):
     """Manual-DMA W4A16 kernel with a non-uniform k schedule.
 
@@ -420,7 +427,8 @@ def _w4a16_kernel_ramp(
                 for c in range(cps):
                     pblk = w_buf[slot, sl,
                                  c * (Gp // 2):(c + 1) * (Gp // 2), :]
-                    w_c = pltpu.bitcast(pblk, jnp.int4).astype(jnp.bfloat16)
+                    w4 = pltpu.bitcast(pblk, jnp.int4)
+                    w_c = w4 if mixed else w4.astype(jnp.bfloat16)
                     k0 = k_base + sl * RAMP_SLAB + c * Gp
                     x_c = x_ref[:, k0:k0 + Gp]
                     partial = jnp.dot(x_c, w_c,
@@ -446,7 +454,7 @@ def _w4a16_kernel_ramp(
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "out_dtype", "block_m", "schedule",
-                     "interpret"),
+                     "mixed", "interpret"),
 )
 def _w4a16_matmul_ramp(
     x: jax.Array,
@@ -459,6 +467,7 @@ def _w4a16_matmul_ramp(
     block_m: int,
     schedule: tuple,        # slabs per k step, sum == n_slabs
     interpret: bool,
+    mixed: bool = False,
 ):
     M, K = x.shape
     n_n, n_slabs, half_slab, BN = packed4.shape
@@ -501,6 +510,7 @@ def _w4a16_matmul_ramp(
         has_bias=bias is not None,
         activation=activation,
         out_dtype=out_dtype,
+        mixed=mixed,
     )
     return pl.pallas_call(
         kernel,
@@ -548,10 +558,15 @@ def w4a16_tactic_candidates(K: int, N: int, tiled: bool,
     cands = [{"block_k": bk} for bk in
              {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
              if K % bk == 0]
+    if tiled:
+        # native-s4 MXU feed (no explicit upcast) — skipped automatically
+        # if Mosaic rejects the mixed dot on this device
+        cands += [dict(c, mixed=True) for c in list(cands)]
     if tiled and K % RAMP_SLAB == 0 and RAMP_SLAB % G == 0:
         # manual-DMA ramp kernel (single cold DMA per call)
         cands += [{"variant": "ramp"},
-                  {"variant": "ramp", "ramp_bk_big": 8 * RAMP_SLAB}]
+                  {"variant": "ramp", "ramp_bk_big": 8 * RAMP_SLAB},
+                  {"variant": "ramp", "mixed": True}]
     return cands
 
 
@@ -592,6 +607,7 @@ def w4a16_matmul(
     variant: Optional[str] = None,
     ramp_bk0: Optional[int] = None,
     ramp_bk_big: Optional[int] = None,
+    mixed: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused dequant-GEMM: ``act(x @ deq(packed, scales, zeros) + bias)``.
@@ -630,6 +646,7 @@ def w4a16_matmul(
             variant = tactic.get("variant")
             ramp_bk0 = tactic.get("ramp_bk0", ramp_bk0)
             ramp_bk_big = tactic.get("ramp_bk_big", ramp_bk_big)
+            mixed = tactic.get("mixed", mixed)
         bm = block_m or min(256, max(16, round_up(M, 16)))
         ramp_ok = (
             variant == "ramp"
@@ -646,12 +663,12 @@ def w4a16_matmul(
             out = _w4a16_matmul_ramp(
                 x2, packed.reshape(n_n, K // RAMP_SLAB, RAMP_SLAB // 2, BN),
                 scales, zeros, bias, activation, out_dtype,
-                bm, sched, bool(interpret))
+                bm, sched, bool(interpret), mixed)
         else:
             bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
             out = _w4a16_matmul_pallas_tiled(
                 x2, packed, scales, zeros, bias, activation, out_dtype,
-                bm, bk, bool(interpret))
+                bm, bk, bool(interpret), mixed)
         if Mp != M:
             out = out[:M]
         return out.reshape(*lead, N)

@@ -163,3 +163,23 @@ def test_w4a16_ramp_large_m_falls_back_correctly():
     assert out.shape == (M, N)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                rtol=2e-2, atol=2e-2 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("variant", [None, "ramp"])
+def test_w4a16_mixed_s4_feed(variant):
+    """mixed=True hands the s4 view straight to the MXU dot; interpret-mode
+    numerics must match the upcast path exactly."""
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+    M, K, N = 16, 2048, 512
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
+    q, scales, _ = quantize_w4(w, 128, True)
+    p3 = pack_w4_tiled(q, 256)
+    a = w4a16_matmul(x, p3, scales, variant=variant, mixed=True,
+                     interpret=True)
+    b = w4a16_matmul(x, p3, scales, variant=variant, mixed=False,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), rtol=1e-5,
+                               atol=1e-4)
