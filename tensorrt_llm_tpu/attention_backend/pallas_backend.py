@@ -41,6 +41,13 @@ from tensorrt_llm_tpu.ops.paged_attention import paged_decode_attention
 class PallasAttention(XlaAttention):
     name = "pallas"
 
+    # TLLM_PALLAS_INTERPRET=1 runs the kernels in Pallas interpret mode so
+    # the REAL dispatch layer + kernels execute end-to-end on CPU (slow;
+    # CI-grade integration coverage for the paths is_tpu_backend() hides)
+    @staticmethod
+    def _interp() -> bool:
+        return os.environ.get("TLLM_PALLAS_INTERPRET") == "1"
+
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
                  sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
         D = self.head_dim
@@ -81,6 +88,7 @@ class PallasAttention(XlaAttention):
                 sliding_window=self.sliding_window,
                 logit_cap=self.logit_cap,
                 sinks=sinks,
+                interpret=self._interp(),
             )
             return out, k_cache, v_cache
         if meta.mode != "decode" \
@@ -97,5 +105,6 @@ class PallasAttention(XlaAttention):
             sliding_window=self.sliding_window,
             logit_cap=self.logit_cap,
             sinks=sinks,
+            interpret=self._interp(),
         )
         return out, k_cache, v_cache

@@ -123,6 +123,7 @@ class LLM:
         cfg.max_position = max(cfg.max_position, a.max_seq_len)
         if a.moe_redundant_experts:
             cfg.moe_redundant_experts = a.moe_redundant_experts
+        cfg.attention_backend = a.attention_backend
         if a.attention_backend == "sparse" and cfg.sparse_attention is None:
             # RocketKV-style block-top-k decode (reference sparse backends)
             cfg.sparse_attention = {

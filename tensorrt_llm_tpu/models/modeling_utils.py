@@ -160,6 +160,9 @@ class ModelConfig:
     # _torch/attention_backend/sparse/): {"topk_blocks", "sink_blocks",
     # "recent_blocks"}; None = dense
     sparse_attention: Optional[dict] = None
+    # "auto" (pallas on TPU, xla elsewhere) | "pallas" | "xla" — explicit
+    # selection mirrors the reference attn_backend arg
+    attention_backend: str = "auto"
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -542,6 +545,11 @@ class DecoderLayer:
             from tensorrt_llm_tpu.attention_backend.sparse_backend import (
                 make_sparse_backend)
             backend_cls = make_sparse_backend(cfg.sparse_attention)
+        elif getattr(cfg, "attention_backend", "auto") not in (
+                "auto", "sparse"):
+            from tensorrt_llm_tpu.attention_backend import (
+                get_attention_backend)
+            backend_cls = get_attention_backend(cfg.attention_backend)
         return Attention(
             backend_cls=backend_cls,
             hidden_size=cfg.hidden_size,

@@ -1,0 +1,73 @@
+"""End-to-end engine runs through the REAL Pallas backend dispatch.
+
+TLLM_PALLAS_INTERPRET=1 executes the Pallas kernels in interpret mode on
+CPU, so the full dispatch layer (lane gates, int8 routing, sinks
+forwarding, metadata plumbing) is exercised exactly as on TPU — the
+is_tpu_backend() default otherwise hides it from CI entirely (a real
+D<128 dispatch bug survived round 1 this way).
+"""
+
+import numpy as np
+import pytest
+
+from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+
+TINY = dict(vocab_size=199, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+            max_position=512)
+
+
+@pytest.fixture
+def interp(monkeypatch):
+    monkeypatch.setenv("TLLM_PALLAS_INTERPRET", "1")
+
+
+def run(llm):
+    sp = SamplingParams(max_tokens=10, temperature=0.0, ignore_eos=True)
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 198, n)) for n in (9, 17, 4)]
+    outs = [r.outputs[0].token_ids for r in llm.generate(prompts, sp)]
+    llm.shutdown()
+    return outs
+
+
+def make(backend, **kw):
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    cfg = dict(TINY)
+    cfg.update({k: kw.pop(k) for k in list(kw) if k in TINY})
+    args = dict(max_seq_len=128, max_batch_size=4, kv_num_blocks=128,
+                kv_block_size=8, seed=0, attention_backend=backend)
+    args.update(kw)
+    return LLM(model=ModelConfig(**cfg), skip_tokenizer_init=True, **args)
+
+
+def close(got, ref, min_common=7):
+    """Greedy sequences from random weights flip on near-ties between the
+    flash online-softmax and XLA softmax arithmetic; require a long exact
+    prefix (the integration target is the dispatch layer, not bit parity)."""
+    for g, r in zip(got, ref):
+        common = sum(1 for a, b in zip(g, r) if a == b)
+        assert common >= min_common, (g, r)
+
+
+def test_pallas_backend_matches_xla_d32(interp):
+    """D=32 rides the lane-packed prefill+decode kernels (r=4)."""
+    close(run(make("pallas")), run(make("xla")))
+
+
+def test_pallas_backend_matches_xla_d128(interp):
+    close(run(make("pallas", head_dim=128, hidden_size=512)),
+          run(make("xla", head_dim=128, hidden_size=512)))
+
+
+def test_pallas_backend_int8_kv(interp):
+    """Hkv*BS = 2*64 = 128: the int8 kernels are dispatch-eligible; outputs
+    must match the XLA int8 path closely (same pools, different kernels)."""
+    kw = dict(head_dim=128, hidden_size=512, kv_cache_quant="INT8",
+              kv_block_size=64, kv_num_blocks=32)
+    got = run(make("pallas", **kw))
+    ref = run(make("xla", **kw))
+    # exact elementwise parity of the int8 kernels vs the XLA path is
+    # covered in tests/test_paged_attention.py and test_flash_prefill.py;
+    # here random-weight greedy near-ties may flip after several steps
+    close(got, ref, min_common=6)
