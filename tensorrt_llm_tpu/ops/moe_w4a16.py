@@ -271,6 +271,9 @@ def w4a16_grouped_matmul(
     unit = 128 if G >= K else G  # minimum k-block granularity
 
     use_pallas = is_tpu_backend() if interpret is None else True
+    import os as _os
+    if interpret is None and _os.environ.get("TLLM_W4A16_INTERPRET") == "1":
+        use_pallas, interpret = True, True
     if K % max(unit, 128) != 0 or unit % 2 != 0 or BN % 128 != 0:
         use_pallas = False
     if not use_pallas:

@@ -27,6 +27,7 @@ BASELINE.md.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -632,6 +633,9 @@ def w4a16_matmul(
     G = K // n_scale_groups
     Gp = pack_group_for(K, n_scale_groups)
     use_pallas = is_tpu_backend() if interpret is None else True
+    if interpret is None and os.environ.get("TLLM_W4A16_INTERPRET") == "1":
+        # CI hook: run the real Pallas kernel in interpret mode on CPU
+        use_pallas, interpret = True, True
     if N % 128 != 0 or K % max(Gp, 128) != 0 or Gp % 2 != 0:
         use_pallas = False
     if not use_pallas:

@@ -71,3 +71,15 @@ def test_pallas_backend_int8_kv(interp):
     # covered in tests/test_paged_attention.py and test_flash_prefill.py;
     # here random-weight greedy near-ties may flip after several steps
     close(got, ref, min_common=6)
+
+
+def test_w4a16_engine_interpret(interp, monkeypatch):
+    """Engine decode through the REAL W4A16 Pallas kernel (interpret):
+    tactic plumbing + tiled packing + epilogues, end to end."""
+    monkeypatch.setenv("TLLM_W4A16_INTERPRET", "1")
+    got = run(make("pallas", quant_algo="W4A16", head_dim=128,
+                   hidden_size=512))
+    monkeypatch.delenv("TLLM_W4A16_INTERPRET")
+    ref = run(make("xla", quant_algo="W4A16", head_dim=128,
+                   hidden_size=512))
+    close(got, ref, min_common=6)
