@@ -83,3 +83,31 @@ def test_w4a16_engine_interpret(interp, monkeypatch):
     ref = run(make("xla", quant_algo="W4A16", head_dim=128,
                    hidden_size=512))
     close(got, ref, min_common=6)
+
+
+def test_gpt_oss_sinks_vswa_pallas(interp):
+    """GPT-OSS-shaped engine run through Pallas dispatch: sinks + sliding
+    (VSWA ring fallback) + full layers (packed D=32 kernels) + MoE."""
+    import transformers
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    hf_cfg = transformers.GptOssConfig(
+        vocab_size=199, hidden_size=128, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, max_position_embeddings=256,
+        num_local_experts=4, num_experts_per_tok=2, sliding_window=16,
+        layer_types=["sliding_attention", "full_attention"],
+        rope_scaling={"rope_type": "yarn", "factor": 8.0, "beta_fast": 32.0,
+                      "beta_slow": 1.0, "truncate": False,
+                      "original_max_position_embeddings": 32},
+        rope_theta=150000.0, attention_bias=True, attention_dropout=0.0,
+        tie_word_embeddings=False)
+
+    def build(backend):
+        cfg = ModelConfig.from_hf_config(hf_cfg)
+        cfg.attention_backend = backend
+        return LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+                   max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                   seed=0, attention_backend=backend)
+
+    close(run(build("pallas")), run(build("xla")), min_common=6)
