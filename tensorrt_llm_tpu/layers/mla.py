@@ -52,8 +52,12 @@ class MLA:
 
     def __post_init__(self):
         if self.backend == "auto":
+            import os as _os
             from tensorrt_llm_tpu.utils import is_tpu_backend
-            self.backend = "pallas" if is_tpu_backend() else "xla"
+            if _os.environ.get("TLLM_PALLAS_INTERPRET") == "1":
+                self.backend = "pallas_interpret"   # CI: real kernels on CPU
+            else:
+                self.backend = "pallas" if is_tpu_backend() else "xla"
         assert self.num_heads % self.tp_size == 0
         self.n_local_heads = self.num_heads // self.tp_size
         self.qk_head_dim = self.qk_nope_head_dim + self.qk_rope_head_dim
@@ -189,20 +193,22 @@ class MLA:
             q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
         kv_cache = write_latent_cache(kv_cache, latents, meta.slot_mapping)
 
-        if meta.mode == "prefill" and self.backend == "pallas":
+        if meta.mode == "prefill" and self.backend.startswith("pallas"):
             from tensorrt_llm_tpu.ops.mla_pallas import mla_prefill_pallas
-            out_lat = mla_prefill_pallas(q_eff, kv_cache,
-                                         meta.block_tables[0],
-                                         meta.kv_lens[0], meta.q_offset,
-                                         self.scale, L)
+            out_lat = mla_prefill_pallas(
+                q_eff, kv_cache, meta.block_tables[0],
+                meta.kv_lens[0], meta.q_offset, self.scale, L,
+                interpret=self.backend == "pallas_interpret")
         elif meta.mode == "prefill":
             out_lat = mla_prefill_xla(q_eff, kv_cache, meta.block_tables[0],
                                       meta.kv_lens[0], meta.q_offset,
                                       self.scale, L)
-        elif self.backend == "pallas":
+        elif self.backend.startswith("pallas"):
             from tensorrt_llm_tpu.ops.mla_pallas import mla_decode_pallas
-            out_lat = mla_decode_pallas(q_eff, kv_cache, meta.block_tables,
-                                        meta.kv_lens, self.scale, L)
+            out_lat = mla_decode_pallas(
+                q_eff, kv_cache, meta.block_tables,
+                meta.kv_lens, self.scale, L,
+                interpret=self.backend == "pallas_interpret")
         else:
             out_lat = mla_decode_xla(q_eff, kv_cache, meta.block_tables,
                                      meta.kv_lens, self.scale, L)

@@ -111,3 +111,35 @@ def test_gpt_oss_sinks_vswa_pallas(interp):
                    seed=0, attention_backend=backend)
 
     close(run(build("pallas")), run(build("xla")), min_common=6)
+
+
+def test_mla_deepseek_pallas(interp):
+    """DeepSeek-V2-shaped MLA engine run through the Pallas latent kernels
+    (interpret): absorbed decode + flash prefill over the latent cache."""
+    import transformers
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    hf_cfg = transformers.DeepseekV2Config(
+        vocab_size=199, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=64, q_lora_rank=None, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, max_position_embeddings=256,
+        first_k_dense_replace=2, n_routed_experts=None,
+        tie_word_embeddings=False)
+
+    def build(backend):
+        cfg = ModelConfig.from_hf_config(hf_cfg)
+        cfg.attention_backend = backend
+        llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+                  max_batch_size=4, kv_num_blocks=64, kv_block_size=8,
+                  seed=0, attention_backend=backend)
+        return llm
+
+    import os
+    got = run(build("pallas"))
+    os.environ["TLLM_PALLAS_INTERPRET"] = "0"
+    try:
+        ref = run(build("xla"))
+    finally:
+        os.environ["TLLM_PALLAS_INTERPRET"] = "1"
+    close(got, ref, min_common=6)
