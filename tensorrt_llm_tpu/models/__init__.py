@@ -40,4 +40,5 @@ import tensorrt_llm_tpu.models.mllama  # noqa: F401
 import tensorrt_llm_tpu.models.qwen3_next  # noqa: F401
 import tensorrt_llm_tpu.models.qwen3_vl  # noqa: F401
 import tensorrt_llm_tpu.models.vila  # noqa: F401
+import tensorrt_llm_tpu.models.hyperclovax  # noqa: F401
 import tensorrt_llm_tpu.models.bert  # noqa: F401

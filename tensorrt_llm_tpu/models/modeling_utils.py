@@ -317,6 +317,25 @@ class ModelConfig:
                     cfg.extra[k] = (v if isinstance(v, (dict, int))
                                     else v.to_dict())
             return cfg
+        # HyperCLOVA-X VLM composite: language_config + SigLIP
+        # vision_config + C-Abstractor knobs (reference
+        # modeling_hyperclovax.py:1031-1060)
+        if get("language_config") is not None \
+                and get("vision_config") is not None:
+            cfg = cls.from_hf_config(get("language_config"), quant=quant,
+                                     mapping=mapping, dtype=dtype)
+            archs = get("architectures")
+            cfg.architecture = archs[0] if archs else "HCXVisionForCausalLM"
+            vc = get("vision_config")
+            cfg.extra["vision_config"] = (vc if isinstance(vc, dict)
+                                          else vc.to_dict())
+            for k in ("num_queries_vis_abstractor", "proj_pos_emb",
+                      "proj_prenorm", "unpad", "use_nth_layer", "anyres",
+                      "max_num_grids", "use_1x1_grid", "image_token_index",
+                      "img_start_id"):
+                if get(k) is not None:
+                    cfg.extra[k] = get(k)
+            return cfg
         # VLM composite configs (LLaVA-class): build from text_config, stash
         # the vision tower config + image token in extra
         if get("vision_config") is not None and get("text_config") is not None:

@@ -872,3 +872,173 @@ def test_phi4_multimodal_audio_parity():
         assert got == want, (got, want)
     finally:
         llm.shutdown()
+
+
+def test_hyperclovax_c_abstractor_torch_oracle():
+    """C-Abstractor vs a torch replica of the timm RegStage structure
+    (the reference builds it from timm.models.regnet.RegStage with
+    stride=1/dilation=1/SiLU/LayerNorm2d — modeling_hyperclovax.py:515-553);
+    state-dict names mirror timm so this also pins the weight loader."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    import torch.nn.functional as F
+    import jax
+    import jax.numpy as jnp
+    from tensorrt_llm_tpu.models.vision.c_abstractor import CAbstractor
+
+    class LayerNorm2d(nn.LayerNorm):
+        def __init__(self, c):
+            super().__init__(c, eps=1e-6)
+
+        def forward(self, x):
+            x = x.permute(0, 2, 3, 1)
+            x = F.layer_norm(x, self.normalized_shape, self.weight,
+                             self.bias, self.eps)
+            return x.permute(0, 3, 1, 2)
+
+    class ConvNormAct(nn.Module):       # timm names: .conv / .bn
+        def __init__(self, i, o, k, groups=1, act=True):
+            super().__init__()
+            self.conv = nn.Conv2d(i, o, k, padding=k // 2, groups=groups,
+                                  bias=False)
+            self.bn = LayerNorm2d(o)
+            self.act = act
+
+        def forward(self, x):
+            x = self.bn(self.conv(x))
+            return F.silu(x) if self.act else x
+
+    class SE(nn.Module):
+        def __init__(self, c, rd):
+            super().__init__()
+            self.fc1 = nn.Conv2d(c, rd, 1, bias=True)
+            self.fc2 = nn.Conv2d(rd, c, 1, bias=True)
+
+        def forward(self, x):
+            s = x.mean((2, 3), keepdim=True)
+            s = self.fc2(F.silu(self.fc1(s)))
+            return x * s.sigmoid()
+
+    class Bottleneck(nn.Module):        # timm regnet defaults:
+        def __init__(self, i, o):       # bottle_ratio=1, group_size=1
+            super().__init__()          # (depthwise), se_ratio=0.25
+            self.conv1 = ConvNormAct(i, o, 1)
+            self.conv2 = ConvNormAct(o, o, 3, groups=o)
+            self.se = SE(o, int(round(i * 0.25)))
+            self.conv3 = ConvNormAct(o, o, 1, act=False)
+
+        def forward(self, x):
+            return F.silu(self.conv3(self.se(self.conv2(self.conv1(x))))
+                          + x)
+
+    class RegStage(nn.Module):
+        def __init__(self, depth, i, o):
+            super().__init__()
+            for b in range(depth):
+                self.add_module(f"b{b + 1}",
+                                Bottleneck(i if b == 0 else o, o))
+
+        def forward(self, x):
+            for m in self.children():
+                x = m(x)
+            return x
+
+    class TorchCAbstractor(nn.Module):
+        def __init__(self, n_q, n_tok, E, C, O):
+            super().__init__()
+            self.pos_emb = nn.Parameter(torch.randn(1, n_tok, E) * 0.02)
+            hw = int(n_q ** 0.5)
+            self.net = nn.Sequential(RegStage(3, E, C),
+                                     nn.AdaptiveAvgPool2d((hw, hw)),
+                                     RegStage(3, C, C))
+            self.readout = nn.Sequential(nn.Linear(C, O), nn.SiLU(),
+                                         nn.Linear(O, O))
+
+        def forward(self, x):
+            x = x + self.pos_emb
+            B, L, D = x.shape
+            g = int(L ** 0.5)
+            x = x.view(B, g, g, D).permute(0, 3, 1, 2)
+            x = self.net(x)
+            x = x.flatten(2).transpose(1, 2)
+            return self.readout(x)
+
+    torch.manual_seed(0)
+    E, C, O, n_tok, n_q = 8, 8, 12, 25, 4   # 5x5 grid -> 2x2 queries
+    ref = TorchCAbstractor(n_q, n_tok, E, C, O).eval()
+    sd = {"mm_projector." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+
+    ca = CAbstractor(num_queries=n_q, num_input_tokens=n_tok,
+                     encoder_hidden_size=E, hidden_size=C,
+                     output_hidden_size=O, dtype=jnp.float32)
+    params = ca.load_hf_weights(lambda n: sd.get(n), "mm_projector.")
+
+    x = np.random.RandomState(1).randn(2, n_tok, E).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = np.asarray(ca(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+
+
+def test_hyperclovax_anyres_generate():
+    """HCX-VLM e2e: anyres tile packing (base + unpadded grid +
+    image_newline columns, (w, h)-ordered image sizes) through the
+    fused-embeds engine path."""
+    import tensorrt_llm_tpu as tllm
+
+    hf_cfg = {
+        "architectures": ["HCXVisionForCausalLM"],
+        "model_type": "hyperclovax_vlm",
+        "language_config": dict(
+            model_type="llama", vocab_size=128, hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256),
+        "vision_config": dict(
+            model_type="siglip_vision_model", hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14),
+        "num_queries_vis_abstractor": 4,
+        "proj_pos_emb": True, "proj_prenorm": False,
+        "anyres": True, "unpad": True, "max_num_grids": 4,
+        "use_nth_layer": -1,
+    }
+    cfg = ModelConfig.from_hf_config(hf_cfg)
+    assert cfg.architecture == "HCXVisionForCausalLM"
+    assert cfg.vocab_size == 128 and cfg.hidden_size == 64
+
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=2, kv_num_blocks=64, kv_block_size=8,
+                   seed=0)
+    try:
+        img_tok = llm.model.image_token_index
+        assert img_tok == 129     # vocab_size + 1 sentinel
+
+        # original image w=50, h=27 -> best grid (28, 56): 1x2 tiles.
+        # feature side 2: grid [H, 2, 4]; aspect 50/27 < 4/2 keeps all
+        # cols (pad 0); +newline col -> 2*(4+1)=10 rows + base 4 = 14
+        rng = np.random.RandomState(0)
+        tiles = rng.randn(3, 3, 28, 28).astype(np.float32) * 0.5
+        image = {"pixel_values": tiles, "image_size": (50, 27)}
+
+        exp, emb = llm.model.process_multimodal(
+            llm.engine.params, [5, img_tok, 9], [image])
+        assert len(exp) == 2 + 14 and emb.shape == (16, 64)
+        assert np.isfinite(emb).all()
+
+        prompt = {"prompt_token_ids": [5, img_tok, 9],
+                  "multi_modal_data": {"image": [image]}}
+        sp = tllm.SamplingParams(max_tokens=4, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        b = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 4
+
+        # single-tile (non-grid) image: 4 queries + newline row
+        one = {"pixel_values": tiles[:1], "image_size": (28, 28)}
+        exp1, emb1 = llm.model.process_multimodal(
+            llm.engine.params, [5, img_tok], [one])
+        assert len(exp1) == 1 + 5
+    finally:
+        llm.shutdown()
