@@ -248,6 +248,15 @@ class LLM:
             profile_start_stop=a.profile_start_stop,
             moe_balancer=self.moe_balancer)
         self.executor.start()
+        # Join the executor loop at interpreter exit even when the user's
+        # script raises without calling shutdown(): a daemon thread killed
+        # mid-XLA-call aborts the process with "FATAL: exception not
+        # rethrown" (glibc forced unwind out of a pthread wait).
+        # weakref.finalize registers an atexit hook that runs before
+        # daemon-thread teardown and is idempotent with shutdown().
+        import weakref
+        self._exit_finalizer = weakref.finalize(
+            self, PyExecutor.shutdown, self.executor)
 
     @staticmethod
     def _derive_num_blocks(cfg, kvcfg, a) -> int:
