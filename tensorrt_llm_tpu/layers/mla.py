@@ -49,6 +49,11 @@ class MLA:
     quant: Optional[QuantConfig] = None
     tp_size: int = 1
     backend: str = "auto"           # decode kernel: auto|pallas|xla
+    # DSA lightning indexer (DeepSeek V3.2; reference sparse/dsa.py):
+    # {"index_n_heads", "index_head_dim", "index_topk"} — decode attends
+    # over only the indexer's top-k tokens; prefill stays dense (exact
+    # whenever the context fits in index_topk)
+    sparse: Optional[dict] = None
 
     def __post_init__(self):
         if self.backend == "auto":
@@ -80,6 +85,25 @@ class MLA:
         self.o = Linear(self.num_heads * self.v_head_dim, H, False,
                         self.dtype, method("o_proj"), tp_mode="row",
                         tp_size=self.tp_size)
+        if self.sparse is not None:
+            assert self.q_lora_rank is not None, \
+                "the DSA indexer taps the compressed q (reference wq_b " \
+                "input is q_lora, dsa.py:869)"
+            self.idx_heads = int(self.sparse.get("index_n_heads", 64))
+            self.idx_dim = int(self.sparse.get("index_head_dim", 128))
+            self.idx_topk = int(self.sparse.get("index_topk", 2048))
+            # indexer projections are unquantized (reference keeps
+            # weights_proj fp32 and wq_b/wk at model dtype)
+            self.idx_wq_b = Linear(self.q_lora_rank,
+                                   self.idx_heads * self.idx_dim, False,
+                                   self.dtype, make_linear_method(None, "x"),
+                                   tp_mode="none")
+            self.idx_wk = Linear(H, self.idx_dim, False, self.dtype,
+                                 make_linear_method(None, "x"),
+                                 tp_mode="none")
+            self.idx_weights = Linear(H, self.idx_heads, False, self.dtype,
+                                      make_linear_method(None, "x"),
+                                      tp_mode="none")
 
     # ---- params ---------------------------------------------------------------
     def init(self, key) -> Dict:
@@ -93,6 +117,18 @@ class MLA:
         kv_a_w = rnd(keys[1], (H, L + R))
         kv_b_w = rnd(keys[2], (L, self.num_heads * (N + V)), 0.5 / L ** 0.5)
         o_w = rnd(keys[3], (self.num_heads * V, H))
+        indexer = None
+        if self.sparse is not None:
+            ik = jax.random.split(keys[4], 4)
+            indexer = {
+                "wq_b": rnd(ik[0], (self.q_lora_rank,
+                                    self.idx_heads * self.idx_dim),
+                            0.5 / self.q_lora_rank ** 0.5),
+                "wk": rnd(ik[1], (H, self.idx_dim)),
+                "k_norm_w": jnp.ones((self.idx_dim,), jnp.float32),
+                "k_norm_b": jnp.zeros((self.idx_dim,), jnp.float32),
+                "weights_proj": rnd(ik[2], (H, self.idx_heads)),
+            }
         if self.q_lora_rank is not None:
             qa = rnd(keys[4], (H, self.q_lora_rank))
             qb = rnd(keys[0], (self.q_lora_rank,
@@ -102,13 +138,15 @@ class MLA:
                                    jnp.ones((L,), jnp.float32),
                                    q_a_w=qa, q_b_w=qb,
                                    q_norm=jnp.ones((self.q_lora_rank,),
-                                                   jnp.float32))
+                                                   jnp.float32),
+                                   indexer=indexer)
         q_w = rnd(keys[0], (H, self.num_heads * self.qk_head_dim))
         return self.from_float(kv_a_w, kv_b_w, o_w,
-                               jnp.ones((L,), jnp.float32), q_w=q_w)
+                               jnp.ones((L,), jnp.float32), q_w=q_w,
+                               indexer=indexer)
 
     def from_float(self, kv_a_w, kv_b_w, o_w, kv_norm, q_w=None, q_a_w=None,
-                   q_b_w=None, q_norm=None) -> Dict:
+                   q_b_w=None, q_norm=None, indexer=None) -> Dict:
         """All weights [in, out] float.  kv_b_w [L, H*(N+V)] is split into the
         absorbed per-head factors W_uk [H, N, L] / W_uv [H, L, V]."""
         L, N, V = self.kv_lora_rank, self.qk_nope_head_dim, self.v_head_dim
@@ -128,6 +166,19 @@ class MLA:
             p["q_b"] = self.q_b.quantize_from_float(q_b_w)
         else:
             p["q"] = self.q_proj.quantize_from_float(q_w)
+        if self.sparse is not None:
+            assert indexer is not None, "DSA indexer weights missing"
+            p["indexer"] = {
+                "wq_b": self.idx_wq_b.quantize_from_float(indexer["wq_b"]),
+                "wk": self.idx_wk.quantize_from_float(indexer["wk"]),
+                "k_norm_w": jnp.asarray(indexer["k_norm_w"], jnp.float32),
+                "k_norm_b": (jnp.zeros((self.idx_dim,), jnp.float32)
+                             if indexer.get("k_norm_b") is None
+                             else jnp.asarray(indexer["k_norm_b"],
+                                              jnp.float32)),
+                "weights_proj": self.idx_weights.quantize_from_float(
+                    indexer["weights_proj"]),
+            }
         return p
 
     def param_specs(self) -> Dict:
@@ -144,6 +195,14 @@ class MLA:
             p["q_b"] = self.q_b.param_specs()
         else:
             p["q"] = self.q_proj.param_specs()
+        if self.sparse is not None:
+            # the indexer is MQA-like (one shared key head) — replicate
+            p["indexer"] = {
+                "wq_b": self.idx_wq_b.param_specs(),
+                "wk": self.idx_wk.param_specs(),
+                "k_norm_w": P(None), "k_norm_b": P(None),
+                "weights_proj": self.idx_weights.param_specs(),
+            }
         return p
 
     # ---- forward ----------------------------------------------------------------
@@ -153,12 +212,17 @@ class MLA:
         x: jax.Array,                 # [T, hidden]
         rope_tables: Tuple[jax.Array, jax.Array],
         kv_cache: jax.Array,          # latent pool [NB, 1, BS, L+R]
+                                      # (DSA: (latent pool, indexer pool))
         meta: AttentionMetadata,
     ) -> Tuple[jax.Array, jax.Array]:
+        idx_cache = None
+        if self.sparse is not None:
+            kv_cache, idx_cache = kv_cache
         T = x.shape[0]
         Hl = self.n_local_heads
         L, R, N = self.kv_lora_rank, self.qk_rope_head_dim, self.qk_nope_head_dim
 
+        cq = None
         if self.q_lora_rank is not None:
             cq = rms_norm(self.q_a(params["q_a"], x), params["q_norm"],
                           self.rms_eps)
@@ -193,7 +257,46 @@ class MLA:
             q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
         kv_cache = write_latent_cache(kv_cache, latents, meta.slot_mapping)
 
-        if meta.mode == "prefill" and self.backend.startswith("pallas"):
+        sel = None
+        if self.sparse is not None:
+            from tensorrt_llm_tpu.ops.dsa import (
+                dsa_decode_select, rotate_activation, write_indexer_cache)
+            ip = params["indexer"]
+            Di, Hi = self.idx_dim, self.idx_heads
+            # indexer K: wk -> LayerNorm -> rope(first R dims, neox) ->
+            # Hadamard rotate (reference _qk_projection_and_rope /
+            # _prep_q_or_k, dsa.py:1528-1550)
+            k_idx = self.idx_wk(ip["wk"], x).astype(jnp.float32)
+            mu = k_idx.mean(-1, keepdims=True)
+            var = k_idx.var(-1, keepdims=True)
+            k_idx = ((k_idx - mu) * jax.lax.rsqrt(var + 1e-6)
+                     * ip["k_norm_w"] + ip["k_norm_b"]).astype(x.dtype)
+            q_idx = self.idx_wq_b(ip["wq_b"], cq).reshape(T, Hi, Di)
+            qi_pe, qi_no = q_idx[..., :R], q_idx[..., R:]
+            ki_pe, ki_no = k_idx[:, None, :R], k_idx[:, R:]
+            # indexer rope is NOT interleaved (is_neox=True, dsa.py:900)
+            qi_pe, ki_pe = apply_rope(qi_pe, ki_pe, meta.positions,
+                                      cos_t, sin_t, interleaved=False)
+            q_idx = rotate_activation(
+                jnp.concatenate([qi_pe.astype(x.dtype), qi_no], -1))
+            k_idx = rotate_activation(
+                jnp.concatenate([ki_pe[:, 0].astype(x.dtype), ki_no], -1))
+            idx_cache = write_indexer_cache(idx_cache, k_idx,
+                                            meta.slot_mapping)
+            if meta.mode != "prefill":
+                # weights carry softmax_scale * Hi**-0.5 (dsa.py:908)
+                w = self.idx_weights(ip["weights_proj"], x).astype(
+                    jnp.float32) * (Di ** -0.5) * (Hi ** -0.5)
+                sel = dsa_decode_select(q_idx, w, idx_cache,
+                                        meta.block_tables, meta.kv_lens,
+                                        self.idx_topk)
+
+        if sel is not None:
+            from tensorrt_llm_tpu.ops.dsa import mla_sparse_decode_xla
+            out_lat = mla_sparse_decode_xla(
+                q_eff, kv_cache, meta.block_tables, meta.kv_lens, sel,
+                self.scale, L)
+        elif meta.mode == "prefill" and self.backend.startswith("pallas"):
             from tensorrt_llm_tpu.ops.mla_pallas import mla_prefill_pallas
             out_lat = mla_prefill_pallas(
                 q_eff, kv_cache, meta.block_tables[0],
@@ -217,4 +320,6 @@ class MLA:
         out = jnp.einsum("thl,hlv->thv", out_lat.astype(jnp.float32),
                          params["w_uv"].astype(jnp.float32)).astype(x.dtype)
         out = out.reshape(T, Hl * self.v_head_dim)
-        return self.o(params["o"], out), kv_cache
+        cache_out = (kv_cache if self.sparse is None
+                     else (kv_cache, idx_cache))
+        return self.o(params["o"], out), cache_out

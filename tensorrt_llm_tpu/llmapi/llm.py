@@ -132,8 +132,14 @@ class LLM:
                 "recent_blocks": a.sparse_attention_recent_blocks,
             }
         if cfg.sparse_attention is not None:
-            assert mapping.cp_size == 1 and not cfg.is_mla, \
-                "sparse attention: GQA layers, no context parallelism"
+            assert mapping.cp_size == 1, \
+                "sparse attention: no context parallelism"
+            if cfg.sparse_attention.get("algo") == "dsa":
+                assert cfg.is_mla, "DSA sparse attention rides MLA layers"
+            else:
+                assert not cfg.is_mla, \
+                    "block-top-k sparse attention: GQA layers only " \
+                    "(MLA models use the DSA indexer)"
 
         self.model_config = cfg
         self._tokenizer = self._load_tokenizer(model_path)
@@ -182,9 +188,13 @@ class LLM:
             kvcfg.layout = "latent"
         if cfg.sparse_attention is not None:
             from tensorrt_llm_tpu.quantization.mode import KvCacheQuantAlgo
-            kvcfg.sparse_kt = True
             assert kvcfg.kv_quant == KvCacheQuantAlgo.NONE, \
-                "sparse KT summaries require unquantized KV pools"
+                "sparse attention requires unquantized KV pools"
+            if cfg.sparse_attention.get("algo") == "dsa":
+                kvcfg.dsa_index_dim = int(
+                    cfg.sparse_attention.get("index_head_dim", 128))
+            else:
+                kvcfg.sparse_kt = True
         num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
         if mapping.cp_size > 1 and mapping.cp_type == "helix":
             from tensorrt_llm_tpu.runtime.kv_cache_manager import (

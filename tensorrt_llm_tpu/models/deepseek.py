@@ -29,6 +29,17 @@ class DeepseekForCausalLM(DecoderModelForCausalLM):
             kwargs["q_b_w"] = t(a + "q_b_proj.weight")
         else:
             kwargs["q_w"] = t(a + "q_proj.weight")
+        if layer.attn.sparse is not None:
+            # DSA lightning indexer (V3.2; reference dsa.py:869-893 —
+            # wq_b/wk/k_norm/weights_proj under self_attn.indexer.)
+            i = a + "indexer."
+            kwargs["indexer"] = {
+                "wq_b": t(i + "wq_b.weight"),
+                "wk": t(i + "wk.weight"),
+                "k_norm_w": vec(i + "k_norm.weight"),
+                "k_norm_b": vec(i + "k_norm.bias"),
+                "weights_proj": t(i + "weights_proj.weight"),
+            }
         return layer.attn.from_float(
             t(a + "kv_a_proj_with_mqa.weight"),
             t(a + "kv_b_proj.weight"),

@@ -415,6 +415,15 @@ class ModelConfig:
                             or 64),
             q_lora_rank=get("q_lora_rank"),
             kv_lora_rank=get("kv_lora_rank"),
+            # DeepSeek V3.2 DSA: index_topk in the HF config enables the
+            # lightning-indexer sparse path (reference SparseAttentionConfig
+            # llm_args.py:286, sparse/dsa.py)
+            sparse_attention=({"algo": "dsa",
+                               "index_n_heads": get("index_n_heads", 64),
+                               "index_head_dim": get("index_head_dim", 128),
+                               "index_topk": get("index_topk")}
+                              if get("index_topk")
+                              and get("kv_lora_rank") is not None else None),
             qk_nope_head_dim=get("qk_nope_head_dim") or 128,
             qk_rope_head_dim=get("qk_rope_head_dim") or 64,
             v_head_dim=get("v_head_dim") or 128,
@@ -504,6 +513,9 @@ class DecoderLayer:
                 dtype=cfg.dtype,
                 quant=cfg.quant,
                 tp_size=tp,
+                sparse=(cfg.sparse_attention
+                        if (cfg.sparse_attention or {}).get("algo") == "dsa"
+                        else None),
             )
         else:
             self.attn = self._make_gqa(cfg, tp)
@@ -560,7 +572,8 @@ class DecoderLayer:
         chunk = (cfg.attention_chunk_size
                  if cfg.attention_chunk_size and self.sliding else None)
         backend_cls = None
-        if cfg.sparse_attention is not None and not self.sliding:
+        if cfg.sparse_attention is not None and not self.sliding \
+                and cfg.sparse_attention.get("algo") != "dsa":
             from tensorrt_llm_tpu.attention_backend.sparse_backend import (
                 make_sparse_backend)
             backend_cls = make_sparse_backend(cfg.sparse_attention)

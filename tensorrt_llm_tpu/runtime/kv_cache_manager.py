@@ -52,6 +52,10 @@ class KVCacheConfig:
     # sparse decode (RocketKV-style): allocate a per-page key-summary pool
     # [NB, Hkv, D] alongside K/V for full-attention layers
     sparse_kt: bool = False
+    # DSA lightning indexer (DeepSeek V3.2, reference sparse/dsa.py
+    # DSACacheManager): latent layout gains a per-token indexer-key pool
+    # [NB, 1, BS, index_head_dim] per layer
+    dsa_index_dim: int = 0
     # "kv": separate K and V pools per layer; "latent": one pool per layer
     # (MLA compressed KV + rope key — reference mlaCacheFormatter layout)
     layout: str = "kv"
@@ -606,6 +610,10 @@ class KVCacheManager:
             if self.cfg.layout == "latent":
                 # MLA: one latent pool per layer (no separate V); quantized
                 # latent caches are a later round
+                if self.cfg.dsa_index_dim:
+                    return (jnp.zeros(shape, dtype),
+                            jnp.zeros((shape[0], 1, self.block_size,
+                                       self.cfg.dsa_index_dim), dtype))
                 return jnp.zeros(shape, dtype)
             if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
                 # int8 data + per-(token, head) scale pools (reference

@@ -139,3 +139,130 @@ def test_e2e_sparse_restricted_topk_decodes():
     out = llm.generate([[(3 * i + 1) % 256 for i in range(100)]], sp)
     assert len(out[0].outputs[0].token_ids) == 6
     llm.shutdown()
+
+
+# ---------------- DSA lightning indexer (DeepSeek V3.2) ----------------
+
+def test_dsa_hadamard_oracle():
+    """rotate_activation == scaled Sylvester-Hadamard transform (reference
+    dsa.py:68-83 fast-hadamard-transform with scale D**-0.5)."""
+    from scipy.linalg import hadamard
+    from tensorrt_llm_tpu.ops.dsa import rotate_activation
+
+    x = np.random.RandomState(0).randn(5, 64).astype(np.float32)
+    got = np.asarray(rotate_activation(jnp.asarray(x)), np.float32)
+    want = x.astype(np.float32) @ (hadamard(64) / np.sqrt(64))
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.02)  # bf16
+    # involution check: rotating twice recovers the input
+    back = np.asarray(rotate_activation(
+        rotate_activation(jnp.asarray(x))), np.float32)
+    np.testing.assert_allclose(back, x, atol=0.3, rtol=0.05)
+
+
+def test_dsa_sparse_decode_equals_dense_when_covering():
+    """When index_topk >= table capacity the selected set holds every
+    valid token, so sparse MLA decode == dense MLA decode."""
+    from tensorrt_llm_tpu.ops.dsa import (
+        dsa_decode_select, mla_sparse_decode_xla)
+    from tensorrt_llm_tpu.ops.mla import mla_decode_xla
+
+    rng = np.random.RandomState(0)
+    B, H, L, R, BS, NB, T = 2, 3, 16, 8, 4, 8, 3   # T pages per seq
+    Dk = L + R
+    cache = jnp.asarray(rng.randn(NB, 1, BS, Dk).astype(np.float32))
+    tables = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    kv_lens = jnp.asarray(np.array([9, 5], np.int32))
+    q = jnp.asarray(rng.randn(B, H, Dk).astype(np.float32))
+
+    idx_cache = jnp.asarray(rng.randn(NB, 1, BS, 32).astype(np.float32))
+    q_idx = jnp.asarray(rng.randn(B, 4, 32).astype(np.float32))
+    w = jnp.asarray(rng.rand(B, 4).astype(np.float32))
+
+    sel = dsa_decode_select(q_idx, w, idx_cache, tables, kv_lens,
+                            index_topk=64)   # covers T*BS=12
+    got = mla_sparse_decode_xla(q, cache, tables, kv_lens, sel, 0.25, L)
+    want = mla_decode_xla(q, cache, tables, kv_lens, 0.25, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_dsa_select_restricts_and_relu_gates():
+    """Top-k selection keeps the highest-scoring tokens; negatively
+    correlated keys contribute nothing through the ReLU."""
+    from tensorrt_llm_tpu.ops.dsa import dsa_decode_select
+
+    B, Hi, Di, BS, NB = 1, 2, 16, 4, 4
+    idx_cache = np.zeros((NB, 1, BS, Di), np.float32)
+    # plant strong keys at tokens 1, 6, 9 (aligned with q direction) and
+    # an anti-aligned key at token 3 (relu-gated to zero)
+    unit = np.zeros(Di, np.float32); unit[0] = 1.0
+    for tok, sgn in ((1, 1.0), (6, 1.0), (9, 1.0), (3, -5.0)):
+        idx_cache[tok // BS, 0, tok % BS] = sgn * unit
+    tables = jnp.asarray(np.array([[0, 1, 2]], np.int32))
+    kv_lens = jnp.asarray(np.array([11], np.int32))
+    q_idx = jnp.asarray(np.stack([np.stack([unit, unit])]))   # [1, 2, 16]
+    w = jnp.ones((1, 2), jnp.float32)
+
+    sel = np.asarray(dsa_decode_select(q_idx, w, jnp.asarray(idx_cache),
+                                       tables, kv_lens, index_topk=3))[0]
+    assert set(sel.tolist()) == {1, 6, 9}, sel
+    # anti-aligned key scores 0 (relu), ties with the zero keys — never
+    # ranked above the three aligned tokens
+    assert 3 not in sel.tolist()
+
+
+def test_dsa_e2e_matches_dense_and_restricts():
+    """Tiny DeepSeek-shaped model with the DSA indexer: greedy decode
+    matches the dense model while contexts fit in index_topk, and long
+    contexts run through the restricted path deterministically."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    def make(sparse):
+        return ModelConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=4,
+            max_position=256, architecture="DeepseekV3ForCausalLM",
+            q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16,
+            sparse_attention=sparse)
+
+    sp = tllm.SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True)
+    prompt = [3, 14, 15, 9, 2, 6]
+
+    dsa_cfg = {"algo": "dsa", "index_n_heads": 4, "index_head_dim": 32,
+               "index_topk": 64}
+    llm = tllm.LLM(model=make(dsa_cfg), skip_tokenizer_init=True,
+                   max_seq_len=64, max_batch_size=2, kv_num_blocks=32,
+                   kv_block_size=8, seed=0)
+    try:
+        got = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        got2 = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        assert got == got2 and len(got) == 6
+    finally:
+        llm.shutdown()
+
+    dense = tllm.LLM(model=make(None), skip_tokenizer_init=True,
+                     max_seq_len=64, max_batch_size=2, kv_num_blocks=32,
+                     kv_block_size=8, seed=0)
+    try:
+        want = dense.generate([prompt], sp)[0].outputs[0].token_ids
+    finally:
+        dense.shutdown()
+    # covering top-k (64 >= any ctx here) => same greedy continuation
+    assert got == want, (got, want)
+
+    # restricted: topk smaller than the context still decodes sanely
+    tight = {"algo": "dsa", "index_n_heads": 4, "index_head_dim": 32,
+             "index_topk": 8}
+    llm2 = tllm.LLM(model=make(tight), skip_tokenizer_init=True,
+                    max_seq_len=64, max_batch_size=2, kv_num_blocks=32,
+                    kv_block_size=8, seed=0)
+    try:
+        long_prompt = list(np.random.RandomState(0).randint(
+            2, 100, size=30))
+        a = llm2.generate([long_prompt], sp)[0].outputs[0].token_ids
+        b = llm2.generate([long_prompt], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 6
+    finally:
+        llm2.shutdown()
