@@ -478,6 +478,7 @@ class LLM:
                          cache_salt="|".join(salt_parts) or None,
                          retention_priority=kv_retention_priority,
                          priority=priority)
+        req.stream_interval = max(1, self.args.stream_interval)
         if lora_request is not None:
             assert self.lora_manager is not None, \
                 "pass lora_adapters={name: path} to LLM to enable multi-LoRA"

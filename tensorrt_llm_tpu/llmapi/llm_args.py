@@ -115,6 +115,11 @@ class LlmArgs:
     seed: int = 0
     skip_tokenizer_init: bool = False
     enable_iter_perf_stats: bool = True
+    # stream a result piece every N generated tokens (first token and
+    # finish always emit — reference TorchLlmArgs.stream_interval,
+    # py_executor.py:2743); >1 cuts per-token queue/SSE overhead at
+    # high concurrency
+    stream_interval: int = 1
 
     def __post_init__(self):
         if self.extra_llm_api_options:

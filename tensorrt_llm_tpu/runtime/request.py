@@ -91,6 +91,10 @@ class LlmRequest:
         # streaming
         self.out_queue: "queue.Queue[RequestOutputPiece]" = queue.Queue()
         self._streamed = 0
+        # emit every N tokens (reference stream_interval,
+        # py_executor.py:2743 — first token and finish always emit;
+        # skipped emissions batch into the next piece)
+        self.stream_interval = 1
 
         # metrics (reference: perf metrics on LlmRequest)
         self.arrival_time = arrival_time or time.time()
@@ -181,6 +185,10 @@ class LlmRequest:
 
     # ---- streaming ---------------------------------------------------------------
     def emit(self, finished: bool, error: Optional[str] = None):
+        if not finished and error is None and self.stream_interval > 1:
+            n = len(self.output_token_ids)
+            if n > 1 and n % self.stream_interval != 0:
+                return
         new = self.output_token_ids[self._streamed:]
         self._streamed = len(self.output_token_ids)
         if new:

@@ -59,3 +59,36 @@ def test_stats(llm):
     assert stats
     kv_stats = llm.get_kv_cache_stats()
     assert kv_stats["num_blocks"] == 128
+
+
+def test_stream_interval_batches_pieces():
+    """stream_interval=3: first token and finish always emit; middle
+    emissions batch into every 3rd token (reference
+    TorchLlmArgs.stream_interval, py_executor.py:2743)."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      max_position=256)
+    # max_decode_steps=1: fused multi-step already batches tokens per
+    # chunk; single-step isolates the interval gating itself
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=2, kv_num_blocks=32, kv_block_size=8,
+                   seed=0, stream_interval=3, max_decode_steps=1)
+    try:
+        pieces = []
+        for ev in llm.generate_async(
+                [5, 9, 17], tllm.SamplingParams(
+                    max_tokens=7, temperature=0.0, ignore_eos=True),
+                streaming=True):
+            pieces.append(len(ev.outputs[0].token_ids))
+        # cumulative counts: 1 (first), 3, 6, 7 (finish)
+        assert pieces == [1, 3, 6, 7], pieces
+
+        # non-streaming unaffected
+        out = llm.generate([[5, 9, 17]], tllm.SamplingParams(
+            max_tokens=5, temperature=0.0, ignore_eos=True))
+        assert len(out[0].outputs[0].token_ids) == 5
+    finally:
+        llm.shutdown()
