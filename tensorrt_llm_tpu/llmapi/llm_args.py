@@ -65,6 +65,11 @@ class LlmArgs:
     # scheduler
     scheduler_policy: str = "guaranteed_no_evict"
     enable_chunked_prefill: bool = True
+    # hold new prefills up to N iterations while the scheduled batch is
+    # below ratio*max_num_tokens (reference batch_wait_timeout_iters /
+    # batch_wait_max_tokens_ratio) — denser batches at high load
+    batch_wait_timeout_iters: int = 0
+    batch_wait_max_tokens_ratio: float = 0.0
 
     # attention: "auto" | "xla" | "pallas" | "sparse" (RocketKV-style
     # block-top-k long-context decode, reference
@@ -179,4 +184,6 @@ class LlmArgs:
             max_batch_size=self.max_batch_size,
             max_num_tokens=self.max_num_tokens,
             enable_chunked_prefill=self.enable_chunked_prefill,
+            batch_wait_timeout_iters=self.batch_wait_timeout_iters,
+            batch_wait_max_tokens_ratio=self.batch_wait_max_tokens_ratio,
         )

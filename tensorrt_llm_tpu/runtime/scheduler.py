@@ -34,6 +34,13 @@ class SchedulerConfig:
     max_num_tokens: int = 2048          # per-step token budget
     enable_chunked_prefill: bool = True
     max_chunk_size: Optional[int] = None
+    # batch waiting (reference TorchLlmArgs.batch_wait_timeout_iters /
+    # batch_wait_max_tokens_ratio; py_executor.py:2090-2110): while decode
+    # work exists, hold NEW prefills for up to `timeout_iters` iterations
+    # until the scheduled token count reaches `max_tokens_ratio *
+    # max_num_tokens` — denser prefill batches at high load
+    batch_wait_timeout_iters: int = 0
+    batch_wait_max_tokens_ratio: float = 0.0
 
 
 @dataclass
@@ -58,6 +65,33 @@ class Scheduler:
     def __init__(self, cfg: SchedulerConfig, kv: KVCacheManager):
         self.cfg = cfg
         self.kv = kv
+        self._batch_wait_iters = 0
+
+    def _apply_batch_waiting(self, batch: "ScheduledBatch",
+                             active_ctx: set) -> None:
+        """Drop this iteration's NEW prefills while decode work exists and
+        the batch is under the token-density threshold (reference
+        _waiting_requests, py_executor.py:2090-2110).  Prefills already
+        mid-chunking are never held — pausing them would strand KV."""
+        cfg = self.cfg
+        enabled = (cfg.batch_wait_timeout_iters > 0
+                   or cfg.batch_wait_max_tokens_ratio > 0)
+        new_prefill = [(r, c) for r, c in batch.prefill
+                       if id(r) not in active_ctx]
+        if not (enabled and new_prefill and batch.decode):
+            self._batch_wait_iters = 0
+            return
+        should_wait = (
+            self._batch_wait_iters < cfg.batch_wait_timeout_iters
+            and batch.total_tokens
+            < cfg.batch_wait_max_tokens_ratio * cfg.max_num_tokens)
+        if should_wait:
+            self._batch_wait_iters += 1
+            held = {id(r) for r, _ in new_prefill}
+            batch.prefill = [(r, c) for r, c in batch.prefill
+                             if id(r) not in held]
+        else:
+            self._batch_wait_iters = 0
 
     # ---- capacity pass -----------------------------------------------------------
     def _fits_no_evict(self, req: LlmRequest, reserved: int) -> Tuple[bool, int]:
@@ -154,4 +188,5 @@ class Scheduler:
             token_budget -= chunk
             n_scheduled += 1
 
+        self._apply_batch_waiting(batch, {id(r) for r in ctx_reqs})
         return batch

@@ -207,3 +207,69 @@ def test_scheduling_priority_orders_waiting_queue():
         assert order and order[0] == "high", order
     finally:
         llm.shutdown()
+
+
+def test_batch_waiting_holds_then_releases():
+    """batch_wait_timeout_iters / batch_wait_max_tokens_ratio (reference
+    py_executor.py:2090-2110): new prefills are held while decode work
+    exists and the batch is sparse, released after the timeout — and
+    every request still completes with identical outputs."""
+    from tensorrt_llm_tpu.runtime.scheduler import Scheduler
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+
+    cfg = ModelConfig(**TINY)
+    kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                        cfg.num_kv_heads, cfg.head_dim, num_blocks=128)
+    sched = Scheduler(SchedulerConfig(
+        max_batch_size=8, max_num_tokens=64,
+        batch_wait_timeout_iters=2,
+        batch_wait_max_tokens_ratio=0.9), kv)
+
+    gen = LlmRequest([1, 2, 3], SamplingParams(max_tokens=8))
+    kv.add_sequence(gen.request_id, gen.prompt_token_ids, None)
+    gen.start_context()
+    gen.context_position = gen.prompt_len
+    gen.finish_context()
+    new = LlmRequest([4, 5], SamplingParams(max_tokens=4))
+
+    # iter 1 + 2: decode-only (prefill held, counter 1, 2)
+    for _ in range(2):
+        b = sched.schedule([gen], [new])
+        assert [r.request_id for r in b.decode] == [gen.request_id]
+        assert b.prefill == []
+    # iter 3: timeout reached -> prefill released
+    b = sched.schedule([gen], [new])
+    assert [r.request_id for r, _ in b.prefill] == [new.request_id]
+    # counter reset: holding resumes for the next newcomer
+    new2 = LlmRequest([6, 7], SamplingParams(max_tokens=4))
+    b = sched.schedule([gen], [new2])
+    assert b.prefill == []
+
+    # a dense-enough batch schedules immediately (ratio satisfied)
+    sched2 = Scheduler(SchedulerConfig(
+        max_batch_size=8, max_num_tokens=64,
+        batch_wait_timeout_iters=5,
+        batch_wait_max_tokens_ratio=0.05), kv)   # 0.05*64 = 3.2 tokens
+    big = LlmRequest(list(range(2, 34)), SamplingParams(max_tokens=4))
+    b = sched2.schedule([gen], [big])
+    assert [r.request_id for r, _ in b.prefill] == [big.request_id]
+
+    # e2e: outputs identical with and without batch waiting
+    import tensorrt_llm_tpu as tllm
+    outs = {}
+    for wait_iters in (0, 3):
+        llm = tllm.LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+                       max_seq_len=128, max_batch_size=8, kv_num_blocks=128,
+                       kv_block_size=8, seed=0,
+                       batch_wait_timeout_iters=wait_iters,
+                       batch_wait_max_tokens_ratio=0.9)
+        try:
+            sp = tllm.SamplingParams(max_tokens=6, temperature=0.0,
+                                     ignore_eos=True)
+            futs = [llm.generate_async(p, sp)
+                    for p in ([1, 2, 3], [9, 8, 7], [5, 5, 5])]
+            outs[wait_iters] = [f.result().outputs[0].token_ids
+                                for f in futs]
+        finally:
+            llm.shutdown()
+    assert outs[0] == outs[3], outs
