@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--tool-parser", default=None,
                    help="function-call parser family: qwen3 | deepseek_v3 "
                         "| harmony (reference serve/tool_parser/)")
+    p.add_argument("--reasoning-parser", default=None,
+                   help="split <think> blocks into reasoning_content: "
+                        "deepseek-r1 | qwen3 | nano-v3 (reference "
+                        "llmapi/reasoning_parser.py)")
     p.add_argument("--register-to", default=None,
                    help="disagg front-end base URL to join on startup")
     p.add_argument("--advertise-url", default=None,
@@ -54,6 +58,7 @@ def main(argv=None):
     server = OpenAIServer(
         llm, args.served_model_name or args.model,
         tool_parser=args.tool_parser,
+        reasoning_parser=args.reasoning_parser,
         register_to=args.register_to,
         advertise_url=args.advertise_url
         or f"http://{args.host}:{args.port}",

@@ -36,6 +36,7 @@ from tensorrt_llm_tpu.utils import logger
 class OpenAIServer:
     def __init__(self, llm: LLM, model_name: str = "tpu-llm",
                  tool_parser: Optional[str] = None,
+                 reasoning_parser: Optional[str] = None,
                  register_to: Optional[str] = None,
                  advertise_url: Optional[str] = None,
                  disagg_role: str = "generation"):
@@ -48,6 +49,9 @@ class OpenAIServer:
         self.llm = llm
         self.model_name = model_name
         self.tool_parser_name = tool_parser
+        # "deepseek-r1" | "qwen3" | "nano-v3": split <think> blocks into
+        # reasoning_content (reference llmapi/reasoning_parser.py)
+        self.reasoning_parser_name = reasoning_parser
         self.register_to = register_to
         self.advertise_url = advertise_url
         self.disagg_role = disagg_role
@@ -381,6 +385,12 @@ class OpenAIServer:
                 ev = parser.parse_full(text)
                 text, calls = ev.text, ev.calls
                 reasoning = ev.reasoning or None
+            if reasoning is None and self.reasoning_parser_name:
+                from tensorrt_llm_tpu.serve.reasoning_parser import (
+                    get_reasoning_parser)
+                d = get_reasoning_parser(
+                    self.reasoning_parser_name).parse_full(text or "")
+                text, reasoning = d.content, d.reasoning or None
             return (text, o.finish_reason,
                     [c.to_openai(i) for i, c in enumerate(calls)] or None,
                     reasoning)
@@ -403,6 +413,28 @@ class OpenAIServer:
                 f"data: {json.dumps(chat_chunk(rid, body.model, delta, fr))}\n\n".encode())
 
         await emit({"role": "assistant"})
+        rparser = None
+        if self.reasoning_parser_name:
+            from tensorrt_llm_tpu.serve.reasoning_parser import (
+                get_reasoning_parser)
+            rparser = get_reasoning_parser(self.reasoning_parser_name)
+
+        async def emit_text(seg, fr=None):
+            """Route a content delta through the reasoning parser."""
+            if rparser is None:
+                if seg or fr:
+                    await emit({"content": seg} if seg else {}, fr)
+                return
+            d = rparser.feed(seg)
+            if fr:
+                tail = rparser.flush()
+                d.content += tail.content
+                d.reasoning += tail.reasoning
+            if d.reasoning:
+                await emit({"reasoning_content": d.reasoning})
+            if d.content or fr:
+                await emit({"content": d.content} if d.content else {}, fr)
+
         prev_len = 0
         n_calls = 0
         finish = None
@@ -416,15 +448,14 @@ class OpenAIServer:
             prev_len = len(text)
             fr = out.outputs[0].finish_reason if out.finished else None
             if parser is None:
-                if delta or fr:
-                    await emit({"content": delta} if delta else {}, fr)
+                await emit_text(delta, fr)
             else:
                 events = [parser.feed(delta)]
                 if out.finished:
                     events.append(parser.flush())
                 for ev in events:
                     if ev.text:
-                        await emit({"content": ev.text})
+                        await emit_text(ev.text)
                     if ev.reasoning:
                         await emit({"reasoning_content": ev.reasoning})
                     for call in ev.calls:

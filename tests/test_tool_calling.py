@@ -273,3 +273,108 @@ def test_responses_streaming(tool_server):
     assert "response.created" in text
     assert "response.output_text.delta" in text
     assert "response.completed" in text
+
+
+# ------------------------------------------------------ reasoning parser ----
+
+R1_TEXT = "Let me think step by step.</think>The answer is 42."
+
+
+def test_reasoning_parser_r1_at_start():
+    from tensorrt_llm_tpu.serve.reasoning_parser import get_reasoning_parser
+    d = get_reasoning_parser("deepseek-r1").parse_full(R1_TEXT)
+    assert d.reasoning == "Let me think step by step."
+    assert d.content == "The answer is 42."
+
+
+def test_reasoning_parser_qwen3_tags():
+    from tensorrt_llm_tpu.serve.reasoning_parser import get_reasoning_parser
+    d = get_reasoning_parser("qwen3").parse_full(
+        "pre <think>hidden</think> post")
+    assert d.reasoning == "hidden"
+    assert d.content == "pre  post"
+
+
+def test_reasoning_parser_streaming_split_tags():
+    """Tags split across arbitrary chunk boundaries never leak."""
+    from tensorrt_llm_tpu.serve.reasoning_parser import get_reasoning_parser
+    for chunk in (1, 3, 7):
+        p = get_reasoning_parser("deepseek-r1")
+        content = reasoning = ""
+        for i in range(0, len(R1_TEXT), chunk):
+            d = p.feed(R1_TEXT[i:i + chunk])
+            content += d.content
+            reasoning += d.reasoning
+        tail = p.flush()
+        content += tail.content
+        reasoning += tail.reasoning
+        assert content == "The answer is 42.", (chunk, content)
+        assert reasoning == "Let me think step by step.", (chunk, reasoning)
+        assert "</think" not in content + reasoning
+
+
+def test_reasoning_parser_unterminated_flush():
+    from tensorrt_llm_tpu.serve.reasoning_parser import get_reasoning_parser
+    p = get_reasoning_parser("deepseek-r1")
+    d1 = p.feed("still thinking")
+    tail = p.flush()
+    assert d1.reasoning + tail.reasoning == "still thinking"
+    assert d1.content + tail.content == ""
+
+
+@pytest.fixture(scope="module")
+def reasoning_server():
+    import asyncio
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tensorrt_llm_tpu.llmapi import LLM
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                      max_position=256)
+    llm = LLM(model=cfg, tokenizer=ScriptedTokenizer(R1_TEXT),
+              max_seq_len=128, max_batch_size=8, kv_num_blocks=128,
+              kv_block_size=8)
+    server = OpenAIServer(llm, "tiny", reasoning_parser="deepseek-r1")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    yield tc, loop
+    loop.run_until_complete(tc.close())
+    loop.close()
+    llm.shutdown()
+
+
+def test_chat_reasoning_nonstreaming(reasoning_server):
+    tc, loop = reasoning_server
+    r = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+        "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "ignore_eos": True}))
+    assert r.status == 200
+    body = loop.run_until_complete(r.json())
+    msg = body["choices"][0]["message"]
+    assert msg["reasoning_content"] == "Let me think step by step."
+    assert msg["content"] == "The answer is 42."
+
+
+def test_chat_reasoning_streaming(reasoning_server):
+    tc, loop = reasoning_server
+
+    async def run():
+        r = await tc.post("/v1/chat/completions", json={
+            "model": "tiny", "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 8, "ignore_eos": True, "stream": True})
+        assert r.status == 200
+        return (await r.read()).decode()
+
+    text = loop.run_until_complete(run())
+    datas = [json.loads(l[6:]) for l in text.splitlines()
+             if l.startswith("data: ") and l != "data: [DONE]"]
+    deltas = [d["choices"][0]["delta"] for d in datas]
+    reasoning = "".join(d.get("reasoning_content", "") for d in deltas)
+    content = "".join(d.get("content", "") for d in deltas)
+    assert reasoning == "Let me think step by step."
+    assert content == "The answer is 42."
+    assert "</think" not in content
