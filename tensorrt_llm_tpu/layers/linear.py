@@ -153,6 +153,25 @@ class W4A16LinearMethod(LinearMethodBase):
                 "bias": self._bias_spec(tp_mode)}
 
 
+class W4A8LinearMethod(W4A16LinearMethod):
+    """int4 per-group weights + dynamic per-token INT8 activations
+    (reference `W4A8_AWQ` method, modules/linear.py; its fp8-activation
+    tensor-core path maps to the TPU's 2x-rate int8xint8 MXU).  Same
+    packing/params/sharding as W4A16 — only apply() differs."""
+
+    def apply(self, params, x, activation=None):
+        from tensorrt_llm_tpu.ops.w4a16_gemm import w4a8_matmul
+        return w4a8_matmul(
+            x,
+            params["qweight"],
+            params["scales"],
+            zeros=params.get("zeros"),
+            bias=params.get("bias"),
+            activation=activation,
+            out_dtype=x.dtype,
+        )
+
+
 class W8A16LinearMethod(LinearMethodBase):
     """Per-channel int8 weights; XLA int8->bf16 upcast matmul with
     scale-on-accumulator (XLA fuses the upcast into the matmul feed)."""
@@ -279,6 +298,10 @@ def make_linear_method(quant: Optional[QuantConfig],
         return W4A16LinearMethod(quant.group_size, has_zeros,
                                  clip_search=getattr(quant, "clip_search",
                                                      False))
+    if quant.quant_algo == QuantAlgo.W4A8_AWQ:
+        return W4A8LinearMethod(quant.group_size, has_zeros=True,
+                                clip_search=getattr(quant, "clip_search",
+                                                    False))
     if quant.quant_algo == QuantAlgo.W8A16:
         return W8A16LinearMethod()
     if quant.quant_algo == QuantAlgo.FP8:

@@ -696,3 +696,207 @@ def w4a16_matmul(
     if Mp != M:
         out = out[:M]
     return out.reshape(*lead, N)
+
+
+# --------------------------------------------------------------- W4A8 ------
+#
+# int4 weights x dynamic per-token INT8 activations (reference W4A8_AWQ,
+# `_torch/modules/linear.py` W4A8 method over the same CutlassFpAIntBGemmRunner
+# family).  TPU-first twist: the reference's W4A8 feeds FP8 activations into
+# SM90 tensor cores; v5e has no fp8 MXU but int8xint8->int32 runs at 2x the
+# bf16 MXU rate, so the TPU-native W4A8 is int8-act SmoothQuant-style:
+#
+#   out = s_act[m] * sum_g [ s_g * (xq_g @ q_g) - rowsum(xq_g) * s_g * z_g ]
+#
+# Per-group weight scales ride the int32 accumulator exactly as in the bf16
+# kernel; the per-token activation scale folds into the epilogue.
+
+def _w4a8_kernel_tiled(
+    x_ref,        # [BM, BK] int8 (dynamic per-token quantized)
+    p_ref,        # [1, BK//2, BN] int8 (row-interleaved nibbles, tiled)
+    s_ref,        # [total_groups, BN] f32
+    sa_ref,       # [BM, 1] f32 per-token activation scales
+    *rest,
+    n_chunks: int,
+    pack_group: int,
+    per_channel: bool,
+    has_zeros: bool,
+    has_bias: bool,
+    activation: Optional[str],
+    out_dtype,
+):
+    it = iter(rest)
+    z_ref = next(it) if has_zeros else None
+    b_ref = next(it) if has_bias else None
+    out_ref = next(it)
+    acc_ref = next(it)
+
+    k_idx = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc = acc_ref[:]
+    Gp, Gh = pack_group, pack_group // 2
+    for c in range(n_chunks):
+        pblk = p_ref[0, c * Gh:(c + 1) * Gh, :]
+        w8 = pltpu.bitcast(pblk, jnp.int4).astype(jnp.int8)  # [Gp, BN]
+        x_c = x_ref[:, c * Gp:(c + 1) * Gp]
+        partial = jnp.dot(x_c, w8, preferred_element_type=jnp.int32)
+        row = 0 if per_channel else k_idx * n_chunks + c
+        s_g = s_ref[pl.ds(row, 1), :]
+        acc = acc + partial.astype(jnp.float32) * s_g
+        if has_zeros:
+            xsum = jnp.sum(x_c.astype(jnp.int32), axis=1,
+                           keepdims=True).astype(jnp.float32)
+            acc = acc - xsum * (s_g * z_ref[pl.ds(row, 1), :])
+    acc_ref[:] = acc
+
+    @pl.when(k_idx == n_k - 1)
+    def _epilogue():
+        r = acc_ref[:] * sa_ref[:]
+        if has_bias:
+            r = r + b_ref[0, :][None, :].astype(jnp.float32)
+        r = _ACTIVATIONS[activation](r)
+        out_ref[:] = r.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "block_k",
+                     "interpret"),
+)
+def _w4a8_matmul_pallas_tiled(
+    xq: jax.Array,          # [M, K] int8
+    s_act: jax.Array,       # [M, 1] f32
+    packed3: jax.Array,     # [N//BN, K//2, BN]
+    scales: jax.Array,
+    zeros: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    activation: Optional[str],
+    out_dtype,
+    block_m: int,
+    block_k: int,
+    interpret: bool,
+):
+    M, K = xq.shape
+    n_n, half, BN = packed3.shape
+    N = n_n * BN
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+    Gp = pack_group_for(K, n_scale_groups)
+
+    BM, BK = block_m, block_k
+    assert BK % Gp == 0 and K % BK == 0, (BK, Gp, K)
+    n_chunks = BK // Gp
+    n_m, n_k = cdiv(M, BM), K // BK
+
+    in_specs = [
+        pl.BlockSpec((BM, BK), lambda i, j, k: (i, k)),
+        pl.BlockSpec((1, BK // 2, BN), lambda i, j, k: (j, k, 0)),
+        pl.BlockSpec((n_scale_groups, BN), lambda i, j, k: (0, j)),
+        pl.BlockSpec((BM, 1), lambda i, j, k: (i, 0)),
+    ]
+    operands = [xq, packed3, scales.astype(jnp.float32),
+                s_act.astype(jnp.float32)]
+    if zeros is not None:
+        in_specs.append(pl.BlockSpec((n_scale_groups, BN),
+                                     lambda i, j, k: (0, j)))
+        operands.append(zeros.astype(jnp.float32))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, BN), lambda i, j, k: (0, j)))
+        operands.append(bias.reshape(1, N).astype(jnp.float32))
+
+    kernel = functools.partial(
+        _w4a8_kernel_tiled,
+        n_chunks=n_chunks,
+        pack_group=Gp,
+        per_channel=G >= K,
+        has_zeros=zeros is not None,
+        has_bias=bias is not None,
+        activation=activation,
+        out_dtype=out_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_m, n_n, n_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((round_up(M, BM), N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=K * N // 2 + M * K + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
+def quantize_act_int8(x: jax.Array):
+    """Dynamic per-token symmetric int8 quantization.
+    Returns (xq int8 [M, K], s_act f32 [M, 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    s_act = amax / 127.0
+    xq = jnp.clip(jnp.round(xf / s_act), -127, 127).astype(jnp.int8)
+    return xq, s_act
+
+
+def w4a8_matmul(
+    x: jax.Array,
+    packed: jax.Array,
+    scales: jax.Array,
+    zeros: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    activation: Optional[str] = None,
+    out_dtype=None,
+    block_m: Optional[int] = None,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """``act(s_act * (int8(x) @ deq_int(packed)) + bias)`` — int8-act W4
+    GEMM (int8xint8 MXU; per-group scales on the int32 accumulator)."""
+    out_dtype = out_dtype or x.dtype
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    xq, s_act = quantize_act_int8(x2)
+
+    tiled = packed.ndim == 3
+    N = packed.shape[0] * packed.shape[2] if tiled else packed.shape[1]
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+    Gp = pack_group_for(K, n_scale_groups)
+    use_pallas = is_tpu_backend() if interpret is None else True
+    if interpret is None and os.environ.get("TLLM_W4A16_INTERPRET") == "1":
+        use_pallas, interpret = True, True
+    if not tiled or N % 128 != 0 or K % max(Gp, 128) != 0 or Gp % 2 != 0:
+        use_pallas = False
+    if not use_pallas:
+        # XLA fallback with IDENTICAL math (int8-quantized acts)
+        w = dequantize_w4_any(packed, scales, zeros)
+        out = jnp.dot(xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) * s_act
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)[None, :]
+        out = _ACTIVATIONS[activation](out)
+        return out.astype(out_dtype).reshape(*lead, N)
+
+    bm = block_m or min(256, max(16, round_up(M, 16)))
+    bk = block_k or _pick_block_k(K, max(G if G < K else Gp, 128))
+    Mp = round_up(M, bm)
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+        s_act = jnp.pad(s_act, ((0, Mp - M), (0, 0)))
+    out = _w4a8_matmul_pallas_tiled(
+        xq, s_act, packed, scales, zeros, bias, activation, out_dtype,
+        bm, bk, bool(interpret))
+    if Mp != M:
+        out = out[:M]
+    return out.reshape(*lead, N)

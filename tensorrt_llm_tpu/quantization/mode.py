@@ -21,6 +21,9 @@ class QuantAlgo(str, enum.Enum):
     W4A16_AWQ = "W4A16_AWQ"          # per-group int4, AWQ scales (+zeros)
     W4A16_GPTQ = "W4A16_GPTQ"        # per-group int4, GPTQ (zeros)
     W8A16 = "W8A16"                  # per-channel int8 weights
+    # int4 weights + dynamic per-token int8 activations (reference
+    # W4A8_AWQ; the TPU version rides the int8x int8 MXU instead of fp8)
+    W4A8_AWQ = "W4A8_AWQ"
     # Activation+weight int8 (SmoothQuant-style).
     W8A8_SQ_PER_CHANNEL = "W8A8_SQ_PER_CHANNEL"
     # FP8 (on TPU: stored fp8, compute bf16 after upcast; v5p+ native paths TBD)

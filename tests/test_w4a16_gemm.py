@@ -183,3 +183,102 @@ def test_w4a16_mixed_s4_feed(variant):
     np.testing.assert_allclose(np.asarray(a, np.float32),
                                np.asarray(b, np.float32), rtol=1e-5,
                                atol=1e-4)
+
+
+# --------------------------------------------------------------- W4A8 ------
+
+def _w4a8_exact_ref(x, q, scales, zeros):
+    """Exact integer-math reference: dynamic int8 act quant + int4 weights
+    with per-group scales/zeros, all accumulation in int32/f64."""
+    from tensorrt_llm_tpu.ops.w4a16_gemm import quantize_act_int8
+    xq, s_act = quantize_act_int8(jnp.asarray(x))
+    xq = np.asarray(xq, np.int64)
+    s_act = np.asarray(s_act, np.float64)
+    qn = np.asarray(q, np.int64)                  # [K, N]
+    K, N = qn.shape
+    G = K // scales.shape[0]
+    acc = np.zeros((xq.shape[0], N), np.float64)
+    for g in range(K // G):
+        xg = xq[:, g * G:(g + 1) * G]
+        part = xg @ qn[g * G:(g + 1) * G]         # int64
+        s = np.asarray(scales, np.float64)[g][None, :]
+        acc += part * s
+        if zeros is not None:
+            z = np.asarray(zeros, np.float64)[g][None, :]
+            acc -= xg.sum(1, keepdims=True) * (s * z)
+    return acc * s_act
+
+
+@pytest.mark.parametrize("M,K,N", [(16, 512, 512), (1, 1024, 256),
+                                   (64, 512, 1024)])
+@pytest.mark.parametrize("symmetric", [True, False])
+def test_w4a8_pallas_interpret_vs_exact(M, K, N, symmetric):
+    """int8-act kernel vs exact integer reference — the int math must be
+    exact up to the f32 accumulator, so a much tighter bound than the
+    quantization-error bound applies."""
+    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a8_matmul
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(7), M, K, N, 128, symmetric)
+    p3 = pack_w4_tiled(q, 128)
+    out = w4a8_matmul(x, p3, scales, zeros, interpret=True)
+    ref = _w4a8_exact_ref(x, q, scales, zeros)
+    rel = np.abs(np.asarray(out, np.float64) - ref).max() / \
+        max(np.abs(ref).max(), 1e-9)
+    assert rel < 1e-4, rel
+    # and within the usual quant-error bound of the FP32 dense product
+    check(out, ref_out(x, packed, scales, zeros))
+
+
+def test_w4a8_xla_fallback_matches_kernel():
+    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a8_matmul
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(8), 8, 512, 256, 128, False)
+    p3 = pack_w4_tiled(q, 128)
+    out_k = w4a8_matmul(x, p3, scales, zeros, interpret=True)
+    out_f = w4a8_matmul(x, p3, scales, zeros, interpret=None)  # CPU: XLA
+    ref = ref_out(x, packed, scales, zeros)
+    np.testing.assert_allclose(
+        np.asarray(out_k, np.float32), np.asarray(out_f, np.float32),
+        rtol=3e-2, atol=3e-2 * np.abs(ref).max())
+
+
+def test_w4a8_bias_silu_epilogue():
+    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a8_matmul
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+
+    x, w, q, packed, scales, zeros = make_case(
+        jax.random.PRNGKey(9), 16, 512, 256, 128, True)
+    bias = jax.random.normal(jax.random.PRNGKey(10), (256,), jnp.float32)
+    p3 = pack_w4_tiled(q, 128)
+    out = w4a8_matmul(x, p3, scales, bias=bias, activation="silu",
+                      interpret=True)
+    ref = _w4a8_exact_ref(x, q, scales, None) + np.asarray(bias)[None, :]
+    ref = ref / (1.0 + np.exp(-ref)) * 1.0  # silu
+    rel = np.abs(np.asarray(out, np.float64) - ref).max() / \
+        max(np.abs(ref).max(), 1e-9)
+    assert rel < 1e-3, rel
+
+
+def test_w4a8_linear_method_e2e():
+    """Tiny model generates deterministically under W4A8_AWQ."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32,
+                      max_position=256)
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=2, kv_num_blocks=32, kv_block_size=8,
+                   seed=0, quant_algo="W4A8_AWQ", quant_group_size=64)
+    try:
+        sp = tllm.SamplingParams(max_tokens=5, temperature=0.0,
+                                 ignore_eos=True)
+        a = llm.generate([[3, 7, 11]], sp)[0].outputs[0].token_ids
+        b = llm.generate([[3, 7, 11]], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 5
+    finally:
+        llm.shutdown()
