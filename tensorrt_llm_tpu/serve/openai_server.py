@@ -313,14 +313,62 @@ class OpenAIServer:
         return resp
 
     # ------------------------------------------------------------------ chat ------
-    def _apply_chat_template(self, messages, tools=None):
-        tok = self.llm.tokenizer
+    @staticmethod
+    def _decode_image_part(part) -> "object":
+        """OpenAI image_url content part -> HWC uint8 array.  Zero-egress
+        deployment: data: URLs (base64) only (reference chat_utils.py
+        multimodal content parsing)."""
+        import base64
+        import io
+
+        url = part.get("image_url")
+        if isinstance(url, dict):
+            url = url.get("url")
+        if not isinstance(url, str) or not url.startswith("data:"):
+            raise ValueError(
+                "image_url must be a data: URL (base64) — remote fetch is "
+                "disabled on this server")
+        b64 = url.split(",", 1)[1]
+        from PIL import Image
+        import numpy as np
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        return np.asarray(img, dtype="uint8")
+
+    def _extract_multimodal(self, messages):
+        """Pull image_url parts out of structured message content.
+        Returns (images, template_messages): images in request order, and
+        messages with image parts replaced by {"type": "image"} markers
+        (the form HF VLM chat templates expand into placeholder tokens)."""
+        images = []
         msgs = []
         for m in messages:
             d = {"role": m.role, "content": m.content}
             if m.tool_calls:
                 d["tool_calls"] = m.tool_calls
+            if isinstance(m.content, list):
+                parts = []
+                for part in m.content:
+                    if isinstance(part, dict) \
+                            and part.get("type") == "image_url":
+                        images.append(self._decode_image_part(part))
+                        parts.append({"type": "image"})
+                    else:
+                        parts.append(part)
+                d["content"] = parts
             msgs.append(d)
+        return images, msgs
+
+    def _apply_chat_template(self, messages, tools=None):
+        tok = self.llm.tokenizer
+        if messages and isinstance(messages[0], dict):
+            msgs = messages
+        else:
+            msgs = []
+            for m in messages:
+                d = {"role": m.role, "content": m.content}
+                if m.tool_calls:
+                    d["tool_calls"] = m.tool_calls
+                msgs.append(d)
         if tok is not None and getattr(tok, "chat_template", None):
             kwargs = dict(tokenize=False, add_generation_prompt=True)
             if tools:
@@ -339,7 +387,12 @@ class OpenAIServer:
                      "</tool_call> to invoke one:\n"
                      + json.dumps(tools) + "\n")
         for m in msgs:
-            text += f"<|{m['role']}|>\n{m['content']}\n"
+            c = m["content"]
+            if isinstance(c, list):
+                c = "".join("<image>" if p.get("type") == "image"
+                            else str(p.get("text", ""))
+                            for p in c if isinstance(p, dict))
+            text += f"<|{m['role']}|>\n{c}\n"
         return text + "<|assistant|>\n"
 
     def _make_tool_parser(self, body):
@@ -355,7 +408,14 @@ class OpenAIServer:
             body = ChatCompletionRequest(**await request.json())
         except Exception as e:  # noqa: BLE001
             return web.json_response({"error": str(e)}, status=400)
-        prompt = self._apply_chat_template(body.messages, body.tools)
+        try:
+            images, tmpl_msgs = self._extract_multimodal(body.messages)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        prompt = self._apply_chat_template(tmpl_msgs, body.tools)
+        if images:
+            prompt = {"prompt": prompt,
+                      "multi_modal_data": {"image": images}}
         sp = body.to_sampling_params()
         try:
             future = self.llm.generate_async(prompt, sp, streaming=body.stream)

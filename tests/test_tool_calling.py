@@ -378,3 +378,93 @@ def test_chat_reasoning_streaming(reasoning_server):
     assert reasoning == "Let me think step by step."
     assert content == "The answer is 42."
     assert "</think" not in content
+
+
+# ------------------------------------------------ multimodal chat parts ----
+
+def test_chat_image_url_content_parts():
+    """OpenAI image_url data: URLs decode into the multimodal prompt path
+    (reference serve/chat_utils.py content-part parsing)."""
+    import asyncio
+    import base64
+    import io
+
+    import numpy as np
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from tensorrt_llm_tpu.llmapi import LLM
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    class MMTokenizer:
+        eos_token_id = 0
+        chat_template = None
+
+        def encode(self, text):
+            ids = []
+            while text:
+                if text.startswith("<image>"):
+                    ids.append(60)
+                    text = text[7:]
+                else:
+                    ids.append(1 + (ord(text[0]) % 50))
+                    text = text[1:]
+            return ids
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=8, max_position=128,
+        architecture="LlavaLlamaModel", tie_word_embeddings=False,
+        extra={"vision_tower_cfg": {"hidden_size": 16,
+                                    "num_hidden_layers": 2,
+                                    "num_attention_heads": 2,
+                                    "intermediate_size": 32,
+                                    "image_size": 28, "patch_size": 14},
+               "mm_projector_cfg": {"mm_projector_type": "mlp_downsample"},
+               "mm_hidden_size": 16,
+               "image_token_index": 60})
+    llm = LLM(model=cfg, tokenizer=MMTokenizer(), max_seq_len=128,
+              max_batch_size=4, kv_num_blocks=64, kv_block_size=8, seed=0)
+    server = OpenAIServer(llm, "tiny-vlm")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    try:
+        img = Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (28, 28, 3),
+                                             dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        data_url = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+
+        body = {"model": "tiny-vlm", "max_tokens": 4, "ignore_eos": True,
+                "messages": [{"role": "user", "content": [
+                    {"type": "text", "text": "hi"},
+                    {"type": "image_url", "image_url": {"url": data_url}},
+                ]}]}
+        r = loop.run_until_complete(tc.post("/v1/chat/completions",
+                                            json=body))
+        assert r.status == 200, loop.run_until_complete(r.text())
+        out = loop.run_until_complete(r.json())
+        assert out["choices"][0]["message"]["content"]
+        assert out["usage"]["completion_tokens"] == 4
+
+        # remote URLs are rejected (zero-egress deployment)
+        bad = dict(body)
+        bad["messages"] = [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "https://example.com/x.png"}}]}]
+        r2 = loop.run_until_complete(tc.post("/v1/chat/completions",
+                                             json=bad))
+        assert r2.status == 400
+    finally:
+        loop.run_until_complete(tc.close())
+        loop.close()
+        llm.shutdown()
