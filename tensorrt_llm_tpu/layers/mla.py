@@ -289,7 +289,8 @@ class MLA:
                     jnp.float32) * (Di ** -0.5) * (Hi ** -0.5)
                 sel = dsa_decode_select(q_idx, w, idx_cache,
                                         meta.block_tables, meta.kv_lens,
-                                        self.idx_topk)
+                                        self.idx_topk,
+                                        backend=self.backend)
 
         if sel is not None:
             from tensorrt_llm_tpu.ops.dsa import mla_sparse_decode_xla

@@ -73,20 +73,27 @@ def dsa_decode_select(
     block_tables: jax.Array,   # [B, max_blocks] int32
     kv_lens: jax.Array,        # [B] int32
     index_topk: int,
+    backend: str = "xla",
 ) -> jax.Array:
     """Top-k token selection. Returns [B, K] int32 indices into each
     sequence's padded table space (invalid slots may appear when
     kv_len < K — the attention mask drops them)."""
     nb, _, bs, di = idx_cache.shape
     B = q_idx.shape[0]
-    keys = idx_cache[block_tables][:, :, 0].reshape(B, -1, di)  # [B, S, Di]
-    S = keys.shape[1]
-    logits = jnp.einsum("bhd,bsd->bhs", q_idx.astype(jnp.float32),
-                        keys.astype(jnp.float32))
-    scores = jnp.einsum("bh,bhs->bs", weights.astype(jnp.float32),
-                        jax.nn.relu(logits))
-    valid = jnp.arange(S)[None, :] < kv_lens[:, None]
-    scores = jnp.where(valid, scores, NEG_INF)
+    if backend.startswith("pallas"):
+        scores = dsa_scores_pallas(
+            q_idx, weights, idx_cache, block_tables, kv_lens,
+            interpret=backend == "pallas_interpret")
+        S = scores.shape[1]
+    else:
+        keys = idx_cache[block_tables][:, :, 0].reshape(B, -1, di)
+        S = keys.shape[1]
+        logits = jnp.einsum("bhd,bsd->bhs", q_idx.astype(jnp.float32),
+                            keys.astype(jnp.float32))
+        scores = jnp.einsum("bh,bhs->bs", weights.astype(jnp.float32),
+                            jax.nn.relu(logits))
+        valid = jnp.arange(S)[None, :] < kv_lens[:, None]
+        scores = jnp.where(valid, scores, NEG_INF)
     k = min(index_topk, S)
     _, sel = jax.lax.top_k(scores, k)          # [B, K]
     return sel.astype(jnp.int32)
@@ -117,3 +124,128 @@ def mla_sparse_decode_xla(
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhk,bkl->bhl", probs, latf[..., :kv_lora_rank])
     return out.astype(q_eff.dtype)
+
+
+# ------------------------------------------------- Pallas scoring kernel ----
+#
+# Decode-time indexer scoring is THE long-context HBM read (the latent
+# attention that follows only touches index_topk tokens): stream indexer-key
+# pages through double-buffered DMA exactly like the paged decode kernel
+# (ops/paged_attention.py) instead of XLA's materialized [B, S, Di] gather.
+# Top-k itself stays in XLA (sorting [B, S] f32 scores re-reads 4 B/token,
+# 64x less than the 256 B/token key stream this kernel already paid).
+
+def _dsa_score_kernel(
+    # scalar prefetch
+    bt_ref,       # [B, MB] int32 page ids
+    kvlen_ref,    # [B] int32
+    # inputs
+    q_ref,        # [1, Hi, Di] VMEM
+    w_ref,        # [1, Hi] f32 VMEM
+    k_hbm,        # [NB, 1, BS, Di] ANY/HBM
+    # outputs
+    s_out,        # [1, TS] f32
+    # scratch
+    k_buf,        # [2, TS, Di]
+    k_sems,       # [2, PPT]
+    *,
+    tile_size: int,
+    page_size: int,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    TS, BS = tile_size, page_size
+    PPT = TS // BS
+    kv_len = kvlen_ref[b]
+    n_tiles = pl.cdiv(kv_len, TS)
+
+    def tile_dma(tile, slot, wait):
+        for p in range(PPT):
+            page = bt_ref[b, tile * PPT + p]
+            cp = pltpu.make_async_copy(
+                k_hbm.at[page, 0],                    # [BS, Di]
+                k_buf.at[slot, pl.ds(p * BS, BS), :],
+                k_sems.at[slot, p],
+            )
+            cp.wait() if wait else cp.start()
+
+    @pl.when(t == 0)
+    def _first():
+        tile_dma(0, 0, wait=False)
+
+    @pl.when((t + 1 < n_tiles) & (t + 1 < pl.num_programs(1)))
+    def _prefetch():
+        tile_dma(t + 1, (t + 1) % 2, wait=False)
+
+    @pl.when(t < n_tiles)
+    def _compute():
+        slot = t % 2
+        tile_dma(t, slot, wait=True)
+        q = q_ref[0].astype(jnp.bfloat16)                 # [Hi, Di]
+        k = k_buf[slot]                                   # [TS, Di]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Hi, TS]
+        gated = jnp.maximum(logits, 0.0) * w_ref[0][:, None]
+        scores = jnp.sum(gated, axis=0, keepdims=True)    # [1, TS]
+        kv_pos = t * TS + jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
+        s_out[:] = jnp.where(kv_pos < kv_len, scores, NEG_INF)
+
+    @pl.when(t >= n_tiles)
+    def _pad():
+        s_out[:] = jnp.full_like(s_out, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size", "interpret"))
+def dsa_scores_pallas(
+    q_idx: jax.Array,          # [B, Hi, Di]
+    weights: jax.Array,        # [B, Hi] f32
+    idx_cache: jax.Array,      # [NB, 1, BS, Di]
+    block_tables: jax.Array,   # [B, MB] int32
+    kv_lens: jax.Array,        # [B] int32
+    tile_size: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged-streaming indexer scores. Returns [B, MB*BS] f32 (invalid
+    positions at NEG_INF)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, _, bs, di = idx_cache.shape
+    B, mb = block_tables.shape
+    S = mb * bs
+    # largest page-multiple tile that divides the padded length
+    TS = min(tile_size, S)
+    while S % TS or TS % bs:
+        TS -= bs
+    n_t = S // TS
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec((1, q_idx.shape[1], di), lambda b, t, *_: (b, 0, 0)),
+            pl.BlockSpec((1, weights.shape[1]), lambda b, t, *_: (b, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TS), lambda b, t, *_: (b, t)),
+        scratch_shapes=[
+            pltpu.VMEM((2, TS, di), idx_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, TS // bs)),
+        ],
+    )
+    kernel = functools.partial(_dsa_score_kernel, tile_size=TS,
+                               page_size=bs)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_tables, kv_lens, q_idx.astype(jnp.bfloat16),
+      weights.astype(jnp.float32), idx_cache)

@@ -266,3 +266,81 @@ def test_dsa_e2e_matches_dense_and_restricts():
         assert a == b and len(a) == 6
     finally:
         llm2.shutdown()
+
+
+def test_dsa_scores_pallas_matches_xla():
+    """Interpret-mode paged scoring kernel vs the XLA gather path, and
+    identical selection at covering top-k."""
+    from tensorrt_llm_tpu.ops.dsa import (
+        dsa_decode_select, dsa_scores_pallas)
+
+    rng = np.random.RandomState(3)
+    B, Hi, Di, BS, NB, MB = 2, 4, 32, 8, 12, 4
+    idx_cache = jnp.asarray(
+        rng.randn(NB, 1, BS, Di).astype(np.float32) * 0.3)
+    tables = jnp.asarray(rng.permutation(NB)[:B * MB]
+                         .reshape(B, MB).astype(np.int32))
+    kv_lens = jnp.asarray(np.array([27, 10], np.int32))
+    q = jnp.asarray(rng.randn(B, Hi, Di).astype(np.float32) * 0.3)
+    w = jnp.asarray(rng.rand(B, Hi).astype(np.float32))
+
+    scores = np.asarray(dsa_scores_pallas(q, w, idx_cache, tables,
+                                          kv_lens, interpret=True))
+    # XLA reference scores
+    keys = np.asarray(idx_cache)[np.asarray(tables)][:, :, 0].reshape(
+        B, -1, Di)
+    logits = np.einsum("bhd,bsd->bhs", np.asarray(q), keys)
+    ref = np.einsum("bh,bhs->bs", np.asarray(w), np.maximum(logits, 0))
+    S = MB * BS
+    valid = np.arange(S)[None, :] < np.asarray(kv_lens)[:, None]
+    ref = np.where(valid, ref, np.finfo(np.float32).min)
+
+    # bf16 q/k in the kernel: compare where valid with a loose bound
+    ok = np.abs(scores[valid] - ref[valid]) <= \
+        0.05 * max(np.abs(ref[valid]).max(), 1.0)
+    assert ok.all(), np.abs(scores[valid] - ref[valid]).max()
+    assert (scores[~valid] == np.finfo(np.float32).min).all()
+
+    # covering top-k: kernel-backed and XLA-backed selection sets agree
+    sel_k = np.asarray(dsa_decode_select(q, w, idx_cache, tables, kv_lens,
+                                         index_topk=S,
+                                         backend="pallas_interpret"))
+    sel_x = np.asarray(dsa_decode_select(q, w, idx_cache, tables, kv_lens,
+                                         index_topk=S, backend="xla"))
+    for b, n in enumerate(np.asarray(kv_lens)):
+        assert (set(sel_k[b].tolist()) & set(range(n))) == set(range(n))
+        assert set(sel_k[b][:n].tolist()) == set(sel_x[b][:n].tolist())
+
+
+def test_dsa_e2e_pallas_interpret_matches_xla(monkeypatch):
+    """Engine decode through the Pallas DSA scoring + Pallas MLA kernels
+    (interpret) matches the XLA path exactly at covering top-k."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    def make():
+        return ModelConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=4, max_position=256,
+            architecture="DeepseekV3ForCausalLM", q_lora_rank=32,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16,
+            sparse_attention={"algo": "dsa", "index_n_heads": 4,
+                              "index_head_dim": 32, "index_topk": 64})
+
+    sp = tllm.SamplingParams(max_tokens=5, temperature=0.0, ignore_eos=True)
+    prompt = [3, 14, 15, 9, 2, 6]
+    outs = {}
+    for mode in ("xla", "interpret"):
+        if mode == "interpret":
+            monkeypatch.setenv("TLLM_PALLAS_INTERPRET", "1")
+        else:
+            monkeypatch.delenv("TLLM_PALLAS_INTERPRET", raising=False)
+        llm = tllm.LLM(model=make(), skip_tokenizer_init=True,
+                       max_seq_len=64, max_batch_size=2, kv_num_blocks=32,
+                       kv_block_size=8, seed=0)
+        try:
+            outs[mode] = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        finally:
+            llm.shutdown()
+    assert outs["xla"] == outs["interpret"], outs
