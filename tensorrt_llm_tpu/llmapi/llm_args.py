@@ -61,6 +61,9 @@ class LlmArgs:
     # RAM and onboard back on a prefix hit (reference KvCacheConfig
     # host_cache_size / secondary pool).  0 = off.
     kv_host_cache_blocks: int = 0
+    # only blocks with retention priority >= this offload to host
+    # (reference secondary_offload_min_priority)
+    kv_secondary_offload_min_priority: Optional[int] = None
 
     # scheduler
     scheduler_policy: str = "guaranteed_no_evict"
@@ -176,6 +179,8 @@ class LlmArgs:
             enable_block_reuse=self.enable_block_reuse,
             kv_quant=KvCacheQuantAlgo(self.kv_cache_quant),
             host_cache_blocks=self.kv_host_cache_blocks,
+            secondary_offload_min_priority=(
+                self.kv_secondary_offload_min_priority),
         )
 
     def make_scheduler_config(self) -> SchedulerConfig:

@@ -49,6 +49,10 @@ class KVCacheConfig:
     # kvCacheTransferManager.cpp): up to this many evicted reuse blocks are
     # offloaded to host RAM and onboarded back on a prefix hit.  0 = off.
     host_cache_blocks: int = 0
+    # Only blocks with retention priority >= this offload to the host tier
+    # (reference secondary_offload_min_priority, llm_args.py:1661) —
+    # low-priority content is not worth the host copy + RAM.
+    secondary_offload_min_priority: Optional[int] = None
     # sparse decode (RocketKV-style): allocate a per-page key-summary pool
     # [NB, Hkv, D] alongside K/V for full-attention layers
     sparse_kt: bool = False
@@ -495,6 +499,8 @@ class KVCacheManager:
         self._extract_fn = None
         self._inject_fn = None
         self._block_whash: Dict[int, int] = {}   # bid -> content chain hash
+        self._block_prio: Dict[int, int] = {}    # bid -> retention priority
+        self._seq_prio: Dict[int, int] = {}
         self._seq_whash: Dict[int, List[int]] = {}
         self._seq_salt: Dict[int, object] = {}
         self.num_offloaded = 0
@@ -692,9 +698,13 @@ class KVCacheManager:
         if not bids:
             return
         enabled = self.host_tier_enabled
+        min_p = self.cfg.secondary_offload_min_priority
         for bid in bids:
             wh = self._block_whash.pop(bid, None)
+            prio = self._block_prio.pop(bid, DEFAULT_RETENTION_PRIORITY)
             if not enabled or wh is None:
+                continue
+            if min_p is not None and prio < min_p:
                 continue
             if wh in self.host_cache:
                 self.host_cache.move_to_end(wh)
@@ -709,6 +719,7 @@ class KVCacheManager:
         (reference KvCacheRetentionConfig, executor.h:559): lower evicts
         first."""
         self._bk.set_seq_priority(seq_id, priority)
+        self._seq_prio[seq_id] = int(priority)
 
     # ------------------------------------------------------------------ ops -----
     def add_sequence(self, seq_id: int, token_ids: List[int],
@@ -756,6 +767,8 @@ class KVCacheManager:
                 self._inject_fn([bid], payload)
                 self.host_cache.move_to_end(wh)
                 self._block_whash[bid] = wh
+                self._block_prio[bid] = self._seq_prio.get(
+                    seq_id, DEFAULT_RETENTION_PRIORITY)
                 self.num_onboarded += 1
                 whs.append(wh)
                 parent = wh
@@ -791,6 +804,8 @@ class KVCacheManager:
                 parent = self._whash(parent, chunk, salt)
                 whs.append(parent)
                 self._block_whash[table[b]] = parent
+                self._block_prio[table[b]] = self._seq_prio.get(
+                    seq_id, DEFAULT_RETENTION_PRIORITY)
         # emit "stored" events with wrapper-level chain hashes (deterministic
         # int-tuple hashing => comparable across server processes)
         hashes = self._event_hashes.setdefault(seq_id, [])

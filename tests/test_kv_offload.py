@@ -185,3 +185,41 @@ def test_e2e_decode_parity_through_host_tier():
     assert st2["onboarded_blocks"] > 0, "host tier was not used on re-run"
     assert again == first, "decode through onboarded host KV must match"
     llm.shutdown()
+
+
+@pytest.mark.parametrize("backend", ["python", "native"])
+def test_secondary_offload_min_priority_gate(backend):
+    """Blocks below secondary_offload_min_priority never reach the host
+    tier; blocks at/above it do (reference llm_args.py:1661)."""
+    bs = 4
+    cfg = KVCacheConfig(block_size=bs, num_blocks=8,
+                        enable_block_reuse=True, host_cache_blocks=8,
+                        secondary_offload_min_priority=50)
+    kv = KVCacheManager(cfg, num_layers=1, num_kv_heads=1, head_dim=4,
+                        num_blocks=8, bookkeeping=backend)
+    pages = FakePagePool(8)
+    kv.attach_block_io(pages.extract, pages.inject)
+
+    def run_seq(seq_id, prompt, priority):
+        kv.add_sequence(seq_id, prompt)
+        kv.set_seq_priority(seq_id, priority)
+        kv.grow_sequence(seq_id, len(prompt))
+        kv.seal_full_blocks(seq_id, prompt)
+        kv.free_sequence(seq_id)
+
+    # low priority (evicts first AND is below the offload gate)
+    run_seq(1, list(range(100, 100 + 2 * bs + 1)), priority=10)
+    # churn: evict the low-priority cached blocks
+    filler = list(range(500, 500 + 7 * bs))
+    kv.add_sequence(2, filler)
+    kv.grow_sequence(2, len(filler))
+    assert kv.num_offloaded == 0, "low-priority blocks must not offload"
+    kv.free_sequence(2)
+
+    # high priority: offloads normally
+    run_seq(3, list(range(900, 900 + 2 * bs + 1)), priority=80)
+    filler2 = list(range(700, 700 + 7 * bs))
+    kv.add_sequence(4, filler2)
+    kv.grow_sequence(4, len(filler2))
+    assert kv.num_offloaded == 2
+    kv.free_sequence(4)
