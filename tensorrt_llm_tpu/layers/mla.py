@@ -283,20 +283,32 @@ class MLA:
                 jnp.concatenate([ki_pe[:, 0].astype(x.dtype), ki_no], -1))
             idx_cache = write_indexer_cache(idx_cache, k_idx,
                                             meta.slot_mapping)
+            # weights carry softmax_scale * Hi**-0.5 (dsa.py:908)
+            w = self.idx_weights(ip["weights_proj"], x).astype(
+                jnp.float32) * (Di ** -0.5) * (Hi ** -0.5)
             if meta.mode != "prefill":
-                # weights carry softmax_scale * Hi**-0.5 (dsa.py:908)
-                w = self.idx_weights(ip["weights_proj"], x).astype(
-                    jnp.float32) * (Di ** -0.5) * (Hi ** -0.5)
                 sel = dsa_decode_select(q_idx, w, idx_cache,
                                         meta.block_tables, meta.kv_lens,
                                         self.idx_topk,
                                         backend=self.backend)
+            else:
+                # chunked sparse prefill: per-query top-k visibility mask
+                # (reference prefill indexer path, dsa.py:1355-1423)
+                from tensorrt_llm_tpu.ops.dsa import dsa_prefill_mask
+                sparse_mask = dsa_prefill_mask(
+                    q_idx, w, idx_cache, meta.block_tables[0],
+                    meta.kv_lens[0], meta.q_offset, self.idx_topk)
 
         if sel is not None:
             from tensorrt_llm_tpu.ops.dsa import mla_sparse_decode_xla
             out_lat = mla_sparse_decode_xla(
                 q_eff, kv_cache, meta.block_tables, meta.kv_lens, sel,
                 self.scale, L)
+        elif meta.mode == "prefill" and self.sparse is not None:
+            out_lat = mla_prefill_xla(q_eff, kv_cache, meta.block_tables[0],
+                                      meta.kv_lens[0], meta.q_offset,
+                                      self.scale, L,
+                                      extra_mask=sparse_mask)
         elif meta.mode == "prefill" and self.backend.startswith("pallas"):
             from tensorrt_llm_tpu.ops.mla_pallas import mla_prefill_pallas
             out_lat = mla_prefill_pallas(

@@ -249,3 +249,38 @@ def dsa_scores_pallas(
         interpret=interpret,
     )(block_tables, kv_lens, q_idx.astype(jnp.bfloat16),
       weights.astype(jnp.float32), idx_cache)
+
+
+def dsa_prefill_mask(
+    q_idx: jax.Array,          # [T, Hi, Di] (roped + rotated)
+    weights: jax.Array,        # [T, Hi] f32 (pre-scaled)
+    idx_cache: jax.Array,      # [NB, 1, BS, Di]
+    block_table: jax.Array,    # [max_blocks] int32 (ONE sequence)
+    kv_len: jax.Array,         # scalar
+    q_offset: jax.Array,       # scalar position of q_idx[0]
+    index_topk: int,
+) -> jax.Array:
+    """Per-query top-k visibility mask for chunked prefill (reference
+    prefill indexer, dsa.py:1355-1423 fp8_mqa_logits + indexer_topk).
+    Returns bool [T, S].
+
+    Each query row keeps its ``index_topk`` highest-scoring causal keys
+    (ties at the threshold stay visible — a superset never smaller than
+    the reference's exact-k cut, and identical to dense attention whenever
+    the causal span fits in index_topk).
+    """
+    nb, _, bs, di = idx_cache.shape
+    T = q_idx.shape[0]
+    keys = idx_cache[block_table][:, 0].reshape(-1, di)    # [S, Di]
+    S = keys.shape[0]
+    logits = jnp.einsum("thd,sd->ths", q_idx.astype(jnp.float32),
+                        keys.astype(jnp.float32))
+    scores = jnp.einsum("th,ths->ts", weights.astype(jnp.float32),
+                        jax.nn.relu(logits))
+    kv_pos = jnp.arange(S)[None, :]
+    q_pos = q_offset + jnp.arange(T)[:, None]
+    causal = (kv_pos <= q_pos) & (kv_pos < kv_len)
+    scores = jnp.where(causal, scores, NEG_INF)
+    k = min(index_topk, S)
+    kth = jax.lax.top_k(scores, k)[0][:, -1:]              # [T, 1]
+    return causal & (scores >= kth)

@@ -47,6 +47,7 @@ def mla_prefill_xla(
     q_offset: jax.Array,     # scalar: position of q_eff[0]
     scale: float,
     kv_lora_rank: int,
+    extra_mask: "jax.Array" = None,   # [T, S] bool — DSA top-k restriction
 ) -> jax.Array:
     """Chunked-prefill MLA for one sequence. Returns [T, H, L] latent out."""
     T = q_eff.shape[0]
@@ -58,6 +59,8 @@ def mla_prefill_xla(
     kv_pos = jnp.arange(S)[None, :]
     q_pos = q_offset + jnp.arange(T)[:, None]
     mask = (kv_pos <= q_pos) & (kv_pos < kv_len)
+    if extra_mask is not None:
+        mask = mask & extra_mask
     scores = jnp.where(mask[None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hts,sl->thl", probs, kvf[:, :kv_lora_rank])

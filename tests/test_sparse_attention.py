@@ -344,3 +344,60 @@ def test_dsa_e2e_pallas_interpret_matches_xla(monkeypatch):
         finally:
             llm.shutdown()
     assert outs["xla"] == outs["interpret"], outs
+
+
+def test_dsa_prefill_mask_topk_and_covering():
+    """Per-query prefill mask: causal, exactly min(span, k) visible keys
+    (no ties with random scores), and full-causal when k covers."""
+    from tensorrt_llm_tpu.ops.dsa import dsa_prefill_mask
+
+    rng = np.random.RandomState(5)
+    T, Hi, Di, BS, NB, MB = 6, 2, 16, 4, 8, 3
+    idx_cache = jnp.asarray(rng.randn(NB, 1, BS, Di).astype(np.float32))
+    table = jnp.asarray(np.array([2, 5, 1], np.int32))
+    kv_len = jnp.asarray(10, jnp.int32)    # 4 cached + 6 current
+    q_off = jnp.asarray(4, jnp.int32)
+    q = jnp.asarray(rng.randn(T, Hi, Di).astype(np.float32))
+    w = jnp.asarray(rng.rand(T, Hi).astype(np.float32))
+
+    m = np.asarray(dsa_prefill_mask(q, w, idx_cache, table, kv_len, q_off,
+                                    index_topk=3))
+    S = MB * BS
+    assert m.shape == (T, S)
+    for t in range(T):
+        span = min(4 + t + 1, 10)
+        assert m[t].sum() == min(span, 3)
+        assert not m[t, 4 + t + 1:].any()      # causal
+    cover = np.asarray(dsa_prefill_mask(q, w, idx_cache, table, kv_len,
+                                        q_off, index_topk=S))
+    for t in range(T):
+        span = min(4 + t + 1, 10)
+        assert cover[t, :span].all() and cover[t].sum() == span
+
+
+def test_dsa_tight_prefill_decode_deterministic():
+    """index_topk smaller than the prompt: restricted prefill + decode
+    still greedy-deterministic end to end."""
+    import tensorrt_llm_tpu as tllm
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=4, max_position=256,
+        architecture="DeepseekV3ForCausalLM", q_lora_rank=32,
+        kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+        v_head_dim=16,
+        sparse_attention={"algo": "dsa", "index_n_heads": 4,
+                          "index_head_dim": 32, "index_topk": 8})
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+                   max_batch_size=2, kv_num_blocks=32, kv_block_size=8,
+                   seed=0)
+    try:
+        sp = tllm.SamplingParams(max_tokens=5, temperature=0.0,
+                                 ignore_eos=True)
+        prompt = list(np.random.RandomState(1).randint(2, 100, size=25))
+        a = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        b = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        assert a == b and len(a) == 5
+    finally:
+        llm.shutdown()
