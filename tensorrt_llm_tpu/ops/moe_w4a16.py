@@ -85,6 +85,7 @@ def _gmm_kernel(
     pack_group: int,
     per_channel: bool,
     has_zeros: bool,
+    mixed: bool = False,
 ):
     it = iter(rest)
     z_ref = next(it) if has_zeros else None
@@ -112,10 +113,13 @@ def _gmm_kernel(
     Gp, Gh = pack_group, pack_group // 2
     xm = jnp.where(rmask, x_ref[:], 0)
     acc = acc_ref[:]
-    scale_on_weights = 2 * x_ref.shape[0] >= Gp
+    # mixed feeds the s4 view straight to the MXU (no bf16 weight tile
+    # exists to scale), so it implies accumulator-side scaling.
+    scale_on_weights = (not mixed) and 2 * x_ref.shape[0] >= Gp
     for c in range(n_chunks):
         pblk = p_ref[0, 0, c * Gh:(c + 1) * Gh, :]
-        w_c = pltpu.bitcast(pblk, jnp.int4).astype(jnp.bfloat16)  # [Gp, BN]
+        w4 = pltpu.bitcast(pblk, jnp.int4)
+        w_c = w4 if mixed else w4.astype(jnp.bfloat16)            # [Gp, BN]
         row = 0 if per_channel else k_idx * n_chunks + c
         s_g = s_ref[0, 0, pl.ds(row, 1), :]                       # [1, BN]
         x_c = xm[:, c * Gp:(c + 1) * Gp]
@@ -123,8 +127,8 @@ def _gmm_kernel(
             acc = acc + jnp.dot(x_c, w_c * s_g.astype(jnp.bfloat16),
                                 preferred_element_type=jnp.float32)
         else:
-            acc = acc + jnp.dot(
-                x_c, w_c, preferred_element_type=jnp.float32) * s_g
+            acc = jnp.dot(
+                x_c, w_c, preferred_element_type=jnp.float32) * s_g + acc
     if has_zeros:
         # rank-1 per group folded into one small f32 dot:
         #   acc -= sum_g rowsum(x_g) * (s_g * z_g)  ==  XS @ SZ
@@ -157,7 +161,7 @@ def _gmm_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_m", "block_k", "interpret"))
+    static_argnames=("block_m", "block_k", "mixed", "interpret"))
 def _w4a16_gmm_pallas(
     xs: jax.Array,          # [Mp, K] bf16 (rows sorted by group, padded)
     packed: jax.Array,      # [E, n_n, K//2, BN] int8
@@ -167,6 +171,7 @@ def _w4a16_gmm_pallas(
     block_m: int,
     block_k: int,
     interpret: bool,
+    mixed: bool = False,
 ):
     Mp, K = xs.shape
     E, n_n, half, BN = packed.shape
@@ -207,6 +212,7 @@ def _w4a16_gmm_pallas(
         pack_group=Gp,
         per_channel=G >= K,
         has_zeros=zeros is not None,
+        mixed=mixed,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -258,6 +264,7 @@ def w4a16_grouped_matmul(
     zeros: Optional[jax.Array] = None,
     block_m: Optional[int] = None,
     block_k: Optional[int] = None,
+    mixed: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Grouped ``out[i] = xs[i] @ deq(W[g(i)])`` with rows grouped by expert.
@@ -284,6 +291,7 @@ def w4a16_grouped_matmul(
         from tensorrt_llm_tpu.autotuner import AutoTuner
         tactic = AutoTuner.get().lookup("w4a16_gmm", (K, N, E)) or {}
         block_m, block_k = tactic.get("block_m"), tactic.get("block_k")
+        mixed = tactic.get("mixed", mixed)
     # VMEM budget (16MB scoped): 2x packed [BK/2,BN] + 2x x [TM,BK]bf16
     # + out/acc [TM,BN]f32 must fit.
     max_bk = K
@@ -298,8 +306,28 @@ def w4a16_grouped_matmul(
     if Mp != M:
         xs = jnp.pad(xs, ((0, Mp - M), (0, 0)))
     out = _w4a16_gmm_pallas(xs, packed, scales, zeros, group_sizes,
-                            tm, bk, bool(interpret))
+                            tm, bk, bool(interpret), mixed)
     return out[:M]
+
+
+def w4a16_gmm_tactic_candidates(K: int, N: int, E: int,
+                                group: int = 128) -> list:
+    """Autotuner candidates for a grouped expert-weight shape (mirrors
+    w4a16_tactic_candidates for the dense kernel)."""
+    from tensorrt_llm_tpu.ops.w4a16_gemm import _pick_block_k
+    unit = max(group, 128)
+    bk_max = _pick_block_k(K, unit)
+    bks = sorted({bk_max, max(bk_max // 2, unit)}, reverse=True)
+    cands = []
+    for bk in bks:
+        if K % bk:
+            continue
+        for tm in (32, 64, 128):
+            cands.append({"block_m": tm, "block_k": bk})
+    # native-s4 MXU feed (accumulator-scaled) — dropped by the tuner if
+    # Mosaic rejects the mixed dot on this device
+    cands += [dict(c, mixed=True) for c in list(cands)]
+    return cands
 
 
 def quantize_experts_w4(

@@ -1531,6 +1531,39 @@ class ModelEngine:
             with autotune():
                 tuner.maybe_tune("w4a16", key, cands, run)
 
+        # grouped expert weights (MoE W4A16 kernel): [E, n_n, K//2, BN]
+        from tensorrt_llm_tpu.ops.moe_w4a16 import (
+            w4a16_grouped_matmul, w4a16_gmm_tactic_candidates)
+        for path, leaf in by_path.items():
+            if leaf.dtype != jnp.int8 or leaf.ndim != 4:
+                continue
+            scales = by_path.get(path[:-2] + "_s']")
+            if scales is None or scales.ndim != 3:
+                continue
+            zeros = by_path.get(path[:-2] + "_z']")
+            E = leaf.shape[0]
+            K = leaf.shape[2] * 2
+            N = leaf.shape[1] * leaf.shape[3]
+            key = (K, N, E)
+            if key in seen or tuner.lookup("w4a16_gmm", key):
+                continue
+            seen[key] = True
+            cands = w4a16_gmm_tactic_candidates(
+                K, N, E, group=K // scales.shape[1])
+            M = max(8 * m_bucket, 32)
+            gs = jnp.full((E,), M // E, jnp.int32).at[0].add(M % E)
+            x = jnp.zeros((M, K), jnp.bfloat16)
+
+            def run_gmm(tactic, _x=x, _p=leaf, _s=scales, _z=zeros, _gs=gs):
+                def body(i, xx):
+                    o = w4a16_grouped_matmul(xx, _p, _s, _gs, zeros=_z,
+                                             **tactic)
+                    return xx + (jnp.max(jnp.abs(o)) * 1e-30).astype(xx.dtype)
+                return jax.lax.fori_loop(0, tuner.chain_len, body, _x)
+
+            with autotune():
+                tuner.maybe_tune("w4a16_gmm", key, cands, run_gmm)
+
     # ------------------------------------------------------------------ warmup ----
     def warmup(self, decode: bool = True, prefill: bool = True,
                multi_steps: int = 0):

@@ -40,6 +40,39 @@ def test_grouped_kernel_interpret_matches_xla():
         assert rel < 2e-2, (group, sym, rel)
 
 
+def test_grouped_kernel_mixed_s4_feed():
+    """mixed=True hands the s4 expert tile straight to the MXU dot (and
+    forces accumulator-side scaling); must match the bf16-upcast path."""
+    rng = np.random.default_rng(7)
+    E, K, N, M = 4, 256, 256, 96
+    w = jnp.asarray(rng.normal(size=(E, K, N)).astype(np.float32) * 0.1)
+    xs = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    gs = jnp.asarray([24, 8, 40, 24], jnp.int32)
+    for group, sym in ((128, True), (64, False)):
+        packed, scales, zeros, _ = quantize_experts_w4(w, group, sym)
+        base = w4a16_grouped_matmul(xs, packed, scales, gs, zeros,
+                                    block_m=32, block_k=128, interpret=True)
+        mix = w4a16_grouped_matmul(xs, packed, scales, gs, zeros,
+                                   block_m=32, block_k=128, mixed=True,
+                                   interpret=True)
+        if group == 128:
+            # Gp=128 > 2*TM: base also scales the accumulator, so the only
+            # difference is the s4-vs-bf16 MXU feed — int4 is exact in bf16
+            np.testing.assert_allclose(np.asarray(mix), np.asarray(base),
+                                       rtol=0, atol=1e-4)
+        else:
+            # Gp=64 == 2*TM: base scales the WEIGHT tile in bf16 (lossier);
+            # mixed keeps the f32 accumulator scale — bound the drift by
+            # bf16 rounding of the scaled weights
+            rel = (np.abs(np.asarray(mix) - np.asarray(base)).max()
+                   / np.abs(np.asarray(base)).max())
+            assert rel < 2e-2, rel
+        ref = w4a16_grouped_matmul_xla(xs, packed, scales, gs, zeros)
+        rel = (np.abs(np.asarray(mix) - np.asarray(ref)).max()
+               / np.abs(np.asarray(ref)).max())
+        assert rel < 2e-2, (group, sym, rel)
+
+
 def test_grouped_kernel_quant_tolerance_vs_float():
     """Reference tolerance discipline (weightOnlyKernelTest.cpp:70-107):
     max_diff <= max|ref| * quant_scale * 1.5 * 3 (bf16), quant_scale=1/8."""
