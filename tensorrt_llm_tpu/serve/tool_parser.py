@@ -172,6 +172,138 @@ class DeepSeekV3ToolParser(ToolParser):
         return [ToolCall(name=name, arguments=args)]
 
 
+class DeepSeekV31Parser(ToolParser):
+    """DeepSeek-V3.1 format (reference deepseekv31_parser.py): plain
+    ``<｜tool▁call▁begin｜>NAME<｜tool▁sep｜>{json args}<｜tool▁call▁end｜>``
+    — no ``function`` prefix and no \\`\\`\\`json fences, unlike V3."""
+
+    bot_token = "<｜tool▁call▁begin｜>"
+    eot_token = "<｜tool▁call▁end｜>"
+    strip_tokens = ("<｜tool▁calls▁begin｜>", "<｜tool▁calls▁end｜>",
+                    "<｜end▁of▁sentence｜>")
+
+    def parse_block(self, block: str) -> List[ToolCall]:
+        name, sep, args = block.partition("<｜tool▁sep｜>")
+        if not sep:
+            return []
+        name, args = name.strip(), args.strip()
+        try:
+            json.loads(args)
+        except json.JSONDecodeError:
+            return []
+        return [ToolCall(name=name, arguments=args)]
+
+
+class DeepSeekV32Parser(ToolParser):
+    """DeepSeek-V3.2 DSML format (reference deepseekv32_parser.py):
+
+    ``<｜DSML｜invoke name="FN"> <｜DSML｜parameter name="p" string="true">v
+    </｜DSML｜parameter>… </｜DSML｜invoke>`` inside a
+    ``<｜DSML｜function_calls>`` section; the invoke body may instead be a
+    direct JSON object."""
+
+    bot_token = "<｜DSML｜invoke"
+    eot_token = "</｜DSML｜invoke>"
+    strip_tokens = ("<｜DSML｜function_calls>", "</｜DSML｜function_calls>",
+                    "<｜end▁of▁sentence｜>")
+
+    _name = re.compile(r'^\s*name="([^"]+)"\s*>', re.DOTALL)
+    _param = re.compile(
+        r'<｜DSML｜parameter\s+name="([^"]+)"(?:\s+string="([^"]+)")?\s*>'
+        r"(.*?)</｜DSML｜parameter>", re.DOTALL)
+
+    def parse_block(self, block: str) -> List[ToolCall]:
+        m = self._name.match(block)
+        if not m:
+            return []
+        name = m.group(1)
+        body = block[m.end():].strip()
+        params = self._param.findall(body)
+        if params:
+            args: Dict = {}
+            for pname, is_str, val in params:
+                val = val.strip()
+                if is_str == "true":
+                    args[pname] = val
+                else:
+                    try:
+                        args[pname] = json.loads(val)
+                    except json.JSONDecodeError:
+                        args[pname] = val
+            return [ToolCall(name=name,
+                             arguments=json.dumps(args, ensure_ascii=False))]
+        # direct-JSON body variant
+        try:
+            obj = json.loads(body) if body else {}
+        except json.JSONDecodeError:
+            return []
+        if not isinstance(obj, dict):
+            return []
+        return [ToolCall(name=name,
+                         arguments=json.dumps(obj, ensure_ascii=False))]
+
+
+class KimiK2ToolParser(ToolParser):
+    """Kimi K2 format (reference kimi_k2_tool_parser.py):
+    ``<|tool_call_begin|>functions.NAME:IDX<|tool_call_argument_begin|>
+    {json}<|tool_call_end|>`` inside a ``<|tool_calls_section_begin|>``
+    section."""
+
+    bot_token = "<|tool_call_begin|>"
+    eot_token = "<|tool_call_end|>"
+    strip_tokens = ("<|tool_calls_section_begin|>",
+                    "<|tool_calls_section_end|>")
+
+    _id = re.compile(r"^\s*(?:functions\.)?(?P<name>[\w\.]+):\d+\s*$")
+
+    def parse_block(self, block: str) -> List[ToolCall]:
+        ident, sep, args = block.partition("<|tool_call_argument_begin|>")
+        if not sep:
+            return []
+        m = self._id.match(ident)
+        if not m:
+            return []
+        args = args.strip()
+        try:
+            json.loads(args)
+        except json.JSONDecodeError:
+            return []
+        return [ToolCall(name=m.group("name"), arguments=args)]
+
+
+class Qwen3CoderParser(ToolParser):
+    """Qwen3-Coder XML-ish format (reference qwen3_coder_parser.py):
+
+    ``<tool_call><function=NAME><parameter=KEY>value</parameter>…
+    </function></tool_call>`` — parameter values are JSON-coerced when they
+    parse (numbers/bools/objects), else kept as trimmed strings."""
+
+    bot_token = "<tool_call>"
+    eot_token = "</tool_call>"
+
+    _fn = re.compile(r"<function=(.*?)>(.*?)(?:</function>|$)", re.DOTALL)
+    _param = re.compile(r"<parameter=(.*?)>(.*?)(?:</parameter>|$)",
+                        re.DOTALL)
+
+    @staticmethod
+    def _coerce(val: str):
+        v = val.strip("\n")
+        try:
+            return json.loads(v)
+        except (json.JSONDecodeError, ValueError):
+            return v
+
+    def parse_block(self, block: str) -> List[ToolCall]:
+        calls = []
+        for name, body in self._fn.findall(block):
+            args = {k.strip(): self._coerce(v)
+                    for k, v in self._param.findall(body)}
+            calls.append(ToolCall(name=name.strip(),
+                                  arguments=json.dumps(args,
+                                                       ensure_ascii=False)))
+        return calls
+
+
 class HarmonyParser(ToolParser):
     """GPT-OSS harmony channel format (reference serve/harmony_adapter.py):
 
@@ -299,8 +431,12 @@ _PARSERS = {
     "qwen3": Qwen3ToolParser,
     "qwen": Qwen3ToolParser,
     "hermes": Qwen3ToolParser,       # same <tool_call> block format
+    "qwen3_coder": Qwen3CoderParser,
     "deepseek_v3": DeepSeekV3ToolParser,
     "deepseek": DeepSeekV3ToolParser,
+    "deepseek_v31": DeepSeekV31Parser,
+    "deepseek_v32": DeepSeekV32Parser,
+    "kimi_k2": KimiK2ToolParser,
     "harmony": HarmonyParser,
     "gpt_oss": HarmonyParser,
 }

@@ -6,7 +6,9 @@ import json
 import pytest
 
 from tensorrt_llm_tpu.serve.tool_parser import (
-    DeepSeekV3ToolParser, HarmonyParser, Qwen3ToolParser, get_tool_parser)
+    DeepSeekV31Parser, DeepSeekV32Parser, DeepSeekV3ToolParser,
+    HarmonyParser, KimiK2ToolParser, Qwen3CoderParser, Qwen3ToolParser,
+    get_tool_parser)
 
 
 # ---------------------------------------------------------------- qwen3 ----
@@ -135,9 +137,128 @@ def test_harmony_streaming_chunked():
 def test_factory():
     assert isinstance(get_tool_parser("qwen3"), Qwen3ToolParser)
     assert isinstance(get_tool_parser("gpt_oss"), HarmonyParser)
+    assert isinstance(get_tool_parser("deepseek_v31"), DeepSeekV31Parser)
+    assert isinstance(get_tool_parser("deepseek_v32"), DeepSeekV32Parser)
+    assert isinstance(get_tool_parser("kimi_k2"), KimiK2ToolParser)
+    assert isinstance(get_tool_parser("qwen3_coder"), Qwen3CoderParser)
     assert get_tool_parser(None) is None
     with pytest.raises(ValueError):
         get_tool_parser("nope")
+
+
+# --------------------------------------------------- deepseek v3.1/v3.2 ----
+DSV31 = ("Checking.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>get_weather"
+         '<｜tool▁sep｜>{"location": "Tokyo"}<｜tool▁call▁end｜>'
+         "<｜tool▁call▁begin｜>get_time"
+         '<｜tool▁sep｜>{"tz": "JST"}<｜tool▁call▁end｜>'
+         "<｜tool▁calls▁end｜><｜end▁of▁sentence｜>")
+
+DSV32_XML = ("On it.<｜DSML｜function_calls>"
+             '<｜DSML｜invoke name="get_spot">'
+             '<｜DSML｜parameter name="city" string="true">San Francisco'
+             "</｜DSML｜parameter>"
+             '<｜DSML｜parameter name="limit" string="false">3'
+             "</｜DSML｜parameter>"
+             "</｜DSML｜invoke></｜DSML｜function_calls>")
+
+DSV32_JSON = ("<｜DSML｜function_calls>"
+              '<｜DSML｜invoke name="get_spot">'
+              '{"city": "Oslo"}'
+              "</｜DSML｜invoke></｜DSML｜function_calls>")
+
+
+def test_deepseek_v31_parse():
+    text, calls = DeepSeekV31Parser().parse(DSV31)
+    assert text.strip() == "Checking."
+    assert [c.name for c in calls] == ["get_weather", "get_time"]
+    assert json.loads(calls[0].arguments) == {"location": "Tokyo"}
+    assert json.loads(calls[1].arguments) == {"tz": "JST"}
+
+
+def test_deepseek_v32_xml_params():
+    text, calls = DeepSeekV32Parser().parse(DSV32_XML)
+    assert text.strip() == "On it."
+    assert len(calls) == 1 and calls[0].name == "get_spot"
+    assert json.loads(calls[0].arguments) == {"city": "San Francisco",
+                                              "limit": 3}
+
+
+def test_deepseek_v32_json_body():
+    text, calls = DeepSeekV32Parser().parse(DSV32_JSON)
+    assert text == ""
+    assert len(calls) == 1 and calls[0].name == "get_spot"
+    assert json.loads(calls[0].arguments) == {"city": "Oslo"}
+
+
+def test_deepseek_v32_streaming():
+    p = DeepSeekV32Parser()
+    text, calls = "", []
+    for i in range(0, len(DSV32_XML), 7):
+        ev = p.feed(DSV32_XML[i:i + 7])
+        text += ev.text
+        calls += ev.calls
+    tail = p.flush()
+    text, calls = text + tail.text, calls + tail.calls
+    assert text.strip() == "On it."
+    assert len(calls) == 1 and "DSML" not in text
+
+
+# ------------------------------------------------------------- kimi k2 ----
+KIMI = ("Sure.<|tool_calls_section_begin|>"
+        "<|tool_call_begin|>functions.search:0<|tool_call_argument_begin|>"
+        '{"q": "tpu"}<|tool_call_end|>'
+        "<|tool_call_begin|>functions.fetch:1<|tool_call_argument_begin|>"
+        '{"url": "x"}<|tool_call_end|>'
+        "<|tool_calls_section_end|>")
+
+
+def test_kimi_k2_parse():
+    text, calls = KimiK2ToolParser().parse(KIMI)
+    assert text.strip() == "Sure."
+    assert [c.name for c in calls] == ["search", "fetch"]
+    assert json.loads(calls[0].arguments) == {"q": "tpu"}
+
+
+def test_kimi_k2_streaming():
+    p = KimiK2ToolParser()
+    text, calls = "", []
+    for i in range(0, len(KIMI), 6):
+        ev = p.feed(KIMI[i:i + 6])
+        text += ev.text
+        calls += ev.calls
+    tail = p.flush()
+    text, calls = text + tail.text, calls + tail.calls
+    assert text.strip() == "Sure."
+    assert len(calls) == 2 and "tool_call" not in text
+
+
+# --------------------------------------------------------- qwen3 coder ----
+QCODER = ("Running it now.\n<tool_call>\n<function=execute_bash>\n"
+          "<parameter=command>\npwd && ls\n</parameter>\n"
+          "<parameter=timeout>\n30\n</parameter>\n"
+          "</function>\n</tool_call>")
+
+
+def test_qwen3_coder_parse():
+    text, calls = Qwen3CoderParser().parse(QCODER)
+    assert text.strip() == "Running it now."
+    assert len(calls) == 1 and calls[0].name == "execute_bash"
+    args = json.loads(calls[0].arguments)
+    assert args["command"] == "pwd && ls"   # non-JSON value stays a string
+    assert args["timeout"] == 30            # JSON-coercible value is typed
+
+
+def test_qwen3_coder_streaming():
+    p = Qwen3CoderParser()
+    text, calls = "", []
+    for i in range(0, len(QCODER), 9):
+        ev = p.feed(QCODER[i:i + 9])
+        text += ev.text
+        calls += ev.calls
+    tail = p.flush()
+    text, calls = text + tail.text, calls + tail.calls
+    assert text.strip() == "Running it now."
+    assert len(calls) == 1 and calls[0].name == "execute_bash"
 
 
 # ------------------------------------------------------- server level ------
