@@ -57,6 +57,10 @@ class LlmArgs:
     kv_num_blocks: Optional[int] = None
     free_mem_fraction: float = 0.85
     enable_block_reuse: bool = True
+    # partial tail-block reuse + copy-on-partial-reuse (reference
+    # KvCacheConfig enable_partial_reuse / copy_on_partial_reuse)
+    enable_partial_reuse: bool = True
+    copy_on_partial_reuse: bool = True
     # secondary host-memory KV tier: evicted reuse blocks offload to host
     # RAM and onboard back on a prefix hit (reference KvCacheConfig
     # host_cache_size / secondary pool).  0 = off.
@@ -177,6 +181,8 @@ class LlmArgs:
             num_blocks=self.kv_num_blocks,
             free_mem_fraction=self.free_mem_fraction,
             enable_block_reuse=self.enable_block_reuse,
+            enable_partial_reuse=self.enable_partial_reuse,
+            copy_on_partial_reuse=self.copy_on_partial_reuse,
             kv_quant=KvCacheQuantAlgo(self.kv_cache_quant),
             host_cache_blocks=self.kv_host_cache_blocks,
             secondary_offload_min_priority=(

@@ -82,6 +82,9 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.tllm_kvbm_num_free.argtypes = [p]
     lib.tllm_kvbm_match.restype = i64
     lib.tllm_kvbm_match.argtypes = [p, pi32, i64, u64, i32]
+    lib.tllm_kvbm_match_partial.restype = i64
+    lib.tllm_kvbm_match_partial.argtypes = [p, pi32, i64, u64, i32]
+    lib.tllm_kvbm_partial_match.argtypes = [p, i64, pi32, i64, i32, pi64]
     lib.tllm_kvbm_stats.argtypes = [p, pi64]
     lib.tllm_kvbm_set_priority.argtypes = [p, i64, i32]
     lib.tllm_kvbm_drain_evictions.restype = i64

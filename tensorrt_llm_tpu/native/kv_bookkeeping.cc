@@ -87,8 +87,21 @@ struct Manager {
   // wrapper offloads their contents to the host tier).
   std::vector<int32_t> pending_evictions;
 
+  // Partial-reuse side index (reference partial reuse /
+  // copy_on_partial_reuse, BlockManager::loadOrAllocateBlocks): sealed
+  // block token contents + children of each (parent_hash, salt) chain node
+  // so the block following a full match can be probed for a shared prefix.
+  std::unordered_map<int32_t, std::vector<int32_t>> block_tokens;
+  std::unordered_map<uint64_t, std::list<int32_t>> children;
+  struct ChildPos {
+    uint64_t key;
+    std::list<int32_t>::iterator it;
+  };
+  std::unordered_map<int32_t, ChildPos> child_pos;
+
   // stats (reference KvCacheStats, kvCacheManager.h:213-236)
   int64_t num_reused = 0;
+  int64_t num_partial = 0;
   int64_t num_allocated = 0;
   int64_t num_evicted = 0;
 
@@ -102,6 +115,54 @@ struct Manager {
 
   int64_t num_free() const {
     return (int64_t)free_blocks.size() + n_evictable;
+  }
+
+  static uint64_t child_key(uint64_t parent, uint64_t salt, int has_salt) {
+    uint64_t h = fnv_mix(kFnvOffset, parent);
+    h = fnv_mix(h, has_salt ? salt : 0x9e3779b97f4a7c15ull);
+    return fnv_mix(h, (uint64_t)has_salt);
+  }
+
+  void forget_block(int32_t bid) {
+    block_tokens.erase(bid);
+    auto it = child_pos.find(bid);
+    if (it != child_pos.end()) {
+      auto cit = children.find(it->second.key);
+      if (cit != children.end()) {
+        cit->second.erase(it->second.it);
+        if (cit->second.empty()) children.erase(cit);
+      }
+      child_pos.erase(it);
+    }
+  }
+
+  // Longest shared token prefix of any cached child of `parent` with
+  // toks[matched:]; at least one prompt token stays uncached. Returns the
+  // match length and sets *out_bid.
+  int64_t best_partial(uint64_t parent, uint64_t salt, int has_salt,
+                       const int32_t* toks, int64_t n, int64_t matched,
+                       int32_t* out_bid) const {
+    *out_bid = -1;
+    int64_t limit = n - 1 - matched;
+    if (limit > block_size) limit = block_size;
+    if (limit < 1) return 0;
+    auto cit = children.find(child_key(parent, salt, has_salt));
+    if (cit == children.end()) return 0;
+    int64_t best_k = 0;
+    for (int32_t bid : cit->second) {
+      auto tit = block_tokens.find(bid);
+      if (tit == block_tokens.end()) continue;
+      const auto& bt = tit->second;
+      int64_t k = 0;
+      while (k < limit && k < (int64_t)bt.size() &&
+             bt[k] == toks[matched + k])
+        ++k;
+      if (k > best_k) {
+        best_k = k;
+        *out_bid = bid;
+      }
+    }
+    return best_k;
   }
 
   int32_t take_block() {
@@ -120,6 +181,7 @@ struct Manager {
         cached.erase(block_hash[bid]);
         has_hash[bid] = 0;
       }
+      forget_block(bid);
       ++num_evicted;
       pending_evictions.push_back(bid);
     } else {
@@ -238,6 +300,12 @@ void tllm_kvbm_seal(void* h, int64_t seq, const int32_t* toks, int64_t n) {
       m.block_hash[bid] = hh;
       m.has_hash[bid] = 1;
       m.block_priority[bid] = info.priority;
+      m.block_tokens[bid].assign(toks + b * m.block_size,
+                                 toks + (b + 1) * m.block_size);
+      uint64_t ck = Manager::child_key(parent, info.salt, info.has_salt);
+      auto& lst = m.children[ck];
+      lst.push_back(bid);
+      m.child_pos[bid] = {ck, std::prev(lst.end())};
     }
     info.block_hashes.push_back(hh);
     parent = hh;
@@ -367,8 +435,82 @@ int64_t tllm_kvbm_match(void* h, const int32_t* toks, int64_t n,
   return matched;
 }
 
-// out[7] = {free, evictable, reused, allocated, evicted, active_seqs,
-//           num_blocks}
+// Partial tail-block reuse (reference enable_partial_reuse /
+// copy_on_partial_reuse): after full-block matching (the sequence's token
+// count is block-aligned), probe the chain tail's cached children for the
+// longest shared token prefix with toks[num_tokens:].  copy_on_partial != 0
+// allocates a fresh block the caller must device-copy the source page into;
+// otherwise the source block itself is adopted in place (only when
+// unreferenced) and leaves the reuse index.  out[3] = {extra_tokens, src,
+// dst}; extra_tokens == 0 means no match (out[1..2] = -1).
+void tllm_kvbm_partial_match(void* h, int64_t seq, const int32_t* toks,
+                             int64_t n, int32_t copy_on_partial,
+                             int64_t* out) {
+  Manager& m = *static_cast<Manager*>(h);
+  out[0] = 0;
+  out[1] = out[2] = -1;
+  if (!m.enable_reuse) return;
+  auto sit = m.sequences.find(seq);
+  if (sit == m.sequences.end()) return;
+  SeqInfo& info = sit->second;
+  if (info.num_tokens % m.block_size ||
+      info.num_tokens != (int64_t)info.block_ids.size() * m.block_size)
+    return;
+  uint64_t parent = info.block_hashes.empty() ? 0 : info.block_hashes.back();
+  int32_t src = -1;
+  int64_t k = m.best_partial(parent, info.salt, info.has_salt, toks, n,
+                             info.num_tokens, &src);
+  if (k < 1) return;
+  int32_t dst;
+  if (!copy_on_partial) {
+    // in-place adoption: the page will be partially overwritten, so it
+    // must be unshared and leave the reuse index
+    if (m.ref_count[src] != 0) return;
+    m.ref_block(src);
+    if (m.has_hash[src]) {
+      m.cached.erase(m.block_hash[src]);
+      m.has_hash[src] = 0;
+    }
+    m.forget_block(src);
+    ++m.num_allocated;
+    dst = src;
+  } else {
+    m.ref_block(src);  // pin: take_block may otherwise evict it
+    dst = m.take_block();
+    m.unref_block(src);
+    if (dst < 0) return;
+  }
+  info.block_ids.push_back(dst);
+  info.num_tokens += k;
+  ++m.num_partial;
+  out[0] = k;
+  out[1] = src;
+  out[2] = dst;
+}
+
+// Dry-run variant of tllm_kvbm_match that extends the full-block match with
+// the best partial tail-block overlap (no side effects).
+int64_t tllm_kvbm_match_partial(void* h, const int32_t* toks, int64_t n,
+                                uint64_t salt, int32_t has_salt) {
+  Manager& m = *static_cast<Manager*>(h);
+  if (!m.enable_reuse) return 0;
+  int64_t matched = 0;
+  uint64_t parent = 0;
+  int64_t n_full = (n - 1) / m.block_size;
+  for (int64_t b = 0; b < n_full; ++b) {
+    uint64_t hh = chain_hash(parent, toks + b * m.block_size, m.block_size,
+                             salt, has_salt);
+    if (m.cached.find(hh) == m.cached.end()) break;
+    matched += m.block_size;
+    parent = hh;
+  }
+  int32_t bid;
+  return matched + m.best_partial(parent, salt, has_salt, toks, n, matched,
+                                  &bid);
+}
+
+// out[8] = {free, evictable, reused, allocated, evicted, active_seqs,
+//           num_blocks, partial_reused}
 void tllm_kvbm_stats(void* h, int64_t* out) {
   Manager& m = *static_cast<Manager*>(h);
   out[0] = (int64_t)m.free_blocks.size();
@@ -378,6 +520,7 @@ void tllm_kvbm_stats(void* h, int64_t* out) {
   out[4] = m.num_evicted;
   out[5] = (int64_t)m.sequences.size();
   out[6] = m.num_blocks;
+  out[7] = m.num_partial;
 }
 
 }  // extern "C"

@@ -402,6 +402,15 @@ class PyExecutor:
                                              req.retention_priority)
                 req.num_cached_tokens = cached
                 req.context_position = cached
+                # copy-on-partial-reuse: device-copy the matched source
+                # page into the fresh tail block BEFORE any prefill write
+                # of this iteration lands (dispatch order = device order)
+                ppairs = getattr(self.kv, "drain_partial_copies",
+                                 lambda s: [])(req.request_id)
+                if ppairs:
+                    owner = (self.kv.rank_of(req.request_id)
+                             if hasattr(self.kv, "rank_of") else 0)
+                    self.engine.copy_kv_blocks(ppairs, owner=owner)
                 req.start_context()
                 if req.sampling_params.guided_decoding is not None:
                     from tensorrt_llm_tpu.runtime.guided_decoder import create_matcher

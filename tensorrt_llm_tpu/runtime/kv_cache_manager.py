@@ -41,6 +41,14 @@ class KVCacheConfig:
     num_blocks: Optional[int] = None      # None => derive from free_mem_fraction
     free_mem_fraction: float = 0.85
     enable_block_reuse: bool = True
+    # Partial tail-block reuse (reference enable_partial_reuse /
+    # copy_on_partial_reuse, KvCacheConfig llm_args.py): after full-block
+    # matching, a cached block sharing a token prefix with the request's
+    # next tokens is reused for those head tokens.  copy_on_partial_reuse
+    # copies the page into a fresh block (the source stays cached);
+    # without it the source block is adopted in place when unreferenced.
+    enable_partial_reuse: bool = True
+    copy_on_partial_reuse: bool = True
     max_tokens: Optional[int] = None
     kv_quant: KvCacheQuantAlgo = KvCacheQuantAlgo.NONE
     dtype: jnp.dtype = jnp.bfloat16
@@ -105,7 +113,15 @@ class _PyBookkeeping:
         self.evictable: Dict[int, collections.OrderedDict] = {}
         self.block_priority = [DEFAULT_RETENTION_PRIORITY] * num_blocks
         self.sequences: Dict[int, SequenceInfo] = {}
+        # partial-reuse side index: sealed block contents + a child index
+        # keyed by (parent_hash, salt) so the block FOLLOWING a full match
+        # can be probed for a shared token prefix (reference partial reuse,
+        # BlockManager::loadOrAllocateBlocks / copy_on_partial_reuse)
+        self.block_tokens: Dict[int, tuple] = {}
+        self.block_parent: Dict[int, tuple] = {}
+        self.children: Dict[tuple, collections.OrderedDict] = {}
         self.num_reused_blocks = 0
+        self.num_partial_reused = 0
         self.num_allocated_blocks = 0
         self.num_evicted_blocks = 0
         # block ids evicted from the reuse index since the last drain — the
@@ -139,6 +155,7 @@ class _PyBookkeeping:
             if h is not None:
                 self.cached_blocks.pop(h, None)
                 self.block_hash[bid] = None
+            self._forget_block(bid)
             self.num_evicted_blocks += 1
             self.pending_evictions.append(bid)
         else:
@@ -150,6 +167,17 @@ class _PyBookkeeping:
     def drain_evictions(self) -> List[int]:
         out, self.pending_evictions = self.pending_evictions, []
         return out
+
+    def _forget_block(self, bid: int):
+        """Drop a block from the partial-reuse side index."""
+        self.block_tokens.pop(bid, None)
+        key = self.block_parent.pop(bid, None)
+        if key is not None:
+            bucket = self.children.get(key)
+            if bucket is not None:
+                bucket.pop(bid, None)
+                if not bucket:
+                    del self.children[key]
 
     def _ref_block(self, bid: int):
         if self.ref_count[bid] == 0:
@@ -176,7 +204,8 @@ class _PyBookkeeping:
     def num_free_blocks(self) -> int:
         return len(self.free_blocks) + self._n_evictable()
 
-    def match_prefix(self, token_ids: List[int], cache_salt=None) -> int:
+    def match_prefix(self, token_ids: List[int], cache_salt=None,
+                     partial: bool = False) -> int:
         """Dry-run reuse lookup: cached prefix tokens, no side effects."""
         if not self.enable_reuse:
             return 0
@@ -189,7 +218,87 @@ class _PyBookkeeping:
                 break
             matched += self.block_size
             parent = h
+        if partial:
+            k, _ = self._best_partial(parent, cache_salt, token_ids, matched)
+            matched += k
         return matched
+
+    def _best_partial(self, parent: int, salt, token_ids: List[int],
+                      matched: int):
+        """Longest shared token prefix of any cached child of `parent` with
+        the request's next tokens (capped so >=1 token is recomputed).
+        Returns (k, block_id)."""
+        limit = min(self.block_size, len(token_ids) - 1 - matched)
+        if limit < 1:
+            return 0, -1
+        cands = self.children.get((parent, salt))
+        if not cands:
+            return 0, -1
+        target = token_ids[matched:matched + limit]
+        best_k, best_bid = 0, -1
+        for bid in cands:
+            toks = self.block_tokens.get(bid)
+            if toks is None:
+                continue
+            k = 0
+            for x, y in zip(toks, target):
+                if x != y:
+                    break
+                k += 1
+            if k > best_k:
+                best_k, best_bid = k, bid
+        return best_k, best_bid
+
+    def try_partial_match(self, seq_id: int, token_ids: List[int],
+                          copy_on_partial: bool = True):
+        """Partial tail-block reuse (reference enable_partial_reuse /
+        copy_on_partial_reuse, kvCacheManager.cpp loadOrAllocateBlocks):
+        after full-block matching, the cached child of the chain tail whose
+        tokens share the longest prefix with the request's next tokens is
+        reused for those head tokens.  With copy_on_partial the sequence
+        gets a fresh block and the caller device-copies the source page
+        into it; otherwise the source block itself is adopted in place
+        (only when unreferenced) and leaves the reuse index.
+
+        Returns (extra_tokens, src_block, dst_block); dst == src means no
+        device copy is needed.  (0, -1, -1) when nothing matched."""
+        if not self.enable_reuse:
+            return (0, -1, -1)
+        info = self.sequences[seq_id]
+        bs = self.block_size
+        if info.num_tokens % bs or \
+                info.num_tokens != bs * len(info.block_ids):
+            return (0, -1, -1)
+        parent = info.block_hashes[-1] if info.block_hashes else 0
+        k, src = self._best_partial(parent, info.salt, token_ids,
+                                    info.num_tokens)
+        if k < 1:
+            return (0, -1, -1)
+        if not copy_on_partial:
+            # in-place adoption: the source page will be partially
+            # overwritten, so it must be unshared and leave the index
+            if self.ref_count[src] != 0:
+                return (0, -1, -1)
+            self._ref_block(src)
+            h = self.block_hash[src]
+            if h is not None:
+                self.cached_blocks.pop(h, None)
+                self.block_hash[src] = None
+            self._forget_block(src)
+            self.num_allocated_blocks += 1
+            dst = src
+        else:
+            self._ref_block(src)  # pin: _take_block may otherwise evict it
+            try:
+                dst = self._take_block()
+            except RuntimeError:
+                self._unref_block(src)
+                return (0, -1, -1)
+            self._unref_block(src)
+        info.block_ids.append(dst)
+        info.num_tokens += k
+        self.num_partial_reused += 1
+        return (k, src, dst)
 
     def add_sequence(self, seq_id: int, token_ids: List[int],
                      cache_salt=None) -> int:
@@ -242,6 +351,11 @@ class _PyBookkeeping:
                 self.cached_blocks[h] = bid
                 self.block_hash[bid] = h
                 self.block_priority[bid] = info.priority
+                self.block_tokens[bid] = chunk
+                key = (parent, info.salt)
+                self.block_parent[bid] = key
+                self.children.setdefault(
+                    key, collections.OrderedDict())[bid] = None
             info.block_hashes.append(h)
             parent = h
 
@@ -294,6 +408,7 @@ class _PyBookkeeping:
             "free_blocks": len(self.free_blocks),
             "evictable_blocks": self._n_evictable(),
             "reused_blocks": self.num_reused_blocks,
+            "partial_reused_blocks": self.num_partial_reused,
             "allocated_blocks": self.num_allocated_blocks,
             "evicted_blocks": self.num_evicted_blocks,
             "active_sequences": len(self.sequences),
@@ -341,12 +456,23 @@ class _NativeBookkeeping:
             if n < 256:
                 return out
 
-    def match_prefix(self, token_ids, cache_salt=None) -> int:
+    def match_prefix(self, token_ids, cache_salt=None,
+                     partial: bool = False) -> int:
         _keep, ptr = self._tok_buf(token_ids)
         salt = 0 if cache_salt is None else hash(cache_salt) & (2**64 - 1)
-        return int(self._lib.tllm_kvbm_match(
-            self._h, ptr, len(token_ids), salt,
-            0 if cache_salt is None else 1))
+        fn = (self._lib.tllm_kvbm_match_partial if partial
+              else self._lib.tllm_kvbm_match)
+        return int(fn(self._h, ptr, len(token_ids), salt,
+                      0 if cache_salt is None else 1))
+
+    def try_partial_match(self, seq_id: int, token_ids,
+                          copy_on_partial: bool = True):
+        _keep, ptr = self._tok_buf(token_ids)
+        out = (self._ct.c_int64 * 3)()
+        self._lib.tllm_kvbm_partial_match(
+            self._h, seq_id, ptr, len(token_ids),
+            1 if copy_on_partial else 0, out)
+        return (int(out[0]), int(out[1]), int(out[2]))
 
     def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
         _keep, ptr = self._tok_buf(token_ids)
@@ -402,12 +528,13 @@ class _NativeBookkeeping:
         return out.tolist()
 
     def stats(self) -> dict:
-        out = (self._ct.c_int64 * 7)()
+        out = (self._ct.c_int64 * 8)()
         self._lib.tllm_kvbm_stats(self._h, out)
         return {
             "free_blocks": int(out[0]),
             "evictable_blocks": int(out[1]),
             "reused_blocks": int(out[2]),
+            "partial_reused_blocks": int(out[7]),
             "allocated_blocks": int(out[3]),
             "evicted_blocks": int(out[4]),
             "active_sequences": int(out[5]),
@@ -503,6 +630,9 @@ class KVCacheManager:
         self._seq_prio: Dict[int, int] = {}
         self._seq_whash: Dict[int, List[int]] = {}
         self._seq_salt: Dict[int, object] = {}
+        # pending (src, dst) page copies from copy-on-partial-reuse, drained
+        # by the executor right after admission (before the prefill step)
+        self._partial_copies: Dict[int, List[tuple]] = {}
         self.num_offloaded = 0
         self.num_onboarded = 0
 
@@ -774,7 +904,20 @@ class KVCacheManager:
                 parent = wh
                 matched = (b + 1) * bs
                 b += 1
+        if self.cfg.enable_partial_reuse and matched % bs == 0:
+            k, src, dst = self._bk.try_partial_match(
+                seq_id, token_ids, self.cfg.copy_on_partial_reuse)
+            if k:
+                matched += k
+                if dst != src:
+                    self._partial_copies.setdefault(
+                        seq_id, []).append((src, dst))
         return matched
+
+    def drain_partial_copies(self, seq_id: int) -> List[tuple]:
+        """(src, dst) block pairs whose pages the engine must device-copy
+        before the sequence's first prefill chunk (copy-on-partial-reuse)."""
+        return self._partial_copies.pop(seq_id, [])
 
     def grow_sequence(self, seq_id: int, new_total_tokens: int):
         """Ensure the sequence owns enough blocks for new_total_tokens."""
@@ -824,7 +967,8 @@ class KVCacheManager:
         """Cached prefix length (tokens) for a prospective prompt — a
         side-effect-free reuse-index lookup backing the KV-aware router.
         Counts both tiers (host blocks would onboard on admission)."""
-        matched = self._bk.match_prefix(token_ids, cache_salt)
+        matched_full = self._bk.match_prefix(token_ids, cache_salt)
+        matched = matched_full
         if self.host_tier_enabled and self.host_cache:
             bs = self.block_size
             parent = 0
@@ -864,6 +1008,7 @@ class KVCacheManager:
         self._event_hashes.pop(seq_id, None)
         self._seq_whash.pop(seq_id, None)
         self._seq_salt.pop(seq_id, None)
+        self._partial_copies.pop(seq_id, None)
         self._bk.free_sequence(seq_id)
 
     # ------------------------------------------------------------------ tables --
@@ -937,6 +1082,9 @@ class DpKVCacheManager:
 
     def set_seq_priority(self, seq_id, priority):
         self._r(seq_id).set_seq_priority(seq_id, priority)
+
+    def drain_partial_copies(self, seq_id):
+        return self._r(seq_id).drain_partial_copies(seq_id)
 
     def can_grow(self, seq_id, n):
         return self._r(seq_id).can_grow(seq_id, n)
