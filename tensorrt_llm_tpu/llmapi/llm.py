@@ -39,6 +39,8 @@ class CompletionOutput:
     finish_reason: Optional[str] = None
     logprobs: Optional[list] = None
     cumulative_logprob: Optional[float] = None
+    # np [num_output_tokens, V], when return_generation_logits was set
+    generation_logits: Optional[Any] = None
 
 
 @dataclass
@@ -48,6 +50,11 @@ class RequestOutput:
     prompt_token_ids: List[int]
     outputs: List[CompletionOutput] = field(default_factory=list)
     finished: bool = False
+    # top-N logprobs per prompt position (entry 0 is None), when
+    # SamplingParams.prompt_logprobs was set
+    prompt_logprobs: Optional[list] = None
+    # np [prompt_len, V], when return_context_logits was set
+    context_logits: Optional[Any] = None
 
 
 class LLM:
@@ -668,16 +675,22 @@ class GenerationFuture:
                 cumulative_logprob=b["cumulative_logprob"])
                 for i, b in enumerate(beams)]
         else:
+            import numpy as _np
+            gl = (None if not self.req.generation_logits
+                  else _np.stack(self.req.generation_logits))
             outputs = [CompletionOutput(
                 index=0, text=self._decode(toks), token_ids=toks,
                 finish_reason=reason.value if reason else None,
-                logprobs=self.req.logprobs or None)]
+                logprobs=self.req.logprobs or None,
+                generation_logits=gl)]
         return RequestOutput(
             request_id=self.req.request_id,
             prompt=self.prompt_text,
             prompt_token_ids=self.req.prompt_token_ids,
             outputs=outputs,
-            finished=True)
+            finished=True,
+            prompt_logprobs=self.req.prompt_logprobs,
+            context_logits=self.req.context_logits)
 
     def __iter__(self) -> Iterator[RequestOutput]:
         toks: List[int] = []

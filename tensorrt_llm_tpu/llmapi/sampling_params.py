@@ -28,7 +28,14 @@ class SamplingParams:
     include_stop_str_in_output: bool = False
     ignore_eos: bool = False
     logprobs: Optional[int] = None      # top-N logprobs per generated token
-    prompt_logprobs: Optional[int] = None
+    prompt_logprobs: Optional[int] = None  # top-N logprobs per PROMPT token
+    # full-logits returns (reference SamplingParams return_context_logits /
+    # return_generation_logits): [prompt_len, V] rows captured during
+    # prefill / one [V] row per generated token.  Opt-in — forces the
+    # host-logits single-step path and disables prefix reuse for the
+    # request (cached positions would have no logits).
+    return_context_logits: bool = False
+    return_generation_logits: bool = False
     n: int = 1
     best_of: Optional[int] = None
     use_beam_search: bool = False

@@ -393,6 +393,13 @@ class PyExecutor:
         # ---- prefill chunks -----------------------------------------------------
         for req, chunk in batch.prefill:
             if req.state == RequestState.QUEUED:
+                if req.sampling_params.prompt_logprobs \
+                        or req.sampling_params.return_context_logits:
+                    # full prompt logits are required: a reused prefix has
+                    # no logits, so defeat prefix matching with a unique
+                    # salt (the blocks still seal under it, harmlessly)
+                    req.cache_salt = ("__ctx_logits__", req.request_id,
+                                      req.cache_salt)
                 cached = self.kv.add_sequence(req.request_id,
                                               req.prompt_token_ids,
                                               req.cache_salt)
@@ -472,6 +479,22 @@ class PyExecutor:
                     hidden = np.asarray(hidden)[o:o + Tp]
                 self.drafter.on_hidden(
                     req, start, np.asarray(hidden)[:chunk])
+                self._capture_prompt_rows(req, start, chunk, all_logits)
+                logits = all_logits[chunk - 1:chunk]
+            elif (req.sampling_params.prompt_logprobs
+                  or req.sampling_params.return_context_logits) \
+                    and not getattr(self.engine, "_star", False) \
+                    and not getattr(self.engine, "_helix", False):
+                # prompt logprobs / context logits: request every prompt
+                # row's logits (reference gather_context_logits)
+                inputs = self.engine.prepare_prefill_inputs(req, chunk)
+                Tp = inputs.input_ids.shape[0]
+                inputs.logit_indices = np.arange(Tp, dtype=np.int32)
+                all_logits = np.asarray(self.engine.run_prefill(inputs))
+                if self.engine.mapping.dp_size > 1:
+                    o = inputs.owner * Tp
+                    all_logits = all_logits[o:o + Tp]
+                self._capture_prompt_rows(req, start, chunk, all_logits)
                 logits = all_logits[chunk - 1:chunk]
             else:
                 inputs = self.engine.prepare_prefill_inputs(req, chunk)
@@ -854,6 +877,7 @@ class PyExecutor:
                or r.sampling_params.bad_words
                or r.sampling_params.logit_bias
                or r.sampling_params.no_repeat_ngram_size
+               or r.sampling_params.return_generation_logits
                or r.sampling_params.logits_processor is not None
                for r in reqs):
             return 1  # penalties/stop/logit controls need host state
@@ -1037,11 +1061,48 @@ class PyExecutor:
         # apply whatever has landed; block only past the depth cap
         self._drain_inflight(only_ready=True)
 
+    def _capture_prompt_rows(self, req, start: int, chunk: int, all_logits):
+        """Record per-prompt-position logits/logprobs from a full-rows
+        prefill chunk (reference context-logits gather + prompt logprobs).
+        Row i predicts the token at absolute position start+i+1."""
+        sp = req.sampling_params
+        rows = np.asarray(all_logits[:chunk], np.float32)
+        if sp.return_context_logits:
+            req.context_logits = (rows if req.context_logits is None
+                                  else np.concatenate(
+                                      [req.context_logits, rows]))
+        if sp.prompt_logprobs:
+            if req.prompt_logprobs is None:
+                # position 0 has no preceding context to predict it from
+                req.prompt_logprobs = [None]
+            n = int(sp.prompt_logprobs)
+            lse = np.log(np.sum(np.exp(
+                rows - rows.max(axis=-1, keepdims=True)),
+                axis=-1, keepdims=True)) + rows.max(axis=-1, keepdims=True)
+            lp = rows - lse
+            for i in range(chunk):
+                pos = start + i + 1
+                if pos >= req.prompt_len:
+                    break  # the last row predicts the first generated token
+                row = lp[i]
+                top = np.argpartition(-row, min(n, row.size - 1))[:n]
+                ids = set(top.tolist()) | {int(req.prompt_token_ids[pos])}
+                req.prompt_logprobs.append(
+                    {int(t): float(row[t]) for t in ids})
+
     # ---------------------------------------------------------------- sampling ----
     def _sample_and_update(self, reqs: List[LlmRequest], logits):
         """Sample one token per request from logits[:len(reqs)] and apply
         stop criteria (host side, like the reference's _update_requests)."""
         sp = [r.sampling_params for r in reqs]
+        if any(r.sampling_params.return_generation_logits for r in reqs):
+            # raw model logits, before masks/penalties (reference
+            # generation-logits gather)
+            raw = np.asarray(logits)
+            for i, req in enumerate(reqs):
+                if req.sampling_params.return_generation_logits:
+                    req.generation_logits.append(
+                        np.array(raw[i], np.float32))
         mask = self.guided.build_mask(reqs, logits.shape[0])
         if mask is not None:
             logits = logits + mask

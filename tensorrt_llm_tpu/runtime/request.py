@@ -103,6 +103,9 @@ class LlmRequest:
         self.end_time: Optional[float] = None
 
         self.logprobs: List[dict] = []
+        self.prompt_logprobs: Optional[List[Optional[dict]]] = None
+        self.context_logits = None           # np [prompt_len, V] opt-in
+        self.generation_logits: List = []    # np [V] rows, opt-in
         self.stop_string: Optional[str] = None  # which stop string matched
         self.token_times: List[tuple] = []      # (cum tokens, time) per emit
 

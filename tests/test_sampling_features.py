@@ -129,3 +129,92 @@ def test_logit_controls():
         assert got == [13, 13, 13], got
     finally:
         llm.shutdown()
+
+
+# ----------------------------------------------- logits returns -------------
+# reference SamplingParams return_context_logits / return_generation_logits
+# and prompt_logprobs (llmapi/sampling_params.py; gather_context_logits)
+
+def _tiny_llm(**kw):
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position=256)
+    return LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+               max_batch_size=8, kv_num_blocks=64, kv_block_size=4,
+               seed=7, **kw)
+
+
+def test_generation_logits_match_greedy_tokens():
+    llm = _tiny_llm()
+    sp = SamplingParams(max_tokens=6, ignore_eos=True, temperature=0.0,
+                        return_generation_logits=True)
+    out = llm.generate([[3, 4, 5]], sp)[0].outputs[0]
+    gl = out.generation_logits
+    assert gl is not None and gl.shape == (6, 128)
+    assert [int(t) for t in np.argmax(gl, axis=-1)] == out.token_ids
+    llm.shutdown()
+
+
+def test_context_logits_shape_and_first_token():
+    llm = _tiny_llm()
+    sp = SamplingParams(max_tokens=3, ignore_eos=True, temperature=0.0,
+                        return_context_logits=True)
+    r = llm.generate([[3, 4, 5, 6, 7]], sp)[0]
+    cl = r.context_logits
+    assert cl is not None and cl.shape == (5, 128)
+    # the last prompt row's argmax is the first generated token (greedy)
+    assert int(np.argmax(cl[-1])) == r.outputs[0].token_ids[0]
+    llm.shutdown()
+
+
+def test_context_logits_chunked_prefill_consistent():
+    """Chunked prefill must assemble the same [P, V] context logits."""
+    prompt = list(range(3, 27))  # 24 tokens
+    sp = SamplingParams(max_tokens=2, ignore_eos=True, temperature=0.0,
+                        return_context_logits=True)
+    llm = _tiny_llm()
+    whole = llm.generate([prompt], sp)[0].context_logits
+    llm.shutdown()
+    llm2 = _tiny_llm(max_num_tokens=8)   # forces 3 prefill chunks
+    chunked = llm2.generate([prompt], sp)[0].context_logits
+    llm2.shutdown()
+    assert whole.shape == chunked.shape == (24, 128)
+    np.testing.assert_allclose(chunked, whole, rtol=0, atol=2e-2)
+
+
+def test_prompt_logprobs():
+    llm = _tiny_llm()
+    prompt = [3, 4, 5, 6, 7, 8]
+    sp = SamplingParams(max_tokens=2, ignore_eos=True, temperature=0.0,
+                        prompt_logprobs=4, return_context_logits=True)
+    r = llm.generate([prompt], sp)[0]
+    pl = r.prompt_logprobs
+    assert pl is not None and len(pl) == len(prompt)
+    assert pl[0] is None
+    cl = np.asarray(r.context_logits, np.float64)
+    for pos in range(1, len(prompt)):
+        d = pl[pos]
+        assert len(d) >= 4 and prompt[pos] in d
+        # consistent with the full logits: log_softmax(row pos-1)[token]
+        row = cl[pos - 1]
+        ref = row[prompt[pos]] - np.log(np.exp(row - row.max()).sum()) \
+            - row.max()
+        assert abs(d[prompt[pos]] - ref) < 1e-3, (pos, d[prompt[pos]], ref)
+    llm.shutdown()
+
+
+def test_prompt_logprobs_skips_prefix_reuse():
+    """Identical prompts must still yield full prompt logprobs on the
+    second request (reuse is defeated for these requests)."""
+    llm = _tiny_llm()
+    prompt = [3, 4, 5, 6, 7, 8, 9, 10, 11]
+    sp = SamplingParams(max_tokens=2, ignore_eos=True, temperature=0.0,
+                        prompt_logprobs=2)
+    a = llm.generate([prompt], sp)[0].prompt_logprobs
+    b = llm.generate([prompt], sp)[0].prompt_logprobs
+    assert len(a) == len(b) == len(prompt)
+    for pa, pb in zip(a[1:], b[1:]):
+        assert set(pa) == set(pb)
+        for t in pa:
+            assert abs(pa[t] - pb[t]) < 1e-3
+    llm.shutdown()
