@@ -878,6 +878,7 @@ class PyExecutor:
                or r.sampling_params.logit_bias
                or r.sampling_params.no_repeat_ngram_size
                or r.sampling_params.return_generation_logits
+               or (r.sampling_params.logprobs or 0) > 1
                or r.sampling_params.logits_processor is not None
                for r in reqs):
             return 1  # penalties/stop/logit controls need host state
@@ -1113,11 +1114,25 @@ class PyExecutor:
         tokens, logp = sample_tokens(logits, state)
         tokens = np.asarray(tokens)
         logp = np.asarray(logp)
+        final = None  # lazily materialized for top-N logprobs
         for i, req in enumerate(reqs):
             tok = int(tokens[i])
             req.append_token(tok)
             self.total_tokens_generated += 1
-            if req.sampling_params.logprobs:
+            nlp = req.sampling_params.logprobs
+            if nlp and nlp > 1:
+                # top-N logprobs of the post-controls distribution
+                # (reference TopKLogprobs; only the host path has logits)
+                if final is None:
+                    final = np.asarray(logits, np.float64)
+                row = final[i]
+                lsm = row - (np.log(np.exp(row - row.max()).sum())
+                             + row.max())
+                top = np.argpartition(-lsm, min(nlp, lsm.size - 1))[:nlp]
+                d = {int(t): float(lsm[t]) for t in top}
+                d[tok] = float(lsm[tok])
+                req.logprobs.append(d)
+            elif nlp:
                 req.logprobs.append({tok: float(logp[i])})
             if not self.guided.advance(req, tok):
                 req.finish(FinishReason.ERROR)

@@ -52,6 +52,8 @@ class CompletionRequest(BaseModel):
             stop=self.stop,
             seed=self.seed,
             logprobs=self.logprobs,
+            # OpenAI echo + logprobs returns prompt-token logprobs too
+            prompt_logprobs=self.logprobs if self.echo else None,
             presence_penalty=self.presence_penalty,
             frequency_penalty=self.frequency_penalty,
             repetition_penalty=self.repetition_penalty,
@@ -120,7 +122,7 @@ class ChatCompletionRequest(BaseModel):
             n=self.n,
             stop=self.stop,
             seed=self.seed,
-            logprobs=self.top_logprobs if self.logprobs else None,
+            logprobs=(self.top_logprobs or 1) if self.logprobs else None,
             presence_penalty=self.presence_penalty,
             frequency_penalty=self.frequency_penalty,
             ignore_eos=self.ignore_eos,
@@ -212,15 +214,19 @@ def completion_response(req: CompletionRequest, texts: List[str],
 def chat_choice(index: int, text: Optional[str],
                 finish_reason: Optional[str],
                 tool_calls: Optional[List[Dict]] = None,
-                reasoning: Optional[str] = None) -> Dict:
+                reasoning: Optional[str] = None,
+                logprobs: Optional[Dict] = None) -> Dict:
     message: Dict[str, Any] = {"role": "assistant", "content": text}
     if tool_calls:
         message["tool_calls"] = tool_calls
         finish_reason = "tool_calls"
     if reasoning:
         message["reasoning_content"] = reasoning
-    return {"index": index, "message": message,
-            "finish_reason": finish_reason}
+    choice = {"index": index, "message": message,
+              "finish_reason": finish_reason}
+    if logprobs is not None:
+        choice["logprobs"] = logprobs
+    return choice
 
 
 def chat_response(req: ChatCompletionRequest, text: str,
@@ -228,8 +234,10 @@ def chat_response(req: ChatCompletionRequest, text: str,
                   usage: Dict[str, int],
                   tool_calls: Optional[List[Dict]] = None,
                   reasoning: Optional[str] = None,
-                  extra_choices: Optional[List[Dict]] = None) -> Dict:
-    choices = [chat_choice(0, text, finish_reason, tool_calls, reasoning)]
+                  extra_choices: Optional[List[Dict]] = None,
+                  logprobs: Optional[Dict] = None) -> Dict:
+    choices = [chat_choice(0, text, finish_reason, tool_calls, reasoning,
+                           logprobs)]
     choices.extend(extra_choices or [])
     return {
         "id": random_id("chatcmpl"),

@@ -273,12 +273,57 @@ class OpenAIServer:
         else:
             texts = [o.text for out in outs for o in out.outputs]
         reasons = [o.finish_reason for out in outs for o in out.outputs]
+        lp_objs = None
+        if body.logprobs is not None:
+            lp_objs = [self._completion_logprobs(out, o, body.echo)
+                       for out in outs for o in out.outputs]
         p_toks = sum(len(o.prompt_token_ids) for o in outs)
         c_toks = sum(len(o.token_ids) for out in outs for o in out.outputs)
         return web.json_response(completion_response(
             body, texts, reasons,
             {"prompt_tokens": p_toks, "completion_tokens": c_toks,
-             "total_tokens": p_toks + c_toks}))
+             "total_tokens": p_toks + c_toks}, logprobs=lp_objs))
+
+    def _tok_str(self, tid: int) -> str:
+        tk = self.llm.tokenizer
+        return tk.decode([tid]) if tk is not None else str(tid)
+
+    def _completion_logprobs(self, out, o, echo: bool):
+        """OpenAI text-completion logprobs object; with echo the prompt
+        tokens lead (first entry has no logprob), mirroring the reference
+        postprocess path."""
+        tokens, tlps, tops = [], [], []
+
+        def push(tid, d):
+            tokens.append(self._tok_str(tid))
+            tlps.append(None if d is None else d.get(tid))
+            tops.append(None if d is None else
+                        {self._tok_str(t): lp for t, lp in d.items()})
+        if echo:
+            pl = (out.prompt_logprobs
+                  or [None] * len(out.prompt_token_ids))
+            for tid, d in zip(out.prompt_token_ids, pl):
+                push(tid, d)
+        gl = o.logprobs or [None] * len(o.token_ids)
+        for tid, d in zip(o.token_ids, gl):
+            push(tid, d)
+        return {"tokens": tokens, "token_logprobs": tlps,
+                "top_logprobs": tops, "text_offset": []}
+
+    def _chat_logprobs(self, o):
+        """OpenAI chat logprobs object: per-token content entries."""
+        content = []
+        gl = o.logprobs or [None] * len(o.token_ids)
+        for tid, d in zip(o.token_ids, gl):
+            d = d or {}
+            content.append({
+                "token": self._tok_str(tid),
+                "logprob": d.get(tid),
+                "top_logprobs": [
+                    {"token": self._tok_str(t), "logprob": lp}
+                    for t, lp in sorted(d.items(), key=lambda kv: -kv[1])],
+            })
+        return {"content": content}
 
     async def _stream_completion(self, request, body, future):
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
@@ -456,11 +501,16 @@ class OpenAIServer:
                     reasoning)
 
         first = parse_one(out.outputs[0])
-        extra = [chat_choice(j, *parse_one(o))
+        want_lp = bool(body.logprobs)
+        extra = [chat_choice(j, *parse_one(o),
+                             logprobs=(self._chat_logprobs(o) if want_lp
+                                       else None))
                  for j, o in enumerate(out.outputs[1:], start=1)]
         return web.json_response(chat_response(
             body, first[0], first[1], usage, tool_calls=first[2],
-            reasoning=first[3], extra_choices=extra))
+            reasoning=first[3], extra_choices=extra,
+            logprobs=(self._chat_logprobs(out.outputs[0]) if want_lp
+                      else None)))
 
     async def _stream_chat(self, request, body, future, parser):
         resp = web.StreamResponse(

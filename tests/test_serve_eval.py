@@ -260,3 +260,39 @@ def test_completions_echo(client):
     assert r.status == 200
     body = loop.run_until_complete(r.json())
     assert body["choices"][0]["text"].startswith("hello world")
+
+
+def test_completions_logprobs_with_echo(client):
+    """OpenAI completions logprobs: echo+logprobs returns prompt-token
+    logprobs first (leading entry None), then per-generated-token top-N."""
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny", "prompt": "hi there", "max_tokens": 3,
+        "logprobs": 2, "echo": True, "temperature": 0.0,
+        "ignore_eos": True}))
+    assert r.status == 200, loop.run_until_complete(r.text())
+    lp = loop.run_until_complete(r.json())["choices"][0]["logprobs"]
+    assert set(lp) == {"tokens", "token_logprobs", "top_logprobs",
+                       "text_offset"}
+    n_prompt = len(FakeTokenizer().encode("hi there"))
+    assert len(lp["tokens"]) == n_prompt + 3
+    assert lp["token_logprobs"][0] is None        # first prompt token
+    assert all(isinstance(v, float) for v in lp["token_logprobs"][1:])
+    # generated entries carry top-2 (or more, incl. the sampled token)
+    assert all(len(t) >= 2 for t in lp["top_logprobs"][n_prompt:])
+
+
+def test_chat_logprobs(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+        "model": "tiny", "messages": [{"role": "user", "content": "yo"}],
+        "max_tokens": 3, "logprobs": True, "top_logprobs": 3,
+        "temperature": 0.0, "ignore_eos": True}))
+    assert r.status == 200, loop.run_until_complete(r.text())
+    ch = loop.run_until_complete(r.json())["choices"][0]
+    content = ch["logprobs"]["content"]
+    assert len(content) == 3
+    for e in content:
+        assert isinstance(e["logprob"], float)
+        assert len(e["top_logprobs"]) >= 3
+        assert e["top_logprobs"][0]["logprob"] >= e["logprob"] - 1e-9
