@@ -659,6 +659,41 @@ class PyExecutor:
         self.engine.run_verify_tree(inputs, np.tril(np.ones((Tp, Tp), bool)))
         req.spec_pending = 0
 
+    def _relaxed_params(self, req):
+        """(topk, delta, thinking_now) when relaxed thinking-phase
+        acceptance is configured, else None (strict equality).  Reference
+        MTP relaxed acceptance (mtp.py:798-845): the per-sequence delta is
+        non-zero only inside a <think> span."""
+        cfg = getattr(self.drafter, "cfg", None)
+        if cfg is None or not getattr(cfg, "use_relaxed_acceptance_for_thinking", False):
+            return None
+        # incremental scan over any tokens (prompt or decoded via any path)
+        # appended since the last look
+        bt = cfg.begin_thinking_phase_token
+        et = cfg.end_thinking_phase_token
+        start = getattr(req, "_think_scanned", 0)
+        state = getattr(req, "_thinking", False)
+        toks = req.all_token_ids
+        for t in toks[start:]:
+            if t == bt:
+                state = True
+            elif t == et:
+                state = False
+        req._thinking = state
+        req._think_scanned = len(toks)
+        return (int(cfg.relaxed_topk), float(cfg.relaxed_delta), state)
+
+    @staticmethod
+    def _relaxed_accept(row, tok: int, topk: int, delta: float) -> bool:
+        """Accept `tok` when it is in the target's top-`topk` and its
+        probability is within `delta` of the top-1 probability."""
+        row = np.asarray(row, np.float64)
+        p = np.exp(row - row.max())
+        p = p / p.sum()
+        top = np.argpartition(-p, min(topk, p.size - 1))[:topk]
+        return int(tok) in {int(t) for t in top} \
+            and float(p.max() - p[int(tok)]) <= delta
+
     def _spec_decode(self, req: LlmRequest) -> bool:
         """Draft -> single verify forward -> accept longest matching prefix
         plus one bonus token.  Returns False to fall back to normal decode
@@ -668,7 +703,11 @@ class PyExecutor:
         if budget < 1:
             self._flush_pending(req)
             return False
+        relaxed = self._relaxed_params(req)
+        # tree verification is strict-match by construction; inside a
+        # thinking span the relaxed CHAIN path accepts more, so prefer it
         tree = (None if self.engine.mapping.dp_size > 1
+                or (relaxed is not None and relaxed[2])
                 else self.drafter.propose_tree(req))
         if tree is not None and tree[0]:
             if self._verify_tree(req, *tree):
@@ -696,13 +735,27 @@ class PyExecutor:
             logits = np.asarray(logits)[o:o + Tp]
             if hidden is not None:
                 hidden = np.asarray(hidden)[o:o + Tp]
-        greedy = np.asarray(np.argmax(np.asarray(logits[:k + 1]), axis=-1))
+        rows = np.asarray(logits[:k + 1])
+        greedy = np.asarray(np.argmax(rows, axis=-1))
+        cfg = getattr(self.drafter, "cfg", None)
+        thinking = relaxed is not None and relaxed[2]
         accepted: List[int] = []
         for j in range(k):
             if draft[j] == int(greedy[j]):
                 accepted.append(draft[j])
+            elif thinking and \
+                    self._relaxed_accept(rows[j], draft[j],
+                                         relaxed[0], relaxed[1]):
+                accepted.append(draft[j])
             else:
                 break
+            if relaxed is not None:
+                # phase transitions apply mid-chunk, like the reference's
+                # relaxed-acceptance kernel tracking begin/end tokens
+                if draft[j] == cfg.begin_thinking_phase_token:
+                    thinking = True
+                elif draft[j] == cfg.end_thinking_phase_token:
+                    thinking = False
         accepted.append(int(greedy[len(accepted)]))  # bonus / correction
         if hidden is not None:
             # rows 0..a are fed by real tokens (last accepted + matched

@@ -55,6 +55,18 @@ class SpeculativeConfig:
     # one step (large batches amortize decode cost already — reference
     # NGramDecodingConfig.max_concurrency); None = always on
     max_concurrency: Optional[int] = None
+    # Relaxed acceptance for thinking models (reference MTPDecodingConfig
+    # use_relaxed_acceptance_for_thinking / relaxed_topk / relaxed_delta,
+    # mtp.py:798-845 + mtp_relaxed_acceptance_op): inside a
+    # <think>...</think> span, a draft token is accepted when it lands in
+    # the target's top-`relaxed_topk` AND its probability is within
+    # `relaxed_delta` of the top-1 probability — trading exact greedy
+    # parity for acceptance rate while the model free-form reasons.
+    use_relaxed_acceptance_for_thinking: bool = False
+    relaxed_topk: int = 1
+    relaxed_delta: float = 0.0
+    begin_thinking_phase_token: Optional[int] = None
+    end_thinking_phase_token: Optional[int] = None
     # SAVE_HIDDEN_STATES: output dir / shard prefix / records per shard /
     # capture width ("final" | "eagle3")
     save_dir: Optional[str] = None

@@ -295,3 +295,99 @@ def test_save_hidden_states_mode(tmp_path):
         assert rec["hidden_state"].shape[0] == len(ids)
         # every captured row is a real activation, not padding
         assert (np.abs(rec["hidden_state"]).sum(axis=1) > 0).all()
+
+
+# ------------------------------------------- relaxed thinking acceptance ----
+# reference MTPDecodingConfig use_relaxed_acceptance_for_thinking /
+# relaxed_topk / relaxed_delta (mtp.py:798-845 + mtp_relaxed_acceptance_op)
+
+def test_relaxed_accept_unit():
+    from tensorrt_llm_tpu.runtime.executor import PyExecutor
+    row = np.log(np.array([0.5, 0.3, 0.15, 0.05]))
+    # token 1: in top-2, gap 0.2 <= 0.25 -> accept
+    assert PyExecutor._relaxed_accept(row, 1, topk=2, delta=0.25)
+    # gap 0.2 > 0.1 -> reject
+    assert not PyExecutor._relaxed_accept(row, 1, topk=2, delta=0.1)
+    # token 2 not in top-2 -> reject even with a huge delta
+    assert not PyExecutor._relaxed_accept(row, 2, topk=2, delta=1.0)
+    # topk=1 + delta=0 degenerates to strict greedy
+    assert PyExecutor._relaxed_accept(row, 0, topk=1, delta=0.0)
+    assert not PyExecutor._relaxed_accept(row, 1, topk=1, delta=0.0)
+
+
+def test_relaxed_acceptance_inside_thinking_only():
+    """With a huge delta/topk, every draft inside <think> is accepted (so
+    outputs follow the DRAFTER), while outside <think> acceptance stays
+    strict greedy."""
+    BT, ET = 60, 61  # begin/end thinking token ids
+
+    def const_drafter(request):
+        return [9, 9, 9, 9]
+
+    def run(prompt, relaxed):
+        spec = SpeculativeConfig(
+            mode=SpeculativeMode.USER_PROVIDED, proposer=const_drafter,
+            max_draft_len=4,
+            use_relaxed_acceptance_for_thinking=relaxed,
+            relaxed_topk=TINY["vocab_size"], relaxed_delta=1.0,
+            begin_thinking_phase_token=BT, end_thinking_phase_token=ET)
+        llm = make_llm(spec=spec)
+        try:
+            return greedy(llm, [prompt], n=8)
+        finally:
+            llm.shutdown()
+
+    # prompt ends inside a thinking span -> relaxed accepts the drafted 9s
+    think = run([3, 5, BT, 7], relaxed=True)
+    assert think[:4].count(9) >= 3, think
+    # same prompt, strict mode -> follows plain greedy exactly
+    strict = run([3, 5, BT, 7], relaxed=False)
+    base = make_llm()
+    try:
+        want = greedy(base, [[3, 5, BT, 7]], n=8)
+    finally:
+        base.shutdown()
+    assert strict == want
+    # prompt whose thinking span already CLOSED -> relaxed must not apply
+    closed = run([3, BT, 5, ET, 7], relaxed=True)
+    base = make_llm()
+    try:
+        want2 = greedy(base, [[3, BT, 5, ET, 7]], n=8)
+    finally:
+        base.shutdown()
+    assert closed == want2
+
+
+def test_relaxed_exits_on_end_token():
+    """Once the END thinking token is generated, acceptance reverts to
+    strict: drafts that only survived via relaxation stop being accepted."""
+    BT, ET = 60, 61
+
+    def drafter(request):
+        # always draft [ET, 9, 9]: the ET closes the span; the following
+        # 9s must then be verified STRICTLY
+        return [ET, 9, 9]
+
+    spec = SpeculativeConfig(
+        mode=SpeculativeMode.USER_PROVIDED, proposer=drafter,
+        max_draft_len=3,
+        use_relaxed_acceptance_for_thinking=True,
+        relaxed_topk=TINY["vocab_size"], relaxed_delta=1.0,
+        begin_thinking_phase_token=BT, end_thinking_phase_token=ET)
+    llm = make_llm(spec=spec)
+    try:
+        got = greedy(llm, [[3, 5, BT, 7]], n=8)
+    finally:
+        llm.shutdown()
+    # got[0] comes from prefill (strict greedy); the first spec round then
+    # relaxed-accepts the drafted ET, which CLOSES the span mid-chunk — the
+    # following 9-drafts must be verified strictly, so everything after
+    # the ET equals plain greedy continuation of the accepted prefix.
+    assert got[1] == ET, got
+    base = make_llm()
+    try:
+        prefix = [3, 5, BT, 7] + got[:2]
+        want_tail = greedy(base, [prefix], n=len(got) - 2)
+    finally:
+        base.shutdown()
+    assert got[2:] == want_tail, (got, want_tail)
