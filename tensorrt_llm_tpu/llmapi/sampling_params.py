@@ -81,3 +81,8 @@ class GuidedDecodingParams:
     regex: Optional[str] = None
     grammar: Optional[str] = None
     choice: Optional[List[str]] = None
+    # xgrammar-style structural tag (reference GuidedDecodingParams
+    # .structural_tag): JSON with {"structures": [{"begin", "schema",
+    # "end"}...], "triggers": [...]} — free text until a trigger string is
+    # emitted, then the matching begin+schema+end structure is enforced.
+    structural_tag: Optional[Union[str, dict]] = None

@@ -166,6 +166,96 @@ class EbnfMatcher(GrammarMatcher):
         return self._done or self.masks.pda.accepting(self.configs)
 
 
+class StructuralTagMatcher(GrammarMatcher):
+    """xgrammar-style structural tags (reference GuidedDecodingParams
+    .structural_tag): generation is FREE (no mask) until one of the
+    trigger strings appears in the emitted text; from there the matching
+    ``begin + schema-JSON + end`` structure is mask-enforced through the
+    regex DFA, then generation returns to free mode.  Triggers completed
+    mid-token whose remaining characters cannot start a structure are
+    treated as plain text (lenient entry) — once IN a structure, masks
+    make violations unsampleable.
+    """
+
+    def __init__(self, spec, tokenizer, eos_token_id: int, vocab_size: int):
+        import json as _json
+        from tensorrt_llm_tpu.runtime.regex_fsm import (
+            _regex_escape, json_schema_to_regex)
+        if isinstance(spec, str):
+            spec = _json.loads(spec)
+        self.triggers = list(spec.get("triggers") or [])
+        structs = spec.get("structures") or []
+        if not self.triggers:
+            # default: each structure's begin string is its own trigger
+            self.triggers = [s["begin"] for s in structs]
+        alts = []
+        for s in structs:
+            schema = s.get("schema")
+            body = json_schema_to_regex(schema if schema is not None else {})
+            alts.append(_regex_escape(s["begin"]) + body
+                        + _regex_escape(s.get("end", "")))
+        pattern = "(" + "|".join(alts) + ")" if alts else "()"
+        # reuse the shared DFA/token-mask cache machinery
+        self._rx = RegexMatcher(pattern, tokenizer, eos_token_id, vocab_size)
+        self.eos = eos_token_id
+        self.mode = "free"
+        self.state = 0
+        self._maxw = max((len(t) for t in self.triggers), default=1)
+        self._window = ""
+
+    def allowed_tokens(self) -> Optional[np.ndarray]:
+        if self.mode == "free":
+            return None
+        return self._rx.masks.allowed(self.state)
+
+    def _feed(self, text: str) -> bool:
+        dfa = self._rx.masks.dfa
+        i = 0
+        while i < len(text):
+            ch = text[i]
+            if self.mode == "free":
+                self._window = (self._window + ch)[-self._maxw:]
+                hit = next((t for t in self.triggers
+                            if self._window.endswith(t)), None)
+                if hit is not None:
+                    st = dfa.walk(dfa.start, hit)
+                    if st >= 0:
+                        self.mode = "struct"
+                        self.state = st
+                        self._window = ""
+                i += 1
+            else:
+                ns = dfa.step(self.state, ch)
+                if ns < 0:
+                    return False
+                self.state = ns
+                i += 1
+                if dfa.accepting[ns]:
+                    self.mode = "free"  # structure closed; back to text
+        return True
+
+    def advance(self, token_id: int) -> bool:
+        if token_id == self.eos:
+            return self.mode == "free"
+        strings = self._rx.masks.strings
+        text = strings[token_id] if token_id < len(strings) else None
+        if not text:
+            return self.mode == "free"  # unknown/special tokens: free only
+        if self.mode == "free":
+            # lenient mid-token entry: if the structure DFA rejects the
+            # token's tail right after a trigger, treat it as plain text
+            saved = (self.mode, self.state, self._window)
+            if not self._feed(text):
+                self.mode, self.state, self._window = saved
+                self._window = (self._window + text)[-self._maxw:]
+            return True
+        return self._feed(text)
+
+    @property
+    def completed(self) -> bool:
+        return self.mode == "free"
+
+
 def create_matcher(params: GuidedDecodingParams, tokenizer,
                    eos_token_id,
                    vocab_size: Optional[int] = None
@@ -197,9 +287,16 @@ def create_matcher(params: GuidedDecodingParams, tokenizer,
               or len(getattr(tokenizer, "get_vocab", lambda: {})())
               or getattr(tokenizer, "vocab_size", 0))
         return EbnfMatcher(params.grammar, tokenizer, eos_token_id, vs)
+    if params.structural_tag:
+        assert tokenizer is not None, "guided decoding needs a tokenizer"
+        vs = (vocab_size
+              or len(getattr(tokenizer, "get_vocab", lambda: {})())
+              or getattr(tokenizer, "vocab_size", 0))
+        return StructuralTagMatcher(params.structural_tag, tokenizer,
+                                    eos_token_id, vs)
     raise NotImplementedError(
         "unsupported guided-decoding constraint; grammar/choice/regex/"
-        "json/json_object are available")
+        "json/json_object/structural_tag are available")
 
 
 class GuidedDecoder:

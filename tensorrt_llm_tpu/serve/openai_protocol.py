@@ -190,6 +190,11 @@ def _guided_from_response_format(rf: Optional[Dict[str, Any]]):
     if t == "json_schema":
         schema = rf.get("json_schema", {}).get("schema")
         return GuidedDecodingParams(json=schema)
+    if t == "structural_tag":
+        # xgrammar structural tags (reference chat "structural_tag"
+        # response_format): the spec rides alongside "type"
+        return GuidedDecodingParams(structural_tag={
+            k: v for k, v in rf.items() if k != "type"})
     return None
 
 

@@ -162,3 +162,84 @@ def test_grammar_constrained_output(llm):
     text = out.outputs[0].text
     assert GrammarPDA(g).matches(text), text
     assert out.outputs[0].finish_reason == "stop"
+
+
+# --------------------------------------------------- structural tags --------
+# xgrammar-style structural tags (reference GuidedDecodingParams
+# .structural_tag): free text until a trigger, then begin+schema+end.
+
+STAG = {
+    "triggers": ["<f="],
+    "structures": [{
+        "begin": "<f=get>",
+        "schema": {"type": "object",
+                   "properties": {"q": {"type": "string"}},
+                   "required": ["q"]},
+        "end": "</f>",
+    }],
+}
+
+
+def _stag_matcher():
+    from tensorrt_llm_tpu.runtime.guided_decoder import StructuralTagMatcher
+    return StructuralTagMatcher(STAG, CharTokenizer(), eos_token_id=0,
+                                vocab_size=256)
+
+
+def _feed_str(m, s):
+    for ch in s:
+        tid = max(1, ord(ch) % 256)
+        assert m.advance(tid), (ch, s)
+
+
+def test_structural_tag_free_until_trigger():
+    m = _stag_matcher()
+    assert m.allowed_tokens() is None          # free mode: no mask
+    assert m.completed                          # may stop any time
+    _feed_str(m, "let me call ")
+    assert m.allowed_tokens() is None
+    _feed_str(m, "<f=")                         # trigger emitted
+    assert m.mode == "struct"
+    assert not m.completed                      # structure must finish
+    allowed = m.allowed_tokens()
+    assert allowed is not None
+    # inside the structure only the begin continuation is allowed
+    ids = set(allowed.tolist())
+    assert max(1, ord("g") % 256) in ids        # 'g' of "get>"
+    assert max(1, ord("z") % 256) not in ids
+
+
+def test_structural_tag_full_cycle_returns_to_free():
+    m = _stag_matcher()
+    _feed_str(m, 'calling <f=get>{"q":"tpu"}</f> done')
+    assert m.mode == "free"
+    assert m.completed
+    # EOS allowed again in free mode
+    assert m.advance(0)
+
+
+def test_structural_tag_eos_inside_structure_rejected():
+    m = _stag_matcher()
+    _feed_str(m, "<f=get>")
+    assert not m.advance(0)                     # EOS mid-structure
+
+
+def test_structural_tag_e2e(llm):
+    out = llm.generate(
+        "do it",
+        SamplingParams(max_tokens=60, temperature=1.0, seed=5,
+                       guided_decoding=GuidedDecodingParams(
+                           structural_tag=STAG)))[0]
+    text = out.outputs[0].text
+    # sampled text is free-form, but any trigger occurrence must be a
+    # complete valid structure
+    if "<f=" in text:
+        import re
+        assert re.search(r'<f=get>\{"q":"[^"]*"\}</f>', text), text
+
+
+def test_structural_tag_via_response_format():
+    from tensorrt_llm_tpu.serve.openai_protocol import (
+        _guided_from_response_format)
+    gp = _guided_from_response_format(dict(type="structural_tag", **STAG))
+    assert gp is not None and gp.structural_tag["triggers"] == ["<f="]
