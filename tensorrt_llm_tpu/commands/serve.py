@@ -40,12 +40,17 @@ def main(argv=None):
                    choices=["context", "generation"])
     p.add_argument("--extra-llm-api-options", default=None,
                    help="YAML file with LlmArgs overrides")
+    p.add_argument("--mm-encoder-only", action="store_true",
+                   help="serve only the multimodal encoder "
+                        "(/v1/mm_embeddings — EPD disagg encode stage, "
+                        "reference mm_encoder_only)")
     args = p.parse_args(argv)
 
-    from tensorrt_llm_tpu.llmapi import LLM
+    from tensorrt_llm_tpu.llmapi import LLM, MultimodalEncoder
     from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
 
-    llm = LLM(
+    cls = MultimodalEncoder if args.mm_encoder_only else LLM
+    llm = cls(
         model=args.model,
         tensor_parallel_size=args.tp_size,
         max_batch_size=args.max_batch_size,

@@ -1,6 +1,7 @@
 from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams, GuidedDecodingParams  # noqa: F401
 
-_LAZY = {"LLM": "llm", "RequestOutput": "llm", "LlmArgs": "llm_args"}
+_LAZY = {"LLM": "llm", "RequestOutput": "llm", "LlmArgs": "llm_args",
+         "MultimodalEncoder": "llm"}
 
 
 def __getattr__(name):

@@ -405,59 +405,21 @@ class LLM:
         prompt_embeds = None
         mm_extra = None
         mm_hash = None
-        if isinstance(prompt, dict):
-            # multimodal prompt schema (reference inputs/registry.py):
-            # {"prompt" | "prompt_token_ids", "multi_modal_data": {"image": [...]}}
-            inner = prompt.get("prompt_token_ids")
-            if inner is None:
-                assert self._tokenizer is not None
-                inner = self._tokenizer.encode(prompt["prompt"])
-            token_ids = [int(t) for t in inner]
+        if isinstance(prompt, dict) and "multi_modal_embeddings" in prompt:
+            # EPD disagg: a separate encoder stage (MultimodalEncoder /
+            # /v1/mm_embeddings) already ran the vision tower — accept its
+            # payload directly, skipping encode here (reference
+            # mm_encoder_only + prompt["multi_modal_embeddings"],
+            # serve/openai_server.py:566-571)
+            mme = prompt["multi_modal_embeddings"]
+            token_ids = [int(t) for t in mme["token_ids"]]
             text = prompt.get("prompt")
-            mm = prompt.get("multi_modal_data") or {}
-            images = list(mm.get("image") or [])
-            audios = mm.get("audio") or []
-            videos = mm.get("video") or []
-            if videos:
-                # video -> uniform temporal sampling -> frame sequence
-                # (reference inputs video path; EVS pruning utilities in
-                # inputs/evs.py)
-                from tensorrt_llm_tpu.inputs.evs import sample_video_frames
-                nf = int(mm.get("num_frames", 8))
-                for vid in videos:
-                    images.extend(sample_video_frames(vid, nf))
-            if images or audios:
-                # KV-reuse identity: two prompts with identical token ids but
-                # different pixels must NOT share cached KV blocks — hash the
-                # raw multimodal content into the reuse salt (reference
-                # BlockKey mm hashes, kvCacheManager.h:148-195).
-                import hashlib
-                hh = hashlib.sha256()
-                for a in (*images, *audios):
-                    arr = np.asarray(a)
-                    hh.update(str(arr.shape).encode())
-                    hh.update(arr.tobytes())
-                mm_hash = hh.hexdigest()[:32]
-                pix = []
-                if images:
-                    if hasattr(self.model, "preprocess_images"):
-                        # model-specific pipeline (Qwen2-VL native-
-                        # resolution patches; also HF-processor outputs)
-                        pix = self.model.preprocess_images(images)
-                    else:
-                        from tensorrt_llm_tpu.inputs import (
-                            preprocess_images)
-                        pix = preprocess_images(images, self.model.vision)
-                if audios:
-                    out = self.model.process_multimodal(
-                        self.engine.params, token_ids, pix, audios=audios)
-                else:
-                    out = self.model.process_multimodal(
-                        self.engine.params, token_ids, pix)
-                if len(out) == 3:
-                    token_ids, prompt_embeds, mm_extra = out
-                else:
-                    token_ids, prompt_embeds = out
+            prompt_embeds = np.asarray(mme["embeds"], np.float32)
+            mm_extra = mme.get("extra") or None
+            mm_hash = mme.get("mm_hash")
+        elif isinstance(prompt, dict):
+            (token_ids, text, prompt_embeds,
+             mm_extra, mm_hash) = self._process_mm_prompt(prompt)
         elif isinstance(prompt, str):
             assert self._tokenizer is not None, "tokenizer required for text prompts"
             token_ids = self._tokenizer.encode(prompt)
@@ -508,6 +470,80 @@ class LLM:
             req.cross_image_start = mm_extra.get("cross_image_start", 0)
         self.executor.submit(req)
         return GenerationFuture(self, req, text, streaming)
+
+    def _process_mm_prompt(self, prompt: dict):
+        """Multimodal prompt schema (reference inputs/registry.py):
+        {"prompt" | "prompt_token_ids", "multi_modal_data": {"image": [...],
+        "audio": [...], "video": [...]}} -> (token_ids, text, prompt_embeds,
+        mm_extra, mm_hash)."""
+        inner = prompt.get("prompt_token_ids")
+        if inner is None:
+            assert self._tokenizer is not None
+            inner = self._tokenizer.encode(prompt["prompt"])
+        token_ids = [int(t) for t in inner]
+        text = prompt.get("prompt")
+        prompt_embeds = mm_extra = mm_hash = None
+        mm = prompt.get("multi_modal_data") or {}
+        images = list(mm.get("image") or [])
+        audios = mm.get("audio") or []
+        videos = mm.get("video") or []
+        if videos:
+            # video -> uniform temporal sampling -> frame sequence
+            # (reference inputs video path; EVS pruning utilities in
+            # inputs/evs.py)
+            from tensorrt_llm_tpu.inputs.evs import sample_video_frames
+            nf = int(mm.get("num_frames", 8))
+            for vid in videos:
+                images.extend(sample_video_frames(vid, nf))
+        if images or audios:
+            # KV-reuse identity: two prompts with identical token ids but
+            # different pixels must NOT share cached KV blocks — hash the
+            # raw multimodal content into the reuse salt (reference
+            # BlockKey mm hashes, kvCacheManager.h:148-195).
+            import hashlib
+            hh = hashlib.sha256()
+            for a in (*images, *audios):
+                arr = np.asarray(a)
+                hh.update(str(arr.shape).encode())
+                hh.update(arr.tobytes())
+            mm_hash = hh.hexdigest()[:32]
+            pix = []
+            if images:
+                if hasattr(self.model, "preprocess_images"):
+                    # model-specific pipeline (Qwen2-VL native-
+                    # resolution patches; also HF-processor outputs)
+                    pix = self.model.preprocess_images(images)
+                else:
+                    from tensorrt_llm_tpu.inputs import preprocess_images
+                    pix = preprocess_images(images, self.model.vision)
+            if audios:
+                out = self.model.process_multimodal(
+                    self.engine.params, token_ids, pix, audios=audios)
+            else:
+                out = self.model.process_multimodal(
+                    self.engine.params, token_ids, pix)
+            if len(out) == 3:
+                token_ids, prompt_embeds, mm_extra = out
+            else:
+                token_ids, prompt_embeds = out
+        return token_ids, text, prompt_embeds, mm_extra, mm_hash
+
+    def encode_multimodal(self, prompt: dict) -> dict:
+        """EPD disagg encode stage (reference MultimodalEncoder,
+        llmapi/mm_encoder.py): run ONLY the multimodal encoder (vision
+        tower / audio conformer + projector and embedding fusion) and
+        return a payload a generation server can consume via
+        ``prompt["multi_modal_embeddings"]`` — no KV, no decode."""
+        (token_ids, _text, prompt_embeds,
+         mm_extra, mm_hash) = self._process_mm_prompt(prompt)
+        if prompt_embeds is None:
+            raise ValueError("prompt has no multimodal content to encode")
+        return {
+            "token_ids": [int(t) for t in token_ids],
+            "embeds": np.asarray(prompt_embeds, np.float32),
+            "extra": mm_extra,
+            "mm_hash": mm_hash,
+        }
 
     # ------------------------------------------------------------------ disagg ----
     def generate_context_only(self, prompt, sampling_params=None):
@@ -715,6 +751,23 @@ class GenerationFuture:
 
     def cancel(self):
         self.llm.executor.cancel(self.req.request_id)
+
+
+class MultimodalEncoder(LLM):
+    """Encode-only endpoint for EPD (encode/prefill/decode) disaggregation
+    — reference ``llmapi/mm_encoder.py`` MultimodalEncoder: builds the
+    model (vision tower / audio encoder + embedding fusion) but serves no
+    generation.  Use :meth:`encode_multimodal`; feed the payload to a
+    generation server as ``prompt["multi_modal_embeddings"]``."""
+
+    def __init__(self, model: Any = None, tokenizer: Any = None, **kwargs):
+        kwargs.setdefault("kv_num_blocks", 8)
+        kwargs.setdefault("enable_warmup", False)
+        super().__init__(model=model, tokenizer=tokenizer, **kwargs)
+
+    def generate_async(self, *a, **k):
+        raise RuntimeError(
+            "MultimodalEncoder is encode-only; use encode_multimodal()")
 
 
 class _FanoutFuture:

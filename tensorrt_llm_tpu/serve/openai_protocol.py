@@ -74,6 +74,9 @@ class ChatCompletionRequest(BaseModel):
     messages: List[ChatMessage]
     max_tokens: Optional[int] = None
     max_completion_tokens: Optional[int] = None
+    # EPD disagg: precomputed multimodal-embedding handle from
+    # /v1/mm_embeddings (reference mm_embedding_handle flow)
+    multi_modal_embeddings: Optional[Dict[str, Any]] = None
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0

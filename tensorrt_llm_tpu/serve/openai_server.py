@@ -80,7 +80,86 @@ class OpenAIServer:
             web.get("/steady_clock_offset", self.steady_clock_offset),
             web.post("/disagg/context", self.disagg_context),
             web.post("/disagg/generate", self.disagg_generate),
+            web.post("/v1/mm_embeddings", self.mm_embeddings),
         ])
+
+    # -------------------------------------------------------------- EPD encode --
+    @staticmethod
+    def _encode_mm_handle(payload) -> dict:
+        """Portable multimodal-embedding handle: compressed npz in base64
+        (reference mm_embedding_handle, openai_server.py:620-623)."""
+        import base64
+        import io
+
+        import numpy as np
+        buf = io.BytesIO()
+        arrays = {"embeds": np.asarray(payload["embeds"], np.float32),
+                  "token_ids": np.asarray(payload["token_ids"], np.int32)}
+        for k, v in (payload.get("extra") or {}).items():
+            if v is None:
+                continue
+            try:
+                arrays[f"extra_{k}"] = np.asarray(v)
+            except (TypeError, ValueError):
+                pass  # non-array extras (rare) don't cross the wire
+        np.savez_compressed(buf, **arrays)
+        return {"format": "npz_b64",
+                "mm_hash": payload.get("mm_hash"),
+                "data": base64.b64encode(buf.getvalue()).decode()}
+
+    @staticmethod
+    def _decode_mm_handle(handle: dict) -> dict:
+        import base64
+        import io
+
+        import numpy as np
+        if handle.get("format") != "npz_b64":
+            raise ValueError(f"unknown mm handle format: {handle.get('format')!r}")
+        z = np.load(io.BytesIO(base64.b64decode(handle["data"])),
+                    allow_pickle=False)
+        extra = {k[len("extra_"):]: z[k] for k in z.files
+                 if k.startswith("extra_")}
+        return {"token_ids": z["token_ids"].tolist(),
+                "embeds": z["embeds"],
+                "extra": extra or None,
+                "mm_hash": handle.get("mm_hash")}
+
+    async def mm_embeddings(self, request: web.Request):
+        """EPD disagg encode stage (reference mm_encoder_only serving,
+        openai_server.py:620): run ONLY the multimodal encoder on the
+        request's images and return a portable embedding handle the
+        prefill/decode server consumes via
+        ``prompt["multi_modal_embeddings"]`` (handle form:
+        ``{"format": "npz_b64", "data": ...}``)."""
+        import asyncio as _aio
+        try:
+            body = await request.json()
+            prompt = body.get("prompt")
+            token_ids = body.get("prompt_token_ids")
+            images = [self._decode_image_part({"image_url": {"url": u}})
+                      if isinstance(u, str) else u
+                      for u in body.get("images") or []]
+            messages = body.get("messages")
+            if messages:
+                from tensorrt_llm_tpu.serve.openai_protocol import (
+                    ChatMessage)
+                msgs = [ChatMessage(**m) for m in messages]
+                images, tmpl = self._extract_multimodal(msgs)
+                prompt = self._apply_chat_template(tmpl)
+            p = {"multi_modal_data": {"image": images}}
+            if token_ids is not None:
+                p["prompt_token_ids"] = token_ids
+            else:
+                p["prompt"] = prompt
+            payload = await _aio.to_thread(self.llm.encode_multimodal, p)
+        except (ValueError, KeyError, TypeError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response({
+            "object": "mm_embeddings",
+            "model": self.model_name,
+            "mm_embedding_handle": self._encode_mm_handle(payload),
+            "prompt_token_ids": payload["token_ids"],
+        })
 
     # ------------------------------------------------------------------ misc ----
     async def _register_worker(self, app):
@@ -458,7 +537,14 @@ class OpenAIServer:
         except ValueError as e:
             return web.json_response({"error": str(e)}, status=400)
         prompt = self._apply_chat_template(tmpl_msgs, body.tools)
-        if images:
+        if body.multi_modal_embeddings:
+            # EPD: embeddings precomputed by an encode server
+            try:
+                prompt = {"prompt": prompt, "multi_modal_embeddings":
+                          self._decode_mm_handle(body.multi_modal_embeddings)}
+            except (ValueError, KeyError) as e:
+                return web.json_response({"error": str(e)}, status=400)
+        elif images:
             prompt = {"prompt": prompt,
                       "multi_modal_data": {"image": images}}
         sp = body.to_sampling_params()

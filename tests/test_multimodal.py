@@ -1042,3 +1042,143 @@ def test_hyperclovax_anyres_generate():
         assert len(exp1) == 1 + 5
     finally:
         llm.shutdown()
+
+
+def test_epd_encode_then_generate_matches_direct():
+    """EPD disagg: encode_multimodal on one LLM instance + a generation
+    request fed multi_modal_embeddings must match the direct multimodal
+    path exactly (reference MultimodalEncoder + mm_embedding flow)."""
+    pytest.importorskip("torch")
+    hf, hf_cfg, cfg, model, params = _hf_setup()
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=64,
+              max_batch_size=4, kv_num_blocks=64, kv_block_size=8)
+    llm.engine.update_params(params)
+    llm.model = model
+    pix = np.random.RandomState(3).randn(3, 28, 28).astype(np.float32)
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+    mm_prompt = {"prompt_token_ids": [4, IMG_TOK, 11, 12],
+                 "multi_modal_data": {"image": [pix]}}
+    try:
+        direct = llm.generate_async(mm_prompt, sp).result(
+            timeout=120).outputs[0].token_ids
+        payload = llm.encode_multimodal(mm_prompt)
+        assert payload["embeds"].ndim == 2
+        assert payload["mm_hash"]
+        epd = llm.generate_async(
+            {"multi_modal_embeddings": payload}, sp).result(
+                timeout=120).outputs[0].token_ids
+        assert epd == direct, (epd, direct)
+    finally:
+        llm.shutdown()
+
+
+def test_epd_mm_embeddings_route_and_handle():
+    """/v1/mm_embeddings returns a handle; chat with the handle generates
+    the same tokens as direct image chat."""
+    pytest.importorskip("torch")
+    import asyncio
+    import base64
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from tensorrt_llm_tpu.llmapi import LLM
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    hf, hf_cfg, cfg, model, params = _hf_setup()
+
+    class Tok:
+        eos_token_id = None
+        bos_token_id = None
+        chat_template = "custom"  # truthy => apply_chat_template is used
+
+        def encode(self, text):
+            out = []
+            for w in text.split():
+                out.append(IMG_TOK if w == "<image>" else
+                           (sum(map(ord, w)) % 90) + 5)
+            return out
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+        def apply_chat_template(self, msgs, tokenize=False,
+                                add_generation_prompt=True):
+            parts = []
+            for m in msgs:
+                c = m["content"]
+                if isinstance(c, list):
+                    parts.extend("<image>" if p.get("type") == "image"
+                                 else str(p.get("text", "")) for p in c)
+                else:
+                    parts.append(str(c))
+            return " ".join(parts)
+
+    llm = LLM(model=cfg, tokenizer=Tok(), max_seq_len=64, max_batch_size=4,
+              kv_num_blocks=64, kv_block_size=8)
+    llm.engine.update_params(params)
+    llm.model = model
+    server = OpenAIServer(llm, "tiny-vlm")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    try:
+        # a 2x2 RGB png as data URL
+        from PIL import Image
+        img = Image.fromarray(
+            np.random.RandomState(5).randint(0, 255, (28, 28, 3), "uint8"))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        durl = "data:image/png;base64," + \
+            base64.b64encode(buf.getvalue()).decode()
+        msgs = [{"role": "user", "content": [
+            {"type": "text", "text": "look"},
+            {"type": "image_url", "image_url": {"url": durl}},
+        ]}]
+        r = loop.run_until_complete(tc.post("/v1/mm_embeddings", json={
+            "model": "tiny-vlm", "messages": msgs}))
+        assert r.status == 200, loop.run_until_complete(r.text())
+        enc = loop.run_until_complete(r.json())
+        handle = enc["mm_embedding_handle"]
+        assert handle["format"] == "npz_b64" and handle["mm_hash"]
+
+        r1 = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+            "model": "tiny-vlm", "messages": msgs, "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True}))
+        assert r1.status == 200, loop.run_until_complete(r1.text())
+        direct = loop.run_until_complete(r1.json())
+
+        r2 = loop.run_until_complete(tc.post("/v1/chat/completions", json={
+            "model": "tiny-vlm", "messages": msgs, "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True,
+            "multi_modal_embeddings": handle}))
+        assert r2.status == 200, loop.run_until_complete(r2.text())
+        epd = loop.run_until_complete(r2.json())
+        assert (epd["choices"][0]["message"]["content"]
+                == direct["choices"][0]["message"]["content"])
+    finally:
+        loop.run_until_complete(tc.close())
+        loop.close()
+        llm.shutdown()
+
+
+def test_multimodal_encoder_class_is_encode_only():
+    pytest.importorskip("torch")
+    from tensorrt_llm_tpu.llmapi import MultimodalEncoder, SamplingParams
+    hf, hf_cfg, cfg, model, params = _hf_setup()
+    enc = MultimodalEncoder(model=cfg, skip_tokenizer_init=True,
+                            max_seq_len=64, max_batch_size=2,
+                            kv_block_size=8)
+    enc.engine.update_params(params)
+    enc.model = model
+    pix = np.random.RandomState(4).randn(3, 28, 28).astype(np.float32)
+    try:
+        payload = enc.encode_multimodal(
+            {"prompt_token_ids": [4, IMG_TOK, 11],
+             "multi_modal_data": {"image": [pix]}})
+        assert payload["embeds"].shape[0] == len(payload["token_ids"])
+        with pytest.raises(RuntimeError):
+            enc.generate(["hi"], SamplingParams(max_tokens=2))
+    finally:
+        enc.shutdown()
