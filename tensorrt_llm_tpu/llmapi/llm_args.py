@@ -68,6 +68,9 @@ class LlmArgs:
     # only blocks with retention priority >= this offload to host
     # (reference secondary_offload_min_priority)
     kv_secondary_offload_min_priority: Optional[int] = None
+    # pluggable external KV store: an object with save/load/contains
+    # (reference kv_connector_config, LMCache-style connector plane)
+    kv_connector: Optional[Any] = None
 
     # scheduler
     scheduler_policy: str = "guaranteed_no_evict"
@@ -187,6 +190,7 @@ class LlmArgs:
             host_cache_blocks=self.kv_host_cache_blocks,
             secondary_offload_min_priority=(
                 self.kv_secondary_offload_min_priority),
+            kv_connector=self.kv_connector,
         )
 
     def make_scheduler_config(self) -> SchedulerConfig:

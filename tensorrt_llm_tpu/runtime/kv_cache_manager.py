@@ -24,7 +24,7 @@ from __future__ import annotations
 import collections
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,12 @@ class KVCacheConfig:
     # DSACacheManager): latent layout gains a per-token indexer-key pool
     # [NB, 1, BS, index_head_dim] per layer
     dsa_index_dim: int = 0
+    # Pluggable external KV store (reference KvCacheConnectorConfig,
+    # llm_args.py:817 — the LMCache-style connector plane): an object with
+    # save(key, payload) / load(key) / contains(key).  Blocks evicted from
+    # the reuse index flow save() (a tier colder than the host cache);
+    # prefix misses probe load().  Keys are process-stable chain hashes.
+    kv_connector: Optional[Any] = None
     # "kv": separate K and V pools per layer; "latent": one pool per layer
     # (MLA compressed KV + rope key — reference mlaCacheFormatter layout)
     layout: str = "kv"
@@ -79,6 +85,35 @@ class KVCacheConfig:
 # Default retention priority — reference KvCacheRetentionConfig
 # (executor.h:559) uses 35 as the default eviction priority.
 DEFAULT_RETENTION_PRIORITY = 35
+
+
+class KvCacheConnector:
+    """External KV-block store interface (reference kv_connector_config /
+    connector worker+scheduler classes, collapsed for the single-controller
+    design): the cache manager calls save() as reuse blocks leave the
+    device (after any host-tier insert), load() on prefix misses past both
+    device and host tiers, and contains() for dry-run match scoring.
+
+    Payloads are the engine's extract_kv_blocks output (one list of
+    per-layer numpy page arrays); keys are process-stable 64-bit chain
+    hashes of (parent, block tokens, salt), so an out-of-process store
+    keyed on them can serve other processes with identical tokenizations.
+    """
+
+    def save(self, key: int, payload) -> None:
+        raise NotImplementedError
+
+    def load(self, key: int):
+        """Return the payload stored under key, or None."""
+        raise NotImplementedError
+
+    def contains(self, key: int) -> bool:
+        return self.load(key) is not None
+
+
+def _stable_mix(h: int, v: int) -> int:
+    h ^= v & 0xFFFFFFFFFFFFFFFF
+    return (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
 
 
 class SequenceInfo:
@@ -635,6 +670,8 @@ class KVCacheManager:
         self._partial_copies: Dict[int, List[tuple]] = {}
         self.num_offloaded = 0
         self.num_onboarded = 0
+        self.num_connector_saves = 0
+        self.num_connector_loads = 0
 
     @property
     def is_native(self) -> bool:
@@ -806,7 +843,8 @@ class KVCacheManager:
     # ------------------------------------------------------------ host tier ----
     @property
     def host_tier_enabled(self) -> bool:
-        return (self.cfg.host_cache_blocks > 0
+        return ((self.cfg.host_cache_blocks > 0
+                 or self.cfg.kv_connector is not None)
                 and self.cfg.enable_block_reuse and not self.vswa
                 and self._extract_fn is not None)
 
@@ -819,7 +857,17 @@ class KVCacheManager:
 
     @staticmethod
     def _whash(parent: int, chunk: tuple, salt) -> int:
-        return hash((parent, chunk, salt))
+        """Process-STABLE content chain hash (FNV-1a over ints): host-tier
+        and connector keys survive restarts and match across processes
+        (unlike Python's seeded hash())."""
+        h = _stable_mix(0xCBF29CE484222325, parent)
+        for t in chunk:
+            h = _stable_mix(h, int(t))
+        if salt is not None:
+            import hashlib
+            d = hashlib.sha256(repr(salt).encode()).digest()
+            h = _stable_mix(h, int.from_bytes(d[:8], "little"))
+        return h
 
     def _drain_offloads(self):
         """Offload reuse blocks evicted by the last backend op to the host
@@ -839,10 +887,18 @@ class KVCacheManager:
             if wh in self.host_cache:
                 self.host_cache.move_to_end(wh)
                 continue
-            self.host_cache[wh] = self._extract_fn([bid])
-            self.num_offloaded += 1
-            while len(self.host_cache) > self.cfg.host_cache_blocks:
-                self.host_cache.popitem(last=False)
+            payload = self._extract_fn([bid])
+            conn = self.cfg.kv_connector
+            if conn is not None:
+                # the connector is the coldest tier: everything that
+                # leaves the device flows through save()
+                conn.save(wh, payload)
+                self.num_connector_saves += 1
+            if self.cfg.host_cache_blocks > 0:
+                self.host_cache[wh] = payload
+                self.num_offloaded += 1
+                while len(self.host_cache) > self.cfg.host_cache_blocks:
+                    self.host_cache.popitem(last=False)
 
     def set_seq_priority(self, seq_id: int, priority: int):
         """Retention priority for blocks this sequence stores for reuse
@@ -877,13 +933,18 @@ class KVCacheManager:
                 parent, tuple(token_ids[b * bs:(b + 1) * bs]), cache_salt)
             whs.append(parent)
         self._seq_whash[seq_id] = whs
-        if self.host_tier_enabled and self.host_cache:
+        conn = self.cfg.kv_connector
+        if self.host_tier_enabled and (self.host_cache or conn is not None):
             n_full = (len(token_ids) - 1) // bs  # last token recomputed
             b = matched // bs
             while b < n_full:
                 chunk = tuple(token_ids[b * bs:(b + 1) * bs])
                 wh = self._whash(parent, chunk, cache_salt)
                 payload = self.host_cache.get(wh)
+                if payload is None and conn is not None:
+                    payload = conn.load(wh)
+                    if payload is not None:
+                        self.num_connector_loads += 1
                 if payload is None:
                     break
                 try:
@@ -895,7 +956,8 @@ class KVCacheManager:
                 self._drain_offloads()
                 bid = self._bk.block_table(seq_id, b + 1)[b]
                 self._inject_fn([bid], payload)
-                self.host_cache.move_to_end(wh)
+                if wh in self.host_cache:
+                    self.host_cache.move_to_end(wh)
                 self._block_whash[bid] = wh
                 self._block_prio[bid] = self._seq_prio.get(
                     seq_id, DEFAULT_RETENTION_PRIORITY)
@@ -969,7 +1031,8 @@ class KVCacheManager:
         Counts both tiers (host blocks would onboard on admission)."""
         matched_full = self._bk.match_prefix(token_ids, cache_salt)
         matched = matched_full
-        if self.host_tier_enabled and self.host_cache:
+        conn = self.cfg.kv_connector
+        if self.host_tier_enabled and (self.host_cache or conn is not None):
             bs = self.block_size
             parent = 0
             for b in range(matched // bs):
@@ -980,11 +1043,17 @@ class KVCacheManager:
             while b < n_full:
                 chunk = tuple(token_ids[b * bs:(b + 1) * bs])
                 wh = self._whash(parent, chunk, cache_salt)
-                if wh not in self.host_cache:
+                if wh not in self.host_cache and \
+                        not (conn is not None and conn.contains(wh)):
                     break
                 matched += bs
                 parent = wh
                 b += 1
+        if self.cfg.enable_partial_reuse and matched == matched_full:
+            # partial tail-block overlap extends the device-tier score
+            # (side-effect-free); skipped when host tiers extended past it
+            matched = max(matched, self._bk.match_prefix(
+                token_ids, cache_salt, partial=True))
         return matched
 
     def get_events(self, since_id: int = 0) -> List[dict]:
@@ -1031,6 +1100,9 @@ class KVCacheManager:
         s["host_cached_blocks"] = len(self.host_cache)
         s["offloaded_blocks"] = self.num_offloaded
         s["onboarded_blocks"] = self.num_onboarded
+        if self.cfg.kv_connector is not None:
+            s["connector_saves"] = self.num_connector_saves
+            s["connector_loads"] = self.num_connector_loads
         return s
 
 
