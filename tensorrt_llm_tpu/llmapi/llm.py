@@ -263,7 +263,10 @@ class LLM:
             vocab_size=cfg.vocab_size,
             watchdog_timeout=a.watchdog_timeout,
             profile_start_stop=a.profile_start_stop,
-            moe_balancer=self.moe_balancer)
+            moe_balancer=self.moe_balancer,
+            overlap_decode=(False if a.disable_overlap_scheduler else None),
+            overlap_depth=a.overlap_depth,
+            iter_stats_max_iterations=a.iter_stats_max_iterations)
         self.executor.start()
         # Join the executor loop at interpreter exit even when the user's
         # script raises without calling shutdown(): a daemon thread killed

@@ -104,6 +104,12 @@ class LlmArgs:
 
     # fused multi-step decode (1 disables)
     max_decode_steps: int = 4
+    # overlap decode pipeline (reference disable_overlap_scheduler):
+    # None = env default (TLLM_OVERLAP_DECODE / TLLM_OVERLAP_DEPTH)
+    disable_overlap_scheduler: bool = False
+    overlap_depth: Optional[int] = None
+    # iteration-stats ring size (reference iter_stats_max_iterations)
+    iter_stats_max_iterations: int = 1000
 
     # Wide-EP: rebalance expert placement every N iterations (0 = off)
     moe_rebalance_interval: int = 0

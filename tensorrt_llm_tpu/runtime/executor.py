@@ -67,6 +67,9 @@ class PyExecutor:
         profile_start_stop: Optional[str] = None,
         tracer=None,
         moe_balancer=None,
+        overlap_decode: Optional[bool] = None,
+        overlap_depth: Optional[int] = None,
+        iter_stats_max_iterations: int = 1000,
     ):
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
@@ -82,9 +85,12 @@ class PyExecutor:
         self._inflight_comp = None
         self._virtual: dict = {}   # req_id -> dispatched-but-unapplied tokens
         self._overlap_depth = max(1, int(
-            _os2.environ.get("TLLM_OVERLAP_DEPTH", "4")))
+            overlap_depth if overlap_depth is not None
+            else _os2.environ.get("TLLM_OVERLAP_DEPTH", "4")))
         self._overlap_enabled = (
-            _os2.environ.get("TLLM_OVERLAP_DECODE", "1") == "1")
+            overlap_decode if overlap_decode is not None
+            else _os2.environ.get("TLLM_OVERLAP_DECODE", "1") == "1")
+        self._stats_max = max(1, int(iter_stats_max_iterations))
         # test hook: pretend results never land early so the pipeline
         # always runs at full depth (CPU arrays are ready instantly)
         self._force_lag = _os2.environ.get("TLLM_OVERLAP_LAG") == "1"
@@ -96,6 +102,15 @@ class PyExecutor:
                                   and getattr(drafter, "needs_hidden", False))
         self._hidden_capture = getattr(drafter, "hidden_capture", "final")
         self.spec_stats = {"proposed": 0, "accepted": 0, "rounds": 0}
+        # adaptive spec disable (reference acceptance_window): rolling
+        # accepted-length history; once its mean drops below the
+        # configured threshold, speculation turns off for good
+        self._spec_adaptive_off = False
+        self._spec_len_cap = None
+        aw = getattr(getattr(drafter, "cfg", None), "acceptance_window",
+                     None)
+        import collections as _coll
+        self._accept_hist = _coll.deque(maxlen=aw) if aw else None
         # guided decoding (reference: pyexecutor/guided_decoder.py)
         from tensorrt_llm_tpu.runtime.guided_decoder import GuidedDecoder
         self.tokenizer = tokenizer
@@ -536,10 +551,19 @@ class PyExecutor:
         # spec concurrency gate (reference NGramDecodingConfig
         # .max_concurrency via suggest_spec_config): big decode batches
         # amortize per-step cost already, so speculation turns off
-        spec_cap = getattr(getattr(self.drafter, "cfg", None),
-                           "max_concurrency", None)
-        spec_on = self.drafter is not None and (
-            spec_cap is None or len(decode_reqs) <= spec_cap)
+        dcfg = getattr(self.drafter, "cfg", None)
+        spec_cap = getattr(dcfg, "max_concurrency", None)
+        spec_on = (self.drafter is not None
+                   and not self._spec_adaptive_off
+                   and (spec_cap is None or len(decode_reqs) <= spec_cap))
+        # draft length by batch size (reference draft_len_schedule)
+        self._spec_len_cap = None
+        sched = getattr(dcfg, "draft_len_schedule", None)
+        if sched:
+            fits = [bs for bs in sched if bs <= len(decode_reqs)]
+            self._spec_len_cap = sched[max(fits)] if fits else None
+            if self._spec_len_cap == 0:
+                spec_on = False
         if self._inflight and (beam_reqs or spec_on):
             # spec/beam paths read request state and dispatch their own
             # steps: sync the overlap pipeline BEFORE they run
@@ -599,8 +623,8 @@ class PyExecutor:
         stats.step_time_ms = (time.perf_counter() - t0) * 1e3
         stats.tokens_generated = self.total_tokens_generated
         self.stats_history.append(stats)
-        if len(self.stats_history) > 1000:
-            self.stats_history = self.stats_history[-1000:]
+        if len(self.stats_history) > self._stats_max:
+            self.stats_history = self.stats_history[-self._stats_max:]
         return True
 
     def _cleanup_finished(self):
@@ -694,6 +718,23 @@ class PyExecutor:
         return int(tok) in {int(t) for t in top} \
             and float(p.max() - p[int(tok)]) <= delta
 
+    def _record_acceptance(self, accepted_len: int):
+        """Rolling acceptance-length tracking (reference acceptance_window /
+        acceptance_length_threshold): a full window averaging below the
+        threshold disables speculation for the rest of the run."""
+        if self._accept_hist is None or self._spec_adaptive_off:
+            return
+        self._accept_hist.append(accepted_len)
+        cfg = self.drafter.cfg
+        thr = cfg.acceptance_length_threshold
+        if thr is not None \
+                and len(self._accept_hist) == self._accept_hist.maxlen \
+                and sum(self._accept_hist) / len(self._accept_hist) < thr:
+            self._spec_adaptive_off = True
+            logger.info("speculation disabled: rolling acceptance length "
+                        "%.2f < threshold %.2f",
+                        sum(self._accept_hist) / len(self._accept_hist), thr)
+
     def _spec_decode(self, req: LlmRequest) -> bool:
         """Draft -> single verify forward -> accept longest matching prefix
         plus one bonus token.  Returns False to fall back to normal decode
@@ -713,6 +754,8 @@ class PyExecutor:
             if self._verify_tree(req, *tree):
                 return True
         self._flush_pending(req)
+        if self._spec_len_cap is not None:
+            budget = min(budget, self._spec_len_cap)
         draft = self.drafter.propose(req)[:budget]
         if not draft:
             return False
@@ -766,6 +809,7 @@ class PyExecutor:
         self.spec_stats["proposed"] += k
         self.spec_stats["accepted"] += len(accepted) - 1
         self.spec_stats["rounds"] += 1
+        self._record_acceptance(len(accepted))
         for tok in accepted:
             if not req.is_generating:
                 break
@@ -870,6 +914,7 @@ class PyExecutor:
         self.spec_stats["proposed"] += k
         self.spec_stats["accepted"] += len(accepted) - 1
         self.spec_stats["rounds"] += 1
+        self._record_acceptance(len(accepted))
         appended = 0
         for tok in accepted:
             if not req.is_generating:

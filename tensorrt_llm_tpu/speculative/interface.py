@@ -55,6 +55,16 @@ class SpeculativeConfig:
     # one step (large batches amortize decode cost already — reference
     # NGramDecodingConfig.max_concurrency); None = always on
     max_concurrency: Optional[int] = None
+    # Draft length by decode batch size (reference draft_len_schedule,
+    # llm_args.py:676): {batch_size_threshold: draft_len}; the largest
+    # threshold <= the current batch size wins.  None = max_draft_len.
+    draft_len_schedule: Optional[dict] = None
+    # Adaptive disable (reference acceptance_window /
+    # acceptance_length_threshold): once the rolling average accepted
+    # length over the last `acceptance_window` rounds drops below the
+    # threshold, speculation turns off for the rest of the run.
+    acceptance_window: Optional[int] = None
+    acceptance_length_threshold: Optional[float] = None
     # Relaxed acceptance for thinking models (reference MTPDecodingConfig
     # use_relaxed_acceptance_for_thinking / relaxed_topk / relaxed_delta,
     # mtp.py:798-845 + mtp_relaxed_acceptance_op): inside a

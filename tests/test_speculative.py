@@ -391,3 +391,51 @@ def test_relaxed_exits_on_end_token():
     finally:
         base.shutdown()
     assert got[2:] == want_tail, (got, want_tail)
+
+
+def test_draft_len_schedule_caps_drafts():
+    """reference draft_len_schedule: {batch_threshold: draft_len} — the
+    largest threshold <= batch size picks the per-round draft cap."""
+    lens = []
+
+    def drafter(request):
+        return [9] * 6   # always offers 6; the schedule must cap it
+
+    spec = SpeculativeConfig(
+        mode=SpeculativeMode.USER_PROVIDED, proposer=drafter,
+        max_draft_len=6, draft_len_schedule={1: 2})
+    llm = make_llm(spec=spec)
+    try:
+        llm.generate([[3, 5, 3, 5]],
+                     SamplingParams(max_tokens=10, temperature=0.0,
+                                    ignore_eos=True))
+        st = dict(llm.executor.spec_stats)
+    finally:
+        llm.shutdown()
+    assert st["rounds"] > 0
+    # every round proposed at most 2 drafts (schedule), never 6
+    assert st["proposed"] <= 2 * st["rounds"], st
+
+
+def test_acceptance_window_disables_speculation():
+    """reference acceptance_window/acceptance_length_threshold: a full
+    window averaging below the threshold turns speculation off."""
+
+    def bad_drafter(request):
+        return [63, 62, 61]   # junk drafts: acceptance stays ~1 (bonus)
+
+    spec = SpeculativeConfig(
+        mode=SpeculativeMode.USER_PROVIDED, proposer=bad_drafter,
+        max_draft_len=3, acceptance_window=3,
+        acceptance_length_threshold=1.5)
+    llm = make_llm(spec=spec)
+    try:
+        llm.generate([[3, 5, 3, 5]],
+                     SamplingParams(max_tokens=20, temperature=0.0,
+                                    ignore_eos=True))
+        rounds = llm.executor.spec_stats["rounds"]
+        off = llm.executor._spec_adaptive_off
+    finally:
+        llm.shutdown()
+    assert off, "speculation should have been disabled"
+    assert rounds <= 4, rounds  # 3-round window + at most one extra
