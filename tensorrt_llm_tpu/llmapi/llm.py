@@ -55,6 +55,9 @@ class RequestOutput:
     prompt_logprobs: Optional[list] = None
     # np [prompt_len, V], when return_context_logits was set
     context_logits: Optional[Any] = None
+    # per-request timing/KV metrics, when LlmArgs.return_perf_metrics
+    # (reference RequestPerfMetrics)
+    metrics: Optional[dict] = None
 
 
 class LLM:
@@ -722,6 +725,23 @@ class GenerationFuture:
                 finish_reason=reason.value if reason else None,
                 logprobs=self.req.logprobs or None,
                 generation_logits=gl)]
+        metrics = None
+        if getattr(self.llm.args, "return_perf_metrics", False):
+            r = self.req
+            metrics = {
+                "arrival_time": r.arrival_time,
+                "first_scheduled_time": r.first_sched_time,
+                "first_token_time": r.first_token_time,
+                "last_token_time": r.end_time,
+                "queue_time_s": (r.first_sched_time - r.arrival_time
+                                 if r.first_sched_time else None),
+                "ttft_s": (r.first_token_time - r.arrival_time
+                           if r.first_token_time else None),
+                "e2e_s": (r.end_time - r.arrival_time
+                          if r.end_time else None),
+                "kv_cache_hit_tokens": r.num_cached_tokens,
+                "num_output_tokens": r.num_output_tokens,
+            }
         return RequestOutput(
             request_id=self.req.request_id,
             prompt=self.prompt_text,
@@ -729,7 +749,8 @@ class GenerationFuture:
             outputs=outputs,
             finished=True,
             prompt_logprobs=self.req.prompt_logprobs,
-            context_logits=self.req.context_logits)
+            context_logits=self.req.context_logits,
+            metrics=metrics)
 
     def __iter__(self) -> Iterator[RequestOutput]:
         toks: List[int] = []

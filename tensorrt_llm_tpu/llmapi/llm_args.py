@@ -136,6 +136,9 @@ class LlmArgs:
     seed: int = 0
     skip_tokenizer_init: bool = False
     enable_iter_perf_stats: bool = True
+    # attach per-request timing/KV metrics to RequestOutput.metrics
+    # (reference return_perf_metrics / RequestPerfMetrics)
+    return_perf_metrics: bool = False
     # stream a result piece every N generated tokens (first token and
     # finish always emit — reference TorchLlmArgs.stream_interval,
     # py_executor.py:2743); >1 cuts per-token queue/SSE overhead at

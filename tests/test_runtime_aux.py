@@ -148,3 +148,34 @@ def test_update_weights_bad_source_raises():
             llm.update_weights(12345)
     finally:
         llm.shutdown()
+
+
+def test_return_perf_metrics_on_output():
+    """LlmArgs.return_perf_metrics attaches per-request timing/KV metrics
+    to RequestOutput.metrics (reference RequestPerfMetrics)."""
+    import jax
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position=256)
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+              max_batch_size=4, kv_num_blocks=64, kv_block_size=4,
+              return_perf_metrics=True)
+    try:
+        out = llm.generate([[1, 2, 3]], SamplingParams(max_tokens=4,
+                                                       ignore_eos=True))[0]
+        m = out.metrics
+        assert m is not None
+        assert m["num_output_tokens"] == 4
+        assert m["ttft_s"] > 0 and m["e2e_s"] >= m["ttft_s"]
+        assert m["queue_time_s"] >= 0
+        assert m["kv_cache_hit_tokens"] == 0
+        # off by default
+        llm.args.return_perf_metrics = False
+        out2 = llm.generate([[9, 8, 7]], SamplingParams(max_tokens=2,
+                                                        ignore_eos=True))[0]
+        assert out2.metrics is None
+    finally:
+        llm.shutdown()
