@@ -269,7 +269,8 @@ class LLM:
             moe_balancer=self.moe_balancer,
             overlap_decode=(False if a.disable_overlap_scheduler else None),
             overlap_depth=a.overlap_depth,
-            iter_stats_max_iterations=a.iter_stats_max_iterations)
+            iter_stats_max_iterations=a.iter_stats_max_iterations,
+            batched_logits_processor=a.batched_logits_processor)
         self.executor.start()
         # Join the executor loop at interpreter exit even when the user's
         # script raises without calling shutdown(): a daemon thread killed

@@ -139,6 +139,10 @@ class LlmArgs:
     # attach per-request timing/KV metrics to RequestOutput.metrics
     # (reference return_perf_metrics / RequestPerfMetrics)
     return_perf_metrics: bool = False
+    # one host callable over the whole decode batch's logits
+    # f(request_ids, token_id_lists, logits[B, V]) -> logits
+    # (reference batched_logits_processor)
+    batched_logits_processor: Optional[Any] = None
     # stream a result piece every N generated tokens (first token and
     # finish always emit — reference TorchLlmArgs.stream_interval,
     # py_executor.py:2743); >1 cuts per-token queue/SSE overhead at

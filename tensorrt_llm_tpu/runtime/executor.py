@@ -70,6 +70,7 @@ class PyExecutor:
         overlap_decode: Optional[bool] = None,
         overlap_depth: Optional[int] = None,
         iter_stats_max_iterations: int = 1000,
+        batched_logits_processor=None,
     ):
         # fused multi-step decode (one dispatch = up to N tokens/seq); the
         # TPU analog of multi-iteration CUDA-graph capture
@@ -91,6 +92,9 @@ class PyExecutor:
             overlap_decode if overlap_decode is not None
             else _os2.environ.get("TLLM_OVERLAP_DECODE", "1") == "1")
         self._stats_max = max(1, int(iter_stats_max_iterations))
+        # one host callable over the whole decode batch (reference
+        # batched_logits_processor): forces the single-step host path
+        self.batched_logits_processor = batched_logits_processor
         # test hook: pretend results never land early so the pipeline
         # always runs at full depth (CPU arrays are ready instantly)
         self._force_lag = _os2.environ.get("TLLM_OVERLAP_LAG") == "1"
@@ -962,6 +966,8 @@ class PyExecutor:
         request's budget (stops are checked after the fused chunk)."""
         if self.guided.any_active(reqs):
             return 1  # per-token host masks can't ride the fused scan
+        if self.batched_logits_processor is not None:
+            return 1  # global host processor needs every step's logits
         if self._needs_hidden and any(r.sampling_params.greedy for r in reqs):
             return 1  # one-model drafter taps each step's hidden states
         if getattr(self.engine, "_helix", False) \
@@ -1207,6 +1213,18 @@ class PyExecutor:
             logits = logits + mask
         logits = self._apply_penalties(reqs, logits)
         logits = self._apply_logit_controls(reqs, logits)
+        if self.batched_logits_processor is not None:
+            # one call over the whole batch (reference
+            # batched_logits_processor / BatchedLogitsProcessor)
+            out = self.batched_logits_processor(
+                [r.request_id for r in reqs],
+                [r.all_token_ids for r in reqs],
+                np.array(np.asarray(logits[:len(reqs)]), np.float32))
+            logits = np.concatenate(
+                [np.asarray(out, np.float32),
+                 np.asarray(logits[len(reqs):], np.float32)]) \
+                if logits.shape[0] > len(reqs) else np.asarray(out,
+                                                               np.float32)
         state = SamplingState.from_params(sp, step=self.iteration,
                                           pad_to=logits.shape[0])
         tokens, logp = sample_tokens(logits, state)

@@ -218,3 +218,30 @@ def test_prompt_logprobs_skips_prefix_reuse():
         for t in pa:
             assert abs(pa[t] - pb[t]) < 1e-3
     llm.shutdown()
+
+
+def test_batched_logits_processor():
+    """reference batched_logits_processor: one host callable edits the
+    whole decode batch's logits each step."""
+    seen = {"calls": 0, "batch": 0}
+
+    def proc(req_ids, token_lists, logits):
+        seen["calls"] += 1
+        seen["batch"] = max(seen["batch"], len(req_ids))
+        assert len(req_ids) == len(token_lists) == logits.shape[0]
+        logits[:, 7] = 1e9   # force token 7 everywhere
+        return logits
+
+    llm = _tiny_llm(batched_logits_processor=proc)
+    try:
+        outs = llm.generate([[1, 2], [3, 4, 5]],
+                            SamplingParams(max_tokens=4, temperature=0.0,
+                                           ignore_eos=True))
+        for o in outs:
+            toks = o.outputs[0].token_ids
+            # the first token comes from prefill (processor applies there
+            # too via _sample_and_update); all tokens must be 7
+            assert toks == [7, 7, 7, 7], toks
+    finally:
+        llm.shutdown()
+    assert seen["calls"] > 0 and seen["batch"] >= 1
