@@ -382,6 +382,7 @@ class LLM:
                        streaming: bool = False,
                        disaggregated_params=None,
                        lora_request: Optional[str] = None,
+                       prompt_adapter_request=None,
                        cache_salt: Optional[str] = None,
                        kv_retention_priority: Optional[int] = None,
                        priority: float = 0.5,
@@ -405,7 +406,9 @@ class LLM:
                 subs.append(self.generate_async(
                     prompt, sp_j, streaming=False,
                     disaggregated_params=disaggregated_params,
-                    lora_request=lora_request, cache_salt=cache_salt,
+                    lora_request=lora_request,
+                    prompt_adapter_request=prompt_adapter_request,
+                    cache_salt=cache_salt,
                     kv_retention_priority=kv_retention_priority,
                     priority=priority))
             return _FanoutFuture(subs)
@@ -434,6 +437,46 @@ class LLM:
         else:
             token_ids = [int(t) for t in prompt]
             text = None
+        pa_hash = None
+        if prompt_adapter_request is not None:
+            # P-tuning prompt adapter (reference enable_prompt_adapter /
+            # PromptAdapterRequest, max_prompt_adapter_token): learned
+            # virtual-token embeddings prepended to the prompt in
+            # embedding space; positions shift naturally with length
+            if prompt_embeds is not None:
+                raise ValueError("prompt adapters cannot combine with "
+                                 "multimodal prompts")
+            pa = prompt_adapter_request
+            if isinstance(pa, str):
+                table = (self.args.prompt_adapters or {}).get(pa)
+                if table is None:
+                    raise ValueError(f"unknown prompt adapter {pa!r}; pass "
+                                     "prompt_adapters={name: array} to LLM")
+                pa_hash = f"name:{pa}"
+                pa = table
+            virt = np.asarray(pa, np.float32)
+            if virt.ndim != 2 or virt.shape[1] != self.model.cfg.hidden_size:
+                raise ValueError(f"prompt adapter must be [n, hidden_size];"
+                                 f" got {virt.shape}")
+            if virt.shape[0] > self.args.max_prompt_adapter_token:
+                raise ValueError(
+                    f"{virt.shape[0]} virtual tokens > "
+                    f"max_prompt_adapter_token="
+                    f"{self.args.max_prompt_adapter_token}")
+            emb = self.engine.params.get("embedding")
+            if emb is None:
+                raise ValueError("model has no token-embedding table "
+                                 "(prompt adapters unsupported for it)")
+            text_emb = np.asarray(emb["weight"], np.float32)[
+                np.asarray(token_ids, np.int32)]
+            mult = getattr(self.model.cfg, "embedding_multiplier", None)
+            if mult:
+                text_emb = text_emb * float(mult)
+            prompt_embeds = np.concatenate([virt, text_emb], axis=0)
+            token_ids = [0] * virt.shape[0] + token_ids
+            if pa_hash is None:
+                import hashlib
+                pa_hash = hashlib.sha256(virt.tobytes()).hexdigest()[:16]
         rtype = "full"
         if disaggregated_params is not None:
             rtype = disaggregated_params.request_type
@@ -448,6 +491,8 @@ class LLM:
             salt_parts.append(f"lora:{lora_request}")
         if mm_hash is not None:
             salt_parts.append(f"mm:{mm_hash}")
+        if pa_hash is not None:
+            salt_parts.append(f"pa:{pa_hash}")
         req = LlmRequest(token_ids, sampling_params, request_type=rtype,
                          disagg_params=disaggregated_params,
                          lora_request=lora_request,

@@ -98,6 +98,12 @@ class LlmArgs:
     # adapters resident on device, LRU-swapping the rest in from host on
     # demand.  None = all adapters resident.
     lora_max_device_adapters: Optional[int] = None
+    # P-tuning prompt adapters (reference enable_prompt_adapter /
+    # max_prompt_adapter_token): {name: [n, hidden] virtual-token
+    # embedding table}; requests select one via
+    # generate_async(..., prompt_adapter_request=name_or_array)
+    prompt_adapters: Optional[dict] = None
+    max_prompt_adapter_token: int = 64
 
     # speculative decoding
     speculative_config: Optional[Any] = None   # SpeculativeConfig
