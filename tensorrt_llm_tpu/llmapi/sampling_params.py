@@ -42,6 +42,9 @@ class SamplingParams:
     # beam score = cum_logp / out_len**length_penalty (0 => raw sum, the
     # reference SamplingConfig lengthPenalty default)
     length_penalty: float = 0.0
+    # Variable-Beam-Width-Search (reference beam_width_array): per-step
+    # beam widths; the last entry holds for all later steps
+    beam_width_array: Optional[List[int]] = None
     detokenize: bool = True
     skip_special_tokens: bool = True
     # guided decoding (grammar-constrained sampling)

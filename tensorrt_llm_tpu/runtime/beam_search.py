@@ -60,6 +60,14 @@ class BeamSearch:
         self.kv = kv
         self.engine = engine
         self.width = sp.best_of or sp.n
+        # Variable-Beam-Width-Search (reference beam_width_array,
+        # sampling_params.py:186): per-step beam width; the last entry
+        # holds for all later steps.  Widening forks extra children from
+        # the best parents; narrowing frees the dropped beams' KV.
+        self.width_array = list(sp.beam_width_array or [])
+        self._step_idx = 0
+        if self.width_array:
+            self.width = self.width_array[0]
         self.eos = sp.end_id if sp.end_id is not None else eos_token_id
         self.max_seq_len = max_seq_len
         self.length_penalty = getattr(sp, "length_penalty", 0.0)
@@ -125,6 +133,10 @@ class BeamSearch:
         """One batched decode step over all live beams + beam reordering."""
         if self.done:
             return
+        self._step_idx += 1
+        if self.width_array:
+            self.width = self.width_array[
+                min(self._step_idx, len(self.width_array) - 1)]
         k = len(self.live)
         seqs = [s for s, _ in self.live]
         cums = np.array([c for _, c in self.live], np.float32)

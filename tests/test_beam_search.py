@@ -237,3 +237,41 @@ def test_beam_search_max_tokens_one():
         assert len(out2.outputs[0].token_ids) == 4
     finally:
         llm.shutdown()
+
+
+def test_variable_beam_width_array():
+    """reference beam_width_array: per-step beam widths (narrowing frees
+    the dropped beams; output still matches fixed-width-at-final search
+    quality invariants)."""
+    llm = _mk_llm()
+    try:
+        sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True,
+                            use_beam_search=True, n=2, best_of=4,
+                            beam_width_array=[4, 4, 2, 2])
+        out = llm.generate([[7, 3, 7, 3]], sp)[0]
+        assert len(out.outputs) == 2
+        for o in out.outputs:
+            assert len(o.token_ids) == 8
+        # scores are sorted best-first
+        assert (out.outputs[0].cumulative_logprob
+                >= out.outputs[1].cumulative_logprob)
+        # KV fully released afterwards
+        st = llm.get_kv_cache_stats()
+        assert st["active_sequences"] == 0, st
+    finally:
+        llm.shutdown()
+
+
+def test_variable_beam_width_widening():
+    """A width schedule that GROWS forks extra beams mid-search."""
+    llm = _mk_llm()
+    try:
+        sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True,
+                            use_beam_search=True, n=1, best_of=2,
+                            beam_width_array=[2, 2, 4])
+        out = llm.generate([[5, 9, 5, 9]], sp)[0]
+        assert len(out.outputs[0].token_ids) == 6
+        st = llm.get_kv_cache_stats()
+        assert st["active_sequences"] == 0, st
+    finally:
+        llm.shutdown()
