@@ -17,6 +17,7 @@ EXPECTED_SAMPLING_PARAMS = {
     "stop", "stop_token_ids", "include_stop_str_in_output", "ignore_eos",
     "logprobs", "prompt_logprobs", "return_context_logits",
     "return_generation_logits", "n", "best_of", "use_beam_search",
+    "beam_width_array",
     "detokenize", "skip_special_tokens", "guided_decoding", "end_id",
     "length_penalty",    "min_tokens", "bad_words", "logit_bias",
     "no_repeat_ngram_size", "logits_processor",
