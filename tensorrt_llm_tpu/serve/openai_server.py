@@ -204,8 +204,19 @@ class OpenAIServer:
             f"tllm_tpu_kv_free_blocks {kv['free_blocks']}",
             f"tllm_tpu_kv_total_blocks {kv['num_blocks']}",
             f"tllm_tpu_kv_reused_blocks {kv['reused_blocks']}",
+            f"tllm_tpu_kv_partial_reused_blocks "
+            f"{kv.get('partial_reused_blocks', 0)}",
+            f"tllm_tpu_kv_offloaded_blocks {kv.get('offloaded_blocks', 0)}",
+            f"tllm_tpu_kv_onboarded_blocks {kv.get('onboarded_blocks', 0)}",
             f"tllm_tpu_active_sequences {kv['active_sequences']}",
         ]
+        sp = self.llm.executor.spec_stats
+        if sp.get("rounds"):
+            lines += [
+                f"tllm_tpu_spec_proposed_tokens {sp['proposed']}",
+                f"tllm_tpu_spec_accepted_tokens {sp['accepted']}",
+                f"tllm_tpu_spec_rounds {sp['rounds']}",
+            ]
         if stats:
             lines.append(f"tllm_tpu_last_step_ms {stats.step_time_ms:.3f}")
         return web.Response(text="\n".join(lines) + "\n",
