@@ -891,9 +891,13 @@ class KVCacheManager:
             conn = self.cfg.kv_connector
             if conn is not None:
                 # the connector is the coldest tier: everything that
-                # leaves the device flows through save()
-                conn.save(wh, payload)
-                self.num_connector_saves += 1
+                # leaves the device flows through save().  An external
+                # store failure must never kill the serving loop.
+                try:
+                    conn.save(wh, payload)
+                    self.num_connector_saves += 1
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("kv connector save failed: %s", e)
             if self.cfg.host_cache_blocks > 0:
                 self.host_cache[wh] = payload
                 self.num_offloaded += 1
@@ -942,7 +946,11 @@ class KVCacheManager:
                 wh = self._whash(parent, chunk, cache_salt)
                 payload = self.host_cache.get(wh)
                 if payload is None and conn is not None:
-                    payload = conn.load(wh)
+                    try:
+                        payload = conn.load(wh)
+                    except Exception as e:  # noqa: BLE001
+                        logger.warning("kv connector load failed: %s", e)
+                        payload = None
                     if payload is not None:
                         self.num_connector_loads += 1
                 if payload is None:
@@ -1043,8 +1051,13 @@ class KVCacheManager:
             while b < n_full:
                 chunk = tuple(token_ids[b * bs:(b + 1) * bs])
                 wh = self._whash(parent, chunk, cache_salt)
-                if wh not in self.host_cache and \
-                        not (conn is not None and conn.contains(wh)):
+                in_conn = False
+                if wh not in self.host_cache and conn is not None:
+                    try:
+                        in_conn = conn.contains(wh)
+                    except Exception:  # noqa: BLE001 — dry-run score only
+                        in_conn = False
+                if wh not in self.host_cache and not in_conn:
                     break
                 matched += bs
                 parent = wh

@@ -152,3 +152,40 @@ def test_e2e_connector_decode_parity():
     llm.shutdown()
     assert conn.saves > 0, st
     assert again == cold, (again, cold)
+
+
+def test_connector_failures_do_not_break_serving():
+    """A flaky external store must never kill the executor: save/load/
+    contains raising is logged and treated as a miss."""
+    class Flaky(KvCacheConnector):
+        def save(self, key, payload):
+            raise IOError("store down")
+
+        def load(self, key):
+            raise IOError("store down")
+
+        def contains(self, key):
+            raise IOError("store down")
+
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    cfg = ModelConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+                      max_position=256)
+    llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
+              max_batch_size=4, kv_num_blocks=12, kv_block_size=4, seed=5,
+              kv_connector=Flaky())
+    sp = SamplingParams(max_tokens=4, ignore_eos=True, temperature=0.0)
+    prompt = list(range(3, 12))
+    try:
+        cold = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        # churn so offload (and its failing save) happens
+        llm.generate([list(range(40 + 8 * i, 48 + 8 * i))
+                      for i in range(4)], sp)
+        again = llm.generate([prompt], sp)[0].outputs[0].token_ids
+        assert again == cold
+        assert llm.match_kv_prefix(prompt) >= 0  # contains() failure = miss
+        st = llm.get_kv_cache_stats()
+        assert st["connector_saves"] == 0 and st["connector_loads"] == 0
+    finally:
+        llm.shutdown()
