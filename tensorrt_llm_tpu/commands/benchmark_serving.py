@@ -31,6 +31,7 @@ class RequestResult:
     error: str = ""
     prompt_len: int = 0
     output_tokens: int = 0
+    chunks: int = 0              # SSE events (== tokens at stream_interval 1)
     ttft: float = 0.0            # s
     itl: List[float] = field(default_factory=list)   # s between chunks
     e2e: float = 0.0             # s
@@ -103,9 +104,13 @@ async def one_request(session, args, req) -> RequestResult:
                 else:
                     res.itl.append(now - last)
                 last = now
-                res.output_tokens += 1
+                res.chunks += 1
         res.e2e = time.perf_counter() - t0
-        res.success = res.output_tokens > 0
+        res.success = res.chunks > 0
+        # SSE events may batch several tokens (server stream_interval > 1);
+        # with ignore_eos the request generates exactly output_len tokens,
+        # so token-based metrics use that, not the event count
+        res.output_tokens = req["output_len"] if res.success else 0
     except (OSError, asyncio.TimeoutError) as e:
         res.error = str(e)
     return res

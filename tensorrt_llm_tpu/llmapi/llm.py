@@ -437,6 +437,16 @@ class LLM:
         else:
             token_ids = [int(t) for t in prompt]
             text = None
+        if (sampling_params.prompt_logprobs
+                or sampling_params.return_context_logits) and (
+                getattr(self.engine, "_star", False)
+                or getattr(self.engine, "_helix", False)):
+            # star/helix CP prefill returns rank-combined single-row logits;
+            # full prompt rows are not available — fail loudly instead of
+            # silently returning nothing
+            raise ValueError("prompt_logprobs / return_context_logits are "
+                             "not supported under star/helix context "
+                             "parallelism")
         pa_hash = None
         if prompt_adapter_request is not None:
             # P-tuning prompt adapter (reference enable_prompt_adapter /

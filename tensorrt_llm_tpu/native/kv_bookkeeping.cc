@@ -454,7 +454,11 @@ void tllm_kvbm_partial_match(void* h, int64_t seq, const int32_t* toks,
   if (sit == m.sequences.end()) return;
   SeqInfo& info = sit->second;
   if (info.num_tokens % m.block_size ||
-      info.num_tokens != (int64_t)info.block_ids.size() * m.block_size)
+      info.num_tokens != (int64_t)info.block_ids.size() * m.block_size ||
+      info.block_hashes.size() != info.block_ids.size())
+    // every owned block must be a hash-chain match: host-onboarded blocks
+    // carry no hashes, and probing children of an earlier chain node would
+    // reuse a block at the wrong position
     return;
   uint64_t parent = info.block_hashes.empty() ? 0 : info.block_hashes.back();
   int32_t src = -1;

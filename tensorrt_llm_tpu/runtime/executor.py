@@ -479,11 +479,19 @@ class PyExecutor:
                     emb[:chunk] = pe[:chunk]
                     inputs.input_embeds = emb
                 Tp = inputs.input_ids.shape[0]
-                inputs.logit_indices = _np.array([chunk - 1], _np.int32)
+                want_rows = (req.sampling_params.prompt_logprobs
+                             or req.sampling_params.return_context_logits)
+                inputs.logit_indices = (
+                    _np.arange(Tp, dtype=_np.int32) if want_rows
+                    else _np.array([chunk - 1], _np.int32))
                 pmp = _np.zeros((Tp, Tp), bool)
                 pmp[:chunk, :chunk] = pm
                 logits = self.engine.run_verify_tree(inputs, pmp,
                                                      chunk_causal=False)
+                if want_rows:
+                    self._capture_prompt_rows(req, start, chunk,
+                                              np.asarray(logits))
+                    logits = np.asarray(logits)[chunk - 1:chunk]
             elif self._needs_hidden and req.sampling_params.greedy:
                 # one-model drafters need the hidden of every prompt row
                 inputs = self.engine.prepare_prefill_inputs(req, chunk)
@@ -575,9 +583,14 @@ class PyExecutor:
         if spec_on:
             remaining = []
             for req in decode_reqs:
+                # spec accept loops bypass _sample_and_update, so requests
+                # recording per-token logprobs or raw generation logits
+                # must take the normal path (their rows would go missing)
                 if req.sampling_params.greedy and \
                         not self.guided.has(req.request_id) and \
-                        self._spec_decode(req):
+                        not req.sampling_params.logprobs and \
+                        not req.sampling_params.return_generation_logits \
+                        and self._spec_decode(req):
                     stats.num_decode_tokens += 1
                 else:
                     remaining.append(req)

@@ -108,6 +108,10 @@ class KvCacheConnector:
         raise NotImplementedError
 
     def contains(self, key: int) -> bool:
+        """Existence probe used by dry-run prefix scoring (the KV-aware
+        router) — called once per block per routing decision, so REMOTE
+        stores must override this with a cheap key check: the default
+        falls back to a full load() and discards the payload."""
         return self.load(key) is not None
 
 
@@ -302,7 +306,11 @@ class _PyBookkeeping:
         info = self.sequences[seq_id]
         bs = self.block_size
         if info.num_tokens % bs or \
-                info.num_tokens != bs * len(info.block_ids):
+                info.num_tokens != bs * len(info.block_ids) or \
+                len(info.block_hashes) != len(info.block_ids):
+            # the last guard: every owned block must be a hash-chain match
+            # (host-onboarded blocks have no hashes — probing children of
+            # an earlier node would reuse a block at the wrong position)
             return (0, -1, -1)
         parent = info.block_hashes[-1] if info.block_hashes else 0
         k, src = self._best_partial(parent, info.salt, token_ids,
@@ -928,6 +936,7 @@ class KVCacheManager:
         if self._ring is not None:
             self._ring.add(seq_id)
         matched = self._bk.add_sequence(seq_id, token_ids, cache_salt)
+        matched_dev = matched   # device-tier full-block matches only
         bs = self.block_size
         self._seq_salt[seq_id] = cache_salt
         whs: List[int] = []
@@ -974,7 +983,13 @@ class KVCacheManager:
                 parent = wh
                 matched = (b + 1) * bs
                 b += 1
-        if self.cfg.enable_partial_reuse and matched % bs == 0:
+        # Partial tail-block reuse applies only when the chain tip is a
+        # DEVICE-matched block: host/connector onboarding extends
+        # block_ids without extending the hash chain, so the bookkeeping's
+        # parent would be stale and would probe children at the wrong
+        # position (the backends also guard on this invariant).
+        if self.cfg.enable_partial_reuse and matched % bs == 0 \
+                and matched == matched_dev:
             k, src, dst = self._bk.try_partial_match(
                 seq_id, token_ids, self.cfg.copy_on_partial_reuse)
             if k:
@@ -982,6 +997,11 @@ class KVCacheManager:
                 if dst != src:
                     self._partial_copies.setdefault(
                         seq_id, []).append((src, dst))
+                # the dst block may have been evicted from the reuse index
+                # to serve this allocation: offload its ORIGINAL contents
+                # to the host tier before the executor's page copy
+                # overwrites them
+                self._drain_offloads()
         return matched
 
     def drain_partial_copies(self, seq_id: int) -> List[tuple]:

@@ -99,9 +99,15 @@ class OpenAIServer:
             if v is None:
                 continue
             try:
-                arrays[f"extra_{k}"] = np.asarray(v)
+                a = np.asarray(v)
             except (TypeError, ValueError):
-                pass  # non-array extras (rare) don't cross the wire
+                continue  # non-array extras (rare) don't cross the wire
+            if a.dtype == object:
+                # np.asarray HAPPILY builds object arrays from dicts etc.;
+                # savez would pickle them and the decode side
+                # (allow_pickle=False) could never load the handle
+                continue
+            arrays[f"extra_{k}"] = a
         np.savez_compressed(buf, **arrays)
         return {"format": "npz_b64",
                 "mm_hash": payload.get("mm_hash"),

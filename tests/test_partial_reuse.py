@@ -239,3 +239,78 @@ def test_e2e_partial_reuse_exact_decode():
 
     assert out_first == ref_first
     assert out_second == ref_second
+
+
+def test_partial_skipped_after_host_onboarding():
+    """Partial reuse must NOT trigger when host-tier onboarding extended
+    the match: the hash chain only covers device-matched blocks, so the
+    parent would be stale and a child block would be reused at the WRONG
+    position (review finding: stale-parent probe)."""
+    from tests.test_kv_offload import FakePagePool
+    cfg = KVCacheConfig(block_size=BS, num_blocks=8, host_cache_blocks=8)
+    kv = KVCacheManager(cfg, num_layers=1, num_kv_heads=1, head_dim=8,
+                        num_blocks=8)
+    pages = FakePagePool(8)
+    kv.attach_block_io(pages.extract, pages.inject)
+    base = [1, 2, 3, 4, 10, 11, 12, 13, 9]
+    kv.add_sequence(1, base)
+    kv.grow_sequence(1, len(base))
+    kv.seal_full_blocks(1, base)
+    kv.free_sequence(1)
+    # churn so BOTH cached blocks offload to host
+    filler = list(range(500, 500 + 7 * BS))
+    kv.add_sequence(2, filler)
+    kv.grow_sequence(2, len(filler))
+    kv.free_sequence(2)
+    assert kv.stats()["host_cached_blocks"] == 2
+    # same two blocks + a third diverging block: onboarding restores both
+    # from host; the tail block must NOT partial-match children of block 0
+    # (block 1's tokens [10,11...] live under parent=hash(block0))
+    probe = [1, 2, 3, 4, 10, 11, 12, 13, 10, 11, 99, 98]
+    matched = kv.add_sequence(3, probe)
+    assert matched == 2 * BS          # host onboarding only, NO partial
+    assert kv.drain_partial_copies(3) == []
+    # direct backend guard: hashes don't cover onboarded blocks
+    k, _, _ = kv._bk.try_partial_match(3, probe)
+    assert k == 0
+
+
+def test_partial_dst_eviction_offloads_before_copy():
+    """When _take_block for the partial dst evicts a cached block, its
+    ORIGINAL contents must offload to the host tier before the executor's
+    page copy lands (review finding: drain-after-copy corruption)."""
+    from tests.test_kv_offload import FakePagePool
+    cfg = KVCacheConfig(block_size=BS, num_blocks=8, host_cache_blocks=8)
+    kv = KVCacheManager(cfg, num_layers=1, num_kv_heads=1, head_dim=8,
+                        num_blocks=8)   # 7 usable blocks
+    pages = FakePagePool(8)
+    kv.attach_block_io(pages.extract, pages.inject)
+    # chain A: blocks b0, b1 sealed (b1 is the future partial SOURCE)
+    a = [1, 2, 3, 4, 10, 11, 12, 13, 9]
+    kv.add_sequence(1, a)
+    kv.grow_sequence(1, len(a))
+    kv.seal_full_blocks(1, a)
+    kv.free_sequence(1)
+    # chain C: one sealed block bC with recognizable device contents
+    c = [50, 51, 52, 53, 9]
+    kv.add_sequence(2, c)
+    kv.grow_sequence(2, len(c))
+    bC = kv.block_table(2, 1)[0]
+    pages.pool[bC] = 111.0
+    kv.seal_full_blocks(2, c)
+    kv.free_sequence(2)
+    # fill the free list with a LIVE sequence so the partial dst can only
+    # come from evicting a cached block
+    filler = list(range(900, 900 + 4 * BS))   # 4 blocks
+    kv.add_sequence(10, filler)
+    kv.grow_sequence(10, len(filler))
+    # probe: full match b0 (reffed), partial src b1 (pinned) -> dst must
+    # evict bC, whose 111.0 page must offload BEFORE the executor's copy
+    probe = [1, 2, 3, 4, 10, 11, 99, 98]
+    matched = kv.add_sequence(3, probe)
+    assert matched == BS + 2, matched
+    assert len(kv.drain_partial_copies(3)) == 1
+    assert kv.num_offloaded == 1
+    assert kv._bk.drain_evictions() == []     # drained inside add_sequence
+    vals = [float(p[0][0][0]) for p in kv.host_cache.values()]
+    assert 111.0 in vals, vals

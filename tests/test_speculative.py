@@ -506,3 +506,22 @@ def test_medusa_trained_heads_accept():
         assert len(got) == 8
     finally:
         llm.shutdown()
+
+
+def test_spec_skipped_for_logprobs_and_generation_logits():
+    """Spec accept loops bypass _sample_and_update, so requests recording
+    logprobs or generation logits must take the normal path — their
+    per-token rows must stay aligned with token_ids."""
+    import numpy as np
+    spec = SpeculativeConfig(mode=SpeculativeMode.NGRAM, max_draft_len=4)
+    llm = make_llm(spec=spec)
+    try:
+        sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True,
+                            logprobs=1, return_generation_logits=True)
+        out = llm.generate([[3, 5, 3, 5, 3, 5, 7]], sp)[0].outputs[0]
+        assert len(out.logprobs) == len(out.token_ids) == 8
+        assert out.generation_logits.shape[0] == 8
+        assert [int(t) for t in np.argmax(out.generation_logits, -1)] \
+            == out.token_ids
+    finally:
+        llm.shutdown()
