@@ -603,8 +603,14 @@ class PyExecutor:
             k = self._decode_steps_for(decode_reqs)
             overlap = k > 1 and self._overlap_ok(decode_reqs)
             if self._inflight and not overlap:
+                # the drain applies pending chunks and can FINISH requests
+                # already captured in decode_reqs — re-filter, or the
+                # paths below would append tokens past their finish
                 self._drain_inflight()
-            if overlap:
+                decode_reqs = [r for r in decode_reqs if r.is_generating]
+            if not decode_reqs:
+                pass
+            elif overlap:
                 self._overlap_decode(decode_reqs, k)
                 stats.num_decode_tokens = len(decode_reqs) * k
             elif k > 1:
@@ -1245,6 +1251,10 @@ class PyExecutor:
         logp = np.asarray(logp)
         final = None  # lazily materialized for top-N logprobs
         for i, req in enumerate(reqs):
+            if not req.is_generating:
+                # defense in depth: a request finished by an earlier
+                # application this iteration must not grow past its end
+                continue
             tok = int(tokens[i])
             req.append_token(tok)
             self.total_tokens_generated += 1
