@@ -101,3 +101,41 @@ def test_random_feature_mix_under_saturation():
         assert a == b
     finally:
         llm.shutdown()
+
+
+def test_spec_and_chunked_prefill_mix():
+    """Speculation on, prefill forced to chunk (small token budget), mixed
+    guided/plain/logprobs requests: completion + drain + liveness."""
+    from tensorrt_llm_tpu.speculative import (SpeculativeConfig,
+                                              SpeculativeMode)
+    rng = random.Random(9)
+    spec = SpeculativeConfig(mode=SpeculativeMode.NGRAM, max_draft_len=3)
+    llm = LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+              max_seq_len=128, max_batch_size=4, kv_num_blocks=64,
+              kv_block_size=4, max_num_tokens=16,   # forces chunked prefill
+              speculative_config=spec, seed=2)
+    futures = []
+    try:
+        for i in range(16):
+            # repetitive prompts feed the ngram matcher; long ones chunk
+            base = [rng.randrange(1, 90)] * 2
+            prompt = (base * rng.randrange(2, 14))[: rng.randrange(3, 28)]
+            kw = dict(max_tokens=rng.randrange(2, 10), ignore_eos=True,
+                      temperature=rng.choice([0.0, 0.0, 0.7]), seed=i)
+            if i % 5 == 0:
+                kw.update(logprobs=1, temperature=0.0)
+            futures.append((llm.generate_async(prompt, kw_sp := SamplingParams(**kw)), kw))
+        for fut, kw in futures:
+            o = fut.result(timeout=300).outputs[0]
+            assert 1 <= len(o.token_ids) <= kw["max_tokens"]
+            if kw.get("logprobs"):
+                assert len(o.logprobs) == len(o.token_ids)
+        assert llm.executor.spec_stats["rounds"] > 0
+        import time
+        for _ in range(100):
+            if llm.get_kv_cache_stats()["active_sequences"] == 0:
+                break
+            time.sleep(0.1)
+        assert llm.get_kv_cache_stats()["active_sequences"] == 0
+    finally:
+        llm.shutdown()
