@@ -427,30 +427,32 @@ class OpenAIServer:
         rid = random_id("cmpl")
         prev_len = 0
 
-        def pieces():
-            for out in future:
-                yield out
-        loop = asyncio.get_event_loop()
         it = iter(future)
-        while True:
-            out = await asyncio.to_thread(lambda: next(it, None))
-            if out is None:
-                break
-            text = out.outputs[0].text
-            delta = text[prev_len:]
-            prev_len = len(text)
-            chunk = {
-                "id": rid, "object": "text_completion",
-                "created": int(time.time()), "model": body.model,
-                "choices": [{"index": 0, "text": delta,
-                             "finish_reason": out.outputs[0].finish_reason
-                             if out.finished else None}],
-            }
-            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
-            if out.finished:
-                break
-        await resp.write(b"data: [DONE]\n\n")
-        await resp.write_eof()
+        try:
+            while True:
+                out = await asyncio.to_thread(lambda: next(it, None))
+                if out is None:
+                    break
+                text = out.outputs[0].text
+                delta = text[prev_len:]
+                prev_len = len(text)
+                chunk = {
+                    "id": rid, "object": "text_completion",
+                    "created": int(time.time()), "model": body.model,
+                    "choices": [{"index": 0, "text": delta,
+                                 "finish_reason": out.outputs[0].finish_reason
+                                 if out.finished else None}],
+                }
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                if out.finished:
+                    break
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            # client dropped mid-stream: stop generating for it instead of
+            # decoding to max_tokens (reference abort-on-disconnect)
+            future.cancel()
+            raise
         return resp
 
     # ------------------------------------------------------------------ chat ------
@@ -652,6 +654,21 @@ class OpenAIServer:
         n_calls = 0
         finish = None
         it = iter(future)
+        try:
+            await self._pump_chat(it, emit, emit_text, parser)
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+        except (ConnectionResetError, asyncio.CancelledError):
+            # client dropped mid-stream: stop generating for it instead of
+            # decoding to max_tokens (reference abort-on-disconnect)
+            future.cancel()
+            raise
+        return resp
+
+    async def _pump_chat(self, it, emit, emit_text, parser):
+        prev_len = 0
+        n_calls = 0
+        finish = None
         while True:
             out = await asyncio.to_thread(lambda: next(it, None))
             if out is None:
@@ -679,9 +696,6 @@ class OpenAIServer:
                     await emit({}, finish)
             if out.finished:
                 break
-        await resp.write(b"data: [DONE]\n\n")
-        await resp.write_eof()
-        return resp
 
     # ------------------------------------------------------------- responses ----
     async def responses(self, request: web.Request):
@@ -733,6 +747,17 @@ class OpenAIServer:
         prev_len = 0
         full = ""
         it = iter(future)
+        try:
+            await self._pump_responses(it, body, parser, ev, rid)
+        except (ConnectionResetError, asyncio.CancelledError):
+            future.cancel()   # client dropped: abort generation
+            raise
+        await resp.write_eof()
+        return resp
+
+    async def _pump_responses(self, it, body, parser, ev, rid):
+        prev_len = 0
+        full = ""
         while True:
             out = await asyncio.to_thread(lambda: next(it, None))
             if out is None:
@@ -760,8 +785,6 @@ class OpenAIServer:
                 await ev("response.completed",
                          {"type": "response.completed", "response": final})
                 break
-        await resp.write_eof()
-        return resp
 
     # ------------------------------------------------------------------ run -------
     def run(self, host: str = "0.0.0.0", port: int = 8000):

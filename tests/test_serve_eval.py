@@ -296,3 +296,39 @@ def test_chat_logprobs(client):
         assert isinstance(e["logprob"], float)
         assert len(e["top_logprobs"]) >= 3
         assert e["top_logprobs"][0]["logprob"] >= e["logprob"] - 1e-9
+
+
+def test_stream_disconnect_cancels_generation(llm):
+    """A client dropping mid-SSE must cancel the underlying request
+    (reference abort-on-disconnect) instead of decoding to max_tokens."""
+    import asyncio
+    import time as _time
+    from aiohttp.test_utils import TestClient, TestServer
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    server = OpenAIServer(llm, "tiny")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    try:
+        async def start_and_drop():
+            r = await tc.post("/v1/completions", json={
+                "model": "tiny", "prompt": "hello", "max_tokens": 4000,
+                "ignore_eos": True, "stream": True})
+            assert r.status == 200
+            await r.content.readline()   # first SSE line arrived
+            r.close()                    # client disconnect
+        loop.run_until_complete(start_and_drop())
+        # the request must leave the executor well before 4000 tokens
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            st = llm.get_kv_cache_stats()
+            if st["active_sequences"] == 0:
+                break
+            loop.run_until_complete(asyncio.sleep(0.2))
+        assert st["active_sequences"] == 0, st
+        tok = llm.executor.total_tokens_generated
+        assert tok < 2000, f"generated {tok} tokens after disconnect"
+    finally:
+        loop.run_until_complete(tc.close())
+        loop.close()
