@@ -524,6 +524,13 @@ class LLM:
         if prompt_embeds is not None:
             req.prompt_embeds = prompt_embeds
         if mm_extra:
+            if mm_extra.get("prefill_pair_mask") is not None \
+                    and self.engine.mapping.dp_size > 1:
+                # the pair-mask prefill path has no attention-DP owner
+                # banding: every rank would scatter into its own pool shard
+                raise ValueError(
+                    "custom-visibility (bidirectional image span) prefill "
+                    "is not supported under attention-DP")
             req.mrope_positions = mm_extra.get("mrope_positions")
             req.mrope_delta = mm_extra.get("mrope_delta", 0)
             req.prefill_pair_mask = mm_extra.get("prefill_pair_mask")

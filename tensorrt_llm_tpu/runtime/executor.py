@@ -210,8 +210,12 @@ class PyExecutor:
                 f"prompt length {request.prompt_len} exceeds max_seq_len "
                 f"{self.max_seq_len} (need room for at least one new token)")
         if request.prompt_len + request.sampling_params.max_tokens > self.max_seq_len:
-            request.sampling_params.max_tokens = max(
-                1, self.max_seq_len - request.prompt_len)
+            # copy-on-clamp: the params object may be shared across the
+            # caller's batch — mutating it would shrink other requests
+            import dataclasses as _dc
+            request.sampling_params = _dc.replace(
+                request.sampling_params,
+                max_tokens=max(1, self.max_seq_len - request.prompt_len))
         self.request_queue.put(request)
         self._wake.set()
         return request
@@ -368,6 +372,24 @@ class PyExecutor:
                 req.emit(finished=True)
                 pending.discard(req.request_id)
                 self._cancelled.discard(req.request_id)
+        # ids matching no live request (already finished, or bogus) would
+        # otherwise leak forever — and multiproc rebroadcasts the whole
+        # cancel set every iteration.  Keep a short grace window so a
+        # cancel racing a not-yet-fetched submission still lands.
+        unmatched = getattr(self, "_cancel_unmatched", None)
+        if unmatched is None:
+            unmatched = self._cancel_unmatched = {}
+        for rid in list(pending):
+            misses = unmatched.get(rid, 0) + 1
+            if misses >= 3:
+                pending.discard(rid)
+                self._cancelled.discard(rid)
+                unmatched.pop(rid, None)
+            else:
+                unmatched[rid] = misses
+        for rid in list(unmatched):
+            if rid not in self._cancelled:
+                unmatched.pop(rid, None)
 
     @staticmethod
     def _run_finish_hook(req):
@@ -464,9 +486,17 @@ class PyExecutor:
                 # custom-visibility prefill (Gemma3-VL: image tokens attend
                 # bidirectionally within their image) — single forward with
                 # a host-built [T, T] mask through the tree-verify step
-                assert start == 0 and chunk == req.remaining_context, (
-                    "masked prefill requires a single chunk (raise the "
-                    "prefill bucket above the prompt length)")
+                if start != 0 or chunk != req.remaining_context:
+                    # per-request input error, NOT an assert: one oversized
+                    # prompt must never kill the executor loop for everyone
+                    self.kv.free_sequence(req.request_id)
+                    self.active.remove(req)
+                    req.finish(FinishReason.ERROR)
+                    req.emit(finished=True, error=(
+                        "masked prefill requires a single chunk: prompt "
+                        f"length {req.prompt_len} exceeds the largest "
+                        "prefill bucket / token budget"))
+                    continue
                 import numpy as _np
                 inputs = self.engine.prepare_tree_verify_inputs(
                     req, req.prompt_token_ids,
@@ -567,6 +597,7 @@ class PyExecutor:
         spec_cap = getattr(dcfg, "max_concurrency", None)
         spec_on = (self.drafter is not None
                    and not self._spec_adaptive_off
+                   and self.batched_logits_processor is None
                    and (spec_cap is None or len(decode_reqs) <= spec_cap))
         # draft length by batch size (reference draft_len_schedule)
         self._spec_len_cap = None
@@ -578,23 +609,38 @@ class PyExecutor:
                 spec_on = False
         if self._inflight and (beam_reqs or spec_on):
             # spec/beam paths read request state and dispatch their own
-            # steps: sync the overlap pipeline BEFORE they run
+            # steps: sync the overlap pipeline BEFORE they run — and the
+            # drain can FINISH captured requests, so re-filter
             self._drain_inflight()
+            decode_reqs = [r for r in decode_reqs if r.is_generating]
         if spec_on:
             remaining = []
             for req in decode_reqs:
                 # spec accept loops bypass _sample_and_update, so requests
-                # recording per-token logprobs or raw generation logits
-                # must take the normal path (their rows would go missing)
-                if req.sampling_params.greedy and \
+                # recording per-token logprobs / raw generation logits or
+                # needing host logit controls (stop strings, penalties,
+                # bans — all applied only on the host sampling path) must
+                # take the normal path
+                sp_r = req.sampling_params
+                if sp_r.greedy and \
                         not self.guided.has(req.request_id) and \
-                        not req.sampling_params.logprobs and \
-                        not req.sampling_params.return_generation_logits \
-                        and self._spec_decode(req):
-                    stats.num_decode_tokens += 1
-                else:
-                    remaining.append(req)
+                        not sp_r.logprobs and \
+                        not sp_r.return_generation_logits and \
+                        not self._needs_host_controls(sp_r):
+                    n0 = req.num_output_tokens
+                    if self._spec_decode(req):
+                        stats.num_decode_tokens += \
+                            req.num_output_tokens - n0
+                        continue
+                remaining.append(req)
             decode_reqs = remaining
+        # requests leaving the spec path (gate off, controls, adaptive
+        # disable) may hold tree-verified KV deferred to ride the next
+        # spec chunk — the normal decode paths never write it, so flush
+        # before they run with those positions in kv_lens
+        for req in decode_reqs:
+            if getattr(req, "spec_pending", 0):
+                self._flush_pending(req)
 
         # ---- decode batch ---------------------------------------------------------
         if self._inflight and not decode_reqs:
@@ -612,10 +658,10 @@ class PyExecutor:
                 pass
             elif overlap:
                 self._overlap_decode(decode_reqs, k)
-                stats.num_decode_tokens = len(decode_reqs) * k
+                stats.num_decode_tokens += len(decode_reqs) * k
             elif k > 1:
                 self._decode_multi(decode_reqs, k)
-                stats.num_decode_tokens = len(decode_reqs) * k
+                stats.num_decode_tokens += len(decode_reqs) * k
             else:
                 for req in decode_reqs:
                     self.kv.grow_sequence(req.request_id, req.num_tokens)
@@ -637,7 +683,7 @@ class PyExecutor:
                     # rank-grouped batch layout (host-side)
                     logits = np.asarray(logits)[inputs.row_map]
                 self._sample_and_update(decode_reqs, logits)
-                stats.num_decode_tokens = len(decode_reqs)
+                stats.num_decode_tokens += len(decode_reqs)
 
         # ---- cleanup finished -----------------------------------------------------
         self._cleanup_finished()
@@ -740,6 +786,18 @@ class PyExecutor:
         top = np.argpartition(-p, min(topk, p.size - 1))[:topk]
         return int(tok) in {int(t) for t in top} \
             and float(p.max() - p[int(tok)]) <= delta
+
+    @staticmethod
+    def _needs_host_controls(sp) -> bool:
+        """Sampling features applied only on the host logits path — they
+        force single-step decode and exclude a request from speculation
+        (whose accept loop bypasses _sample_and_update entirely)."""
+        return bool(sp.repetition_penalty != 1.0
+                    or sp.presence_penalty != 0.0
+                    or sp.frequency_penalty != 0.0
+                    or sp.stop or sp.min_tokens or sp.bad_words
+                    or sp.logit_bias or sp.no_repeat_ngram_size
+                    or sp.logits_processor is not None)
 
     def _record_acceptance(self, accepted_len: int):
         """Rolling acceptance-length tracking (reference acceptance_window /
@@ -992,17 +1050,9 @@ class PyExecutor:
         if getattr(self.engine, "_helix", False) \
                 or getattr(self.engine, "_star", False):
             return 1  # helix/star CP: per-rank slot tables built per step
-        if any(r.sampling_params.repetition_penalty != 1.0
-               or r.sampling_params.presence_penalty != 0.0
-               or r.sampling_params.frequency_penalty != 0.0
-               or r.sampling_params.stop
-               or r.sampling_params.min_tokens
-               or r.sampling_params.bad_words
-               or r.sampling_params.logit_bias
-               or r.sampling_params.no_repeat_ngram_size
+        if any(self._needs_host_controls(r.sampling_params)
                or r.sampling_params.return_generation_logits
                or (r.sampling_params.logprobs or 0) > 1
-               or r.sampling_params.logits_processor is not None
                for r in reqs):
             return 1  # penalties/stop/logit controls need host state
         k = self.max_decode_steps

@@ -1168,8 +1168,13 @@ class DpKVCacheManager:
         return self._rank_of.get(seq_id, 0)
 
     def add_sequence(self, seq_id: int, token_ids, cache_salt=None) -> int:
-        r = max(range(self.dp_size),
-                key=lambda i: self.ranks[i].num_free_blocks)
+        # count-balanced placement (free blocks break ties): keeps every
+        # rank's active count <= ceil(total/dp), so decode batches always
+        # fit their per-rank row band (model_engine prepare_decode_inputs)
+        counts = collections.Counter(self._rank_of.values())
+        r = min(range(self.dp_size),
+                key=lambda i: (counts.get(i, 0),
+                               -self.ranks[i].num_free_blocks))
         self._rank_of[seq_id] = r
         return self.ranks[r].add_sequence(seq_id, token_ids, cache_salt)
 

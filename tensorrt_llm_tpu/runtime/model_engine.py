@@ -983,9 +983,19 @@ class ModelEngine:
             for req in reqs:
                 per_rank.setdefault(kv.rank_of(req.request_id),
                                     []).append(req)
-            bloc = pick_bucket(max(len(v) for v in per_rank.values()),
-                               tuple(max(b // dp, 1)
+            worst = max(len(v) for v in per_rank.values())
+            bloc = pick_bucket(worst,
+                               tuple(max(cdiv(b, dp), 1)
                                      for b in self.decode_buckets))
+            if worst > bloc:
+                # pick_bucket silently caps at the last bucket; an
+                # overflowing rank band would scatter KV into ANOTHER
+                # rank's pool shard — fail loudly instead (placement is
+                # count-balanced, so this indicates a bug or a
+                # max_batch_size far above the compiled buckets)
+                raise RuntimeError(
+                    f"attention-DP rank holds {worst} decode requests but "
+                    f"the largest per-rank bucket is {bloc}")
             Bp = bloc * dp
         else:
             Bp = pick_bucket(B, self.decode_buckets)

@@ -525,3 +525,74 @@ def test_spec_skipped_for_logprobs_and_generation_logits():
             == out.token_ids
     finally:
         llm.shutdown()
+
+
+def test_spec_respects_stop_strings_and_penalties():
+    """Host logit controls (stop strings, penalties) only apply on the
+    host sampling path — requests using them must bypass speculation and
+    match the drafter-free output exactly."""
+    class Tok:
+        eos_token_id = 0
+        bos_token_id = None
+        chat_template = None
+
+        def encode(self, text):
+            return [max(1, ord(c) % 64) for c in text] or [1]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(48 + (i % 40)) for i in ids)
+
+    def run(spec):
+        cfg = ModelConfig(**TINY)
+        llm = LLM(model=cfg, tokenizer=Tok(), max_seq_len=128,
+                  max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
+                  speculative_config=spec, seed=4)
+        try:
+            sp = SamplingParams(max_tokens=24, temperature=0.0,
+                                ignore_eos=True, repetition_penalty=1.4)
+            out = llm.generate("ababab", sp)[0].outputs[0]
+            # also with a stop string derived from the plain run
+            return out.token_ids
+        finally:
+            llm.shutdown()
+
+    plain = run(None)
+    specd = run(SpeculativeConfig(mode=SpeculativeMode.NGRAM,
+                                  max_draft_len=4))
+    assert specd == plain, (specd, plain)
+
+
+def test_spec_pending_tree_kv_flushed_when_gate_flips():
+    """Tree-verified KV deferred to ride the next spec chunk must be
+    flushed when the spec gate turns off (max_concurrency exceeded) —
+    otherwise the normal decode path reads never-written KV."""
+    def tree_proposer(request):
+        last = request.all_token_ids[-1]
+        return [last, 9, last], [-1, -1, 0]
+
+    spec = SpeculativeConfig(
+        mode=SpeculativeMode.USER_PROVIDED, tree_proposer=tree_proposer,
+        proposer=lambda req: [],
+        max_draft_len=3, max_concurrency=1)
+    prompts = [[3, 5, 3, 5, 3], [7, 2, 7, 2, 7]]
+    base = make_llm(seed=12)
+    try:
+        want = [greedy(base, [p], n=12) for p in prompts]
+    finally:
+        base.shutdown()
+    llm = make_llm(spec=spec, seed=12)
+    try:
+        # request A runs alone first (spec ON, builds spec_pending), then
+        # request B arrives: batch of 2 > max_concurrency=1 flips the
+        # gate OFF while A may hold pending tree KV
+        futA = llm.generate_async(prompts[0], SamplingParams(
+            max_tokens=12, temperature=0.0, ignore_eos=True))
+        import time
+        time.sleep(1.0)   # let A run a few spec rounds
+        futB = llm.generate_async(prompts[1], SamplingParams(
+            max_tokens=12, temperature=0.0, ignore_eos=True))
+        got = [futA.result(timeout=300).outputs[0].token_ids,
+               futB.result(timeout=300).outputs[0].token_ids]
+    finally:
+        llm.shutdown()
+    assert got == want, (got, want)
