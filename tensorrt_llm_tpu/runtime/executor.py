@@ -1364,10 +1364,19 @@ class PyExecutor:
                                         sp.presence_penalty,
                                         sp.frequency_penalty)
             if rep[i] != 1.0 or pres[i] != 0.0 or freq[i] != 0.0:
-                ids, c = np.unique(
-                    np.asarray(r.all_token_ids, np.int64) % V,
-                    return_counts=True)
-                counts[i, ids] = c
+                # incremental per-request token counts: recomputing
+                # np.unique over the whole history every step is
+                # O(n^2 log n) across a long generation
+                toks = r.all_token_ids
+                seen = getattr(r, "_pen_seen", 0)
+                cnt = getattr(r, "_pen_counts", None)
+                if cnt is None or seen > len(toks):
+                    cnt = r._pen_counts = np.zeros(V, np.int32)
+                    seen = 0
+                for t in toks[seen:]:
+                    cnt[int(t) % V] += 1
+                r._pen_seen = len(toks)
+                counts[i] = cnt
         return apply_penalties(logits, counts, rep, pres, freq)
 
     def _apply_logit_controls(self, reqs, logits):
