@@ -157,7 +157,11 @@ class LLM:
         model_cls = get_model_class(cfg.architecture)
         self.model = model_cls(cfg)
 
-        if model_path is not None and _has_weights(model_path):
+        if a.load_format == "dummy":
+            # reference load_format="dummy": skip the checkpoint read and
+            # random-init at the real shapes (perf/bring-up runs)
+            params = self.model.init(jax.random.PRNGKey(a.seed))
+        elif model_path is not None and _has_weights(model_path):
             get_tensor = _safetensors_reader(model_path)
             if a.lora_path:
                 from tensorrt_llm_tpu.lora import load_lora_adapter, merge_lora_into_state

@@ -141,6 +141,9 @@ class LlmArgs:
     # misc
     seed: int = 0
     skip_tokenizer_init: bool = False
+    # "auto": read safetensors when present; "dummy": random-init at the
+    # checkpoint's shapes without reading weights (reference load_format)
+    load_format: str = "auto"
     enable_iter_perf_stats: bool = True
     # attach per-request timing/KV metrics to RequestOutput.metrics
     # (reference return_perf_metrics / RequestPerfMetrics)
