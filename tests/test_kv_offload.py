@@ -223,3 +223,28 @@ def test_secondary_offload_min_priority_gate(backend):
     kv.grow_sequence(4, len(filler2))
     assert kv.num_offloaded == 2
     kv.free_sequence(4)
+
+
+def test_dp_placement_count_balanced():
+    """Attention-DP admission balances ACTIVE COUNTS (free blocks break
+    ties) so each rank's decode rows always fit its per-rank band."""
+    from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+        DpKVCacheManager, KVCacheConfig)
+    cfg = KVCacheConfig(block_size=4, num_blocks=64)
+    dp = DpKVCacheManager(cfg, num_layers=1, num_kv_heads=1, head_dim=4,
+                          num_blocks_per_rank=64, dp_size=4)
+    # skew rank loads: rank of seq i would historically follow free blocks
+    for i in range(16):
+        dp.add_sequence(i, [1, 2, 3])
+        dp.grow_sequence(i, 3)
+    import collections
+    counts = collections.Counter(dp._rank_of.values())
+    assert all(c == 4 for c in counts.values()), counts
+    # free a whole rank's worth; new arrivals refill the emptiest rank
+    victims = [s for s, r in dp._rank_of.items() if r == 2]
+    for s in victims:
+        dp.free_sequence(s)
+    for i in range(100, 104):
+        dp.add_sequence(i, [1, 2, 3])
+    counts = collections.Counter(dp._rank_of.values())
+    assert counts[2] == 4, counts
