@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import ClassVar, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,27 +37,47 @@ class SamplingState:
     greedy: jax.Array        # bool
     seeds: jax.Array         # uint32 per row
 
+    _cache: ClassVar[dict] = {}
+
     @staticmethod
     def from_params(params: List[SamplingParams], step: int,
                     pad_to: int = 0) -> "SamplingState":
         """Build the batched state, padded to `pad_to` rows (greedy padding)
-        so one compiled sampler serves each logits bucket."""
-        n_pad = max(pad_to - len(params), 0)
-        temp = np.array([max(p.temperature, 1e-5) for p in params]
-                        + [1.0] * n_pad, np.float32)
-        topk = np.array([p.top_k if p.top_k > 0 else 0 for p in params]
-                        + [0] * n_pad, np.int32)
-        topp = np.array([p.top_p for p in params] + [1.0] * n_pad, np.float32)
-        minp = np.array([p.min_p for p in params] + [0.0] * n_pad, np.float32)
-        greedy = np.array([p.greedy for p in params] + [True] * n_pad, bool)
-        seeds = np.array(
-            [((p.seed if p.seed is not None else 0x9E3779B9 + i)
-              ^ (step * 2654435761)) & 0xFFFFFFFF
-             for i, p in enumerate(params)] + [0] * n_pad, np.uint32)
+        so one compiled sampler serves each logits bucket.
+
+        The step-independent rows are cached per batch composition (the
+        executor rebuilds the state every dispatch; only the per-step seed
+        fold changes), so steady-state decode pays one small host->device
+        transfer instead of six."""
+        key = (tuple((p.temperature, p.top_k, p.top_p, p.min_p, p.greedy,
+                      p.seed) for p in params), pad_to)
+        ent = SamplingState._cache.get(key)
+        if ent is None:
+            n_pad = max(pad_to - len(params), 0)
+            temp = np.array([max(p.temperature, 1e-5) for p in params]
+                            + [1.0] * n_pad, np.float32)
+            topk = np.array([p.top_k if p.top_k > 0 else 0 for p in params]
+                            + [0] * n_pad, np.int32)
+            topp = np.array([p.top_p for p in params] + [1.0] * n_pad,
+                            np.float32)
+            minp = np.array([p.min_p for p in params] + [0.0] * n_pad,
+                            np.float32)
+            greedy = np.array([p.greedy for p in params] + [True] * n_pad,
+                              bool)
+            base = np.array(
+                [(p.seed if p.seed is not None else 0x9E3779B9 + i)
+                 & 0xFFFFFFFF
+                 for i, p in enumerate(params)] + [0] * n_pad, np.uint32)
+            ent = (jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp),
+                   jnp.asarray(minp), jnp.asarray(greedy), base)
+            if len(SamplingState._cache) >= 256:
+                SamplingState._cache.pop(next(iter(SamplingState._cache)))
+            SamplingState._cache[key] = ent
+        temp_d, topk_d, topp_d, minp_d, greedy_d, base = ent
+        seeds = base ^ np.uint32((step * 2654435761) & 0xFFFFFFFF)
         return SamplingState(
-            temperature=jnp.asarray(temp), top_k=jnp.asarray(topk),
-            top_p=jnp.asarray(topp), min_p=jnp.asarray(minp),
-            greedy=jnp.asarray(greedy), seeds=jnp.asarray(seeds))
+            temperature=temp_d, top_k=topk_d, top_p=topp_d, min_p=minp_d,
+            greedy=greedy_d, seeds=jnp.asarray(seeds))
 
 
 @functools.partial(jax.jit, static_argnames=("max_top_k",))
