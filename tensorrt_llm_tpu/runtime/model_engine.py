@@ -892,7 +892,13 @@ class ModelEngine:
         if inputs.local_slot_mapping is not None:
             return (jnp.asarray(inputs.local_slot_mapping),
                     jnp.asarray(inputs.local_block_tables))
-        return jnp.zeros(1, jnp.int32), jnp.zeros((1, 1), jnp.int32)
+        ph = getattr(self, "_locals_placeholder", None)
+        if ph is None:
+            # constant placeholders: building + transferring them per
+            # dispatch costs ~2ms on the decode hot path
+            ph = self._locals_placeholder = (
+                jnp.zeros(1, jnp.int32), jnp.zeros((1, 1), jnp.int32))
+        return ph
 
     def _run(self, fn, inputs: StepInputs):
         x = (inputs.input_embeds if inputs.input_embeds is not None
