@@ -571,12 +571,22 @@ class ModelEngine:
                     temperature=d, top_k=d, top_p=d, min_p=d, greedy=d,
                     seeds=d)
                 lt_spec = d if self._vswa else P()   # dummy [1,1] if off
+                # replicate sampled tokens/logps in-graph (multi-host: the
+                # host can only fetch fully-addressable arrays)
+                inner = steps
+
+                def steps(params, caches, *rest):
+                    toks, logps, nc = inner(params, caches, *rest)
+                    return (jax.lax.all_gather(toks, "dp", axis=1,
+                                               tiled=True),
+                            jax.lax.all_gather(logps, "dp", axis=1,
+                                               tiled=True), nc)
                 steps = jax.shard_map(
                     steps, mesh=self.mesh,
                     in_specs=(self._param_specs, cache_spec,
                               d, d, kB, d, d, state_spec, d, d, kB,
                               lt_spec),
-                    out_specs=(kB, kB, cache_spec),
+                    out_specs=(P(), P(), cache_spec),
                     check_vma=False,
                 )
                 return jax.jit(steps, donate_argnums=(1,))
@@ -717,8 +727,25 @@ class ModelEngine:
                                P(), P())
                 else:
                     in_data = (d, d, d, d, d, P(), d, d, d, P(), P())
-                out_specs = ((d, d, cache_spec) if with_hidden
-                             else (d, cache_spec))
+                # all-gather the dp-stacked outputs in-graph so they are
+                # fully addressable on EVERY process (multi-host: a rank
+                # cannot fetch another host's shard; the global shape the
+                # host sees is unchanged)
+                inner = step
+                if with_hidden:
+                    def step(params, caches, *rest):
+                        lg, hd, nc = inner(params, caches, *rest)
+                        return (jax.lax.all_gather(lg, "dp", axis=0,
+                                                   tiled=True),
+                                jax.lax.all_gather(hd, "dp", axis=0,
+                                                   tiled=True), nc)
+                else:
+                    def step(params, caches, *rest):
+                        lg, nc = inner(params, caches, *rest)
+                        return jax.lax.all_gather(lg, "dp", axis=0,
+                                                  tiled=True), nc
+                out_specs = ((P(), P(), cache_spec) if with_hidden
+                             else (P(), cache_spec))
                 step = jax.shard_map(
                     step, mesh=self.mesh,
                     in_specs=(self._param_specs, cache_spec, *in_data),

@@ -23,7 +23,8 @@ TINY = dict(vocab_size=256, hidden_size=128, intermediate_size=256,
 PROMPTS = [[3, 4, 5], [17, 3, 99, 100, 5], [1, 2], [7, 7, 7, 7]]
 
 
-def main(rank: int, size: int, port: int, out_path: str):
+def main(rank: int, size: int, port: int, out_path: str,
+         mode: str = "tp"):
     flags = os.environ.get("XLA_FLAGS", "")
     flags = " ".join(f for f in flags.split()
                      if "xla_force_host_platform_device_count" not in f)
@@ -38,12 +39,14 @@ def main(rank: int, size: int, port: int, out_path: str):
     from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
 
     cfg = ModelConfig(**TINY)
+    par = (dict(tensor_parallel_size=size * LOCAL_DEVICES) if mode == "tp"
+           else dict(data_parallel_size=size,          # dp spans processes
+                     tensor_parallel_size=LOCAL_DEVICES))
     llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
               max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
-              tensor_parallel_size=size * LOCAL_DEVICES,
               distributed_init=dict(
                   coordinator_address=f"127.0.0.1:{port}",
-                  num_processes=size, process_id=rank))
+                  num_processes=size, process_id=rank), **par)
     assert jax.process_count() == size
     if rank == 0:
         outs = llm.generate(
@@ -57,4 +60,5 @@ def main(rank: int, size: int, port: int, out_path: str):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+         sys.argv[5] if len(sys.argv) > 5 else "tp")
