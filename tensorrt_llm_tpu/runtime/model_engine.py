@@ -16,6 +16,7 @@ activations replicated, collectives explicit in the layers.
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -203,8 +204,25 @@ class ModelEngine:
         microbatches — stage s of batch m runs while stage s+1 runs batch
         m-1, with no host sync in between."""
         m = self.mapping
-        devs = np.array(jax.devices()[:m.world_size]).reshape(
-            m.dp_size, m.pp_size, m.cp_size, m.moe_ep_size, m.moe_tp_size)
+        dev_list = jax.devices()[:m.world_size]
+        if jax.process_count() > 1 and \
+                os.environ.get("TLLM_PP_CROSS_HOST_TRANSFER") != "1":
+            # multi-host without DCN cross-host device transfers
+            # (jax_cross_host_transfer_socket_address unset): lay the PP
+            # axis out FASTEST so each stage takes one device per host —
+            # every process then owns a shard of every stage and the
+            # activation handoff never needs a cross-host device_put
+            # (in-stage collectives ride the jitted programs, which span
+            # processes fine).  Set TLLM_PP_CROSS_HOST_TRANSFER=1 on pods
+            # with the DCN-transfer flags to keep stages host-local.
+            devs = np.array(dev_list).reshape(
+                m.dp_size, m.cp_size, m.moe_ep_size, m.moe_tp_size,
+                m.pp_size)
+            devs = np.moveaxis(devs, -1, 1)
+        else:
+            devs = np.array(dev_list).reshape(
+                m.dp_size, m.pp_size, m.cp_size, m.moe_ep_size,
+                m.moe_tp_size)
         L = self.model.cfg.num_layers
         base, rem = divmod(L, m.pp_size)
         full_specs = self.model.param_specs()
@@ -450,6 +468,19 @@ class ModelEngine:
             check_vma=False)
         return jax.jit(step, donate_argnums=(1,))
 
+    def _pp_put(self, x, mesh):
+        """Move a stage-replicated array onto another stage's mesh.
+
+        Single host: a plain device copy (ICI, async).  Multi-host without
+        DCN cross-host device transfers: the multihost layout gives every
+        process a shard of every stage (see _init_pp), so hop through the
+        local replicated host copy and place this process's shards."""
+        tgt = NamedSharding(mesh, P())
+        try:
+            return jax.device_put(x, tgt)
+        except ValueError:
+            return jax.device_put(np.asarray(x.addressable_data(0)), tgt)
+
     def _run_pp(self, mode: str, inputs: StepInputs):
         with self.lock:
             h = jnp.asarray(inputs.input_embeds
@@ -469,8 +500,7 @@ class ModelEngine:
                     st["fns"][mode] = self._make_pp_stage_fn(mode, s)
                 if s > 0:
                     # stage handoff: ICI transfer, no host sync
-                    h = jax.device_put(
-                        h, NamedSharding(st["mesh"], P()))
+                    h = self._pp_put(h, st["mesh"])
                 h, st["caches"] = st["fns"][mode](
                     st["params"], st["caches"], h, *common)
             return h
@@ -660,8 +690,7 @@ class ModelEngine:
             logps.append(lp)
             # sampled on the LAST stage's mesh — hand back to stage 0 for
             # the next step (ICI transfer, still no host sync)
-            ids = jax.device_put(
-                t, NamedSharding(self.pp_stages[0]["mesh"], P()))
+            ids = self._pp_put(t, self.pp_stages[0]["mesh"])
             pos, lens = pos + 1, lens + 1
         return jnp.stack(toks), jnp.stack(logps)
 

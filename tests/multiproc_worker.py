@@ -39,9 +39,14 @@ def main(rank: int, size: int, port: int, out_path: str,
     from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
 
     cfg = ModelConfig(**TINY)
-    par = (dict(tensor_parallel_size=size * LOCAL_DEVICES) if mode == "tp"
-           else dict(data_parallel_size=size,          # dp spans processes
-                     tensor_parallel_size=LOCAL_DEVICES))
+    if mode == "tp":
+        par = dict(tensor_parallel_size=size * LOCAL_DEVICES)
+    elif mode == "dp":
+        par = dict(data_parallel_size=size,            # dp spans processes
+                   tensor_parallel_size=LOCAL_DEVICES)
+    else:                                              # "pp": stages span
+        par = dict(pipeline_parallel_size=LOCAL_DEVICES,  # both processes
+                   tensor_parallel_size=size)
     llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
               max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
               distributed_init=dict(
