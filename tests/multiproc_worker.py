@@ -44,9 +44,12 @@ def main(rank: int, size: int, port: int, out_path: str,
     elif mode == "dp":
         par = dict(data_parallel_size=size,            # dp spans processes
                    tensor_parallel_size=LOCAL_DEVICES)
-    else:                                              # "pp": stages span
+    elif mode == "pp":                                 # stages span
         par = dict(pipeline_parallel_size=LOCAL_DEVICES,  # both processes
                    tensor_parallel_size=size)
+    else:                                              # "cp": ulysses over
+        par = dict(context_parallel_size=size,         # processes
+                   tensor_parallel_size=LOCAL_DEVICES)
     llm = LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=128,
               max_batch_size=8, kv_num_blocks=128, kv_block_size=8,
               distributed_init=dict(

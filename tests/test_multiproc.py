@@ -172,3 +172,51 @@ def test_two_process_pp_tp_matches_single_process(tmp_path):
     finally:
         llm.shutdown()
     assert multi == single, (multi, single)
+
+
+@pytest.mark.slow
+def test_two_process_cp_tp_matches_single_process(tmp_path):
+    """Ulysses context parallelism spanning processes (cp=2 across hosts,
+    tp=2 inside each): sequence all-to-alls ride the jitted programs."""
+    port = _free_port()
+    out_path = tmp_path / "rank0_cp.json"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(rank), "2", str(port),
+             str(out_path), "cp"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=str(REPO_ROOT),
+            env={**os.environ,
+                 "PYTHONPATH": str(REPO_ROOT) + os.pathsep
+                 + os.environ.get("PYTHONPATH", "")})
+        for rank in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            logs.append(out.decode(errors="replace"))
+            assert p.returncode == 0, (
+                f"worker failed (rc={p.returncode}):\n{logs[-1][-4000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    multi = json.loads(out_path.read_text())
+
+    from tensorrt_llm_tpu.llmapi import LLM, SamplingParams
+    from tensorrt_llm_tpu.models.modeling_utils import ModelConfig
+    from multiproc_worker import PROMPTS, TINY
+
+    llm = LLM(model=ModelConfig(**TINY), skip_tokenizer_init=True,
+              max_seq_len=128, max_batch_size=8, kv_num_blocks=128,
+              kv_block_size=8, context_parallel_size=2,
+              tensor_parallel_size=2)
+    try:
+        outs = llm.generate(PROMPTS,
+                            SamplingParams(max_tokens=8, ignore_eos=True))
+        single = [o.outputs[0].token_ids for o in outs]
+    finally:
+        llm.shutdown()
+    assert multi == single, (multi, single)
