@@ -781,6 +781,7 @@ class GenerationFuture:
                 index=i, text=self._decode(b["token_ids"]),
                 token_ids=b["token_ids"],
                 finish_reason=reason.value if reason else None,
+                logprobs=b.get("logprobs"),
                 cumulative_logprob=b["cumulative_logprob"])
                 for i, b in enumerate(beams)]
         else:

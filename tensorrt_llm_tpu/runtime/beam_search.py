@@ -25,11 +25,15 @@ from tensorrt_llm_tpu.runtime.request import FinishReason, LlmRequest
 class _BeamSeq:
     """Duck-typed stand-in for LlmRequest in engine.prepare_decode_inputs."""
 
-    __slots__ = ("request_id", "tokens")
+    __slots__ = ("request_id", "tokens", "lps")
 
-    def __init__(self, request_id: int, tokens: List[int]):
+    def __init__(self, request_id: int, tokens: List[int],
+                 lps: Optional[List[float]] = None):
         self.request_id = request_id
         self.tokens = tokens
+        # per-OUTPUT-token logprob of the chosen extension (reference
+        # returns beam logprobs alongside cumulative scores)
+        self.lps = lps if lps is not None else []
 
     @property
     def all_token_ids(self) -> List[int]:
@@ -72,7 +76,8 @@ class BeamSearch:
         self.max_seq_len = max_seq_len
         self.length_penalty = getattr(sp, "length_penalty", 0.0)
         self.live: List[Tuple[_BeamSeq, float]] = []    # (seq, cum_logp)
-        self.finished: List[Tuple[List[int], float]] = []  # (tokens, score)
+        # finished entries: (output tokens, score, per-token logprobs)
+        self.finished: List[Tuple[List[int], float, List[float]]] = []
         self.done = False
         # attention-DP: all beams of a request live on the owner replica
         self.owner = (kv.rank_of(req.request_id)
@@ -103,7 +108,8 @@ class BeamSearch:
                     owner=self.owner)
             seeded.append((sid, int(tok)))
         for sid, tok in seeded:
-            self._admit(_BeamSeq(sid, prompt + [tok]), float(logp[tok]))
+            self._admit(_BeamSeq(sid, prompt + [tok],
+                                 [float(logp[tok])]), float(logp[tok]))
         self._check_done()
 
     def _score(self, tokens_out_len: int, cum: float) -> float:
@@ -123,7 +129,8 @@ class BeamSearch:
                   or seq.num_tokens >= self.max_seq_len)
         if hit_eos or at_cap:
             self.finished.append((seq.tokens[self.req.prompt_len:],
-                                  self._score(out_len, cum)))
+                                  self._score(out_len, cum),
+                                  list(seq.lps)))
             self.kv.free_sequence(seq.request_id)
         else:
             self.live.append((seq, cum))
@@ -171,7 +178,8 @@ class BeamSearch:
                 if len(self.finished) < 2 * self.width:
                     self.finished.append(
                         (seqs[parent].tokens[self.req.prompt_len:] + [tok],
-                         self._score(out_len, float(cand[flat]))))
+                         self._score(out_len, float(cand[flat])),
+                         seqs[parent].lps + [float(logp[parent, tok])]))
             else:
                 if len(new_live) < self.width:
                     new_live.append((parent, tok, float(cand[flat])))
@@ -199,7 +207,9 @@ class BeamSearch:
                         getattr(self.kv, "ring_fork_pairs",
                                 lambda *a: None)(pseq.request_id, sid),
                         owner=self.owner)
-                next_live[j] = (_BeamSeq(sid, pseq.tokens + [tok]), cum)
+                next_live[j] = (_BeamSeq(
+                    sid, pseq.tokens + [tok],
+                    pseq.lps + [float(logp[parent, tok])]), cum)
         for i, s in enumerate(seqs):
             if i not in used:
                 self.kv.free_sequence(s.request_id)
@@ -209,7 +219,7 @@ class BeamSearch:
     def _check_done(self):
         if self.live and len(self.finished) >= self.width:
             best_live = max(c for _, c in self.live)
-            worst_kept = sorted((s for _, s in self.finished),
+            worst_kept = sorted((t[1] for t in self.finished),
                                 reverse=True)[self.width - 1]
             # logp sums only decrease (length_penalty 0); live beams can't
             # beat the kept set any more
@@ -223,7 +233,8 @@ class BeamSearch:
         for s, c in self.live:
             out_len = s.num_tokens - self.req.prompt_len
             self.finished.append((s.tokens[self.req.prompt_len:],
-                                  self._score(max(out_len, 1), c)))
+                                  self._score(max(out_len, 1), c),
+                                  list(s.lps)))
             self.kv.free_sequence(s.request_id)
         self.live = []
         self.finished.sort(key=lambda t: t[1], reverse=True)
@@ -236,8 +247,10 @@ class BeamSearch:
         req = self.req
         n = min(req.sampling_params.n, len(self.finished))
         req.beam_outputs = [
-            {"token_ids": toks, "cumulative_logprob": score}
-            for toks, score in self.finished[:n]]
+            {"token_ids": toks, "cumulative_logprob": score,
+             "logprobs": ([{t: lp} for t, lp in zip(toks, lps)]
+                          if self.req.sampling_params.logprobs else None)}
+            for toks, score, lps in self.finished[:n]]
         best = self.finished[0][0] if self.finished else []
         req.output_token_ids = list(best)
         reason = (FinishReason.EOS if best and self.eos is not None

@@ -275,3 +275,27 @@ def test_variable_beam_width_widening():
         assert st["active_sequences"] == 0, st
     finally:
         llm.shutdown()
+
+
+def test_beam_per_token_logprobs():
+    """SamplingParams.logprobs with beams: each returned beam carries a
+    per-output-token logprob list whose sum matches the raw cumulative
+    score (length_penalty 0)."""
+    import math
+    llm = _mk_llm()
+    try:
+        sp = SamplingParams(max_tokens=6, temperature=0.0, ignore_eos=True,
+                            use_beam_search=True, n=2, best_of=3,
+                            logprobs=1)
+        out = llm.generate([[7, 3, 7, 3]], sp)[0]
+        for o in out.outputs:
+            assert o.logprobs is not None
+            assert len(o.logprobs) == len(o.token_ids)
+            total = sum(next(iter(d.values())) for d in o.logprobs)
+            assert math.isclose(total, o.cumulative_logprob,
+                                rel_tol=1e-4, abs_tol=1e-4), \
+                (total, o.cumulative_logprob)
+            for d, t in zip(o.logprobs, o.token_ids):
+                assert t in d
+    finally:
+        llm.shutdown()
