@@ -790,8 +790,21 @@ class ModelEngine:
                 s = P("cp")
                 if mode.startswith("prefill"):
                     in_data = (s, s, s, s, s, P(), s, P(), s, P(), P())
-                    out_specs = ((s, P(), cache_spec) if with_hidden
-                                 else (s, cache_spec))
+                    # rank-stacked logits all-gather in-graph so every
+                    # process can fetch them (multihost star CP)
+                    inner_star = step
+                    if with_hidden:
+                        def step(params, caches, *rest):
+                            lg, hd, nc = inner_star(params, caches, *rest)
+                            return (jax.lax.all_gather(lg, "cp", axis=0,
+                                                       tiled=True), hd, nc)
+                    else:
+                        def step(params, caches, *rest):
+                            lg, nc = inner_star(params, caches, *rest)
+                            return jax.lax.all_gather(lg, "cp", axis=0,
+                                                      tiled=True), nc
+                    out_specs = ((P(), P(), cache_spec) if with_hidden
+                                 else (P(), cache_spec))
                 else:
                     in_data = (P(), P(), s, s, s, P(), P(), P(), P(), P(),
                                P())
