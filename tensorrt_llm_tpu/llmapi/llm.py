@@ -290,6 +290,7 @@ class LLM:
     def _derive_num_blocks(cfg, kvcfg, a) -> int:
         """Size the pool from device free memory (reference
         resource_manager.py:782 calculate_max_num_blocks)."""
+        from tensorrt_llm_tpu.quantization.mode import KvCacheQuantAlgo
         try:
             stats = jax.devices()[0].memory_stats() or {}
             limit = stats.get("bytes_limit", 8 << 30)
@@ -302,7 +303,10 @@ class LLM:
                  else max(cfg.kv_pool_heads // tp, 1))
         n = KVCacheManager.blocks_from_memory(
             budget, cfg.num_layers, heads, cfg.kv_pool_dim, kvcfg.block_size,
-            num_pools=1 if cfg.is_mla else 2)
+            num_pools=1 if cfg.is_mla else 2,
+            extra_dims=(kvcfg.dsa_index_dim
+                        + (cfg.kv_pool_dim if kvcfg.sparse_kt else 0)),
+            scale_pools=kvcfg.kv_quant != KvCacheQuantAlgo.NONE)
         # at least enough for max_batch_size sequences of max_seq_len
         need = a.max_batch_size * cdiv(a.max_seq_len, kvcfg.block_size)
         return min(max(n, 64), max(need * 2, 64) * 8)

@@ -17,6 +17,7 @@
 // side; this module only decides *which* block ids hold which tokens.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
 #include <list>
@@ -207,6 +208,15 @@ struct Manager {
   }
 
   void unref_block(int32_t bid) {
+    if (ref_count[bid] <= 0) {
+      // double-unref (caller bug): the Python fallback raises here.  Fail
+      // SAFE on the native path — leak the block rather than returning a
+      // still-referenced page to the pool (cross-sequence corruption).
+      std::fprintf(stderr,
+                   "tllm kv bookkeeping: unref of unreferenced block %d\n",
+                   bid);
+      return;
+    }
     --ref_count[bid];
     if (ref_count[bid] == 0) {
       if (has_hash[bid] && enable_reuse) {
@@ -267,7 +277,9 @@ int64_t tllm_kvbm_add_sequence(void* h, int64_t seq, const int32_t* toks,
 // callers gate with can-grow checks first, as the Python side does).
 int32_t tllm_kvbm_grow(void* h, int64_t seq, int64_t new_total) {
   Manager& m = *static_cast<Manager*>(h);
-  SeqInfo& info = m.sequences[seq];
+  auto sit = m.sequences.find(seq);
+  if (sit == m.sequences.end()) return -2;  // unknown id: surface, don't insert
+  SeqInfo& info = sit->second;
   int64_t need = (new_total + m.block_size - 1) / m.block_size;
   while ((int64_t)info.block_ids.size() < need) {
     int32_t bid = m.take_block();
@@ -288,7 +300,9 @@ int64_t tllm_kvbm_seq_num_blocks(void* h, int64_t seq) {
 void tllm_kvbm_seal(void* h, int64_t seq, const int32_t* toks, int64_t n) {
   Manager& m = *static_cast<Manager*>(h);
   if (!m.enable_reuse) return;
-  SeqInfo& info = m.sequences[seq];
+  auto sit = m.sequences.find(seq);
+  if (sit == m.sequences.end()) return;  // unknown id: no phantom entry
+  SeqInfo& info = sit->second;
   int64_t n_full = n / m.block_size;
   uint64_t parent = info.block_hashes.empty() ? 0 : info.block_hashes.back();
   for (int64_t b = (int64_t)info.block_hashes.size(); b < n_full; ++b) {
@@ -325,11 +339,13 @@ void tllm_kvbm_set_priority(void* h, int64_t seq, int32_t priority) {
 // retained for the next drain).
 int64_t tllm_kvbm_drain_evictions(void* h, int32_t* out, int64_t max) {
   Manager& m = *static_cast<Manager*>(h);
-  int64_t n = 0;
-  while (n < max && !m.pending_evictions.empty()) {
-    out[n++] = m.pending_evictions.front();
-    m.pending_evictions.erase(m.pending_evictions.begin());
-  }
+  // copy a prefix out and erase ONCE (front-erase per element is O(n^2)
+  // across an eviction burst on the scheduler hot path)
+  int64_t n = (int64_t)m.pending_evictions.size();
+  if (n > max) n = max;
+  std::memcpy(out, m.pending_evictions.data(), n * sizeof(int32_t));
+  m.pending_evictions.erase(m.pending_evictions.begin(),
+                            m.pending_evictions.begin() + n);
   return n;
 }
 

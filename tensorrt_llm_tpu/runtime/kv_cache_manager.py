@@ -525,7 +525,10 @@ class _NativeBookkeeping:
             0 if cache_salt is None else 1))
 
     def grow_sequence(self, seq_id: int, new_total_tokens: int):
-        if self._lib.tllm_kvbm_grow(self._h, seq_id, new_total_tokens) != 0:
+        rc = self._lib.tllm_kvbm_grow(self._h, seq_id, new_total_tokens)
+        if rc == -2:
+            raise KeyError(seq_id)   # unknown/freed id — match _PyBookkeeping
+        if rc != 0:
             raise RuntimeError("KV cache out of blocks")
 
     def num_seq_blocks(self, seq_id: int) -> int:
@@ -608,6 +611,10 @@ class SlotManager:
         self.max_slots = max_slots
         self._free = list(range(max_slots - 1, -1, -1))
         self._of: Dict[int, int] = {}
+
+    @property
+    def in_use(self) -> bool:
+        return bool(self._of)
 
     def add(self, seq_id: int) -> int:
         if seq_id in self._of:
@@ -705,11 +712,17 @@ class KVCacheManager:
             # sequence's ring holds none of their sliding-layer KV — reuse
             # and per-sequence rings are incompatible (the reference also
             # runs VSWA without block reuse)
-            assert not getattr(self._bk, "sequences", None), \
+            assert not self._seq_salt and not self.slots.in_use, \
                 "configure_vswa before any sequence"
             self._bk = _make_bookkeeping(
                 self.num_blocks, self.block_size, False,
                 "native" if self.is_native else "python")
+            # keep the CONFIG consistent with the rebuilt backend: the
+            # wrapper's seal path (whash bookkeeping + "stored" events)
+            # gates on this flag, and leaving it set would advertise
+            # phantom reusable prefixes to the KV-aware router
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, enable_block_reuse=False)
 
     @property
     def vswa(self) -> bool:
@@ -825,10 +838,19 @@ class KVCacheManager:
     def blocks_from_memory(bytes_budget: int, num_layers: int,
                            num_kv_heads: int, head_dim: int,
                            block_size: int, dtype_bytes: int = 2,
-                           num_pools: int = 2) -> int:
-        """num_pools: 2 for K+V layouts, 1 for the MLA latent layout."""
+                           num_pools: int = 2,
+                           extra_dims: int = 0,
+                           scale_pools: bool = False) -> int:
+        """num_pools: 2 for K+V layouts, 1 for the MLA latent layout.
+        extra_dims: additional per-token per-layer channels in side pools
+        (DSA indexer keys, sparse-KT summaries — without this the derived
+        block count overcommits HBM and pool allocation OOMs).
+        scale_pools: INT8/FP8 KV adds a f32 scale per (token, head, pool)."""
         per_block = (num_pools * num_layers * block_size * num_kv_heads
                      * head_dim * dtype_bytes)
+        per_block += num_layers * block_size * extra_dims * dtype_bytes
+        if scale_pools:
+            per_block += num_pools * num_layers * block_size * num_kv_heads * 4
         return max(int(bytes_budget // per_block), 16)
 
     # ------------------------------------------------------------------ queries --
@@ -885,28 +907,32 @@ class KVCacheManager:
             return
         enabled = self.host_tier_enabled
         min_p = self.cfg.secondary_offload_min_priority
+        conn = self.cfg.kv_connector
         for bid in bids:
             wh = self._block_whash.pop(bid, None)
             prio = self._block_prio.pop(bid, DEFAULT_RETENTION_PRIORITY)
             if not enabled or wh is None:
                 continue
-            if min_p is not None and prio < min_p:
-                continue
-            if wh in self.host_cache:
+            # the priority gate applies to the HOST RAM tier only
+            # (reference secondary_offload_min_priority); the connector is
+            # the coldest tier and receives everything leaving the device
+            host_ok = (self.cfg.host_cache_blocks > 0
+                       and (min_p is None or prio >= min_p))
+            if host_ok and wh in self.host_cache:
                 self.host_cache.move_to_end(wh)
                 continue
+            need_save = conn is not None
+            if not host_ok and not need_save:
+                continue
             payload = self._extract_fn([bid])
-            conn = self.cfg.kv_connector
-            if conn is not None:
-                # the connector is the coldest tier: everything that
-                # leaves the device flows through save().  An external
-                # store failure must never kill the serving loop.
+            if need_save:
+                # an external store failure must never kill the serving loop
                 try:
                     conn.save(wh, payload)
                     self.num_connector_saves += 1
                 except Exception as e:  # noqa: BLE001
                     logger.warning("kv connector save failed: %s", e)
-            if self.cfg.host_cache_blocks > 0:
+            if host_ok:
                 self.host_cache[wh] = payload
                 self.num_offloaded += 1
                 while len(self.host_cache) > self.cfg.host_cache_blocks:
@@ -1039,14 +1065,17 @@ class KVCacheManager:
                 self._block_whash[table[b]] = parent
                 self._block_prio[table[b]] = self._seq_prio.get(
                     seq_id, DEFAULT_RETENTION_PRIORITY)
-        # emit "stored" events with wrapper-level chain hashes (deterministic
-        # int-tuple hashing => comparable across server processes)
+        # emit "stored" events with the SALTED stable chain hash: the event
+        # hash must describe the same identity the reuse index matches on
+        # (a salt-isolated block advertised under the unsalted hash would
+        # mislead event-fed routers), and _whash is process-stable
+        salt = self._seq_salt.get(seq_id)
         hashes = self._event_hashes.setdefault(seq_id, [])
         n_full = len(token_ids) // self.block_size
         parent = hashes[-1] if hashes else 0
         for b in range(len(hashes), n_full):
             chunk = tuple(token_ids[b * self.block_size:(b + 1) * self.block_size])
-            h = hash((parent, chunk))
+            h = self._whash(parent, chunk, salt)
             self.events.append({"id": self._next_event_id, "type": "stored",
                                 "block_hash": h, "parent_hash": parent})
             self._next_event_id += 1
@@ -1100,6 +1129,15 @@ class KVCacheManager:
         kvCacheManager.h GenerationRequest per-beam block tables)."""
         self.slots.add(dst_id)
         pairs = self._bk.fork_sequence(src_id, dst_id)
+        # wrapper-level identity rides along (both backends copy salt and
+        # priority into the forked SeqInfo): a later seal on the fork must
+        # hash under the SOURCE's salt, not recompute unsalted from root
+        self._seq_salt[dst_id] = self._seq_salt.get(src_id)
+        if src_id in self._seq_prio:
+            self._seq_prio[dst_id] = self._seq_prio[src_id]
+        self._seq_whash[dst_id] = list(self._seq_whash.get(src_id, []))
+        self._event_hashes[dst_id] = list(
+            self._event_hashes.get(src_id, []))
         self._drain_offloads()
         return pairs
 
@@ -1110,6 +1148,7 @@ class KVCacheManager:
         self._event_hashes.pop(seq_id, None)
         self._seq_whash.pop(seq_id, None)
         self._seq_salt.pop(seq_id, None)
+        self._seq_prio.pop(seq_id, None)
         self._partial_copies.pop(seq_id, None)
         self._bk.free_sequence(seq_id)
 
@@ -1361,13 +1400,17 @@ class HelixKVCacheManager:
         on rank (p//bs) % cp and pad everywhere else."""
         bs = self.block_size
         out = [[pad_slot] * num_tokens for _ in range(self.cp_size)]
+        # fetch each rank's table ONCE (a per-token ctypes block_table call
+        # made long prefill chunks quadratic host work)
+        last = start_token + num_tokens - 1
+        max_j = (last // bs) // self.cp_size + 1
+        tables = [r.block_table(seq_id, max_j) for r in self.ranks]
         for i in range(num_tokens):
             p = start_token + i
             g = p // bs
             r = g % self.cp_size
             j = g // self.cp_size      # rank-local block index of this seq
-            table = self.ranks[r].block_table(seq_id, j + 1)
-            out[r][i] = table[j] * bs + p % bs
+            out[r][i] = tables[r][j] * bs + p % bs
         return out
 
     def slot_of(self, seq_id: int) -> int:
@@ -1531,13 +1574,18 @@ class StarKVCacheManager:
         bs = self.block_size
         b = self._bounds[seq_id]
         out = [[pad_slot] * num_tokens for _ in range(self.cp_size)]
+        # fetch each rank's table ONCE (a per-token ctypes block_table call
+        # made long prefill chunks quadratic host work)
+        tables: dict = {}
         for i in range(num_tokens):
             p = start_token + i
             r = self.rank_of_pos(seq_id, p)
             lp = p - b[r]                 # rank-local position
             j = lp // bs
-            table = self.ranks[r].block_table(seq_id, j + 1)
-            out[r][i] = table[j] * bs + lp % bs
+            tab = tables.get(r)
+            if tab is None or j >= len(tab):
+                tab = tables[r] = self.ranks[r].block_table(seq_id, j + 64)
+            out[r][i] = tab[j] * bs + lp % bs
         return out
 
     def slot_of(self, seq_id: int) -> int:
