@@ -334,22 +334,29 @@ class LLM:
         requires resume_memory() first."""
         import time as _time
         ex = self.executor
-        # finished requests linger in `active` for an iteration while the
-        # overlap pipeline's trailing chunks drain — wait for true idle,
-        # but refuse immediately if anything is genuinely generating
-        deadline = _time.time() + 5.0
-        while True:
-            if any(not r.is_finished for r in ex.active) or ex.waiting \
-                    or not ex.request_queue.empty():
-                raise RuntimeError("cannot release weight memory with "
-                                   "requests in flight")
-            if not ex.active:
-                break
-            if _time.time() > deadline:
-                raise RuntimeError("executor did not drain finished "
-                                   "requests in time")
-            _time.sleep(0.01)
+        # close the submit door FIRST: a request submitted between the
+        # emptiness checks and the flag set would decode against weights
+        # being paged out.  Re-open on refusal.
         ex.weights_released = True   # submit() refuses until resume
+        try:
+            # finished requests linger in `active` for an iteration while
+            # the overlap pipeline's trailing chunks drain — wait for true
+            # idle, but refuse immediately if anything is generating
+            deadline = _time.time() + 5.0
+            while True:
+                if any(not r.is_finished for r in ex.active) or ex.waiting \
+                        or not ex.request_queue.empty():
+                    raise RuntimeError("cannot release weight memory with "
+                                       "requests in flight")
+                if not ex.active:
+                    break
+                if _time.time() > deadline:
+                    raise RuntimeError("executor did not drain finished "
+                                       "requests in time")
+                _time.sleep(0.01)
+        except Exception:
+            ex.weights_released = False
+            raise
         self.engine.release_weight_memory()
 
     def resume_memory(self) -> None:
@@ -499,7 +506,10 @@ class LLM:
         if disaggregated_params is not None:
             rtype = disaggregated_params.request_type
             if rtype == "context_only":
-                sampling_params.max_tokens = 1
+                # copy-on-clamp: the params object may be shared across the
+                # caller's batch (same invariant as executor.submit)
+                import dataclasses as _dc2
+                sampling_params = _dc2.replace(sampling_params, max_tokens=1)
         # Fold everything that changes KV content for the same token ids into
         # the prefix-reuse identity (reference BlockKey{tokens, loraTaskId,
         # mm hashes, salt}, kvCacheManager.h:148-195): user salt, LoRA

@@ -131,26 +131,31 @@ class Router:
                 self._rr_urls = cands
                 self._rr = itertools.cycle(cands)
             return next(self._rr)
-        # load: fewest active sequences right now (both remaining policies)
-        loads = []
-        for u in cands:
+        # load: fewest active sequences right now (both remaining
+        # policies) — probe every candidate CONCURRENTLY (sequential
+        # awaits put O(N) network round trips on every request's TTFT)
+        import asyncio as _aio
+
+        async def probe(u):
             try:
                 async with session.get(f"{u}/kv_cache_events") as r:
                     stats = await r.json()
-                loads.append((stats.get("active_sequences", 0), u))
                 self.pool.mark(u, True)
+                return (stats.get("active_sequences", 0), u)
             except Exception:  # noqa: BLE001 — skip unhealthy servers
                 self.pool.mark(u, False)
+                return None
+        loads = [x for x in await _aio.gather(*(probe(u) for u in cands))
+                 if x is not None]
         if not loads:
             raise web.HTTPServiceUnavailable(text="no healthy backend")
         if self.policy == "kv_aware" and token_ids:
             # longest cached prefix wins; load breaks ties
-            scored = []
-            for load, u in loads:
-                scored.append((-(await self.prefix_match(session, u,
-                                                         token_ids)),
-                               load, u))
-            scored.sort()
+            matches = await _aio.gather(
+                *(self.prefix_match(session, u, token_ids)
+                  for _, u in loads))
+            scored = sorted((-m, load, u)
+                            for m, (load, u) in zip(matches, loads))
             return scored[0][2]
         loads.sort()
         return loads[0][1]
@@ -188,6 +193,7 @@ class OpenAIDisaggServer:
         self.conditional_max_prompt = conditional_max_prompt
         self.conditional_cached_fraction = conditional_cached_fraction
         self._health_task = None
+        self._session = None   # shared worker-fleet connection pool
         self.app = web.Application(client_max_size=1 << 30)
         self.app.add_routes([
             web.get("/health", self.health),
@@ -198,6 +204,18 @@ class OpenAIDisaggServer:
         ])
         self.app.on_startup.append(self._start_health_loop)
         self.app.on_cleanup.append(self._stop_health_loop)
+        self.app.on_cleanup.append(self._close_session)
+
+    async def _get_session(self) -> ClientSession:
+        # one long-lived session: a fresh ClientSession per request pays
+        # TCP setup to the ctx and gen workers on every completion
+        if self._session is None or self._session.closed:
+            self._session = ClientSession()
+        return self._session
+
+    async def _close_session(self, app=None):
+        if self._session is not None and not self._session.closed:
+            await self._session.close()
 
     # ------------------------------------------------------------ cluster ----
     async def _start_health_loop(self, app):
@@ -260,36 +278,61 @@ class OpenAIDisaggServer:
 
     async def completions(self, request: web.Request):
         body = await request.json()
-        async with ClientSession() as session:
-            if await self._should_skip_prefill_hop(session, body):
-                gen_url = await self.gen_router.pick(
-                    session, body.get("prompt_token_ids"))
-                async with session.post(f"{gen_url}/v1/completions",
-                                        json=body) as r:
-                    return web.json_response(await r.json(),
-                                             status=r.status)
-            # 1) context phase (KV-aware: route to the prefill server that
-            # already caches the longest prompt prefix)
-            ctx_url = await self.ctx_router.pick(
+        session = await self._get_session()
+        if await self._should_skip_prefill_hop(session, body):
+            gen_url = await self.gen_router.pick(
                 session, body.get("prompt_token_ids"))
-            async with session.post(f"{ctx_url}/disagg/context",
-                                    json=body) as r:
-                if r.status != 200:
-                    return web.json_response(await r.json(), status=r.status)
-                ctx = await r.json()
-            # 2) generation phase (KV payload forwarded verbatim)
-            gen_url = await self.gen_router.pick(session)
-            gen_body = dict(body)
-            gen_body["first_gen_tokens"] = ctx["first_gen_tokens"]
-            gen_body["kv_payload_b64"] = ctx["kv_payload_b64"]
-            async with session.post(f"{gen_url}/disagg/generate",
-                                    json=gen_body) as r:
+            fwd = dict(body)
+            ids = fwd.pop("prompt_token_ids", None)
+            if ids is not None and "prompt" not in fwd:
+                # /v1/completions has no prompt_token_ids field, but
+                # its `prompt` accepts a flat token-id list
+                fwd["prompt"] = list(ids)
+            async with session.post(f"{gen_url}/v1/completions",
+                                    json=fwd) as r:
+                return web.json_response(await r.json(),
+                                         status=r.status)
+        # 1) context phase (KV-aware: route to the prefill server that
+        # already caches the longest prompt prefix)
+        ctx_url = await self.ctx_router.pick(
+            session, body.get("prompt_token_ids"))
+        async with session.post(f"{ctx_url}/disagg/context",
+                                json=body) as r:
+            if r.status != 200:
                 return web.json_response(await r.json(), status=r.status)
+            ctx = await r.json()
+        # 2) generation phase (KV payload forwarded verbatim)
+        gen_url = await self.gen_router.pick(session)
+        gen_body = dict(body)
+        gen_body["first_gen_tokens"] = ctx["first_gen_tokens"]
+        gen_body["kv_payload_b64"] = ctx["kv_payload_b64"]
+        async with session.post(f"{gen_url}/disagg/generate",
+                                json=gen_body) as r:
+            return web.json_response(await r.json(), status=r.status)
 
     def run(self, host: str = "0.0.0.0", port: int = 8000):
         logger.info("disagg server on %s:%d (ctx=%s gen=%s)", host, port,
                     self.ctx_pool.urls, self.gen_pool.urls)
         web.run_app(self.app, host=host, port=port)
+
+
+
+def _sampling_from_body(body, max_tokens_default=None):
+    """Build SamplingParams from the disagg request body — forward the
+    client's full sampling surface instead of silently dropping top_p/
+    top_k/seed/stop/penalties (they must behave like a non-disagg server)."""
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+    kw = {}
+    for key in ("temperature", "top_p", "top_k", "min_p", "seed", "stop",
+                "stop_token_ids", "presence_penalty", "frequency_penalty",
+                "repetition_penalty", "logprobs", "min_tokens",
+                "no_repeat_ngram_size", "logit_bias", "ignore_eos"):
+        if body.get(key) is not None:
+            kw[key] = body[key]
+    if max_tokens_default is not None:
+        kw["max_tokens"] = int(body.get("max_tokens", max_tokens_default))
+    kw["ignore_eos"] = bool(body.get("ignore_eos", False))
+    return SamplingParams(**kw)
 
 
 # ---- worker-side endpoints (mixed into OpenAIServer) ---------------------------
@@ -301,8 +344,7 @@ async def disagg_context(server, request: web.Request):
     ids = body.get("prompt_token_ids")
     if ids is None:
         ids = server.llm.tokenizer.encode(body["prompt"])
-    sp = SamplingParams(temperature=body.get("temperature", 1.0),
-                        ignore_eos=bool(body.get("ignore_eos", False)))
+    sp = _sampling_from_body(body)
     import asyncio
     loop = asyncio.get_event_loop()
     out, dparams = await loop.run_in_executor(
@@ -328,10 +370,7 @@ async def disagg_generate(server, request: web.Request):
         first_gen_tokens=list(body["first_gen_tokens"]),
         kv_payload=payload_from_bytes(
             base64.b64decode(body["kv_payload_b64"])))
-    sp = SamplingParams(
-        max_tokens=int(body.get("max_tokens", 32)),
-        temperature=body.get("temperature", 1.0),
-        ignore_eos=bool(body.get("ignore_eos", False)))
+    sp = _sampling_from_body(body, max_tokens_default=32)
     import asyncio
     loop = asyncio.get_event_loop()
     fut = server.llm.generate_async(ids, sp, disaggregated_params=dp)

@@ -345,6 +345,12 @@ class OpenAIServer:
             return web.json_response(
                 {"error": "streaming with n > 1 is not supported"},
                 status=400)
+        if body.stream and len(prompts) > 1:
+            # only one SSE stream can be returned: silently running the
+            # other prompts to completion would waste device time
+            return web.json_response(
+                {"error": "streaming supports a single prompt per request"},
+                status=400)
         sp = body.to_sampling_params()
         try:
             futures = [self.llm.generate_async(p, sp) for p in prompts]
@@ -421,11 +427,25 @@ class OpenAIServer:
             })
         return {"content": content}
 
+
+    @staticmethod
+    def _stop_holdback(body) -> int:
+        """Streaming with stop STRINGS: the final piece may retract a
+        partial marker already decoded (the cumulative text SHRINKS when
+        the stop finally matches), and SSE cannot un-send characters — so
+        hold back longest-stop-1 chars until the stream finishes."""
+        stop = getattr(body, "stop", None)
+        if not stop:
+            return 0
+        stops = [stop] if isinstance(stop, str) else list(stop)
+        return max((len(s) for s in stops), default=1) - 1
+
     async def _stream_completion(self, request, body, future):
         resp = web.StreamResponse(headers={"Content-Type": "text/event-stream"})
         await resp.prepare(request)
         rid = random_id("cmpl")
         prev_len = 0
+        hold = self._stop_holdback(body)
 
         it = iter(future)
         try:
@@ -434,8 +454,10 @@ class OpenAIServer:
                 if out is None:
                     break
                 text = out.outputs[0].text
-                delta = text[prev_len:]
-                prev_len = len(text)
+                upto = (len(text) if out.finished
+                        else max(prev_len, len(text) - hold))
+                delta = text[prev_len:upto]
+                prev_len = upto
                 chunk = {
                     "id": rid, "object": "text_completion",
                     "created": int(time.time()), "model": body.model,
@@ -650,12 +672,10 @@ class OpenAIServer:
             if d.content or fr:
                 await emit({"content": d.content} if d.content else {}, fr)
 
-        prev_len = 0
-        n_calls = 0
-        finish = None
         it = iter(future)
         try:
-            await self._pump_chat(it, emit, emit_text, parser)
+            await self._pump_chat(it, emit, emit_text, parser,
+                                  self._stop_holdback(body))
             await resp.write(b"data: [DONE]\n\n")
             await resp.write_eof()
         except (ConnectionResetError, asyncio.CancelledError):
@@ -665,7 +685,7 @@ class OpenAIServer:
             raise
         return resp
 
-    async def _pump_chat(self, it, emit, emit_text, parser):
+    async def _pump_chat(self, it, emit, emit_text, parser, hold=0):
         prev_len = 0
         n_calls = 0
         finish = None
@@ -674,8 +694,10 @@ class OpenAIServer:
             if out is None:
                 break
             text = out.outputs[0].text
-            delta = text[prev_len:]
-            prev_len = len(text)
+            upto = (len(text) if out.finished
+                    else max(prev_len, len(text) - hold))
+            delta = text[prev_len:upto]
+            prev_len = upto
             fr = out.outputs[0].finish_reason if out.finished else None
             if parser is None:
                 await emit_text(delta, fr)
@@ -693,7 +715,10 @@ class OpenAIServer:
                         n_calls += 1
                 if fr:
                     finish = "tool_calls" if n_calls else fr
-                    await emit({}, finish)
+                    # flush the reasoning parser's held-back buffer (it
+                    # only releases partial-tag tails at end of stream),
+                    # then send the terminal chunk
+                    await emit_text("", finish)
             if out.finished:
                 break
 
@@ -744,8 +769,6 @@ class OpenAIServer:
                   "response": {"id": rid, "object": "response",
                                "status": "in_progress",
                                "model": body.model}})
-        prev_len = 0
-        full = ""
         it = iter(future)
         try:
             await self._pump_responses(it, body, parser, ev, rid)
@@ -758,12 +781,15 @@ class OpenAIServer:
     async def _pump_responses(self, it, body, parser, ev, rid):
         prev_len = 0
         full = ""
+        hold = self._stop_holdback(body)
         while True:
             out = await asyncio.to_thread(lambda: next(it, None))
             if out is None:
                 break
             text = out.outputs[0].text
-            delta, prev_len = text[prev_len:], len(text)
+            upto = (len(text) if out.finished
+                    else max(prev_len, len(text) - hold))
+            delta, prev_len = text[prev_len:upto], upto
             full = text
             if delta:
                 await ev("response.output_text.delta",

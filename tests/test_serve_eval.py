@@ -332,3 +332,49 @@ def test_stream_disconnect_cancels_generation(llm):
     finally:
         loop.run_until_complete(tc.close())
         loop.close()
+
+
+def test_stream_multi_prompt_rejected(client):
+    tc, loop = client
+    r = loop.run_until_complete(tc.post("/v1/completions", json={
+        "model": "tiny", "prompt": ["a", "b"], "max_tokens": 4,
+        "stream": True, "ignore_eos": True}))
+    assert r.status == 400
+
+
+def test_stream_stop_string_never_overstreams(llm):
+    """Streaming with a stop STRING must never emit characters that the
+    final (trimmed) text retracts — the held-back tail covers a partial
+    marker completing across pieces."""
+    import asyncio
+    from aiohttp.test_utils import TestClient, TestServer
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    server = OpenAIServer(llm, "tiny")
+    loop = asyncio.new_event_loop()
+    tc = TestClient(TestServer(server.app, loop=loop), loop=loop)
+    loop.run_until_complete(tc.start_server())
+    try:
+        async def run(stream):
+            body = {"model": "tiny", "prompt": "hello there",
+                    "max_tokens": 24, "temperature": 0.0,
+                    "ignore_eos": True, "stop": "ee"}
+            if stream:
+                body["stream"] = True
+                r = await tc.post("/v1/completions", json=body)
+                assert r.status == 200
+                text = ""
+                raw = (await r.read()).decode()
+                import json as _json
+                for line in raw.splitlines():
+                    if line.startswith("data: ") and line != "data: [DONE]":
+                        text += _json.loads(line[6:])["choices"][0]["text"]
+                return text
+            r = await tc.post("/v1/completions", json=body)
+            return (await r.json())["choices"][0]["text"]
+        streamed = loop.run_until_complete(run(True))
+        whole = loop.run_until_complete(run(False))
+        assert streamed == whole, (streamed, whole)
+    finally:
+        loop.run_until_complete(tc.close())
+        loop.close()
