@@ -62,6 +62,11 @@ class SamplingParams:
         assert self.max_tokens >= 1
         assert self.temperature >= 0.0
         assert 0.0 < self.top_p <= 1.0
+        if self.top_k > 64:
+            # the on-device sampler buckets top-k at 64 for static shapes;
+            # silently clamping would change the distribution — raise early
+            raise ValueError(f"top_k={self.top_k} exceeds the supported "
+                             "maximum of 64")
         if self.use_beam_search:
             if (self.best_of or self.n) < 2:
                 raise ValueError("beam search needs n/best_of >= 2")

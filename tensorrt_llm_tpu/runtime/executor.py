@@ -462,10 +462,21 @@ class PyExecutor:
                 req.start_context()
                 if req.sampling_params.guided_decoding is not None:
                     from tensorrt_llm_tpu.runtime.guided_decoder import create_matcher
-                    self.guided.register(req.request_id, create_matcher(
-                        req.sampling_params.guided_decoding, self.tokenizer,
-                        self.eos_token_id,
-                        vocab_size=self.guided.vocab_size))
+                    try:
+                        self.guided.register(req.request_id, create_matcher(
+                            req.sampling_params.guided_decoding,
+                            self.tokenizer, self.eos_token_id,
+                            vocab_size=self.guided.vocab_size))
+                    except Exception as exc:  # noqa: BLE001
+                        # a malformed grammar/schema is a PER-REQUEST input
+                        # error — it must not reach the loop's catch-all
+                        # and kill every in-flight request
+                        self.kv.free_sequence(req.request_id)
+                        self.waiting.remove(req)
+                        req.finish(FinishReason.ERROR)
+                        req.emit(finished=True,
+                                 error=f"guided decoding: {exc}")
+                        continue
                 self.waiting.remove(req)
                 self.active.append(req)
                 # reuse may cover the whole remaining chunk; re-clamp

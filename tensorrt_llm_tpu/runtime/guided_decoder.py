@@ -21,6 +21,30 @@ from tensorrt_llm_tpu.llmapi.sampling_params import GuidedDecodingParams
 NEG_INF = np.float32(np.finfo(np.float32).min)
 
 
+_VOCAB_CACHE: dict = {}
+_PATTERN_CACHE_MAX = 128
+
+
+def _vocab_tables(tokenizer, vocab_size: int):
+    """strings + trie are a function of the TOKENIZER only — building them
+    per pattern made every new guided schema pay an O(vocab) build and the
+    per-pattern caches retain a full copy each (unbounded growth)."""
+    from tensorrt_llm_tpu.runtime.regex_fsm import (build_vocab_trie,
+                                                    token_strings)
+    key = (id(tokenizer), vocab_size)
+    ent = _VOCAB_CACHE.get(key)
+    if ent is None:
+        strings = token_strings(tokenizer, vocab_size)
+        ent = (strings, build_vocab_trie(strings))
+        _VOCAB_CACHE[key] = ent
+    return ent
+
+
+def _bound_cache(cache: dict):
+    while len(cache) > _PATTERN_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+
+
 class GrammarMatcher:
     """Tracks grammar state for one request."""
 
@@ -81,16 +105,15 @@ class RegexMatcher(GrammarMatcher):
 
     def __init__(self, pattern: str, tokenizer, eos_token_id: int,
                  vocab_size: int):
-        from tensorrt_llm_tpu.runtime.regex_fsm import (
-            DFA, TokenMaskCache, build_vocab_trie, token_strings)
+        from tensorrt_llm_tpu.runtime.regex_fsm import DFA, TokenMaskCache
         key = (id(tokenizer), pattern, vocab_size)
         cached = RegexMatcher._shared.get(key)
         if cached is None:
             dfa = DFA(pattern)
-            strings = token_strings(tokenizer, vocab_size)
-            cached = TokenMaskCache(dfa, build_vocab_trie(strings),
-                                    eos_token_id, strings)
+            strings, trie = _vocab_tables(tokenizer, vocab_size)
+            cached = TokenMaskCache(dfa, trie, eos_token_id, strings)
             RegexMatcher._shared[key] = cached
+            _bound_cache(RegexMatcher._shared)
         self.masks = cached
         self.eos = eos_token_id
         self.state = cached.dfa.start
@@ -129,16 +152,14 @@ class EbnfMatcher(GrammarMatcher):
                  vocab_size: int):
         from tensorrt_llm_tpu.runtime.grammar_fsm import (
             GrammarPDA, GrammarTokenMasks)
-        from tensorrt_llm_tpu.runtime.regex_fsm import (
-            build_vocab_trie, token_strings)
         key = (id(tokenizer), grammar, vocab_size)
         cached = EbnfMatcher._shared.get(key)
         if cached is None:
             pda = GrammarPDA(grammar)
-            strings = token_strings(tokenizer, vocab_size)
-            cached = GrammarTokenMasks(pda, build_vocab_trie(strings),
-                                       eos_token_id, strings)
+            strings, trie = _vocab_tables(tokenizer, vocab_size)
+            cached = GrammarTokenMasks(pda, trie, eos_token_id, strings)
             EbnfMatcher._shared[key] = cached
+            _bound_cache(EbnfMatcher._shared)
         self.masks = cached
         self.eos = eos_token_id
         self.configs = cached.pda.start_configs
@@ -190,6 +211,8 @@ class StructuralTagMatcher(GrammarMatcher):
             self.triggers = [s["begin"] for s in structs]
         alts = []
         for s in structs:
+            if "begin" not in s:
+                raise ValueError("structural_tag structure needs 'begin'")
             schema = s.get("schema")
             body = json_schema_to_regex(schema if schema is not None else {})
             alts.append(_regex_escape(s["begin"]) + body
@@ -206,7 +229,52 @@ class StructuralTagMatcher(GrammarMatcher):
     def allowed_tokens(self) -> Optional[np.ndarray]:
         if self.mode == "free":
             return None
-        return self._rx.masks.allowed(self.state)
+        return self._struct_allowed(self.state)
+
+    def _struct_allowed(self, state: int) -> np.ndarray:
+        """Struct-mode mask that also admits tokens which FINISH the
+        structure mid-token and continue as free text (advance() accepts
+        them, so the plain DFA mask — which has no transitions past accept
+        — would be strictly narrower than the matcher and force the model
+        to end every structure exactly on the end-string boundary)."""
+        masks = self._rx.masks
+        cache = getattr(masks, "_free_tail_cache", None)
+        if cache is None:
+            cache = masks._free_tail_cache = {}
+        hit = cache.get(state)
+        if hit is not None:
+            return hit
+        dfa = masks.dfa
+        memo = getattr(masks, "_subtree_memo", None)
+        if memo is None:
+            memo = masks._subtree_memo = {}
+
+        def subtree(node):
+            ids = memo.get(id(node))
+            if ids is None:
+                ids = list(node.token_ids)
+                for child in node.children.values():
+                    ids.extend(subtree(child))
+                memo[id(node)] = ids
+            return ids
+
+        out: list = []
+        stack = [(masks.trie, state)]
+        while stack:
+            node, st = stack.pop()
+            if dfa.accepting[st]:
+                # structure closed mid-token: the remaining characters are
+                # free text, so every token under this prefix is legal
+                out.extend(subtree(node))
+                continue
+            out.extend(node.token_ids)
+            for ch, child in node.children.items():
+                nxt = dfa.step(st, ch)
+                if nxt >= 0:
+                    stack.append((child, nxt))
+        arr = np.array(sorted(set(out)), np.int32)
+        cache[state] = arr
+        return arr
 
     def _feed(self, text: str) -> bool:
         dfa = self._rx.masks.dfa
@@ -243,11 +311,18 @@ class StructuralTagMatcher(GrammarMatcher):
             return self.mode == "free"  # unknown/special tokens: free only
         if self.mode == "free":
             # lenient mid-token entry: if the structure DFA rejects the
-            # token's tail right after a trigger, treat it as plain text
-            saved = (self.mode, self.state, self._window)
-            if not self._feed(text):
+            # token's tail right after a trigger, treat THAT occurrence as
+            # plain text — but keep rescanning from the next character so a
+            # LATER trigger in the same token still enforces (a bulk append
+            # would let it escape masking entirely)
+            i = 0
+            while i < len(text):
+                saved = (self.mode, self.state, self._window)
+                if self._feed(text[i:]):
+                    return True
                 self.mode, self.state, self._window = saved
-                self._window = (self._window + text)[-self._maxw:]
+                self._window = (self._window + text[i])[-self._maxw:]
+                i += 1
             return True
         return self._feed(text)
 
@@ -265,12 +340,12 @@ def create_matcher(params: GuidedDecodingParams, tokenizer,
     if params.choice:
         assert tokenizer is not None, "choice-guided decoding needs a tokenizer"
         return ChoiceMatcher(params.choice, tokenizer, eos_token_id)
-    if params.regex or params.json or params.json_object:
+    if params.regex or params.json is not None or params.json_object:
         assert tokenizer is not None, "guided decoding needs a tokenizer"
         from tensorrt_llm_tpu.runtime.regex_fsm import json_schema_to_regex
         if params.regex:
             pattern = params.regex
-        elif params.json:
+        elif params.json is not None:
             import json as _json
             schema = (params.json if isinstance(params.json, dict)
                       else _json.loads(params.json))

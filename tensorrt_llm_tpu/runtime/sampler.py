@@ -52,6 +52,11 @@ class SamplingState:
         key = (tuple((p.temperature, p.top_k, p.top_p, p.min_p, p.greedy,
                       p.seed) for p in params), pad_to)
         ent = SamplingState._cache.get(key)
+        if ent is not None:
+            # LRU refresh: steady-state compositions must not be evicted
+            # by churn (dict order is insertion order)
+            del SamplingState._cache[key]
+            SamplingState._cache[key] = ent
         if ent is None:
             n_pad = max(pad_to - len(params), 0)
             temp = np.array([max(p.temperature, 1e-5) for p in params]

@@ -81,10 +81,15 @@ class Scheduler:
         if not (enabled and new_prefill and batch.decode):
             self._batch_wait_iters = 0
             return
+        # single-knob defaults (setting only one must not no-op the
+        # feature): a ratio alone gets a bounded timeout; a timeout alone
+        # holds regardless of batch density until it expires
+        timeout = cfg.batch_wait_timeout_iters or 8
+        ratio = (cfg.batch_wait_max_tokens_ratio
+                 if cfg.batch_wait_max_tokens_ratio > 0 else 1.0)
         should_wait = (
-            self._batch_wait_iters < cfg.batch_wait_timeout_iters
-            and batch.total_tokens
-            < cfg.batch_wait_max_tokens_ratio * cfg.max_num_tokens)
+            self._batch_wait_iters < timeout
+            and batch.total_tokens < ratio * cfg.max_num_tokens)
         if should_wait:
             self._batch_wait_iters += 1
             held = {id(r) for r, _ in new_prefill}
@@ -105,8 +110,11 @@ class Scheduler:
                         step_tokens: int) -> Tuple[bool, int]:
         """MaxUtilization: only the blocks needed for this step's tokens."""
         have = self.kv.num_seq_blocks(req.request_id)
-        target = (req.context_position + step_tokens if req.is_context_init
-                  else req.num_tokens + 1)
+        # anything not yet generating (QUEUED or CONTEXT_INIT) is sized by
+        # its scheduled chunk — sizing a new request by its whole prompt
+        # would degrade MaxUtilization to whole-prompt admission
+        target = (req.num_tokens + 1 if req.is_generating
+                  else req.context_position + step_tokens)
         need = self.kv.blocks_needed(target) - have
         fits = need + reserved <= self.kv.num_free_blocks
         return fits, max(need, 0)
@@ -156,9 +164,9 @@ class Scheduler:
         for req in ctx_reqs + list(waiting):
             if n_scheduled >= cfg.max_batch_size or token_budget <= 0:
                 break
-            from tensorrt_llm_tpu.runtime.request import RequestState
             if (req.state == RequestState.QUEUED
-                    and not getattr(self.kv, "can_admit_new", lambda: True)()):
+                    and not getattr(self.kv, "can_admit_new",
+                                    lambda: True)()):
                 continue  # VSWA ring slots exhausted: admit later
             remaining = (req.remaining_context if req.is_context_init
                          else req.prompt_len)

@@ -243,3 +243,69 @@ def test_structural_tag_via_response_format():
         _guided_from_response_format)
     gp = _guided_from_response_format(dict(type="structural_tag", **STAG))
     assert gp is not None and gp.structural_tag["triggers"] == ["<f="]
+
+
+def test_structural_tag_second_trigger_after_failed_first():
+    """A single TOKEN containing a rejected trigger occurrence followed by
+    a real trigger must still enter structure mode (the lenient restore
+    rescans from the next character instead of bulk-appending)."""
+    from tensorrt_llm_tpu.runtime.guided_decoder import StructuralTagMatcher
+
+    class MultiTok(CharTokenizer):
+        def decode(self, ids, skip_special_tokens=True):
+            if list(ids) == [2]:
+                return "<f=z then <f="   # bad trigger, then a real one
+            return super().decode(ids, skip_special_tokens)
+
+    m = StructuralTagMatcher(STAG, MultiTok(), eos_token_id=0,
+                             vocab_size=256)
+    assert m.advance(2)
+    assert m.mode == "struct"
+    assert not m.completed
+    # masks now constrain: 'g' (of "get>") allowed, 'z' banned
+    ids = set(m.allowed_tokens().tolist())
+    assert max(1, ord("g") % 256) in ids
+    assert max(1, ord("z") % 256) not in ids
+
+
+def test_bad_guided_spec_fails_only_that_request(llm):
+    """A malformed grammar spec is a per-request error: the request gets
+    an error result and the executor keeps serving others."""
+    bad = GuidedDecodingParams(structural_tag={"structures": [{"schema": {}}]})
+    with pytest.raises(RuntimeError, match="guided decoding"):
+        llm.generate("x", SamplingParams(max_tokens=4,
+                                         guided_decoding=bad))
+    # the loop survived: a normal request still works
+    out = llm.generate("ok", SamplingParams(max_tokens=3, ignore_eos=True))
+    assert len(out[0].outputs[0].token_ids) == 3
+
+
+def test_empty_json_schema_is_valid():
+    """json={} (any JSON value) must route to the JSON matcher, not fall
+    through to NotImplementedError."""
+    from tensorrt_llm_tpu.runtime.guided_decoder import (RegexMatcher,
+                                                         create_matcher)
+    m = create_matcher(GuidedDecodingParams(json={}), CharTokenizer(),
+                       eos_token_id=0, vocab_size=256)
+    assert isinstance(m, RegexMatcher)
+
+
+def test_structural_tag_mask_allows_free_tail_tokens():
+    """The struct-mode mask admits a token that closes the structure and
+    continues with free text (advance() accepts it; a plain DFA mask would
+    ban it and force ending exactly on the end string)."""
+    from tensorrt_llm_tpu.runtime.guided_decoder import StructuralTagMatcher
+
+    class MultiTok(CharTokenizer):
+        def decode(self, ids, skip_special_tokens=True):
+            if list(ids) == [3]:
+                return '"}</f> and'      # closes the structure + free tail
+            return super().decode(ids, skip_special_tokens)
+
+    m = StructuralTagMatcher(STAG, MultiTok(), eos_token_id=0,
+                             vocab_size=256)
+    _feed_str(m, '<f=get>{"q":"tpu')
+    assert m.mode == "struct"
+    assert 3 in set(m.allowed_tokens().tolist())
+    assert m.advance(3)                   # matcher accepts it too
+    assert m.mode == "free"
