@@ -53,8 +53,16 @@ class SparseAttention(AttentionBackend):
         assert kt_cache is not None, \
             "sparse backend needs the KT summary pool (KVCacheConfig" \
             ".sparse_kt=True)"
-        assert meta.pair_mask is None or meta.mode != "prefill" or \
-            meta.chunk_causal, "sparse + custom-mask prefill unsupported"
+        # tree-verify / custom-visibility prefills carry a pair mask the
+        # plain paged prefill cannot honor — reject them outright (the
+        # chunk_causal loophole admitted draft-tree rows whose mask was
+        # then silently dropped)
+        assert not (meta.mode == "prefill" and meta.pair_mask is not None), \
+            "sparse backend does not support masked (tree/custom) prefill"
+        # decode ignores window/chunk limits entirely — prefill honoring
+        # them while decode leaks outside would silently diverge
+        assert self.sliding_window is None and self.attention_chunk is None, \
+            "sparse backend does not support sliding-window/chunked layers"
         k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                           meta.slot_mapping)
         kt_cache = update_kt_cache(kt_cache, k_cache, meta.slot_mapping)

@@ -28,6 +28,8 @@ from tensorrt_llm_tpu.utils import logger
 class LoraAdapter:
     rank: int
     alpha: float
+    # PEFT use_rslora: scaling = alpha / sqrt(r) instead of alpha / r
+    use_rslora: bool = False
     # module path (HF naming, e.g. "model.layers.0.self_attn.q_proj")
     #   -> (A [r, in], B [out, r])
     weights: Dict[str, tuple] = field(default_factory=dict)
@@ -38,7 +40,16 @@ class LoraAdapter:
 
     @property
     def scaling(self) -> float:
-        return self.alpha / self.rank
+        return self.module_scaling(self.rank)
+
+    def module_scaling(self, module_rank: int) -> float:
+        """Per-MODULE scaling: PEFT rank_pattern gives modules their own
+        rank (visible as A.shape[0]); scaling by the adapter-global r
+        would mis-weight those deltas."""
+        r = max(int(module_rank), 1)
+        if self.use_rslora:
+            return self.alpha / (r ** 0.5)
+        return self.alpha / r
 
     @property
     def is_dora(self) -> bool:
@@ -63,7 +74,9 @@ def load_lora_adapter(path: str) -> LoraAdapter:
         for k, v in torch.load(bin_path, map_location="cpu").items():
             tensors[k] = v.float().numpy()
 
-    adapter = LoraAdapter(rank=cfg["r"], alpha=cfg.get("lora_alpha", cfg["r"]))
+    adapter = LoraAdapter(rank=cfg["r"],
+                          alpha=cfg.get("lora_alpha", cfg["r"]),
+                          use_rslora=bool(cfg.get("use_rslora", False)))
     pat = re.compile(r"^base_model\.model\.(.+)\.lora_(A|B)\.weight$")
     # DoRA (PEFT use_dora=True): per-module magnitude vectors
     mag_pat = re.compile(
@@ -96,7 +109,8 @@ def merge_lora_into_state(get_tensor, adapter: LoraAdapter):
         mod = name[:-len(".weight")] if name.endswith(".weight") else None
         if arr is not None and mod in adapter.weights:
             A, B = adapter.weights[mod]
-            v = np.asarray(arr, np.float32) + adapter.scaling * (B @ A)
+            v = np.asarray(arr, np.float32) \
+                + adapter.module_scaling(A.shape[0]) * (B @ A)
             m = adapter.magnitudes.get(mod)
             if m is not None:
                 # DoRA: W' = m * V / ||V||_row (rows = output channels in

@@ -107,11 +107,13 @@ class MultiLoraManager:
         for li, pairs in enumerate(per):
             off = 0
             name = self.names[li + 1]
-            scaling = self.adapters[name].scaling
+            ad = self.adapters[name]
             for A, B, lo, hi in pairs:
                 r = A.shape[0]
                 A_st[li + 1, :, off:off + r] = A.T
-                B_st[li + 1, off:off + r, lo:hi] = B.T * scaling
+                # per-module scaling: rank_pattern modules carry their own r
+                B_st[li + 1, off:off + r, lo:hi] = \
+                    B.T * ad.module_scaling(r)
                 off += r
         return A_st, B_st
 
@@ -199,6 +201,12 @@ class PagedMultiLoraManager(MultiLoraManager):
         self._refs: Dict[str, int] = {n: 0 for n in resident}
         self._lru: List[str] = list(resident)   # least-recent first
         self.num_swaps = 0
+        # acquire() runs on the submit thread while release() runs on the
+        # executor thread via on_finished — the slot/ref/LRU bookkeeping
+        # must be atomic or a racing release can zero a just-pinned ref
+        # and evict an adapter mid-request
+        import threading
+        self._lock = threading.Lock()
 
     def bind_engine(self, engine):
         assert getattr(engine, "pp_size", 1) == 1, \
@@ -217,15 +225,19 @@ class PagedMultiLoraManager(MultiLoraManager):
             return 0
         if name not in self.all_adapters:
             raise KeyError(name)
-        if name not in self.slots:
-            self._swap_in(name)
-        self._refs[name] = self._refs.get(name, 0) + 1
-        self._touch(name)
-        return self.slots[name]
+        with self._lock:
+            if name not in self.slots:
+                self._swap_in(name)
+            self._refs[name] = self._refs.get(name, 0) + 1
+            self._touch(name)
+            return self.slots[name]
 
     def release(self, name: Optional[str]):
-        if name and name in self._refs:
-            self._refs[name] = max(self._refs[name] - 1, 0)
+        if not name:
+            return
+        with self._lock:
+            if name in self._refs:
+                self._refs[name] = max(self._refs[name] - 1, 0)
 
     def slot_of(self, name: Optional[str]) -> int:
         # non-pinning lookup (compat); acquire() is the serving path
@@ -281,18 +293,21 @@ def apply_lora(x, base_out, lora: Tuple, lora_ids, row_parallel=False):
     import jax.numpy as jnp
     A, B = lora
     L = A.shape[0]
-    out = base_out
-    for a in range(1, L):
-        sel = (lora_ids == a)[:, None].astype(jnp.float32)
-        h = jnp.dot(x.astype(A.dtype), A[a],
-                    preferred_element_type=jnp.float32)
-        if row_parallel:
-            from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
-            h = tp_all_reduce(h)
-        d = jnp.dot(h.astype(B.dtype), B[a],
-                    preferred_element_type=jnp.float32)
-        out = out + (sel * d).astype(out.dtype)
-    return out
+    if L <= 1:
+        return base_out
+    # all live slots in one batched product and ONE collective (a per-slot
+    # all-reduce in a loop multiplied small-collective latency by the slot
+    # count on every row-parallel linear of every step)
+    hs = jnp.einsum("ti,lir->ltr", x.astype(A.dtype), A[1:],
+                    preferred_element_type=jnp.float32)   # [L-1, T, R]
+    if row_parallel:
+        from tensorrt_llm_tpu.parallel.ops import tp_all_reduce
+        hs = tp_all_reduce(hs)
+    ds = jnp.einsum("ltr,lro->lto", hs.astype(B.dtype), B[1:],
+                    preferred_element_type=jnp.float32)   # [L-1, T, out]
+    sel = (lora_ids[None, :] == jnp.arange(1, L)[:, None]
+           ).astype(jnp.float32)                          # [L-1, T]
+    return base_out + jnp.einsum("lt,lto->to", sel, ds).astype(base_out.dtype)
 
 
 def interleave_columns(mat: np.ndarray, seg_bounds, tp: int) -> np.ndarray:

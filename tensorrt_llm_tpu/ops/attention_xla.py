@@ -155,7 +155,7 @@ def mha_xla(
 
 def paged_prefill_xla(
     q: jax.Array,            # [T, Hq, D] (current chunk, rope applied)
-    k_cache: jax.Array,      # [NB, BS, Hkv, D] (chunk already written)
+    k_cache: jax.Array,      # [NB, Hkv, BS, D] (chunk already written)
     v_cache: jax.Array,
     block_table: jax.Array,  # [max_blocks] int32
     kv_len: jax.Array,       # scalar: total tokens incl. this chunk
@@ -221,7 +221,7 @@ def cyclic_prefill_xla(
 
 def paged_decode_xla(
     q: jax.Array,             # [B, Hq, D] (one new token per sequence)
-    k_cache: jax.Array,       # [NB, BS, Hkv, D]
+    k_cache: jax.Array,       # [NB, Hkv, BS, D]
     v_cache: jax.Array,
     block_tables: jax.Array,  # [B, max_blocks] int32
     kv_lens: jax.Array,       # [B] int32 (incl. the new token)

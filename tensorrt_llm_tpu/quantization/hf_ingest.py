@@ -203,8 +203,11 @@ def quant_config_from_hf(hf_quant_cfg) -> Optional[dict]:
             "ingestion is implemented")
     if method == "awq":
         version = (hf_quant_cfg.get("version") or "gemm").lower()
-        if version not in ("gemm", "gemv"):
-            raise NotImplementedError(f"AWQ packing version {version!r}")
+        if version != "gemm":
+            # unpack_awq implements only the WQLinear_GEMM nibble layout;
+            # accepting "gemv" here would mis-unpack its different packing
+            raise NotImplementedError(f"AWQ packing version {version!r} "
+                                      "(only 'gemm' checkpoints supported)")
     group = int(hf_quant_cfg.get("group_size", 128) or 128)
     exclude = tuple(hf_quant_cfg.get("modules_to_not_convert") or ()) or None
     fmt_v2 = (hf_quant_cfg.get("checkpoint_format") == "gptq_v2")
