@@ -882,6 +882,15 @@ class DecoderModelForCausalLM:
                     x.astype(jnp.float32) + residual.astype(jnp.float32)
                 ).astype(x.dtype)
                 captured.append(h)
+        # the "final" hidden tap is the PRE-final-norm residual stream:
+        # DeepSeek MTP's hnorm (and EAGLE training data) are trained on the
+        # raw stream, not the final_norm-weighted one (reference
+        # modeling_deepseekv3.py:1382 captures before next_layer_layernorm)
+        pre_final = None
+        if return_hidden and capture != "eagle3":
+            pre_final = x if residual is None else (
+                x.astype(jnp.float32) + residual.astype(jnp.float32)
+            ).astype(x.dtype)
         x, _ = _add_norm(cfg, x, residual, params["final_norm"], cfg.rms_eps)
         if cfg.mapping.cp_size > 1 and meta.mode == "prefill" \
                 and cfg.mapping.cp_type != "star":
@@ -890,8 +899,13 @@ class DecoderModelForCausalLM:
             # Star keeps rank-local [anchor; chunk] rows — logit_indices are
             # rank-local and the engine picks the owner rank's row.
             x = jax.lax.all_gather(x, "cp", axis=0, tiled=True)
+            if pre_final is not None:
+                pre_final = jax.lax.all_gather(pre_final, "cp", axis=0,
+                                               tiled=True)
         if logit_indices is not None:
             x = x[logit_indices]
+            if pre_final is not None:
+                pre_final = pre_final[logit_indices]
         hidden = None
         if return_hidden:
             if capture == "eagle3":
@@ -903,7 +917,7 @@ class DecoderModelForCausalLM:
                 if logit_indices is not None:
                     hidden = hidden[logit_indices]
             else:
-                hidden = x
+                hidden = pre_final
         if cfg.tie_word_embeddings:
             logits = jnp.dot(x, params["embedding"]["weight"].T.astype(x.dtype),
                              preferred_element_type=jnp.float32)

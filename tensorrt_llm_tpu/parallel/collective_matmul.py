@@ -62,8 +62,13 @@ def allgather_matmul(x: jax.Array, w: jax.Array, axis_name="tp",
         chunk = jax.lax.ppermute(chunk, axis_name, perm)
         return out, chunk
 
-    out, _ = jax.lax.fori_loop(0, n, body, (out, chunk))
-    return out
+    # n-1 ring hops suffice: the final resident chunk is matmul'd outside
+    # the loop (the old n-iteration loop paid one extra full-chunk ICI
+    # transfer whose result was discarded)
+    out, chunk = jax.lax.fori_loop(0, n - 1, body, (out, chunk))
+    src = (idx - (n - 1)) % n
+    part = jnp.dot(chunk, w, preferred_element_type=preferred_element_type)
+    return jax.lax.dynamic_update_slice(out, part, (src * T, 0))
 
 
 def matmul_reducescatter(x: jax.Array, w: jax.Array, axis_name="tp",
@@ -80,6 +85,10 @@ def matmul_reducescatter(x: jax.Array, w: jax.Array, axis_name="tp",
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     N = w.shape[1]
+    if N % n:
+        # psum_scatter(tiled=True) raises on indivisible dims; silently
+        # computing only the first n*(N//n) columns would be wrong
+        raise ValueError(f"output dim {N} not divisible by ring size {n}")
     Nl = N // n
     perm = _ring_perm(axis_name)
 

@@ -39,7 +39,10 @@ def tp_all_gather(x, axis_name=TP_AXES, axis: int = -1, *, tiled: bool = True,
 def tp_reduce_scatter(x, axis_name=TP_AXES, axis: int = -1, *, enabled: bool = True):
     if not enabled:
         return x
-    return jax.lax.psum_scatter(x, axis_name, scatter_dimension=axis, tiled=True)
+    # psum_scatter never canonicalizes a negative scatter_dimension (it
+    # reaches the HLO attribute verbatim and fails MLIR verification)
+    return jax.lax.psum_scatter(x, axis_name,
+                                scatter_dimension=axis % x.ndim, tiled=True)
 
 
 def tp_all_to_all(x, axis_name=TP_AXES, split_axis: int = 0,

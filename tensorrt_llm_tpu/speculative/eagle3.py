@@ -22,6 +22,7 @@ import numpy as np
 
 from tensorrt_llm_tpu.speculative.interface import SpeculativeConfig
 from tensorrt_llm_tpu.speculative.mtp import MTPDrafter
+from tensorrt_llm_tpu.utils import logger
 
 
 class Eagle3Drafter(MTPDrafter):
@@ -42,8 +43,12 @@ class Eagle3Drafter(MTPDrafter):
             self.load_eagle_weights(self.cfg.mtp_weights)
 
     def load_eagle_weights(self, get_tensor):
-        """Load an EAGLE3 draft checkpoint (fc, reduced-vocab draft head
-        `lm_head.weight` [draft_vocab, H], and `d2t` offset table)."""
+        """Load an EAGLE3 draft checkpoint: fc, reduced-vocab draft head
+        `lm_head.weight` [draft_vocab, H], the `d2t` offset table, AND the
+        draft decoder layer + norms (EAGLE3 exports name the single layer
+        `midlayer.*`, some exports `model.layers.0.*` / `layers.0.*`) —
+        loading only fc/head left the whole draft block random-initialized
+        and acceptance near 1/vocab."""
         import jax.numpy as jnp
         cfg = self.model_cfg
 
@@ -51,6 +56,11 @@ class Eagle3Drafter(MTPDrafter):
             a = get_tensor(name)
             return None if a is None else jnp.asarray(
                 np.asarray(a)).astype(jnp.float32).T
+
+        def vec(name):
+            a = get_tensor(name)
+            return None if a is None else jnp.asarray(
+                np.asarray(a)).astype(jnp.float32)
 
         fc = t("fc.weight")
         if fc is not None:
@@ -64,3 +74,46 @@ class Eagle3Drafter(MTPDrafter):
             assert self.params.get("draft_head") is None or (
                 self.params["draft_head"].shape[1] == len(self.d2t)), \
                 "d2t length must match the draft head's vocab"
+        # the draft decoder layer itself
+        pre = next((p for p in ("midlayer.", "model.layers.0.", "layers.0.")
+                    if get_tensor(p + "input_layernorm.weight") is not None),
+                   None)
+        if pre is None:
+            if fc is not None or head is not None:
+                logger.warning(
+                    "EAGLE3 checkpoint has no draft decoder layer under "
+                    "midlayer./model.layers.0./layers.0. — the draft block "
+                    "stays random-initialized (acceptance will be poor)")
+            return
+        from tensorrt_llm_tpu.models import get_model_class
+        loader = get_model_class(cfg.architecture)(cfg)
+        layer = {
+            "input_norm": vec(pre + "input_layernorm.weight"),
+            "post_attn_norm": vec(pre + "post_attention_layernorm.weight"),
+            "attn": loader._load_attn(
+                self.layer, pre,
+                lambda n: t(n), lambda n: vec(n)),
+            "mlp": loader._load_mlp(
+                self.layer, lambda n: get_tensor(n), pre,
+                t=lambda n: t(n)),
+        }
+        if any(v is None for v in (layer["input_norm"],
+                                   layer["post_attn_norm"])):
+            raise ValueError(f"partial EAGLE3 layer under {pre!r}: missing "
+                             "input/post-attention layernorm weights")
+        self.params["layer"] = layer
+        # EAGLE3 names: hidden_norm ~ hnorm; the embedding-side norm may be
+        # absent (identity) in trained exports
+        hn = vec(pre + "hidden_norm.weight")
+        if hn is None:
+            hn = vec("hidden_norm.weight")
+        if hn is not None:
+            self.params["hnorm"] = hn
+        en = vec(pre + "input_norm.weight")
+        if en is None:
+            en = vec("enorm.weight")
+        if en is not None:
+            self.params["enorm"] = en
+        fn = vec("norm.weight")
+        if fn is not None:
+            self.params["final_norm"] = fn

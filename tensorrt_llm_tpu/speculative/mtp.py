@@ -25,6 +25,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from tensorrt_llm_tpu.runtime.model_engine import PAD_SLOT
 from tensorrt_llm_tpu.speculative.interface import Drafter, SpeculativeConfig
 from tensorrt_llm_tpu.utils import logger
 
@@ -127,6 +128,15 @@ class MTPDrafter(Drafter):
         if eh is None:
             logger.warning("MTP weights not found at %s*", pre)
             return
+        required = ("enorm.weight", "hnorm.weight",
+                    "shared_head.norm.weight", "input_layernorm.weight",
+                    "post_attention_layernorm.weight")
+        missing = [n for n in required if get_tensor(pre + n) is None]
+        if missing:
+            # a None smuggled into params would only surface as an opaque
+            # trace-time TypeError deep inside the first propose()
+            raise ValueError(f"partial MTP checkpoint: missing "
+                             f"{[pre + n for n in missing]}")
         from tensorrt_llm_tpu.models import get_model_class
         loader = get_model_class(cfg.architecture)(cfg)
         self.params.update({
@@ -276,7 +286,7 @@ class MTPDrafter(Drafter):
         dp = self.engine.mapping.dp_size
         owner = self.kv.rank_of(rid) if dp > 1 else 0
         mb = self.engine.max_blocks_per_seq
-        slots = np.full(max(dp, 1) * mp, np.int32(2**30), np.int32)
+        slots = np.full(max(dp, 1) * mp, np.int32(PAD_SLOT), np.int32)
         slots[owner * mp:owner * mp + m] = \
             self.kv.slot_mapping(rid, int(positions[0]), m)
         table = np.zeros((max(dp, 1), mb), np.int32)
@@ -315,6 +325,19 @@ class MTPDrafter(Drafter):
             return None
         toks = request.all_token_ids
         n = len(toks)
+        # prune hiddens below any possible catch-up use BEFORE the early
+        # returns: under sustained KV pressure the exits below used to
+        # leak one H/3H vector per decoded token for the request's whole
+        # lifetime.  The run reads hid[p-1] for p >= max(next_query, 1)
+        # (and probes one below), so entries under next_query - 2 are dead.
+        floor = max(seq.next_query, 1) - 2
+        # hard cap: if catch-up keeps failing (sustained KV pressure) the
+        # run can never cover more than ~2 chunks anyway — dropping older
+        # hiddens only shortens the catch-up run (acceptance, not
+        # correctness)
+        floor = max(floor, n - 2 * _BUCKETS[-1])
+        if floor > 0:
+            seq.hid = {p: v for p, v in seq.hid.items() if p >= floor}
         if n < 2 or (n - 2) not in seq.hid:
             return None  # freshest pair missing; nothing to chain from
         lo = n - 1
@@ -322,6 +345,10 @@ class MTPDrafter(Drafter):
             lo -= 1
         queries = list(range(lo, n))
         k = self.cfg.max_draft_len
+        if self.cfg.tree_branches:
+            # tree expansion writes drafter KV one position per LEVEL —
+            # cover the deeper of chain length and tree depth
+            k = max(k, len(self.cfg.tree_branches))
         need_tokens = n + k - 1
         if self.kv.blocks_needed(need_tokens) - self.kv.num_seq_blocks(rid) \
                 > self.kv.num_free_blocks:

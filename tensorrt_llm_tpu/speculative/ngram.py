@@ -25,6 +25,11 @@ class NGramDrafter(Drafter):
         pool = self._pools.setdefault(request.request_id, {})
         start = self._indexed_upto.get(request.request_id, 0)
         k = self.cfg.max_draft_len
+        # re-index the last k positions too: their continuations were
+        # truncated at the then-end of the sequence and would otherwise
+        # stay short forever (most-recent occurrence wins, as in the
+        # reference NGramPoolManager)
+        start = max(0, start - k)
         for n in range(1, self.cfg.max_matching_ngram_size + 1):
             lo = max(n, start)
             for i in range(lo, len(toks)):

@@ -596,3 +596,49 @@ def test_spec_pending_tree_kv_flushed_when_gate_flips():
     finally:
         llm.shutdown()
     assert got == want, (got, want)
+
+
+def test_eagle3_loads_full_draft_layer():
+    """A full EAGLE3 checkpoint (fc + head + d2t + midlayer.*) must load
+    the draft decoder layer too — a fc/head-only load left the block
+    random-initialized with near-zero acceptance."""
+    import numpy as np
+    V, H = TINY["vocab_size"], TINY["hidden_size"]
+    I = TINY["intermediate_size"]
+    heads, kvh, hd = TINY["num_heads"], TINY["num_kv_heads"], TINY["head_dim"]
+    rng = np.random.RandomState(2)
+    w = {
+        "fc.weight": rng.randn(H, 3 * H).astype(np.float32) * 0.02,
+        "lm_head.weight": rng.randn(V, H).astype(np.float32) * 0.02,
+        "midlayer.input_layernorm.weight": np.ones(H, np.float32) * 1.5,
+        "midlayer.post_attention_layernorm.weight": np.ones(H, np.float32),
+        "midlayer.self_attn.q_proj.weight":
+            rng.randn(heads * hd, H).astype(np.float32) * 0.02,
+        "midlayer.self_attn.k_proj.weight":
+            rng.randn(kvh * hd, H).astype(np.float32) * 0.02,
+        "midlayer.self_attn.v_proj.weight":
+            rng.randn(kvh * hd, H).astype(np.float32) * 0.02,
+        "midlayer.self_attn.o_proj.weight":
+            rng.randn(H, heads * hd).astype(np.float32) * 0.02,
+        "midlayer.mlp.gate_proj.weight":
+            rng.randn(I, H).astype(np.float32) * 0.02,
+        "midlayer.mlp.up_proj.weight":
+            rng.randn(I, H).astype(np.float32) * 0.02,
+        "midlayer.mlp.down_proj.weight":
+            rng.randn(H, I).astype(np.float32) * 0.02,
+        "midlayer.hidden_norm.weight": np.ones(H, np.float32) * 2.0,
+        "norm.weight": np.ones(H, np.float32) * 3.0,
+    }
+    spec = SpeculativeConfig(mode=SpeculativeMode.EAGLE3, max_draft_len=2,
+                             mtp_weights=w.get)
+    llm = make_llm(spec=spec, seed=8)
+    try:
+        d = llm.executor.drafter
+        # the trained layer norms landed (not the random/ones init)
+        assert float(np.asarray(d.params["layer"]["input_norm"])[0]) == 1.5
+        assert float(np.asarray(d.params["hnorm"])[0]) == 2.0
+        assert float(np.asarray(d.params["final_norm"])[0]) == 3.0
+        got = greedy(llm, [6, 3, 6, 3, 6, 3, 12], n=8)
+        assert len(got) == 8
+    finally:
+        llm.shutdown()
