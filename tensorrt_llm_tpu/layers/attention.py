@@ -273,6 +273,10 @@ class Attention:
         D = self.head_dim
         cp = self.cp_size
         qh, kvh = self.n_local_heads, self.n_local_kv
+        assert not (isinstance(kv_cache, (tuple, list))
+                    and len(kv_cache) == 3), \
+            "sparse attention backend is not supported under context " \
+            "parallelism"
         k_cache, v_cache = kv_cache
 
         if self.cp_type == "helix":
@@ -286,6 +290,7 @@ class Attention:
                 helix_partial_prefill_xla, write_kv_cache)
             q, k = self._position_transform(
                 q, k, meta.positions, cos_t, sin_t,
+                mrope=meta.mrope_positions,
                 post_norms=self._post_norms(params))
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)
@@ -320,6 +325,7 @@ class Attention:
                 star_partial_decode_xla, write_kv_cache)
             q, k = self._position_transform(
                 q, k, meta.positions, cos_t, sin_t,
+                mrope=meta.mrope_positions,
                 post_norms=self._post_norms(params))
             k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v,
                                               meta.slot_mapping)
@@ -341,7 +347,10 @@ class Attention:
             if meta.mode != "prefill":
                 # ring shards only the quadratic prefill; decode runs the
                 # replicated single-rank path (pools replicate over cp)
-                q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+                q, k = self._position_transform(
+                    q, k, meta.positions, cos_t, sin_t,
+                    mrope=meta.mrope_positions,
+                    post_norms=self._post_norms(params))
                 out, k_cache, v_cache = self.backend(
                     q, k, v, k_cache, v_cache, meta, sinks=sinks)
                 B = out.shape[0]
@@ -353,7 +362,9 @@ class Attention:
             idx = lax.axis_index("cp")
             pos_local = lax.dynamic_slice_in_dim(
                 meta.positions, idx * Tl, Tl)
-            q, k = apply_rope(q, k, pos_local, cos_t, sin_t)
+            q, k = self._position_transform(
+                q, k, pos_local, cos_t, sin_t,
+                post_norms=self._post_norms(params))
             # cache writes are all-gathered so the cp-replicated pools stay
             # identical on every rank (decode reads them locally)
             k_full = lax.all_gather(k, "cp", axis=0, tiled=True)
@@ -378,7 +389,10 @@ class Attention:
                 idx = lax.axis_index("cp")
                 sinks = lax.dynamic_slice_in_dim(
                     sinks, idx * (qh // cp), qh // cp)
-            q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+            q, k = self._position_transform(
+                q, k, meta.positions, cos_t, sin_t,
+                mrope=meta.mrope_positions,
+                post_norms=self._post_norms(params))
             out, k_cache, v_cache = self.backend(
                 q, k, v, k_cache, v_cache, meta, sinks=sinks)
             # [T, h/cp, D] -> [T/cp, h, D]
@@ -395,7 +409,10 @@ class Attention:
         v = lax.dynamic_slice_in_dim(v, idx * (kvh // cp), kvh // cp, axis=1)
         if sinks is not None:
             sinks = lax.dynamic_slice_in_dim(sinks, idx * (qh // cp), qh // cp)
-        q, k = apply_rope(q, k, meta.positions, cos_t, sin_t)
+        q, k = self._position_transform(
+            q, k, meta.positions, cos_t, sin_t,
+            mrope=meta.mrope_positions,
+            post_norms=self._post_norms(params))
         out, k_cache, v_cache = self.backend(
             q, k, v, k_cache, v_cache, meta, sinks=sinks)
         out = lax.all_gather(out, "cp", axis=1, tiled=True)  # heads back
