@@ -147,7 +147,10 @@ class Attention:
              "lora": {"qkv": (P(None, None, None), P(None, None, TP_AXES)),
                       "o": (P(None, TP_AXES, None), P(None, None, None))}}
         if self.has_sinks:
-            p["sinks"] = P("tp")
+            # sinks pair 1:1 with query heads, which shard over the full
+            # ("ep","tp") attention-TP product — P("tp") alone would leave
+            # sinks misaligned with their heads whenever moe_ep > 1
+            p["sinks"] = P(TP_AXES)
         if self.has_qk_norm:
             p["q_norm"] = P(None)
             p["k_norm"] = P(None)

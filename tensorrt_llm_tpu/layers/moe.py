@@ -75,6 +75,10 @@ class MoE:
     quant: Optional[QuantConfig] = None   # expert weights stay bf16 round-1
     ep_size: int = 1
     tp_size: int = 1                # per-expert intermediate sharding
+    # mesh axes that partition TOKENS (attention-dp replicas, cp sequence
+    # shards): expert-load counters psum over them so the replicated-over-dp
+    # counter leaf stays consistent and counts all tokens, not one shard's
+    count_psum_axes: tuple = ()
 
     def __post_init__(self):
         self.num_slots = self.num_experts + self.redundant_experts
@@ -289,8 +293,13 @@ class MoE:
         # tokens split across a hot expert's replicas by pair parity
         emap = params.get("expert_map")
         if emap is not None and emap.ndim == 2:
-            pair_idx = jnp.arange(T * k, dtype=jnp.int32).reshape(T, k)
-            ids = jnp.where(pair_idx % 2 == 0, emap[0][ids], emap[1][ids])
+            # (token + choice-rank) parity: flat-index parity degenerates to
+            # choice-rank parity for even top_k (t*k+j ≡ j mod 2), sending a
+            # hot expert's whole load to one replica whenever it is favored
+            # at a fixed rank position
+            par = (jnp.arange(T, dtype=jnp.int32)[:, None]
+                   + jnp.arange(k, dtype=jnp.int32)[None, :]) % 2
+            ids = jnp.where(par == 0, emap[0][ids], emap[1][ids])
         elif emap is not None:
             ids = emap[ids]
 
@@ -322,21 +331,32 @@ class MoE:
         group_sizes = jnp.bincount(local, length=El + 1)[:El]
         load = group_sizes  # per-slot demand (pre-capacity) for the balancer
 
-        # static per-rank capacity (reference DeepEP low-latency capacity
-        # semantics): rows beyond it are dropped; None = exact/dropless
-        C = T * k
+        # static PER-EXPERT capacity (reference DeepEP low-latency capacity
+        # semantics): each expert keeps its first Ce rows (earliest tokens),
+        # overflow rows are dropped; None = exact/dropless.  A flat tail
+        # truncation would instead drop everything routed to high-index
+        # slots, starving those experts entirely under load.
         if self.capacity_factor and self.ep_size > 1:
             import math
-            C = min(T * k, max(
-                1, math.ceil(self.capacity_factor * T * k / self.ep_size)))
-        if C < T * k:
-            sorted_local = sorted_local[:C]
-            sorted_tok = sorted_tok[:C]
-            sorted_w = sorted_w[:C]
-            vsort = vsort[:C]
-            cum = jnp.cumsum(group_sizes)
-            group_sizes = (jnp.minimum(cum, C)
-                           - jnp.minimum(cum - group_sizes, C))
+            Ce = max(1, math.ceil(
+                self.capacity_factor * T * k / self.num_slots))
+            C = min(T * k, El * Ce)
+        else:
+            Ce, C = T * k, T * k
+        if C < T * k or Ce < T * k:
+            starts = jnp.cumsum(group_sizes) - group_sizes
+            pos = (jnp.arange(T * k, dtype=jnp.int32)
+                   - starts[sorted_local].astype(jnp.int32))
+            keep = vsort & (pos < Ce)
+            # compact: kept rows stay grouped by expert (stable sort keeps
+            # token order within a group), dropped rows fall off the tail
+            order2 = jnp.argsort(
+                jnp.where(keep, sorted_local, El), stable=True)
+            sorted_local = jnp.minimum(sorted_local[order2][:C], El - 1)
+            sorted_tok = sorted_tok[order2][:C]
+            sorted_w = (sorted_w * keep.astype(jnp.float32))[order2][:C]
+            vsort = keep[order2][:C]
+            group_sizes = jnp.minimum(group_sizes, Ce)
 
         xs = x[sorted_tok].astype(self.dtype)            # [<=T*k, H]
         if self.apply_weight_on_input:
@@ -394,5 +414,8 @@ class MoE:
         if self.n_shared_experts:
             out = out + self.shared(params["shared"], x).astype(jnp.float32)
         if counts is not None:
-            return out.astype(x.dtype), counts + load.astype(counts.dtype)
+            upd = load.astype(counts.dtype)
+            if self.count_psum_axes:
+                upd = jax.lax.psum(upd, self.count_psum_axes)
+            return out.astype(x.dtype), counts + upd
         return out.astype(x.dtype)

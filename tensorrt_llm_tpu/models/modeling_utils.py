@@ -545,6 +545,10 @@ class DecoderLayer:
                 quant=cfg.quant,
                 ep_size=cfg.mapping.moe_ep_size,
                 tp_size=cfg.mapping.moe_tp_size,
+                count_psum_axes=tuple(
+                    a for a, s in (("dp", cfg.mapping.dp_size),
+                                   ("cp", cfg.mapping.cp_size))
+                    if s > 1),
             )
         elif not cfg.mlp_gated:
             from tensorrt_llm_tpu.layers.mlp import MLP

@@ -396,6 +396,14 @@ class ModelEngine:
         """Hot-swap weights under the engine lock (RLHF weight update —
         reference /update_weights). Placement mirrors __init__."""
         with self.lock:
+            # a new leaf (e.g. the load balancer installing expert_map)
+            # changes the params pytree structure: cached jitted step fns
+            # close over shard_map in_specs built for the OLD tree and would
+            # crash on first use — drop them so they rebuild lazily
+            old = getattr(self, "params", None)
+            if old is not None and (jax.tree_util.tree_structure(old)
+                                    != jax.tree_util.tree_structure(params)):
+                self._fns = {}
             if self.pp_size > 1:
                 tied = self.model.cfg.tie_word_embeddings
                 last = len(self.pp_stages) - 1

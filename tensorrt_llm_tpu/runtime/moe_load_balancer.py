@@ -39,8 +39,13 @@ def plan_placement(loads: np.ndarray, ep_size: int,
     reps = np.ones(E, np.int64)
     for _ in range(S - E):
         # duplicate whichever expert currently has the highest per-replica
-        # load (greedy — matches the reference's replication heuristic)
-        reps[np.argmax(loads / reps)] += 1
+        # load (greedy — matches the reference's replication heuristic);
+        # capped at 2 replicas because dispatch splits tokens across at most
+        # a (primary, replica) pair — a 3rd copy would never receive tokens
+        per_rep = np.where(reps < 2, loads / reps, -np.inf)
+        if not np.isfinite(per_rep).any():
+            per_rep = loads / reps  # S > 2E: forced cold copies
+        reps[np.argmax(per_rep)] += 1
     units: List[tuple] = []
     for e in range(E):
         for _ in range(int(reps[e])):
@@ -63,7 +68,8 @@ def balance_stat(loads: np.ndarray, ep_size: int,
                  placement: Optional[np.ndarray] = None,
                  num_slots: Optional[int] = None) -> float:
     """max-rank-load / mean-rank-load under a placement (1.0 = perfect).
-    Replicated experts split their load evenly across replicas."""
+    Replicated experts split their load across at most TWO replicas (the
+    dispatch limit); 3rd+ copies model as receiving zero tokens."""
     E = len(loads)
     S = num_slots or (len(placement) if placement is not None else E)
     per = S // ep_size
@@ -73,7 +79,14 @@ def balance_stat(loads: np.ndarray, ep_size: int,
             placement = np.concatenate(
                 [placement, np.arange(S - E) % E])
     counts = np.bincount(placement, minlength=E)
-    slot_loads = loads[placement] / np.maximum(counts[placement], 1)
+    eff = np.minimum(np.maximum(counts, 1), 2)
+    seen = np.zeros(E, np.int64)
+    ridx = np.empty(len(placement), np.int64)
+    for s, e in enumerate(placement):
+        ridx[s] = seen[e]
+        seen[e] += 1
+    slot_loads = np.where(ridx < eff[placement],
+                          loads[placement] / eff[placement], 0.0)
     ranks = slot_loads.reshape(ep_size, per).sum(1)
     return float(ranks.max() / max(ranks.mean(), 1e-9))
 
@@ -108,14 +121,17 @@ class MoeLoadBalancer:
         """Per-layer LOGICAL expert loads (slot counters summed over a
         logical expert's replicas)."""
         out = {}
-        for i, cache in enumerate(self.engine.kv_caches):
-            if isinstance(cache, tuple) and len(cache) == 2 \
-                    and getattr(cache[1], "ndim", None) == 1:
-                slot_loads = np.asarray(cache[1])
-                stl = self._placement(i)[: len(slot_loads)]
-                logical = np.zeros(self.num_experts, slot_loads.dtype)
-                np.add.at(logical, stl, slot_loads)
-                out[i] = logical
+        # hold the engine lock: kv_caches are donated into each step, so an
+        # unlocked read can touch a buffer the running step just invalidated
+        with self.engine.lock:
+            for i, cache in enumerate(self.engine.kv_caches):
+                if isinstance(cache, tuple) and len(cache) == 2 \
+                        and getattr(cache[1], "ndim", None) == 1:
+                    slot_loads = np.asarray(cache[1])
+                    stl = self._placement(i)[: len(slot_loads)]
+                    logical = np.zeros(self.num_experts, slot_loads.dtype)
+                    np.add.at(logical, stl, slot_loads)
+                    out[i] = logical
         return out
 
     # ---- placement -----------------------------------------------------------------
@@ -142,6 +158,17 @@ class MoeLoadBalancer:
             changed = True
         if changed:
             self.engine.update_params(params)
+        # start a fresh statistics window: old counters were accumulated
+        # under the OLD placement — attributing them through the new
+        # slot->logical map would misread every moved slot
+        with self.engine.lock:
+            caches = list(self.engine.kv_caches)
+            for i in range(len(caches)):
+                c = caches[i]
+                if isinstance(c, tuple) and len(c) == 2 \
+                        and getattr(c[1], "ndim", None) == 1:
+                    caches[i] = (c[0], c[1] * 0)  # sharding-preserving zero
+            self.engine.kv_caches = caches
         self.history.append(report)
         logger.info("moe rebalance: %s", report)
         return report
@@ -158,10 +185,19 @@ class MoeLoadBalancer:
         for s in range(len(cur) - 1, -1, -1):
             cur_slot_of[cur[s]] = s
         gather = jnp.asarray(cur_slot_of[placement])  # new slot <- cur slot
+        from jax.sharding import NamedSharding
         for key in ("w_gate_up", "w_down", "b_gate_up", "b_down",
                     "w_gate_up_s", "w_gate_up_z", "w_down_s", "w_down_z"):
             if key in mp:
-                mp[key] = mp[key][gather]
+                leaf = mp[key]
+                if isinstance(getattr(leaf, "sharding", None), NamedSharding):
+                    # permutation across ep-sharded rows: tell XLA the
+                    # result keeps the input's sharding (plain leaf[gather]
+                    # is ambiguous and raises ShardingTypeError)
+                    mp[key] = leaf.at[gather].get(
+                        out_sharding=leaf.sharding)
+                else:
+                    mp[key] = leaf[gather]
         primary = np.full(self.num_experts, -1, np.int32)
         replica = np.full(self.num_experts, -1, np.int32)
         for s, e in enumerate(placement):

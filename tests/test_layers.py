@@ -122,3 +122,17 @@ def test_rope_relative_property():
         return float(jnp.sum(qq * kk))
 
     assert abs(dot_at(5, 3) - dot_at(10, 8)) < 1e-3
+
+
+def test_attention_sinks_spec_matches_head_sharding():
+    """Sinks pair 1:1 with query heads, which shard over the full
+    ("ep","tp") attention-TP product — P("tp") alone misaligns them
+    whenever moe_ep > 1."""
+    from jax.sharding import PartitionSpec as P
+    from tensorrt_llm_tpu.layers.attention import Attention
+    from tensorrt_llm_tpu.parallel.ops import TP_AXES
+
+    attn = Attention(hidden_size=64, num_heads=4, num_kv_heads=2,
+                     head_dim=16, rope=RopeConfig(head_dim=16),
+                     has_sinks=True)
+    assert attn.param_specs()["sinks"] == P(TP_AXES)

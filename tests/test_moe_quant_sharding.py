@@ -124,3 +124,44 @@ def test_moe_capacity_drops_overflow_rows():
                   check_rep=False)
     out = np.asarray(f(params, x), np.float32)
     assert np.isfinite(out).all()
+
+
+def test_moe_capacity_is_per_expert_not_tail_truncation():
+    """Overflow must drop each expert's LATEST rows, not everything routed
+    to high-index slots: with all tokens on rank 1's experts {2,3}, a flat
+    tail cut kept only expert-2 rows and starved expert 3 entirely."""
+    from tensorrt_llm_tpu.layers.moe import MoE
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    devs = np.array(jax.devices()[:2]).reshape(2, 1)
+    mesh = Mesh(devs, ("ep", "tp"))
+
+    def run(cf):
+        moe = MoE(hidden_size=64, intermediate_size=64, num_experts=4,
+                  top_k=2, ep_size=2, capacity_factor=cf)
+        params = moe.init(jax.random.PRNGKey(0))
+        router = np.zeros((64, 4), np.float32)
+        router[:, 2] = 1.0   # every token picks experts 2 then 3
+        router[:, 3] = 0.5
+        params["router"] = jnp.asarray(router)
+        params.pop("expert_map", None)
+        specs = jax.tree.map(lambda _: P(), params)
+        specs["w_gate_up"] = P("ep", None, None)
+        specs["w_down"] = P("ep", None, None)
+        x = jnp.ones((16, 64), jnp.bfloat16) * 0.05  # identical tokens
+        f = shard_map(lambda p, xx: moe(p, xx), mesh=mesh,
+                      in_specs=(specs, P()), out_specs=P(),
+                      check_rep=False)
+        return np.asarray(f(params, x), np.float32)
+
+    full = run(None)           # dropless: every row = w2*f2 + w3*f3
+    # Ce = ceil(0.5*32/4) = 4: experts 2 AND 3 each keep their first 4
+    # tokens — token 0 keeps BOTH contributions, late tokens drop fully
+    tight = run(0.5)
+    np.testing.assert_allclose(tight[0], full[0], rtol=2e-2, atol=2e-2)
+    assert np.abs(tight[-1]).max() < 1e-6, "late overflow rows must drop"
+    # expert 3 must contribute somewhere (old tail cut zeroed it out):
+    # a kept-both row differs from pure-expert-2 rows
+    assert not np.allclose(tight[0], 0.0)
