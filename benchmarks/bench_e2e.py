@@ -52,30 +52,35 @@ def main():
               "--max-seq-len", str(args.isl + args.osl + 64)]
 
     reports = []
-    # config #3: TinyLlama-1.1B W4A16, single chip
-    reports.append(run_config(
-        "tinyllama-1.1b-w4a16",
-        ["throughput", "--model", "tinyllama-1.1b", "--quant", "W4A16",
-         "--max-batch-size", str(conc), *common]))
-    # config #4 (TP=1 slice): Llama-3-8B shapes, W4A16 + INT8 KV
-    reports.append(run_config(
-        "llama-3-8b-w4a16-int8kv",
-        ["throughput", "--model", "llama-3-8b", "--quant", "W4A16",
-         "--kv-dtype", "int8", "--max-batch-size", str(conc), *common]))
-    # reference headline single-chip model: GPT-OSS 20B (MoE + sinks +
-    # sliding windows; perf-overview.md:121-132 tables)
-    try:
-        reports.append(run_config(
-            "gpt-oss-20b-w4a16",
-            ["throughput", "--model", "gpt-oss-20b", "--quant", "W4A16",
-             "--max-batch-size", str(conc), *common]))
-    except Exception as e:  # noqa: BLE001 — don't lose #3/#4 numbers
-        print(f"[gpt-oss-20b] FAILED: {e}", flush=True)
 
-    with open(args.out, "w") as f:
-        json.dump({"isl": args.isl, "osl": args.osl,
-                   "reports": reports}, f, indent=2)
-    print(f"wrote {args.out}", flush=True)
+    def flush():
+        # incremental write: a wall-clock cutoff mid-run keeps earlier configs
+        with open(args.out, "w") as f:
+            json.dump({"isl": args.isl, "osl": args.osl,
+                       "reports": reports}, f, indent=2)
+        print(f"wrote {args.out} ({len(reports)} configs)", flush=True)
+
+    configs = [
+        # config #3: TinyLlama-1.1B W4A16, single chip
+        ("tinyllama-1.1b-w4a16",
+         ["throughput", "--model", "tinyllama-1.1b", "--quant", "W4A16",
+          "--max-batch-size", str(conc), *common]),
+        # config #4 (TP=1 slice): Llama-3-8B shapes, W4A16 + INT8 KV
+        ("llama-3-8b-w4a16-int8kv",
+         ["throughput", "--model", "llama-3-8b", "--quant", "W4A16",
+          "--kv-dtype", "int8", "--max-batch-size", str(conc), *common]),
+        # reference headline single-chip model: GPT-OSS 20B (MoE + sinks +
+        # sliding windows; perf-overview.md:121-132 tables)
+        ("gpt-oss-20b-w4a16",
+         ["throughput", "--model", "gpt-oss-20b", "--quant", "W4A16",
+          "--max-batch-size", str(conc), *common]),
+    ]
+    for name, argv in configs:
+        try:
+            reports.append(run_config(name, argv))
+        except Exception as e:  # noqa: BLE001 — don't lose earlier numbers
+            print(f"[{name}] FAILED: {e}", flush=True)
+        flush()
 
 
 if __name__ == "__main__":

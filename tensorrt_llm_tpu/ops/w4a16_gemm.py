@@ -205,7 +205,10 @@ def _w4a16_matmul_pallas(
 def _w4a16_kernel_tiled(
     x_ref,        # [BM, BK] bf16
     p_ref,        # [1, BK//2, BN] int8 (row-interleaved nibbles, tiled)
-    s_ref,        # [total_groups, BN] f32
+    s_ref,        # s_kmapped: [n_chunks, BN] bf16 (this k-step's groups,
+                  #            static row per chunk — no dynamic sublane
+                  #            index, which Mosaic rejects for bf16)
+                  # else:      [total_groups, BN] f32 (full dim, dynamic ds)
     *rest,
     n_chunks: int,
     pack_group: int,
@@ -215,6 +218,7 @@ def _w4a16_kernel_tiled(
     activation: Optional[str],
     out_dtype,
     mixed: bool = False,
+    s_kmapped: bool = False,
 ):
     it = iter(rest)
     z_ref = next(it) if has_zeros else None
@@ -253,12 +257,18 @@ def _w4a16_kernel_tiled(
         w_c = w4 if mixed else w4.astype(jnp.bfloat16)  # [Gp, BN]
         x_c = x_ref[:, c * Gp:(c + 1) * Gp]
         partial = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
-        row = 0 if per_channel else k_idx * n_chunks + c
-        s_g = s_ref[pl.ds(row, 1), :]
-        acc = acc + partial * s_g
+        if s_kmapped:
+            s_g = s_ref[c:c + 1, :].astype(jnp.float32)
+            z_g = (z_ref[c:c + 1, :].astype(jnp.float32)
+                   if has_zeros else None)
+        else:
+            row = 0 if per_channel else k_idx * n_chunks + c
+            s_g = s_ref[pl.ds(row, 1), :]
+            z_g = z_ref[pl.ds(row, 1), :] if has_zeros else None
+        acc = partial * s_g + acc
         if has_zeros:
             xsum = jnp.sum(x_c.astype(jnp.float32), axis=1, keepdims=True)
-            acc = acc - xsum * (s_g * z_ref[pl.ds(row, 1), :])
+            acc = acc - xsum * (s_g * z_g)
     acc_ref[:] = acc
 
     @pl.when(k_idx == n_k - 1)
@@ -300,16 +310,27 @@ def _w4a16_matmul_pallas_tiled(
     n_chunks = BK // Gp
     n_m, n_k = cdiv(M, BM), K // BK
 
+    # Scales/zeros stream as bf16 when the per-k-step group rows tile
+    # cleanly (half the HBM bytes; the reference's CUTLASS fpA_intB stores
+    # half-precision scales too): the block is k-mapped so every in-kernel
+    # row index is STATIC — Mosaic rejects dynamic sublane indices on bf16.
+    # Otherwise fall back to the full-group-dim f32 block + dynamic ds.
+    s_kmapped = (not (G >= K)) and n_chunks % 16 == 0
+    if s_kmapped:
+        s_spec = pl.BlockSpec((n_chunks, BN), lambda i, j, k: (k, j))
+        s_dtype = jnp.bfloat16
+    else:
+        s_spec = pl.BlockSpec((n_scale_groups, BN), lambda i, j, k: (0, j))
+        s_dtype = jnp.float32
     in_specs = [
         pl.BlockSpec((BM, BK), lambda i, j, k: (i, k)),
         pl.BlockSpec((1, BK // 2, BN), lambda i, j, k: (j, k, 0)),
-        pl.BlockSpec((n_scale_groups, BN), lambda i, j, k: (0, j)),
+        s_spec,
     ]
-    operands = [x.astype(jnp.bfloat16), packed3, scales.astype(jnp.float32)]
+    operands = [x.astype(jnp.bfloat16), packed3, scales.astype(s_dtype)]
     if zeros is not None:
-        in_specs.append(pl.BlockSpec((n_scale_groups, BN),
-                                     lambda i, j, k: (0, j)))
-        operands.append(zeros.astype(jnp.float32))
+        in_specs.append(s_spec)
+        operands.append(zeros.astype(s_dtype))
     if bias is not None:
         in_specs.append(pl.BlockSpec((1, BN), lambda i, j, k: (0, j)))
         operands.append(bias.reshape(1, N).astype(jnp.float32))
@@ -324,6 +345,7 @@ def _w4a16_matmul_pallas_tiled(
         activation=activation,
         out_dtype=out_dtype,
         mixed=mixed,
+        s_kmapped=s_kmapped,
     )
     return pl.pallas_call(
         kernel,
@@ -553,22 +575,29 @@ def w4a16_tactic_candidates(K: int, N: int, tiled: bool,
                             group: int = 128) -> list:
     """Autotuner candidate tactics for a W4A16 weight shape — shared by
     engine warmup (ModelEngine.autotune_kernels) and bench.py so both
-    always time the same tactic set."""
+    always time the same tactic set.
+
+    v5e measurements (benchmarks/probe_r2{b,c,d}.py, M=16 decode shapes):
+    the LARGEST blocks win — per-k-step splits re-DMA the x tile and the
+    cold-DMA saving never pays for it (bk=4096: 72.3%, bk=2048: 66.6%,
+    bk=1024: 54.5% of roofline at bn=1024), the native-s4 MXU feed
+    ("mixed") is worth ~+3% over an explicit VPU upcast, and the
+    manual-DMA ramp variant loses everywhere (41-53%) — its S-way
+    pl.when-unrolled body defeats Mosaic's pipeliner.  Candidates are
+    best-first so a partially-warmed autotune cache is already good."""
     G = max(group, 128)
     bk_max = _pick_block_k(K, G)
-    cands = [{"block_k": bk} for bk in
-             {bk_max, max(bk_max // 2, G), max(bk_max // 4, G)}
-             if K % bk == 0]
     if tiled:
-        # native-s4 MXU feed (no explicit upcast) — skipped automatically
-        # if Mosaic rejects the mixed dot on this device
-        cands += [dict(c, mixed=True) for c in list(cands)]
-    if tiled and K % RAMP_SLAB == 0 and RAMP_SLAB % G == 0:
-        # manual-DMA ramp kernel (single cold DMA per call)
-        cands += [{"variant": "ramp"},
-                  {"variant": "ramp", "ramp_bk_big": 8 * RAMP_SLAB},
-                  {"variant": "ramp", "mixed": True}]
-    return cands
+        # native-s4 MXU feed first (measured winner); explicit-upcast
+        # fallback kept for devices where Mosaic rejects the mixed dot
+        cands = [{"block_k": bk_max, "mixed": True},
+                 {"block_k": bk_max}]
+        half = max(bk_max // 2, G)
+        if K % half == 0 and half != bk_max:
+            cands.append({"block_k": half, "mixed": True})
+        return cands
+    return [{"block_k": bk} for bk in
+            {bk_max, max(bk_max // 2, G)} if K % bk == 0]
 
 
 def w4a16_matmul_xla(
@@ -582,6 +611,10 @@ def w4a16_matmul_xla(
 ) -> jax.Array:
     """Pure-XLA fallback (CPU tests / shapes the kernel doesn't cover)."""
     out_dtype = out_dtype or x.dtype
+    # bf16 scale rounding matches the Pallas kernels' half-precision scale
+    # storage (reference parity: CUTLASS fpA_intB uses half scales)
+    scales = scales.astype(jnp.bfloat16)
+    zeros = zeros.astype(jnp.bfloat16) if zeros is not None else None
     w = dequantize_w4_any(packed, scales, zeros)
     out = jnp.dot(
         x.astype(jnp.bfloat16),
@@ -628,6 +661,9 @@ def w4a16_matmul(
     N = packed.shape[0] * packed.shape[2] if tiled else packed.shape[1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
+    # Half-precision scale/zero storage on every path (see w4a16_matmul_xla)
+    scales = scales.astype(jnp.bfloat16)
+    zeros = zeros.astype(jnp.bfloat16) if zeros is not None else None
 
     n_scale_groups = scales.shape[0]
     G = K // n_scale_groups
