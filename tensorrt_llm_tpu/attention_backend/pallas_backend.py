@@ -50,20 +50,18 @@ class PallasAttention(XlaAttention):
 
     def __call__(self, q, k, v, k_cache, v_cache, meta: AttentionMetadata,
                  sinks=None) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        from tensorrt_llm_tpu.ops.attention_xla import pool_dims
+
         D = self.head_dim
-        bs = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape[2]
+        _, hkv, bs, _ = pool_dims(k_cache, D)
         # D % 128 == 0 pages DMA directly; smaller dims use the lane-packed
         # page view (r = 128 // D tokens per lane row), which needs D to
         # divide 128 and whole pages to be lane-aligned
         lane_ok = D % 128 == 0 or (128 % D == 0 and (bs * D) % 128 == 0)
-        hkv = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape[1]
         int8_ok = (
             isinstance(k_cache, tuple)
             and meta.mode in ("decode", "prefill")
             and D % 128 == 0 and not meta.cyclic
-            # the per-page scale rows DMA as [1, Hkv*BS]: keep the trailing
-            # dim lane-aligned (same Mosaic constraint as D<128 pages)
-            and (hkv * bs) % 128 == 0
             and self.attention_chunk is None
             and os.environ.get("TLLM_PAGED_INT8", "1") == "1")
         if (isinstance(k_cache, tuple) and not int8_ok) \

@@ -79,7 +79,8 @@ class SparseAttention(AttentionBackend):
                 attention_chunk=self.attention_chunk,
             )
             return out, k_cache, v_cache, kt_cache
-        bs = k_cache.shape[2]
+        from tensorrt_llm_tpu.ops.attention_xla import pool_dims
+        bs = pool_dims(k_cache, self.head_dim)[2]
         sel = select_blocks(q, kt_cache, meta.block_tables, meta.kv_lens,
                             bs, self.topk_blocks, self.sink_blocks,
                             self.recent_blocks)

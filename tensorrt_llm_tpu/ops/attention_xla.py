@@ -20,6 +20,26 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def pool_dims(cache, head_dim: int) -> Tuple[int, int, int, int]:
+    """Logical (NB, Hkv, BS, D) of a pool that may be lane-packed
+    ([NB, Hkv, BS*D//128, 128] when D < 128 — see
+    `KVCacheManager.allocate_pools`)."""
+    c = cache[0] if isinstance(cache, tuple) else cache
+    nb, h, b, d = c.shape
+    if d != head_dim:
+        b = b * d // head_dim
+    return nb, h, b, head_dim
+
+
+def unpack_pages(g: jax.Array, head_dim: int) -> jax.Array:
+    """[.., RP, 128] lane-packed page rows -> [.., BS, D] token rows (a
+    row-major reshape: token order is preserved by the packing)."""
+    if g.shape[-1] == head_dim:
+        return g
+    r = g.shape[-1] // head_dim
+    return g.reshape(*g.shape[:-2], g.shape[-2] * r, head_dim)
+
+
 def quantize_kv_token(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-(token, head) symmetric int8 quantization of [T, H, D]."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [T, H]
@@ -30,11 +50,54 @@ def quantize_kv_token(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _scatter_pages(cache, new, slot_mapping, bs, nb):
+    # Scatter on a flat [NB*H*BS, D] view: a 4-D scatter indexed on dims
+    # (0, 2) has update-window dims (H, D), and XLA's layout assignment then
+    # wants the pool physically [NB, BS, H, D] — materializing TWO full-pool
+    # relayout copies per pool per call (one into the scatter, one back out
+    # for the Pallas kernels' default-layout operands; see the r3 e2e OOM,
+    # 6.92 GB of pool copies).  On the flat view the window dim is only D —
+    # already minor — so the scatter is layout-neutral and the reshapes are
+    # bitcasts.
+    H = cache.shape[1]
     pages = slot_mapping // bs
     offs = slot_mapping % bs
-    # OOB pages (padding rows use a huge slot) are dropped by scatter mode.
+    # OOB slots (padding rows use a huge slot) are dropped by scatter mode.
     pages = jnp.where(slot_mapping >= nb * bs, nb, pages)
-    return cache.at[pages, :, offs].set(new.astype(cache.dtype), mode="drop")
+    head_ids = jnp.arange(H, dtype=slot_mapping.dtype)[None, :]
+    if cache.ndim == 3:                      # per-(token, head) scales
+        rows = (pages[:, None] * H + head_ids) * bs + offs[:, None]
+        return cache.reshape(-1).at[rows.reshape(-1)] \
+            .set(new.astype(cache.dtype).reshape(-1), mode="drop") \
+            .reshape(cache.shape)
+    D = new.shape[-1]
+    L = cache.shape[-1]
+    if L == D:
+        rows = (pages[:, None] * H + head_ids) * bs + offs[:, None]  # [T, H]
+        return cache.reshape(-1, D).at[rows.reshape(-1)] \
+            .set(new.astype(cache.dtype).reshape(-1, D), mode="drop") \
+            .reshape(cache.shape)
+    # Lane-packed pool: token (page, off) lives in packed row off // r at
+    # lanes [(off % r) * D, +D).  Zero the target lanes (scatter-multiply)
+    # then scatter-add the lane-shifted values — both combiners compose
+    # correctly when several tokens land in the same packed row.
+    r = L // D
+    rp = cache.shape[2]                      # packed rows per (page, head)
+    rows = (pages[:, None] * H + head_ids) * rp + (offs // r)[:, None]
+    sub = (offs % r).astype(jnp.int32)       # [T]
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    writes = (lane >= sub[:, None] * D) & (lane < (sub[:, None] + 1) * D)
+    keep = jnp.where(writes, 0, 1).astype(cache.dtype)          # [T, L]
+    padded = jnp.pad(new.astype(cache.dtype),
+                     ((0, 0), (0, 0), (0, L - D)))              # [T, H, L]
+    shifted = jax.vmap(jnp.roll, in_axes=(0, 0, None))(
+        padded, sub * D, -1)                                    # [T, H, L]
+    T = new.shape[0]
+    keep_u = jnp.broadcast_to(keep[:, None, :], (T, H, L)).reshape(-1, L)
+    flat = cache.reshape(-1, L)
+    flat = flat.at[rows.reshape(-1)].multiply(keep_u, mode="drop")
+    flat = flat.at[rows.reshape(-1)].add(shifted.reshape(-1, L),
+                                         mode="drop")
+    return flat.reshape(cache.shape)
 
 
 def write_kv_cache(
@@ -48,7 +111,7 @@ def write_kv_cache(
     (reference `KvCacheDataType::INT8`, unfusedAttentionKernels.h:63-69)."""
     if isinstance(k_cache, tuple):
         (kd, ks), (vd, vs) = k_cache, v_cache
-        nb, h, bs, d = kd.shape
+        nb, h, bs, d = pool_dims(kd, k_new.shape[-1])
         kq, ksc = quantize_kv_token(k_new)
         vq, vsc = quantize_kv_token(v_new)
         kd = _scatter_pages(kd, kq, slot_mapping, bs, nb)
@@ -56,19 +119,25 @@ def write_kv_cache(
         ks = _scatter_pages(ks, ksc, slot_mapping, bs, nb)
         vs = _scatter_pages(vs, vsc, slot_mapping, bs, nb)
         return (kd, ks), (vd, vs)
-    nb, h, bs, d = k_cache.shape
+    nb, h, bs, d = pool_dims(k_cache, k_new.shape[-1])
     k_cache = _scatter_pages(k_cache, k_new, slot_mapping, bs, nb)
     v_cache = _scatter_pages(v_cache, v_new, slot_mapping, bs, nb)
     return k_cache, v_cache
 
 
-def gather_dequant(cache, idx, out_dtype=jnp.bfloat16):
-    """cache[idx] with int8->float dequant fused after the (half-size) gather."""
+def gather_dequant(cache, idx, out_dtype=jnp.bfloat16, head_dim=None):
+    """cache[idx] with int8->float dequant fused after the (half-size)
+    gather; lane-packed pools unpack AFTER the gather (cheap: only the
+    gathered pages relayout, never the pool)."""
     if isinstance(cache, tuple):
         data, scale = cache
-        g = data[idx].astype(jnp.float32) * scale[idx][..., None]
+        g = data[idx]
+        if head_dim is not None:
+            g = unpack_pages(g, head_dim)
+        g = g.astype(jnp.float32) * scale[idx][..., None]
         return g.astype(out_dtype)
-    return cache[idx]
+    g = cache[idx]
+    return g if head_dim is None else unpack_pages(g, head_dim)
 
 
 def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
@@ -167,10 +236,10 @@ def paged_prefill_xla(
     attention_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Chunked-prefill attention for one sequence against its paged KV."""
-    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    nb, h, bs, d = pool_dims(k_cache, q.shape[-1])
     # [MB, H, BS, D] -> [MB*BS, H, D]
-    k = gather_dequant(k_cache, block_table, q.dtype).transpose(0, 2, 1, 3).reshape(-1, h, d)
-    v = gather_dequant(v_cache, block_table, q.dtype).transpose(0, 2, 1, 3).reshape(-1, h, d)
+    k = gather_dequant(k_cache, block_table, q.dtype, d).transpose(0, 2, 1, 3).reshape(-1, h, d)
+    v = gather_dequant(v_cache, block_table, q.dtype, d).transpose(0, 2, 1, 3).reshape(-1, h, d)
     return mha_xla(q, k, v, scale, causal=True, q_offset=q_offset,
                    kv_len=kv_len, sliding_window=sliding_window,
                    logit_cap=logit_cap, sinks=sinks,
@@ -199,10 +268,10 @@ def cyclic_prefill_xla(
     K/V come straight from the inputs — so the ring only has to hold
     ``window + one block`` tokens, independent of chunk size.  Ring slot s
     holds prefix position s + floor((prefix-1-s)/P)*P (negative => empty)."""
-    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
-    kp = gather_dequant(k_cache, block_table, q.dtype) \
+    nb, h, bs, d = pool_dims(k_cache, q.shape[-1])
+    kp = gather_dequant(k_cache, block_table, q.dtype, d) \
         .transpose(0, 2, 1, 3).reshape(-1, h, d)
-    vp = gather_dequant(v_cache, block_table, q.dtype) \
+    vp = gather_dequant(v_cache, block_table, q.dtype, d) \
         .transpose(0, 2, 1, 3).reshape(-1, h, d)
     P = block_table.shape[0] * bs
     s = jnp.arange(P, dtype=jnp.int32)
@@ -238,12 +307,12 @@ def paged_decode_xla(
     the gathered KV is never materialized per query head.
     cyclic: tables are fixed VSWA rings (see paged_prefill_xla).
     """
-    nb, hkv, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    nb, hkv, bs, d = pool_dims(k_cache, q.shape[-1])
     B, Hq, _ = q.shape
     n_rep = Hq // hkv
 
-    k = gather_dequant(k_cache, block_tables, q.dtype)  # [B, MB, Hkv, BS, D]
-    v = gather_dequant(v_cache, block_tables, q.dtype)
+    k = gather_dequant(k_cache, block_tables, q.dtype, d)  # [B, MB, Hkv, BS, D]
+    v = gather_dequant(v_cache, block_tables, q.dtype, d)
     S = block_tables.shape[1] * bs
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
     v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)
@@ -298,10 +367,10 @@ def tree_verify_attention_xla(
     own K/V come from the inputs, and in-chunk visibility is the host-built
     tree mask (committed rows causal, tree rows see their ancestor chain).
     Tree rows carry pad slots so their KV never lands in the cache."""
-    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
-    kp = gather_dequant(k_cache, block_table, q.dtype) \
+    nb, h, bs, d = pool_dims(k_cache, q.shape[-1])
+    kp = gather_dequant(k_cache, block_table, q.dtype, d) \
         .transpose(0, 2, 1, 3).reshape(-1, h, d)
-    vp = gather_dequant(v_cache, block_table, q.dtype) \
+    vp = gather_dequant(v_cache, block_table, q.dtype, d) \
         .transpose(0, 2, 1, 3).reshape(-1, h, d)
     S = block_table.shape[0] * bs
     s = jnp.arange(S, dtype=jnp.int32)
@@ -376,10 +445,10 @@ def helix_partial_prefill_xla(
     attention_chunk=None):
     """One sequence's chunk against this rank's KV shard (chunk rows already
     written to their owner ranks)."""
-    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
-    k = gather_dequant(k_cache, block_table, q.dtype) \
+    nb, h, bs, d = pool_dims(k_cache, q.shape[-1])
+    k = gather_dequant(k_cache, block_table, q.dtype, d) \
         .transpose(0, 2, 1, 3).reshape(-1, h, d)
-    v = gather_dequant(v_cache, block_table, q.dtype) \
+    v = gather_dequant(v_cache, block_table, q.dtype, d) \
         .transpose(0, 2, 1, 3).reshape(-1, h, d)
     S = k.shape[0]
     pos = helix_block_positions(S, bs, cp_rank, cp_size)
@@ -392,10 +461,10 @@ def helix_partial_decode_xla(
     q, k_cache, v_cache, block_tables, kv_lens, cp_rank, cp_size: int,
     scale, sliding_window=None, logit_cap=None, attention_chunk=None):
     """Batched decode against this rank's KV shards."""
-    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple) else k_cache).shape
+    nb, h, bs, d = pool_dims(k_cache, q.shape[-1])
     B = q.shape[0]
-    k = gather_dequant(k_cache, block_tables, q.dtype)  # [B, MBl, H, BS, D]
-    v = gather_dequant(v_cache, block_tables, q.dtype)
+    k = gather_dequant(k_cache, block_tables, q.dtype, d)  # [B, MBl, H, BS, D]
+    v = gather_dequant(v_cache, block_tables, q.dtype, d)
     S = block_tables.shape[1] * bs
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
     v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
@@ -431,11 +500,10 @@ def star_partial_decode_xla(q, k_cache, v_cache, block_tables, local_lens,
     CONTIGUOUS KV chunk (every cached token precedes the query, so only
     valid-row masking applies); stats combine across "cp" via
     helix_combine."""
-    nb, h, bs, d = (k_cache[0] if isinstance(k_cache, tuple)
-                    else k_cache).shape
+    nb, h, bs, d = pool_dims(k_cache, q.shape[-1])
     B = q.shape[0]
-    k = gather_dequant(k_cache, block_tables, q.dtype)  # [B, MBl, H, BS, D]
-    v = gather_dequant(v_cache, block_tables, q.dtype)
+    k = gather_dequant(k_cache, block_tables, q.dtype, d)  # [B, MBl, H, BS, D]
+    v = gather_dequant(v_cache, block_tables, q.dtype, d)
     S = block_tables.shape[1] * bs
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
     v = v.transpose(0, 1, 3, 2, 4).reshape(B, S, h, d)
@@ -474,10 +542,11 @@ def update_kt_cache(kt_cache: jax.Array, k_cache: jax.Array,
     """
     assert not isinstance(k_cache, tuple), \
         "sparse KT summaries require unquantized KV pools"
-    nb, hkv, bs, d = k_cache.shape
+    d = kt_cache.shape[-1]
+    nb, hkv, bs, _ = pool_dims(k_cache, d)
     bids = slot_mapping // bs                       # [T]; OOB stays OOB
     safe = jnp.clip(bids, 0, nb - 1)
-    summ = k_cache[safe].mean(axis=2)               # [T, Hkv, D]
+    summ = gather_dequant(k_cache, safe, kt_cache.dtype, d).mean(axis=2)
     bids = jnp.where(slot_mapping >= nb * bs, nb, bids)
     return kt_cache.at[bids].set(summ.astype(kt_cache.dtype), mode="drop")
 
@@ -523,12 +592,12 @@ def sparse_paged_decode_xla(
     reconstructed from sel_idx (page index * block_size + offset) so causal
     validity is exact; unselected pages are simply never gathered — the
     HBM saving sparsity exists for."""
-    nb, hkv, bs, d = k_cache.shape
     B, Hq, _ = q.shape
+    nb, hkv, bs, d = pool_dims(k_cache, q.shape[-1])
     n_rep = Hq // hkv
     sel_tables = jnp.take_along_axis(block_tables, sel_idx, axis=1)  # [B, K]
-    k = gather_dequant(k_cache, sel_tables, q.dtype)  # [B, K, Hkv, BS, D]
-    v = gather_dequant(v_cache, sel_tables, q.dtype)
+    k = gather_dequant(k_cache, sel_tables, q.dtype, d)  # [B, K, Hkv, BS, D]
+    v = gather_dequant(v_cache, sel_tables, q.dtype, d)
     K = sel_idx.shape[1]
     S = K * bs
     k = k.transpose(0, 1, 3, 2, 4).reshape(B, S, hkv, d)

@@ -162,22 +162,19 @@ def _flash_prefill_kernel_int8(
     q_ref,        # [Hkv, TQ, G, D] VMEM
     k_hbm,        # [NB, Hkv, BS, D] int8 ANY
     v_hbm,
-    ks_hbm,       # [NB, 1, Hkv*BS] f32 ANY (flat per-page scale rows)
-    vs_hbm,
+    ks_ref,       # [Hkv, TS] f32 VMEM (XLA pre-gathered, tile-sliced)
+    vs_ref,
     sinks_ref,    # [Hkv*TQ*G, 1] f32
     # outputs
     o_ref,        # [Hkv, TQ, G, D] VMEM
     # scratch
     k_buf,        # [2, Hkv, TS, D] int8
     v_buf,
-    ks_buf,       # [2, PPT, Hkv*BS] f32
-    vs_buf,
     m_buf,        # [Hkv*TQ*G, 128] f32
     l_buf,
     acc_buf,      # [Hkv*TQ*G, D] f32
     k_sems,       # [2, PPT]
     v_sems,
-    s_sems,       # [2, PPT, 2]
     *,
     tile_size: int,
     page_size: int,
@@ -188,7 +185,9 @@ def _flash_prefill_kernel_int8(
 ):
     """INT8-KV flash prefill: int8 pages stream at half the bytes; the
     per-(token, head) K scale folds into the logits and the V scale into
-    the probabilities (same trick as `_paged_decode_kernel_int8`)."""
+    the probabilities (same trick as `_paged_decode_kernel_int8`).  Scales
+    arrive pre-gathered by XLA in kv-position order (see the decode kernel:
+    in-kernel assembly needs a Mosaic-rejected sublane->lane collapse)."""
     qt = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -212,12 +211,6 @@ def _flash_prefill_kernel_int8(
             copies.append(pltpu.make_async_copy(
                 v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
                 v_sems.at[slot, p]))
-            copies.append(pltpu.make_async_copy(
-                ks_hbm.at[page], ks_buf.at[slot, pl.ds(p, 1), :],
-                s_sems.at[slot, p, 0]))
-            copies.append(pltpu.make_async_copy(
-                vs_hbm.at[page], vs_buf.at[slot, pl.ds(p, 1), :],
-                s_sems.at[slot, p, 1]))
         return copies
 
     @pl.when(t == 0)
@@ -251,8 +244,8 @@ def _flash_prefill_kernel_int8(
             q_h = q_ref[h].reshape(R, D).astype(jnp.bfloat16)
             k_t = k_buf[slot, h].astype(jnp.bfloat16)       # [TS, D]
             v_t = v_buf[slot, h].astype(jnp.bfloat16)
-            ksv = ks_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
-            vsv = vs_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
+            ksv = ks_ref[h:h + 1, :]                        # [1, TS]
+            vsv = vs_ref[h:h + 1, :]
             s = jax.lax.dot_general(
                 q_h, k_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # [R, TS]
@@ -448,9 +441,11 @@ def flash_prefill_attention(
     interpret: bool = False,
     sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
+    from tensorrt_llm_tpu.ops.attention_xla import pool_dims
+
     T, Hq, D = q.shape
     is_int8 = isinstance(k_cache, tuple)
-    NB, Hkv, BS, _ = (k_cache[0] if is_int8 else k_cache).shape
+    NB, Hkv, BS, _ = pool_dims(k_cache, D)
     G = Hq // Hkv
     MB = block_table.shape[0]
 
@@ -485,6 +480,10 @@ def flash_prefill_attention(
             "int8 flash prefill requires D % 128 == 0; the dispatch layer "
             "routes smaller head dims to the XLA path")
         (kd, ks), (vd, vs) = k_cache, v_cache
+        # pre-gather scale rows into kv-position order [Hkv, MB*BS] (see the
+        # decode kernel's docstring for why this can't assemble in-kernel)
+        ksg = jnp.transpose(ks[block_table], (1, 0, 2)).reshape(Hkv, MB * BS)
+        vsg = jnp.transpose(vs[block_table], (1, 0, 2)).reshape(Hkv, MB * BS)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_q_tiles, n_kv_tiles),
@@ -493,8 +492,8 @@ def flash_prefill_attention(
                              lambda qt, t, *_: (0, qt, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((Hkv, TS), lambda qt, t, *_: (0, t)),
+                pl.BlockSpec((Hkv, TS), lambda qt, t, *_: (0, t)),
                 pl.BlockSpec((Hkv * R, 1), lambda qt, t, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((Hkv, TQ, G, D),
@@ -502,14 +501,11 @@ def flash_prefill_attention(
             scratch_shapes=[
                 pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
                 pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
-                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
-                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
                 pltpu.VMEM((Hkv * R, 128), jnp.float32),
                 pltpu.VMEM((Hkv * R, 128), jnp.float32),
                 pltpu.VMEM((Hkv * R, D), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, PPT)),
                 pltpu.SemaphoreType.DMA((2, PPT)),
-                pltpu.SemaphoreType.DMA((2, PPT, 2)),
             ],
         )
         kernel = functools.partial(
@@ -525,8 +521,7 @@ def flash_prefill_attention(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(block_table.reshape(1, MB), meta, q4, kd, vd,
-          ks.reshape(NB, 1, Hkv * BS), vs.reshape(NB, 1, Hkv * BS),
+        )(block_table.reshape(1, MB), meta, q4, kd, vd, ksg, vsg,
           sinks_rows)
         return out.transpose(1, 0, 2, 3).reshape(T, Hq, D)
 
@@ -534,8 +529,12 @@ def flash_prefill_attention(
         assert 128 % D == 0 and (BS * D) % 128 == 0, (D, BS)
         r = 128 // D
         q4p = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, 128 - D)))
-        kv_view = (k_cache.reshape(NB, Hkv, BS * D // 128, 128),
-                   v_cache.reshape(NB, Hkv, BS * D // 128, 128))
+        if k_cache.shape[-1] == 128:
+            # manager-allocated pools arrive already lane-packed
+            kv_view = (k_cache, v_cache)
+        else:
+            kv_view = (k_cache.reshape(NB, Hkv, BS * D // 128, 128),
+                       v_cache.reshape(NB, Hkv, BS * D // 128, 128))
         sel_np = np.zeros((r, 128, 128), np.float32)
         for i in range(r):
             for d in range(D):

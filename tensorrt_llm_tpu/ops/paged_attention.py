@@ -179,22 +179,19 @@ def _paged_decode_kernel_int8(
     q_ref,        # [1, Hq, D] VMEM
     k_hbm,        # [NB, Hkv, BS, D] int8 ANY
     v_hbm,        # [NB, Hkv, BS, D] int8 ANY
-    ks_hbm,       # [NB, 1, Hkv*BS] f32 ANY (flat per-page scale rows)
-    vs_hbm,
+    ks_ref,       # [1, Hkv, TS] f32 VMEM (XLA pre-gathered, tile-sliced)
+    vs_ref,
     sinks_ref,    # [Hq, 1] f32 VMEM
     # outputs
     o_ref,        # [1, Hq, D] VMEM
     # scratch
     k_buf,        # [2, Hkv, TS, D] int8
     v_buf,
-    ks_buf,       # [2, PPT, Hkv*BS] f32
-    vs_buf,
     m_buf,        # [Hq, 128] f32
     l_buf,
     acc_buf,      # [Hq, D] f32
     k_sems,       # [2, PPT]
     v_sems,
-    s_sems,       # [2, PPT, 2]
     *,
     tile_size: int,
     page_size: int,
@@ -208,7 +205,13 @@ def _paged_decode_kernel_int8(
     per-(token, head) scales fold into the logits (K) and probabilities (V)
     instead of the [TS, D] tiles — the dequant itself is a single int8->bf16
     upcast feeding the MXU (reference `KvCacheDataType::INT8` decode path,
-    `unfusedAttentionKernels.h:63-69` + MMHA dequant)."""
+    `unfusedAttentionKernels.h:63-69` + MMHA dequant).
+
+    Scales arrive pre-gathered by XLA in kv-position order (`[B, Hkv, MB*BS]`,
+    tile-sliced by the BlockSpec pipeline): building the per-head ``[1, TS]``
+    scale row from per-page DMA'd rows needs a sublane->lane collapse that
+    Mosaic rejects on hardware (``tpu.reshape vector<1x3x16> -> vector<1x48>``
+    in the r2 probe logs), and the gather is tiny next to the page stream."""
     b = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -226,12 +229,6 @@ def _paged_decode_kernel_int8(
             pltpu.make_async_copy(
                 v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
                 v_sems.at[slot, p]).start()
-            pltpu.make_async_copy(
-                ks_hbm.at[page], ks_buf.at[slot, pl.ds(p, 1), :],
-                s_sems.at[slot, p, 0]).start()
-            pltpu.make_async_copy(
-                vs_hbm.at[page], vs_buf.at[slot, pl.ds(p, 1), :],
-                s_sems.at[slot, p, 1]).start()
 
     def wait_tile_dma(tile, slot):
         for p in range(PPT):
@@ -242,12 +239,6 @@ def _paged_decode_kernel_int8(
             pltpu.make_async_copy(
                 v_hbm.at[page], v_buf.at[slot, :, pl.ds(p * BS, BS), :],
                 v_sems.at[slot, p]).wait()
-            pltpu.make_async_copy(
-                ks_hbm.at[page], ks_buf.at[slot, pl.ds(p, 1), :],
-                s_sems.at[slot, p, 0]).wait()
-            pltpu.make_async_copy(
-                vs_hbm.at[page], vs_buf.at[slot, pl.ds(p, 1), :],
-                s_sems.at[slot, p, 1]).wait()
 
     @pl.when(t == 0)
     def _init():
@@ -282,10 +273,9 @@ def _paged_decode_kernel_int8(
         for h in range(n_kv_heads):
             k_h = k_buf[slot, h].astype(jnp.bfloat16)   # [TS, D]
             v_h = v_buf[slot, h].astype(jnp.bfloat16)
-            # per-token scales: lanes [h*BS, (h+1)*BS) of each page row,
-            # flattened page-major to match kv position order t = p*BS + j
-            ksv = ks_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
-            vsv = vs_buf[slot, :, h * BS:(h + 1) * BS].reshape(1, TS)
+            # pre-gathered per-token scales, already in kv-position order
+            ksv = ks_ref[0, h:h + 1, :]                 # [1, TS]
+            vsv = vs_ref[0, h:h + 1, :]
             q_h = q[h * G:(h + 1) * G, :].astype(jnp.bfloat16)
             s = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
@@ -341,9 +331,11 @@ def paged_decode_attention(
     interpret: bool = False,
     sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
+    from tensorrt_llm_tpu.ops.attention_xla import pool_dims
+
     B, Hq, D = q.shape
     is_int8 = isinstance(k_cache, tuple)
-    NB, Hkv, BS, _ = (k_cache[0] if is_int8 else k_cache).shape
+    NB, Hkv, BS, _ = pool_dims(k_cache, D)
     MB = block_tables.shape[1]
     TS = min(tile_size, MB * BS)
     # tile must be a whole number of pages and divide the table
@@ -358,6 +350,14 @@ def paged_decode_attention(
             "int8 paged kernel requires D % 128 == 0; dispatch layer must "
             "route smaller head dims to the XLA path")
         (kd, ks), (vd, vs) = k_cache, v_cache
+        # Pre-gather the (small) per-(token, head) scale rows in XLA into
+        # kv-position order [B, Hkv, MB*BS]; the pipeline tile-slices them.
+        # In-kernel assembly from per-page rows would need a sublane->lane
+        # collapse Mosaic rejects on hardware.
+        ksg = jnp.transpose(ks[block_tables], (0, 2, 1, 3)) \
+            .reshape(B, Hkv, MB * BS)
+        vsg = jnp.transpose(vs[block_tables], (0, 2, 1, 3)) \
+            .reshape(B, Hkv, MB * BS)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, n_tiles),
@@ -365,22 +365,19 @@ def paged_decode_attention(
                 pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, Hkv, TS), lambda b, t, *_: (b, 0, t)),
+                pl.BlockSpec((1, Hkv, TS), lambda b, t, *_: (b, 0, t)),
                 pl.BlockSpec((Hq, 1), lambda b, t, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, Hq, D), lambda b, t, *_: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
                 pltpu.VMEM((2, Hkv, TS, D), jnp.int8),
-                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
-                pltpu.VMEM((2, PPT, Hkv * BS), jnp.float32),
                 pltpu.VMEM((Hq, 128), jnp.float32),
                 pltpu.VMEM((Hq, 128), jnp.float32),
                 pltpu.VMEM((Hq, D), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, PPT)),
                 pltpu.SemaphoreType.DMA((2, PPT)),
-                pltpu.SemaphoreType.DMA((2, PPT, 2)),
             ],
         )
         kernel = functools.partial(
@@ -396,19 +393,24 @@ def paged_decode_attention(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(block_tables, kv_lens, q, kd, vd,
-          ks.reshape(NB, 1, Hkv * BS), vs.reshape(NB, 1, Hkv * BS),
+        )(block_tables, kv_lens, q, kd, vd, ksg, vsg,
           (jnp.zeros((Hq, 1), jnp.float32) if sinks is None
            else jnp.asarray(sinks, jnp.float32).reshape(Hq, 1)))
 
     if D < 128:
         # sub-128 head dims can't DMA pages directly (Mosaic lane tiling);
-        # run the lane-packed variant over an aligned page view
+        # run the lane-packed variant.  The manager allocates such pools
+        # ALREADY packed ([NB, Hkv, BS*D//128, 128]) so no relayout happens
+        # here; the reshape fallback covers directly-passed logical pools
+        # (unit tests) at the cost of a full-pool copy.
         assert 128 % D == 0 and (BS * D) % 128 == 0, (D, BS)
         r = 128 // D
         qp = jnp.pad(q, ((0, 0), (0, 0), (0, 128 - D)))
-        kv_view = (k_cache.reshape(NB, Hkv, BS * D // 128, 128),
-                   v_cache.reshape(NB, Hkv, BS * D // 128, 128))
+        if k_cache.shape[-1] == 128:
+            kv_view = (k_cache, v_cache)
+        else:
+            kv_view = (k_cache.reshape(NB, Hkv, BS * D // 128, 128),
+                       v_cache.reshape(NB, Hkv, BS * D // 128, 128))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, n_tiles),

@@ -789,6 +789,14 @@ class KVCacheManager:
         Layout is head-major pages ``[NB, Hkv, BS, D]``: one page is a
         contiguous HBM chunk and each head's slice of a page is a contiguous
         ``[BS, D]`` tile — what the Pallas paged-attention kernel DMAs.
+
+        Head dims below the 128-lane tile store LANE-PACKED:
+        ``[NB, Hkv, BS*D//128, 128]`` with r = 128//D consecutive tokens per
+        lane row (row-major element order identical to the logical layout).
+        Without this, XLA pads the D lanes to 128 (2x HBM for D=64 — the
+        TinyLlama/GPT-OSS r3 e2e OOMs) and the Pallas kernels' packed page
+        view costs a full-pool relayout copy per step.  Consumers detect
+        packing by ``pool.shape[-1] != head_dim``.
         """
         dtype = dtype or self.cfg.dtype
 
@@ -798,9 +806,16 @@ class KVCacheManager:
                 return self.local_num_blocks()
             return self.num_blocks
 
+        D, BS = self.head_dim, self.block_size
+        pack = (D < 128 and 128 % D == 0 and (BS * D) % 128 == 0
+                and self.cfg.layout != "latent")
+
         def pool(layer: int):
-            shape = (nb_for(layer), self.num_kv_heads, self.block_size,
-                     self.head_dim)
+            if pack:
+                shape = (nb_for(layer), self.num_kv_heads,
+                         BS * D // 128, 128)
+            else:
+                shape = (nb_for(layer), self.num_kv_heads, BS, D)
             if self.cfg.layout == "latent":
                 # MLA: one latent pool per layer (no separate V); quantized
                 # latent caches are a later round
@@ -812,8 +827,9 @@ class KVCacheManager:
             if self.cfg.kv_quant == KvCacheQuantAlgo.INT8:
                 # int8 data + per-(token, head) scale pools (reference
                 # KvCacheDataType::INT8); halves KV HBM footprint + gather
-                # traffic
-                sshape = shape[:3]
+                # traffic.  Scales stay logical [NB, Hkv, BS] even when the
+                # data pool is lane-packed.
+                sshape = (shape[0], self.num_kv_heads, BS)
                 return (
                     (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
                     (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
@@ -829,7 +845,7 @@ class KVCacheManager:
                     self.vswa and layer in self.sliding_layers):
                 # RocketKV-style per-page key summaries (3rd cache leaf)
                 return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-                        jnp.zeros((shape[0], shape[1], shape[3]), dtype))
+                        jnp.zeros((shape[0], shape[1], D), dtype))
             return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
         return [pool(i) for i in range(self.num_layers)]
