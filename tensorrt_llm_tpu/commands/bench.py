@@ -264,6 +264,8 @@ def main(argv=None):
     p.add_argument("--max-batch-size", type=int, default=64)
     p.add_argument("--max-seq-len", type=int, default=2048)
     p.add_argument("--max-num-tokens", type=int, default=None)
+    p.add_argument("--free-mem-fraction", type=float, default=None,
+                   help="fraction of free HBM given to the KV pool")
     p.add_argument("--decode-steps", type=int, default=None,
                    help="fused multi-step decode chunk size "
                         "(tokens per dispatch; default engine setting)")
@@ -280,6 +282,8 @@ def main(argv=None):
         kw["max_decode_steps"] = args.decode_steps
     if args.max_num_tokens:
         kw["max_num_tokens"] = args.max_num_tokens
+    if args.free_mem_fraction is not None:
+        kw["free_mem_fraction"] = args.free_mem_fraction
     model = args.model
     if args.model.lower() in MODEL_SHAPES:
         shapes = dict(MODEL_SHAPES[args.model.lower()])

@@ -835,18 +835,40 @@ class GenerationFuture:
             metrics=metrics)
 
     def __iter__(self) -> Iterator[RequestOutput]:
+        # incremental detokenization: O(window) per piece instead of
+        # re-decoding the full token list every streamed chunk (the
+        # reference detokenizes incrementally and can offload it —
+        # tensorrt_llm/executor/postproc_worker.py:52)
+        from tensorrt_llm_tpu.llmapi.detokenizer import IncrementalDetokenizer
+        sp = self.req.sampling_params
+        tok = self.llm.tokenizer
+        detok = (IncrementalDetokenizer(tok, sp.skip_special_tokens)
+                 if tok is not None and sp.detokenize else None)
         toks: List[int] = []
         while True:
             piece = self.req.out_queue.get()
             if piece.error:
                 raise RuntimeError(f"generation failed: {piece.error}")
             toks.extend(piece.new_token_ids)
+            text = ""
+            if detok is not None:
+                new_text = detok.push(piece.new_token_ids)
+                if piece.finished:
+                    new_text += detok.flush()
+                text = detok.text
+                stop = self.req.stop_string
+                if stop and not sp.include_stop_str_in_output:
+                    # bounded tail scan: a match can only involve this
+                    # piece's text plus len(stop)-1 older chars
+                    idx = detok.find_stop(stop, len(new_text))
+                    if idx >= 0:
+                        text = text[:idx]
             out = RequestOutput(
                 request_id=self.req.request_id,
                 prompt=self.prompt_text,
                 prompt_token_ids=self.req.prompt_token_ids,
                 outputs=[CompletionOutput(
-                    index=0, text=self._decode(toks),
+                    index=0, text=text,
                     token_ids=list(toks),
                     finish_reason=(piece.finish_reason.value
                                    if piece.finish_reason else None))],
