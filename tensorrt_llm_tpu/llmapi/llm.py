@@ -842,15 +842,19 @@ class GenerationFuture:
         from tensorrt_llm_tpu.llmapi.detokenizer import IncrementalDetokenizer
         sp = self.req.sampling_params
         tok = self.llm.tokenizer
+        # stateful test doubles whose decode() is not suffix-consistent
+        # (real tokenizers are) can opt out back to full re-decode
+        incremental = getattr(tok, "supports_incremental_decode", True)
         detok = (IncrementalDetokenizer(tok, sp.skip_special_tokens)
-                 if tok is not None and sp.detokenize else None)
+                 if tok is not None and sp.detokenize and incremental
+                 else None)
         toks: List[int] = []
         while True:
             piece = self.req.out_queue.get()
             if piece.error:
                 raise RuntimeError(f"generation failed: {piece.error}")
             toks.extend(piece.new_token_ids)
-            text = ""
+            text = "" if detok is not None else self._decode(toks)
             if detok is not None:
                 new_text = detok.push(piece.new_token_ids)
                 if piece.finished:

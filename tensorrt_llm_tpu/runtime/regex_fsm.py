@@ -413,16 +413,172 @@ def _json_value_regex(depth: int) -> str:
     return f"({scalar}|{arr}|{obj})"
 
 
-def json_schema_to_regex(schema: dict, depth: int = 3) -> str:
-    """JSON Schema (common subset) -> canonical compact-JSON regex.
+# --- integer-bound digit regexes (xgrammar compiles numeric bounds the
+# --- same way: a digit-position DFA over canonical JSON integers) ---------
+def _rep09(k: int) -> str:
+    return "" if k <= 0 else ("[0-9]" if k == 1 else f"[0-9]{{{k}}}")
+
+
+def _crange(a: str, b: str) -> str:
+    return a if a == b else f"[{a}-{b}]"
+
+
+def _dig_ge(s: str) -> str:
+    """Digit strings of len(s) that are numerically >= s."""
+    if not s:
+        return ""
+    c, rest = s[0], s[1:]
+    alts = [c + _dig_ge(rest)]
+    if c < "9":
+        alts.append(_crange(chr(ord(c) + 1), "9") + _rep09(len(rest)))
+    return alts[0] if len(alts) == 1 else "(" + "|".join(alts) + ")"
+
+
+def _dig_le(s: str) -> str:
+    """Digit strings of len(s) that are numerically <= s."""
+    if not s:
+        return ""
+    c, rest = s[0], s[1:]
+    alts = [c + _dig_le(rest)]
+    if c > "0":
+        alts.append(_crange("0", chr(ord(c) - 1)) + _rep09(len(rest)))
+    return alts[0] if len(alts) == 1 else "(" + "|".join(alts) + ")"
+
+
+def _dig_between(lo: str, hi: str) -> str:
+    """Digit strings of len(lo)==len(hi) in [lo, hi]."""
+    if lo == hi:
+        return lo
+    c1, c2 = lo[0], hi[0]
+    if c1 == c2:
+        return c1 + _dig_between(lo[1:], hi[1:])
+    alts = [c1 + _dig_ge(lo[1:])]
+    if ord(c2) - ord(c1) > 1:
+        alts.append(_crange(chr(ord(c1) + 1), chr(ord(c2) - 1))
+                    + _rep09(len(lo) - 1))
+    alts.append(c2 + _dig_le(hi[1:]))
+    return "(" + "|".join(alts) + ")"
+
+
+def _uint_range(lo: int, hi: Optional[int]) -> str:
+    """Canonical (no leading zero) non-negative integers in [lo, hi]."""
+    lo = max(lo, 0)
+    alts = []
+    if lo == 0:
+        alts.append("0")
+        lo = 1
+    if hi is not None and hi < lo:
+        return "(" + "|".join(alts) + ")" if alts else "()"
+    ls = str(lo)
+    if hi is None:
+        alts.append(_dig_between(ls, "9" * len(ls)))
+        alts.append(f"[1-9]{_rep09(len(ls))}[0-9]*")
+    else:
+        hs = str(hi)
+        if len(ls) == len(hs):
+            alts.append(_dig_between(ls, hs))
+        else:
+            alts.append(_dig_between(ls, "9" * len(ls)))
+            for d in range(len(ls) + 1, len(hs)):
+                alts.append("[1-9]" + _rep09(d - 1))
+            alts.append(_dig_between("1" + "0" * (len(hs) - 1), hs))
+    return "(" + "|".join(alts) + ")"
+
+
+def _int_range_regex(lo: Optional[int], hi: Optional[int]) -> str:
+    """Canonical JSON integers in [lo, hi]; either bound may be None."""
+    if lo is None and hi is None:
+        return _INT_RE
+    alts = []
+    # negative magnitudes m in [max(1, -hi), -lo]
+    if lo is None or lo <= -1:
+        nhi = None if lo is None else -lo
+        nlo = 1 if hi is None or hi >= -1 else -hi
+        if nhi is None or nlo <= nhi:
+            alts.append("-" + _uint_range(nlo, nhi))
+    # non-negative part [max(0, lo), hi]
+    if hi is None or hi >= 0:
+        alts.append(_uint_range(0 if lo is None else max(lo, 0), hi))
+    return "(" + "|".join(alts) + ")" if alts else "()"
+
+
+def _strip_anchors(pattern: str) -> str:
+    if pattern.startswith("^"):
+        pattern = pattern[1:]
+    if pattern.endswith("$") and not pattern.endswith("\\$"):
+        pattern = pattern[:-1]
+    return pattern
+
+
+def _resolve_ref(ref: str, root: dict):
+    """Resolve an internal '#/...' JSON pointer against the root schema."""
+    if not ref.startswith("#"):
+        raise ValueError(f"only internal $refs supported: {ref!r}")
+    node = root
+    for part in ref.lstrip("#/").split("/"):
+        if not part:
+            continue
+        part = part.replace("~1", "/").replace("~0", "~")
+        node = node[part]
+    return node
+
+
+def _merge_allof(schema: dict) -> dict:
+    """Shallow allOf merge: combine properties/required/type of branches."""
+    merged = {k: v for k, v in schema.items() if k != "allOf"}
+    for sub in schema["allOf"]:
+        for k, v in sub.items():
+            if k == "properties":
+                merged.setdefault("properties", {})
+                merged["properties"] = {**merged["properties"], **v}
+            elif k == "required":
+                merged["required"] = sorted(
+                    set(merged.get("required", [])) | set(v))
+            elif k not in merged:
+                merged[k] = v
+    return merged
+
+
+def json_schema_to_regex(schema: dict, depth: int = 3,
+                         root: Optional[dict] = None,
+                         ref_depth: int = 16) -> str:
+    """JSON Schema -> canonical compact-JSON regex (the xgrammar analog;
+    reference inherits this from xgrammar,
+    tensorrt_llm/_torch/pyexecutor/guided_decoder.py:156-161).
 
     Supports: type string/integer/number/boolean/null/object/array, enum,
-    const, required object properties (emitted in declaration order),
-    arrays with `items`, minItems/maxItems, nested schemas."""
+    const, anyOf/oneOf (alternation), allOf (shallow merge), internal
+    $ref/$defs/definitions (expansion bounded by `ref_depth`; past the
+    bound a generic-JSON superset regex terminates recursion), object
+    properties in declaration order with non-`required` ones omissible,
+    `additionalProperties` as a schema when no properties are declared,
+    string pattern (anchors stripped; matched against the *encoded* text,
+    so ASCII-safe patterns only) / minLength / maxLength, integer
+    minimum/maximum/exclusive bounds via digit-range regexes, arrays with
+    items + minItems/maxItems + prefixItems.  `format` is not enforced
+    (plain string)."""
     import json as _json
 
-    if not schema:
+    if root is None:
+        root = schema if isinstance(schema, dict) else {}
+
+    def rec(s, d, rd=ref_depth):
+        return json_schema_to_regex(s, d, root=root, ref_depth=rd)
+
+    if schema is True or schema == {} or schema is None:
         return _json_value_regex(depth)
+    if "$ref" in schema:
+        if ref_depth <= 0:
+            return _json_value_regex(1)
+        target = _resolve_ref(schema["$ref"], root)
+        extra = {k: v for k, v in schema.items() if k != "$ref"}
+        return rec({**target, **extra} if extra else target, depth,
+                   ref_depth - 1)
+    if "allOf" in schema:
+        return rec(_merge_allof(schema), depth)
+    if "anyOf" in schema or "oneOf" in schema:
+        branches = schema.get("anyOf", []) + schema.get("oneOf", [])
+        return "(" + "|".join(rec(b, depth) for b in branches) + ")"
     if "enum" in schema:
         opts = "|".join(_regex_escape(_json.dumps(v, separators=(",", ":")))
                         for v in schema["enum"])
@@ -433,12 +589,30 @@ def json_schema_to_regex(schema: dict, depth: int = 3) -> str:
     t = schema.get("type")
     if isinstance(t, list):
         return "(" + "|".join(
-            json_schema_to_regex({**schema, "type": tt}, depth)
-            for tt in t) + ")"
+            rec({**schema, "type": tt}, depth) for tt in t) + ")"
     if t == "string":
+        if "pattern" in schema:
+            return '"' + _strip_anchors(schema["pattern"]) + '"'
+        lo = schema.get("minLength")
+        hi = schema.get("maxLength")
+        if lo is not None or hi is not None:
+            char = r'([^"\\]|\\["\\/bfnrtu])'
+            lo = lo or 0
+            quant = (f"{{{lo},}}" if hi is None else f"{{{lo},{hi}}}")
+            return f'"{char}{quant}"'
         return _STRING_RE
     if t == "integer":
-        return _INT_RE
+        lo = schema.get("minimum")
+        hi = schema.get("maximum")
+        if "exclusiveMinimum" in schema:
+            lo = int(schema["exclusiveMinimum"]) + 1
+        if "exclusiveMaximum" in schema:
+            hi = int(schema["exclusiveMaximum"]) - 1
+        if lo is None and hi is None:
+            return _INT_RE
+        return _int_range_regex(
+            None if lo is None else int(lo),
+            None if hi is None else int(hi))
     if t == "number":
         return _NUM_RE
     if t == "boolean":
@@ -446,7 +620,10 @@ def json_schema_to_regex(schema: dict, depth: int = 3) -> str:
     if t == "null":
         return _NULL_RE
     if t == "array":
-        item = json_schema_to_regex(schema.get("items", {}), depth - 1)
+        if "prefixItems" in schema:
+            parts = [rec(s, depth - 1) for s in schema["prefixItems"]]
+            return r"\[" + ",".join(parts) + r"\]"
+        item = rec(schema.get("items", {}), depth - 1)
         lo = schema.get("minItems", 0)
         hi = schema.get("maxItems")
         if hi is None:
@@ -461,11 +638,42 @@ def json_schema_to_regex(schema: dict, depth: int = 3) -> str:
     if t == "object" or "properties" in schema:
         props = schema.get("properties")
         if not props:
+            ap = schema.get("additionalProperties")
+            if isinstance(ap, dict) or ap is True:
+                val = rec({} if ap is True else ap, depth - 1)
+                member = f"{_STRING_RE}:{val}"
+                return rf"\{{({member}(,{member})*)?\}}"
             return _json_value_regex(depth)
-        parts = []
-        for name, sub in props.items():
+        required = set(schema.get("required", []))
+        names = list(props)
+        segs = []
+        for name in names:
             key = _regex_escape(_json.dumps(name))
-            val = json_schema_to_regex(sub, depth - 1)
-            parts.append(f"{key}:{val}")
-        return r"\{" + ",".join(parts) + r"\}"
+            segs.append(f"{key}:{rec(props[name], depth - 1)}")
+        # members in declaration order; non-required ones omissible.  The
+        # first *emitted* property carries no comma, so alternate over
+        # which index comes first (every earlier one must be optional),
+        # then every later property contributes ',seg' — mandatory when
+        # required, '(,seg)?' otherwise.  Regex size is O(n^2) in the
+        # property count; real tool schemas are small.
+        def rest(i: int) -> str:
+            out = []
+            for j in range(i, len(names)):
+                if names[j] in required:
+                    out.append(f",{segs[j]}")
+                else:
+                    out.append(f"(,{segs[j]})?")
+            return "".join(out)
+
+        firsts = []
+        for i, name in enumerate(names):
+            firsts.append(segs[i] + rest(i + 1))
+            if name in required:
+                break  # a required prop can't be skipped past
+        else:
+            name = None  # all optional: object may be empty
+        body = "(" + "|".join(firsts) + ")"
+        if not required:
+            body += "?"
+        return r"\{" + body + r"\}"
     return _json_value_regex(depth)

@@ -274,6 +274,10 @@ class ScriptedTokenizer:
     tool-call markup deterministically."""
     eos_token_id = 0
     chat_template = None
+    # decode() here is position-based (len(ids) -> script prefix), not
+    # suffix-consistent like a real tokenizer — opt out of the
+    # incremental streaming detokenizer
+    supports_incremental_decode = False
 
     def __init__(self, script):
         self.script = script
