@@ -167,7 +167,13 @@ class LLM:
                 from tensorrt_llm_tpu.lora import load_lora_adapter, merge_lora_into_state
                 get_tensor = merge_lora_into_state(
                     get_tensor, load_lora_adapter(a.lora_path))
-            params = self.model.load_hf_weights(get_tensor, dtype=a.dtype)
+            import inspect
+            kw = {}
+            if "placer" in inspect.signature(
+                    self.model.load_hf_weights).parameters:
+                kw["placer"] = self._make_param_placer(mapping, a)
+            params = self.model.load_hf_weights(get_tensor, dtype=a.dtype,
+                                                **kw)
         elif params is None:
             logger.warning("no checkpoint found — random-initializing weights")
             params = self.model.init(jax.random.PRNGKey(a.seed))
@@ -285,6 +291,44 @@ class LLM:
         import weakref
         self._exit_finalizer = weakref.finalize(
             self, PyExecutor.shutdown, self.executor)
+
+    def _make_param_placer(self, mapping, a):
+        """Streaming sharded weight load (VERDICT r2 #5): a callback
+        load_hf_weights applies to each completed layer so its host f32
+        staging is committed to the final (mesh-sharded) device placement
+        immediately and freed — peak host memory ~one layer, and no rank
+        ever materializes the whole unsharded model.  ModelEngine's later
+        device_put with identical shardings is then a no-op.  Reference
+        capability: per-rank checkpoint loaders
+        (_torch/pyexecutor/model_loader.py:182)."""
+        if mapping.pp_size > 1 or a.lora_adapters:
+            # PP slices layers across stage sub-meshes after load; LoRA
+            # attaches host-side deltas to loaded leaves — both need the
+            # un-placed tree
+            return None
+        mesh = None
+        specs = None
+        if mapping.world_size > 1:
+            from tensorrt_llm_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(mapping)
+            specs = self.model.param_specs()
+
+        def place(path, sub):
+            if sub is None:
+                return None
+            if mesh is None:
+                return jax.device_put(sub)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from tensorrt_llm_tpu.runtime.model_engine import prune_specs
+            node = specs
+            for k in path:
+                node = node[k]
+            pruned = prune_specs(node, sub)
+            sh = jax.tree.map(lambda s: NamedSharding(mesh, s), pruned,
+                              is_leaf=lambda x: isinstance(x, P))
+            return jax.device_put(sub, sh)
+
+        return place
 
     @staticmethod
     def _derive_num_blocks(cfg, kvcfg, a) -> int:

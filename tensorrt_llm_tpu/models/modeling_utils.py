@@ -1000,11 +1000,19 @@ class DecoderModelForCausalLM:
         return out, new_caches
 
     # ---- HF weight loading ------------------------------------------------------
-    def load_hf_weights(self, get_tensor, dtype=None) -> Dict:
+    def load_hf_weights(self, get_tensor, dtype=None, placer=None) -> Dict:
         """Build params from an HF checkpoint.
 
         get_tensor(name) -> np/jnp array for HF parameter `name` (our analog of
         the reference's per-model weight mappers, _torch/models/checkpoints/).
+
+        placer(path, subtree) -> subtree, when given, is called with each
+        completed per-layer dict (path ``("layers", i)``) and each top-level
+        entry so the caller can quantize-commit it to its final (mesh-
+        sharded) device placement immediately and free the host staging —
+        the reference streams checkpoints shard-by-shard per rank the same
+        way (_torch/pyexecutor/model_loader.py:182).  Tensors stage as host
+        numpy f32, so peak host memory is ~one layer, not the whole model.
         """
         import numpy as np
         cfg = self.cfg
@@ -1025,11 +1033,11 @@ class DecoderModelForCausalLM:
                                           v2=quant.ckpt_v2)
                 if qt is not None:
                     return qt
-            return jnp.asarray(np.asarray(get_tensor(name))).astype(jnp.float32).T
+            return np.asarray(get_tensor(name)).astype(np.float32).T
 
         def vec(name):
             arr = get_tensor(name)
-            return None if arr is None else jnp.asarray(np.asarray(arr)).astype(jnp.float32)
+            return None if arr is None else np.asarray(arr).astype(np.float32)
 
         def nvec(base):
             """Load one norm's params honoring cfg.norm_type / norm_bias
@@ -1043,10 +1051,11 @@ class DecoderModelForCausalLM:
             return {"weight": w,
                     "bias": b if b is not None else jnp.zeros_like(w)}
 
+        place = placer if placer is not None else (lambda path, sub: sub)
         params = {
-            "embedding": self.embedding.from_float(
-                jnp.asarray(np.asarray(get_tensor("model.embed_tokens.weight")))),
-            "final_norm": nvec("model.norm"),
+            "embedding": place(("embedding",), self.embedding.from_float(
+                np.asarray(get_tensor("model.embed_tokens.weight")))),
+            "final_norm": place(("final_norm",), nvec("model.norm")),
             "rope": tuple(make_rope_tables(cfg.rope)),
             "layers": [],
         }
@@ -1083,10 +1092,11 @@ class DecoderModelForCausalLM:
                 "attn": self._load_attn(layer, pre, t, vec),
                 "mlp": self._load_mlp(layer, get_tensor, pre, t),
             }
-            params["layers"].append(lp)
+            params["layers"].append(place(("layers", i), lp))
         if not cfg.tie_word_embeddings:
-            params["lm_head"] = self.lm_head.quantize_from_float(
-                t("lm_head.weight"))
+            params["lm_head"] = place(
+                ("lm_head",),
+                self.lm_head.quantize_from_float(t("lm_head.weight")))
         return params
 
     def _load_attn(self, layer, pre: str, t, vec):
@@ -1116,8 +1126,8 @@ class DecoderModelForCausalLM:
 
         def vec(name):
             arr = get_tensor(name)
-            return None if arr is None else jnp.asarray(
-                np.asarray(arr)).astype(jnp.float32)
+            return None if arr is None else np.asarray(arr).astype(
+                np.float32)
 
         if isinstance(layer.mlp, MLP):   # non-gated (Starcoder2/Nemotron)
             cfg = self.cfg
@@ -1147,9 +1157,9 @@ class DecoderModelForCausalLM:
             mats = []
             for j in range(cfg.num_experts):
                 name = pre + self.MOE_EXPERT_KEY.format(j=j, proj=proj)
-                mats.append(jnp.asarray(
-                    np.asarray(get_tensor(name))).astype(jnp.float32).T)
-            stacks[kind] = jnp.stack(mats)  # [E, in, out]
+                mats.append(np.asarray(get_tensor(name))
+                            .astype(np.float32).T)
+            stacks[kind] = np.stack(mats)  # [E, in, out]
         shared = None
         if layer.mlp.n_shared_experts:
             sp = pre + self.MOE_SHARED_PREFIX
@@ -1160,7 +1170,7 @@ class DecoderModelForCausalLM:
         if layer.mlp.has_score_bias:
             arr = get_tensor(pre + self.MOE_BIAS_KEY)
             if arr is not None:
-                bias = jnp.asarray(np.asarray(arr)).astype(jnp.float32)
+                bias = np.asarray(arr).astype(np.float32)
         return layer.mlp.from_float(router, stacks["gate"], stacks["up"],
                                     stacks["down"], shared=shared,
                                     score_bias=bias)
