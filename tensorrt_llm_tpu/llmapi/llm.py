@@ -83,6 +83,8 @@ class LLM:
 
     def _build(self):
         a = self.args
+        from tensorrt_llm_tpu.utils.common import enable_compilation_cache
+        enable_compilation_cache()
         if a.distributed_init is not None:
             # multi-host: join the jax.distributed world before any device
             # use so the mesh spans every host's chips
@@ -828,6 +830,8 @@ class GenerationFuture:
             piece = self.req.out_queue.get(timeout=timeout)
             if piece.error:
                 raise RuntimeError(f"generation failed: {piece.error}")
+            if piece.truncate_to is not None:
+                del toks[piece.truncate_to:]  # async stop-scan overshoot
             toks.extend(piece.new_token_ids)
             if piece.finished:
                 reason = piece.finish_reason
@@ -897,8 +901,17 @@ class GenerationFuture:
             piece = self.req.out_queue.get()
             if piece.error:
                 raise RuntimeError(f"generation failed: {piece.error}")
+            if piece.truncate_to is not None:
+                del toks[piece.truncate_to:]  # async stop-scan overshoot
             toks.extend(piece.new_token_ids)
             text = "" if detok is not None else self._decode(toks)
+            if detok is None:
+                stop = self.req.stop_string
+                if (stop and text
+                        and not sp.include_stop_str_in_output):
+                    idx = text.find(stop)
+                    if idx >= 0:
+                        text = text[:idx]
             if detok is not None:
                 new_text = detok.push(piece.new_token_ids)
                 if piece.finished:
@@ -909,6 +922,13 @@ class GenerationFuture:
                     # bounded tail scan: a match can only involve this
                     # piece's text plus len(stop)-1 older chars
                     idx = detok.find_stop(stop, len(new_text))
+                    if idx < 0 and piece.finished and \
+                            piece.finish_reason is FinishReason.STOP_STRING:
+                        # the executor matched on its own (raw) decode of
+                        # the tail; if our skip-special rendering differs,
+                        # fall back to a full scan so the stop string never
+                        # leaks into the final output (ADVICE r3)
+                        idx = text.find(stop)
                     if idx >= 0:
                         text = text[:idx]
             out = RequestOutput(

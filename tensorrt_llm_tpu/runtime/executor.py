@@ -120,6 +120,15 @@ class PyExecutor:
         self.tokenizer = tokenizer
         self.guided = GuidedDecoder(
             vocab_size or engine.model.cfg.vocab_size)
+        # async stop-string scanning (reference postproc_worker.py:52):
+        # keeps tokenizer.decode off the executor thread and lets
+        # stop-string requests ride the fused/overlap decode paths
+        self._stop_scan = None
+        self._stop_fed: dict = {}   # req_id -> tokens handed to the worker
+        if tokenizer is not None and _os2.environ.get(
+                "TLLM_ASYNC_STOP_SCAN", "1") == "1":
+            from tensorrt_llm_tpu.runtime.postproc import StopScanWorker
+            self._stop_scan = StopScanWorker(tokenizer)
         self.engine = engine
         self.kv = engine.kv_manager
         if hasattr(self.kv, "attach_block_io"):
@@ -197,6 +206,8 @@ class PyExecutor:
             self._thread = None
         if self.drafter is not None and hasattr(self.drafter, "flush"):
             self.drafter.flush()  # capture-style drafters write final shard
+        if self._stop_scan is not None:
+            self._stop_scan.close()
 
     # ---------------------------------------------------------------- submit ----
     def submit(self, request: LlmRequest) -> LlmRequest:
@@ -696,6 +707,10 @@ class PyExecutor:
                 self._sample_and_update(decode_reqs, logits)
                 stats.num_decode_tokens += len(decode_reqs)
 
+        # ---- async stop-string scan (reference postproc workers) -----------------
+        if self._stop_scan is not None:
+            self._pump_stop_scan()
+
         # ---- cleanup finished -----------------------------------------------------
         self._cleanup_finished()
 
@@ -706,6 +721,36 @@ class PyExecutor:
         if len(self.stats_history) > self._stats_max:
             self.stats_history = self.stats_history[-self._stats_max:]
         return True
+
+    def _pump_stop_scan(self):
+        """Hand new tokens of stop-string requests to the scan worker and
+        finish any request whose match landed.  No tokenizer calls happen
+        on this (executor) thread; a match takes effect up to one fused
+        chunk late, truncated back to the matching token so results are
+        identical to the synchronous scan."""
+        for req in self.active:
+            sp = req.sampling_params
+            if not sp.stop or not req.is_generating:
+                continue
+            n = len(req.output_token_ids)
+            fed = self._stop_fed.get(req.request_id, 0)
+            if n > fed:
+                self._stop_scan.feed(req.request_id, sp.stop,
+                                     req.output_token_ids)
+                self._stop_fed[req.request_id] = n
+        hits = self._stop_scan.poll()
+        if not hits:
+            return
+        for req in self.active:
+            hit = hits.get(req.request_id)
+            if hit is None or not req.is_generating:
+                continue
+            n_match, stop_str = hit
+            req.truncate_output(n_match)
+            req.stop_string = stop_str
+            req.finish(FinishReason.STOP_STRING)
+            if req.request_type != "context_only":
+                req.emit(finished=True)
 
     def _cleanup_finished(self):
         for req in list(self.active):
@@ -743,6 +788,9 @@ class PyExecutor:
                 self._run_finish_hook(req)
                 self.kv.free_sequence(req.request_id)
                 self.guided.drop(req.request_id)
+                if self._stop_scan is not None and \
+                        self._stop_fed.pop(req.request_id, None) is not None:
+                    self._stop_scan.drop(req.request_id)
                 self.active.remove(req)
                 self.tracer.record_request(req)
 
@@ -798,15 +846,17 @@ class PyExecutor:
         return int(tok) in {int(t) for t in top} \
             and float(p.max() - p[int(tok)]) <= delta
 
-    @staticmethod
-    def _needs_host_controls(sp) -> bool:
+    def _needs_host_controls(self, sp) -> bool:
         """Sampling features applied only on the host logits path — they
         force single-step decode and exclude a request from speculation
-        (whose accept loop bypasses _sample_and_update entirely)."""
+        (whose accept loop bypasses _sample_and_update entirely).  Stop
+        strings only force the host path when the async scan worker is off
+        (with it on they ride fused chunks and truncate on match)."""
         return bool(sp.repetition_penalty != 1.0
                     or sp.presence_penalty != 0.0
                     or sp.frequency_penalty != 0.0
-                    or sp.stop or sp.min_tokens or sp.bad_words
+                    or (sp.stop and self._stop_scan is None)
+                    or sp.min_tokens or sp.bad_words
                     or sp.logit_bias or sp.no_repeat_ngram_size
                     or sp.logits_processor is not None)
 
@@ -1436,6 +1486,8 @@ class PyExecutor:
         sp = req.sampling_params
         if not sp.stop or self.tokenizer is None:
             return None
+        if self._stop_scan is not None:
+            return None   # the async worker owns the scan (_pump_stop_scan)
         tail = self.tokenizer.decode(req.output_token_ids[-24:])
         for s_ in sp.stop:
             if s_ in tail:

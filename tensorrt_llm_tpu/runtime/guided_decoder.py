@@ -31,13 +31,15 @@ def _vocab_tables(tokenizer, vocab_size: int):
     per-pattern caches retain a full copy each (unbounded growth)."""
     from tensorrt_llm_tpu.runtime.regex_fsm import (build_vocab_trie,
                                                     token_strings)
+    # entry pins the tokenizer: ids of dead objects get reused, and a hit
+    # on a recycled id would serve another tokenizer's tables
     key = (id(tokenizer), vocab_size)
     ent = _VOCAB_CACHE.get(key)
-    if ent is None:
+    if ent is None or ent[0] is not tokenizer:
         strings = token_strings(tokenizer, vocab_size)
-        ent = (strings, build_vocab_trie(strings))
+        ent = (tokenizer, strings, build_vocab_trie(strings))
         _VOCAB_CACHE[key] = ent
-    return ent
+    return ent[1], ent[2]
 
 
 def _bound_cache(cache: dict):
@@ -106,17 +108,20 @@ class RegexMatcher(GrammarMatcher):
     def __init__(self, pattern: str, tokenizer, eos_token_id: int,
                  vocab_size: int):
         from tensorrt_llm_tpu.runtime.regex_fsm import DFA, TokenMaskCache
+        # the entry pins the tokenizer so its id() can't be reused by a new
+        # object after GC (stale-mask flake); hits verify identity anyway
         key = (id(tokenizer), pattern, vocab_size)
-        cached = RegexMatcher._shared.get(key)
-        if cached is None:
+        hit = RegexMatcher._shared.get(key)
+        if hit is None or hit[0] is not tokenizer:
             dfa = DFA(pattern)
             strings, trie = _vocab_tables(tokenizer, vocab_size)
-            cached = TokenMaskCache(dfa, trie, eos_token_id, strings)
-            RegexMatcher._shared[key] = cached
+            hit = (tokenizer,
+                   TokenMaskCache(dfa, trie, eos_token_id, strings))
+            RegexMatcher._shared[key] = hit
             _bound_cache(RegexMatcher._shared)
-        self.masks = cached
+        self.masks = hit[1]
         self.eos = eos_token_id
-        self.state = cached.dfa.start
+        self.state = self.masks.dfa.start
         self._done = False
 
     def allowed_tokens(self) -> Optional[np.ndarray]:
@@ -152,17 +157,19 @@ class EbnfMatcher(GrammarMatcher):
                  vocab_size: int):
         from tensorrt_llm_tpu.runtime.grammar_fsm import (
             GrammarPDA, GrammarTokenMasks)
+        # see RegexMatcher: entry pins the tokenizer against id() reuse
         key = (id(tokenizer), grammar, vocab_size)
-        cached = EbnfMatcher._shared.get(key)
-        if cached is None:
+        hit = EbnfMatcher._shared.get(key)
+        if hit is None or hit[0] is not tokenizer:
             pda = GrammarPDA(grammar)
             strings, trie = _vocab_tables(tokenizer, vocab_size)
-            cached = GrammarTokenMasks(pda, trie, eos_token_id, strings)
-            EbnfMatcher._shared[key] = cached
+            hit = (tokenizer,
+                   GrammarTokenMasks(pda, trie, eos_token_id, strings))
+            EbnfMatcher._shared[key] = hit
             _bound_cache(EbnfMatcher._shared)
-        self.masks = cached
+        self.masks = hit[1]
         self.eos = eos_token_id
-        self.configs = cached.pda.start_configs
+        self.configs = self.masks.pda.start_configs
         self._done = False
 
     def allowed_tokens(self) -> Optional[np.ndarray]:

@@ -115,6 +115,20 @@ class KvCacheConnector:
         return self.load(key) is not None
 
 
+def prefix_chain_hashes(token_ids, block_size: int, salt=None) -> List[int]:
+    """Chain hash of every full block of a prompt — the router-side mirror
+    of the hashes advertised by 'stored' KV events (reference event-fed
+    radix view, serve/router.py:76-139).  Because each chain hash encodes
+    its whole prefix, set membership of hash b implies blocks 0..b match."""
+    parent = 0
+    out = []
+    for b in range(len(token_ids) // block_size):
+        chunk = tuple(token_ids[b * block_size:(b + 1) * block_size])
+        parent = KVCacheManager._whash(parent, chunk, salt)
+        out.append(parent)
+    return out
+
+
 def _stable_mix(h: int, v: int) -> int:
     h ^= v & 0xFFFFFFFFFFFFFFFF
     return (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
@@ -676,6 +690,7 @@ class KVCacheManager:
         self._extract_fn = None
         self._inject_fn = None
         self._block_whash: Dict[int, int] = {}   # bid -> content chain hash
+        self._whash_refs: Dict[int, int] = {}    # hash -> device block count
         self._block_prio: Dict[int, int] = {}    # bid -> retention priority
         self._seq_prio: Dict[int, int] = {}
         self._seq_whash: Dict[int, List[int]] = {}
@@ -915,6 +930,38 @@ class KVCacheManager:
             h = _stable_mix(h, int.from_bytes(d[:8], "little"))
         return h
 
+    def _whash_set(self, bid: int, wh: int):
+        old = self._block_whash.get(bid)
+        if old == wh:
+            return
+        if old is not None:
+            self._whash_refs[old] = self._whash_refs.get(old, 1) - 1
+            if self._whash_refs[old] <= 0:
+                del self._whash_refs[old]
+        self._block_whash[bid] = wh
+        self._whash_refs[wh] = self._whash_refs.get(wh, 0) + 1
+
+    def _whash_pop(self, bid: int):
+        """Drop bid's hash mapping; returns the hash if that was the LAST
+        device block carrying this content (None otherwise)."""
+        wh = self._block_whash.pop(bid, None)
+        if wh is None:
+            return None
+        left = self._whash_refs.get(wh, 1) - 1
+        if left <= 0:
+            self._whash_refs.pop(wh, None)
+            return wh
+        self._whash_refs[wh] = left
+        return None
+
+    def _emit_removed(self, wh: int):
+        """'removed' KV event: the block left every matchable tier, so
+        event-fed router views must drop it (reference
+        kvCacheEventManager.cpp removed events feeding serve/router.py:76)."""
+        self.events.append({"id": self._next_event_id, "type": "removed",
+                            "block_hash": wh})
+        self._next_event_id += 1
+
     def _drain_offloads(self):
         """Offload reuse blocks evicted by the last backend op to the host
         tier — called before any new device write can overwrite them."""
@@ -925,8 +972,10 @@ class KVCacheManager:
         min_p = self.cfg.secondary_offload_min_priority
         conn = self.cfg.kv_connector
         for bid in bids:
-            wh = self._block_whash.pop(bid, None)
+            wh = self._whash_pop(bid)  # None if other device copies remain
             prio = self._block_prio.pop(bid, DEFAULT_RETENTION_PRIORITY)
+            if wh is not None and not enabled:
+                self._emit_removed(wh)
             if not enabled or wh is None:
                 continue
             # the priority gate applies to the HOST RAM tier only
@@ -939,6 +988,7 @@ class KVCacheManager:
                 continue
             need_save = conn is not None
             if not host_ok and not need_save:
+                self._emit_removed(wh)
                 continue
             payload = self._extract_fn([bid])
             if need_save:
@@ -952,7 +1002,11 @@ class KVCacheManager:
                 self.host_cache[wh] = payload
                 self.num_offloaded += 1
                 while len(self.host_cache) > self.cfg.host_cache_blocks:
-                    self.host_cache.popitem(last=False)
+                    old_wh, _ = self.host_cache.popitem(last=False)
+                    # still in the connector (durable) or on device
+                    # (duplicate content) => still matchable: no event
+                    if conn is None and old_wh not in self._whash_refs:
+                        self._emit_removed(old_wh)
 
     def set_seq_priority(self, seq_id: int, priority: int):
         """Retention priority for blocks this sequence stores for reuse
@@ -1017,7 +1071,7 @@ class KVCacheManager:
                 self._inject_fn([bid], payload)
                 if wh in self.host_cache:
                     self.host_cache.move_to_end(wh)
-                self._block_whash[bid] = wh
+                self._whash_set(bid, wh)
                 self._block_prio[bid] = self._seq_prio.get(
                     seq_id, DEFAULT_RETENTION_PRIORITY)
                 self.num_onboarded += 1
@@ -1078,7 +1132,7 @@ class KVCacheManager:
                 chunk = tuple(token_ids[b * bs:(b + 1) * bs])
                 parent = self._whash(parent, chunk, salt)
                 whs.append(parent)
-                self._block_whash[table[b]] = parent
+                self._whash_set(table[b], parent)
                 self._block_prio[table[b]] = self._seq_prio.get(
                     seq_id, DEFAULT_RETENTION_PRIORITY)
         # emit "stored" events with the SALTED stable chain hash: the event
@@ -1137,6 +1191,14 @@ class KVCacheManager:
     def get_events(self, since_id: int = 0) -> List[dict]:
         """Events with id >= since_id (bounded history)."""
         return [e for e in self.events if e["id"] >= since_id]
+
+    def reuse_block_hashes(self) -> List[int]:
+        """Every currently matchable block chain hash (device + host
+        tiers) — the full-snapshot resync for event-fed router views
+        whose cursor fell behind the bounded event history."""
+        out = list(self._whash_refs)
+        out.extend(h for h in self.host_cache if h not in self._whash_refs)
+        return out
 
     def fork_sequence(self, src_id: int, dst_id: int):
         """Fork dst from src (beam search): share immutable blocks, allocate
@@ -1264,6 +1326,12 @@ class DpKVCacheManager:
         evs = [e for r in self.ranks for e in r.get_events(since_id)]
         evs.sort(key=lambda e: e["id"])
         return evs
+
+    def reuse_block_hashes(self):
+        out = []
+        for r in self.ranks:
+            out.extend(r.reuse_block_hashes())
+        return sorted(set(out))
 
     def block_table(self, seq_id, mb):
         return self._r(seq_id).block_table(seq_id, mb)

@@ -662,6 +662,8 @@ class ModelEngine:
                 jnp.asarray(inputs.seq_slots),
                 jnp.asarray(inputs.lora_ids),
                 jnp.asarray(local_slot_table), lt)
+        if os.environ.get("TLLM_SYNC_DISPATCH") == "1":
+            jax.block_until_ready(toks)
         return toks, logps
 
     def _run_decode_multi_pp(self, inputs: StepInputs, num_steps: int,
@@ -989,6 +991,9 @@ class ModelEngine:
             jnp.asarray(inputs.logit_indices),
             jnp.asarray(inputs.seq_slots),
             jnp.asarray(inputs.lora_ids), ls, lt)
+        if os.environ.get("TLLM_SYNC_DISPATCH") == "1":
+            # debug: surface async device errors at their dispatch site
+            jax.block_until_ready(logits)
         return logits
 
     def run_prefill(self, inputs: StepInputs) -> jax.Array:
@@ -1591,6 +1596,20 @@ class ModelEngine:
                 or self.pp_size > 1:
             return  # tuning rides the single-chip eager path
         tuner = AutoTuner.get()
+        # persist measured tactics next to the compiled-program cache so a
+        # fresh process skips re-timing (reference: profiling cache file)
+        from tensorrt_llm_tpu.utils.common import enable_compilation_cache
+        cache_dir = enable_compilation_cache()
+        tactic_path = (os.path.join(cache_dir, "autotune.json")
+                       if cache_dir else None)
+        if tactic_path and os.path.exists(tactic_path) and not tuner.cache:
+            try:
+                tuner.load(tactic_path)
+                logger.info("autotune cache loaded (%d tactics)",
+                            len(tuner.cache))
+            except Exception:  # noqa: BLE001 — stale/corrupt cache file
+                pass
+        n_before = len(tuner.cache)
         seen = {}
         params_leaves = jax.tree.leaves_with_path(self.params)
         by_path = {jax.tree_util.keystr(p): v for p, v in params_leaves}
@@ -1656,6 +1675,14 @@ class ModelEngine:
 
             with autotune():
                 tuner.maybe_tune("w4a16_gmm", key, cands, run_gmm)
+
+        if tactic_path and len(tuner.cache) > n_before:
+            try:
+                tuner.save(tactic_path)
+                logger.info("autotune cache saved (%d tactics)",
+                            len(tuner.cache))
+            except OSError:
+                pass
 
     # ------------------------------------------------------------------ warmup ----
     def warmup(self, decode: bool = True, prefill: bool = True,

@@ -524,8 +524,13 @@ def _resolve_ref(ref: str, root: dict):
 
 
 def _merge_allof(schema: dict) -> dict:
-    """Shallow allOf merge: combine properties/required/type of branches."""
+    """Shallow allOf merge: combine properties/required/type of branches.
+    Numeric bounds intersect (max of minimums / min of maximums); other
+    conflicting same-key constraints keep the tighter-looking first value
+    and log, rather than silently over-admitting (ADVICE r3)."""
     merged = {k: v for k, v in schema.items() if k != "allOf"}
+    _lo_keys = ("minimum", "exclusiveMinimum", "minLength", "minItems")
+    _hi_keys = ("maximum", "exclusiveMaximum", "maxLength", "maxItems")
     for sub in schema["allOf"]:
         for k, v in sub.items():
             if k == "properties":
@@ -536,6 +541,18 @@ def _merge_allof(schema: dict) -> dict:
                     set(merged.get("required", [])) | set(v))
             elif k not in merged:
                 merged[k] = v
+            elif merged[k] != v:
+                if k in _lo_keys and isinstance(v, (int, float)) \
+                        and not isinstance(v, bool):
+                    merged[k] = max(merged[k], v)
+                elif k in _hi_keys and isinstance(v, (int, float)) \
+                        and not isinstance(v, bool):
+                    merged[k] = min(merged[k], v)
+                else:
+                    from tensorrt_llm_tpu.utils.common import logger
+                    logger.warning(
+                        "allOf merge: conflicting %r constraints "
+                        "(%r vs %r); keeping the first", k, merged[k], v)
     return merged
 
 
@@ -567,6 +584,9 @@ def json_schema_to_regex(schema: dict, depth: int = 3,
 
     if schema is True or schema == {} or schema is None:
         return _json_value_regex(depth)
+    if schema is False:
+        # boolean schema False = match nothing; legal inside anyOf etc.
+        raise ValueError("unsatisfiable schema: `false` admits no value")
     if "$ref" in schema:
         if ref_depth <= 0:
             return _json_value_regex(1)
@@ -578,7 +598,15 @@ def json_schema_to_regex(schema: dict, depth: int = 3,
         return rec(_merge_allof(schema), depth)
     if "anyOf" in schema or "oneOf" in schema:
         branches = schema.get("anyOf", []) + schema.get("oneOf", [])
-        return "(" + "|".join(rec(b, depth) for b in branches) + ")"
+        parts = []
+        for b in branches:
+            try:
+                parts.append(rec(b, depth))
+            except ValueError:
+                continue  # unsatisfiable branch (`false` schema): drop it
+        if not parts:
+            raise ValueError("unsatisfiable schema: every branch is `false`")
+        return "(" + "|".join(parts) + ")"
     if "enum" in schema:
         opts = "|".join(_regex_escape(_json.dumps(v, separators=(",", ":")))
                         for v in schema["enum"])
@@ -592,7 +620,9 @@ def json_schema_to_regex(schema: dict, depth: int = 3,
             rec({**schema, "type": tt}, depth) for tt in t) + ")"
     if t == "string":
         if "pattern" in schema:
-            return '"' + _strip_anchors(schema["pattern"]) + '"'
+            # group the pattern: a top-level alternation ("cat|dog") must not
+            # escape the quote literals (ADVICE r3)
+            return '"(' + _strip_anchors(schema["pattern"]) + ')"'
         lo = schema.get("minLength")
         hi = schema.get("maxLength")
         if lo is not None or hi is not None:
@@ -602,12 +632,22 @@ def json_schema_to_regex(schema: dict, depth: int = 3,
             return f'"{char}{quant}"'
         return _STRING_RE
     if t == "integer":
+        import math as _math
         lo = schema.get("minimum")
         hi = schema.get("maximum")
-        if "exclusiveMinimum" in schema:
-            lo = int(schema["exclusiveMinimum"]) + 1
-        if "exclusiveMaximum" in schema:
-            hi = int(schema["exclusiveMaximum"]) - 1
+        # exclusive bounds: draft-2019 numeric form, or draft-4 boolean
+        # (applies to the sibling minimum/maximum); non-integer bounds use
+        # floor/ceil semantics (exclusiveMaximum: 10.5 admits 10)
+        em = schema.get("exclusiveMinimum")
+        if em is True:
+            lo = None if lo is None else int(_math.floor(lo)) + 1
+        elif isinstance(em, (int, float)) and not isinstance(em, bool):
+            lo = int(_math.floor(em)) + 1
+        ex = schema.get("exclusiveMaximum")
+        if ex is True:
+            hi = None if hi is None else int(_math.ceil(hi)) - 1
+        elif isinstance(ex, (int, float)) and not isinstance(ex, bool):
+            hi = int(_math.ceil(ex)) - 1
         if lo is None and hi is None:
             return _INT_RE
         return _int_range_regex(

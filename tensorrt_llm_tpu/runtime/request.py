@@ -46,6 +46,9 @@ class RequestOutputPiece:
     finish_reason: Optional[FinishReason] = None
     logprobs: Optional[list] = None
     error: Optional[str] = None
+    # async stop-scan truncation: already-streamed tokens past this output
+    # length were generated after the stop string completed — drop them
+    truncate_to: Optional[int] = None
 
 
 class LlmRequest:
@@ -172,6 +175,20 @@ class LlmRequest:
         self.finish_reason = reason
         self.end_time = time.time()
 
+    def truncate_output(self, n: int):
+        """Drop output tokens past `n` (async stop-scan overshoot: the
+        fused chunk sampled past the stop-string match).  Aligns every
+        per-token side list so results match the synchronous scan."""
+        if n >= len(self.output_token_ids):
+            return
+        self._truncated_to = n
+        self.output_token_ids = self.output_token_ids[:n]
+        if self.logprobs:
+            self.logprobs = self.logprobs[:n]
+        if self.generation_logits:
+            self.generation_logits = self.generation_logits[:n]
+        self._streamed = min(self._streamed, n)
+
     # ---- stop criteria (host side, like the reference's CPU accept loop) --------
     def check_stop(self, eos_token_id: Optional[int]) -> Optional[FinishReason]:
         sp = self.sampling_params
@@ -205,4 +222,5 @@ class LlmRequest:
             finished=finished,
             finish_reason=self.finish_reason if finished else None,
             error=error,
+            truncate_to=getattr(self, "_truncated_to", None),
         ))

@@ -13,9 +13,12 @@ on TPU pods the same bytes ride DCN).
 Routers: ROUND_ROBIN, LOAD_BASED (fewest active sequences — fed by each
 server's /kv_cache_events, the reference's load router `serve/router.py:76`)
 and KV_AWARE (longest cached prefix wins, load breaks ties — the reference's
-KV-cache-aware router `serve/router.py:76-139`; instead of mirroring the
-event stream into a radix view, each candidate answers an exact, side-effect-
-free /prefix_match probe).
+KV-cache-aware router `serve/router.py:76-139`): each worker's
+stored/removed KV event stream is mirrored into a local `KvView` by the
+same load probe, so prefix scoring costs no extra network round trip; a
+view that fell behind the bounded event history resyncs via
+`/kv_cache_events?full=1` and falls back to an exact, side-effect-free
+/prefix_match probe until the snapshot lands.
 
 Cluster management (reference `serve/router.py:68` health checks,
 `serve/metadata_server.py` + `serve/disagg_auto_scaling.py` worker
@@ -104,6 +107,48 @@ class ServerPool:
                 for u, s in self.servers.items()]
 
 
+class KvView:
+    """Event-fed mirror of one worker's matchable KV blocks (reference
+    radix view, serve/router.py:76-139).  Chain hashes encode their whole
+    prefix, so a flat SET + per-prompt chain walk replaces the radix tree;
+    a cursor gap (bounded event history overran us) triggers a ?full=1
+    snapshot resync on the next probe."""
+
+    def __init__(self):
+        self.blocks: set = set()
+        self.cursor = 0          # next event id we expect
+        self.block_size = 0
+        self.need_full = True    # bootstrap with a snapshot
+
+    def apply(self, resp: dict):
+        self.block_size = resp.get("block_size") or self.block_size
+        if "block_hashes" in resp:
+            self.blocks = set(resp["block_hashes"])
+            self.need_full = False
+        events = resp.get("events") or []
+        for e in events:
+            if e["id"] > self.cursor and "block_hashes" not in resp:
+                # missed events (bounded ring wrapped): resync next time
+                self.need_full = True
+            if e["type"] == "stored":
+                self.blocks.add(e["block_hash"])
+            elif e["type"] == "removed":
+                self.blocks.discard(e["block_hash"])
+            self.cursor = max(self.cursor, e["id"] + 1)
+
+    def match(self, token_ids) -> int:
+        if not self.block_size or not self.blocks:
+            return 0
+        from tensorrt_llm_tpu.runtime.kv_cache_manager import (
+            prefix_chain_hashes)
+        n = 0
+        for h in prefix_chain_hashes(token_ids, self.block_size):
+            if h not in self.blocks:
+                break
+            n += self.block_size
+        return n
+
+
 class Router:
     """Pick a server for the next request."""
 
@@ -112,6 +157,7 @@ class Router:
         self.policy = policy
         self._rr = itertools.cycle([])
         self._rr_urls: List[str] = []
+        self._views: Dict[str, KvView] = {}
 
     @property
     def urls(self) -> List[str]:
@@ -133,14 +179,23 @@ class Router:
             return next(self._rr)
         # load: fewest active sequences right now (both remaining
         # policies) — probe every candidate CONCURRENTLY (sequential
-        # awaits put O(N) network round trips on every request's TTFT)
+        # awaits put O(N) network round trips on every request's TTFT).
+        # The same single probe also drains each worker's KV event stream
+        # into its local view, so kv_aware scoring adds NO extra RTT
+        # (reference event-fed radix router, serve/router.py:76-139).
         import asyncio as _aio
+        kv_aware = self.policy == "kv_aware" and token_ids
 
         async def probe(u):
+            view = self._views.setdefault(u, KvView())
+            q = f"?since_id={view.cursor}"
+            if kv_aware and view.need_full:
+                q += "&full=1"
             try:
-                async with session.get(f"{u}/kv_cache_events") as r:
+                async with session.get(f"{u}/kv_cache_events{q}") as r:
                     stats = await r.json()
                 self.pool.mark(u, True)
+                view.apply(stats)
                 return (stats.get("active_sequences", 0), u)
             except Exception:  # noqa: BLE001 — skip unhealthy servers
                 self.pool.mark(u, False)
@@ -149,13 +204,18 @@ class Router:
                  if x is not None]
         if not loads:
             raise web.HTTPServiceUnavailable(text="no healthy backend")
-        if self.policy == "kv_aware" and token_ids:
-            # longest cached prefix wins; load breaks ties
-            matches = await _aio.gather(
-                *(self.prefix_match(session, u, token_ids)
-                  for _, u in loads))
-            scored = sorted((-m, load, u)
-                            for m, (load, u) in zip(matches, loads))
+        if kv_aware:
+            # longest cached prefix wins; load breaks ties.  Views that
+            # still need a snapshot fall back to the exact (but one extra
+            # RTT) /prefix_match probe.
+            async def score(load, u):
+                view = self._views[u]
+                if view.need_full:
+                    return (-(await self.prefix_match(session, u,
+                                                      token_ids)), load, u)
+                return (-view.match(token_ids), load, u)
+            scored = sorted(await _aio.gather(
+                *(score(load, u) for load, u in loads)))
             return scored[0][2]
         loads.sort()
         return loads[0][1]

@@ -232,10 +232,17 @@ class OpenAIServer:
         return web.json_response(self.llm.get_stats())
 
     async def kv_cache_events(self, request):
-        """KV stats + stored-block event stream (cursor: ?since_id=N)."""
+        """KV stats + stored/removed-block event stream (cursor:
+        ?since_id=N).  ?full=1 additionally returns every currently
+        matchable block hash — the resync snapshot for event-fed router
+        views (reference kvCacheEventManager + serve/router.py:76-139)."""
         out = dict(self.llm.get_kv_cache_stats())
         since = int(request.query.get("since_id", 0))
         out["events"] = self.llm.get_kv_cache_events(since)
+        kv = getattr(self.llm, "kv_manager", None)
+        out["block_size"] = getattr(kv, "block_size", 0)
+        if request.query.get("full") and hasattr(kv, "reuse_block_hashes"):
+            out["block_hashes"] = kv.reuse_block_hashes()
         return web.json_response(out)
 
     async def embeddings(self, request):

@@ -63,3 +63,30 @@ def is_tpu_backend() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+@functools.cache
+def enable_compilation_cache() -> str:
+    """Persist compiled XLA executables across processes/sessions.
+
+    TPU analog of the reference's engine build-cache
+    (`tensorrt_llm/builder.py:93`): without it every chip session pays the
+    full (remote, ~minutes-per-program) compile again.  Called from LLM
+    bring-up and the bench CLIs; idempotent.  Override the location with
+    ``TLLM_TPU_JIT_CACHE`` (set to ``"0"``/``"off"`` to disable).
+    """
+    import jax
+
+    path = os.environ.get("TLLM_TPU_JIT_CACHE", "")
+    if path.lower() in ("0", "off", "none"):
+        return ""
+    if not path:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    logger.info("persistent compilation cache at %s", path)
+    return path
