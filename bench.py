@@ -81,7 +81,8 @@ def bench_w4a16_shape(M, K, N, rtt, inner=None):
         float(chained(x, p, s))
         times.append((time.perf_counter() - t0 - rtt) / inner)
     dt = sorted(times)[len(times) // 2]  # median (the tunnel adds jitter)
-    return (K * N / 2) / dt  # weight-stream bytes/sec
+    spread = (max(times) - min(times)) / dt
+    return (K * N / 2) / dt, spread  # weight-stream bytes/sec, rel spread
 
 
 def main():
@@ -92,14 +93,17 @@ def main():
     # Llama-8B decode GEMMs: qkv, o, gate_up, down
     shapes = [(16, 4096, 6144), (16, 4096, 4096),
               (16, 4096, 28672), (16, 14336, 4096)]
-    weighted = []
     total_bytes = 0
     total_time = 0.0
+    per_shape = {}
+    spreads = []
     for (M, K, N) in shapes:
-        bps = bench_w4a16_shape(M, K, N, rtt)
+        bps, spread = bench_w4a16_shape(M, K, N, rtt)
         wb = K * N / 2
         total_bytes += wb
         total_time += wb / bps
+        per_shape[f"{M}x{K}x{N}"] = round(100.0 * bps / roofline, 2)
+        spreads.append(spread)
     agg_bps = total_bytes / total_time
     pct = 100.0 * agg_bps / roofline
     print(json.dumps({
@@ -107,6 +111,10 @@ def main():
         "value": round(pct, 2),
         "unit": "%",
         "vs_baseline": round(pct / 85.0, 4),
+        # median-of-5 per sample; spread = (max-min)/median across the 5
+        # repeats, so tunnel noise is distinguishable from real regressions
+        "max_rel_spread": round(max(spreads), 3),
+        "per_shape_pct": per_shape,
     }))
 
 

@@ -557,6 +557,185 @@ def _w4a16_matmul_ramp(
     )(*operands)
 
 
+def _w4a16_kernel_stream(
+    x_ref,        # [BM, K] bf16 (whole K resident; single m block)
+    s_ref,        # [total_groups, BN] f32 (j-mapped full group dim)
+    *rest,        # opt z_ref, opt b_ref, p_hbm(ANY), out_ref, w_buf, acc, sem
+    n_k: int,
+    slab: int,            # K rows per DMA slab
+    lookahead: int,
+    n_t: int,
+    pack_group: int,
+    per_channel: bool,
+    has_zeros: bool,
+    has_bias: bool,
+    activation: Optional[str],
+    out_dtype,
+    mixed: bool = False,
+):
+    """Flat-grid W4A16 kernel: ONE sequential weight stream, uniform
+    manual-DMA slabs, lookahead >= 2 (the r2-verdict plan).
+
+    The grid-pipelined tiled kernel restarts its pipeline per call and the
+    r2 ramp kernel's non-uniform pl.when schedule defeated Mosaic; here
+    the flat (j*k) step sequence walks the [n_n, K//2, BN] weight tiles in
+    HBM storage order with `lookahead` uniform slab copies in flight, so
+    the only cold DMA is one SLAB (slab/2 * BN bytes) rather than a whole
+    [BK//2, BN] block, and HBM stays saturated across j boundaries.  x is
+    VMEM-resident for the whole call (decode shapes: M <= 64);
+    the accumulator lives in VMEM scratch and the scale FMA keeps the
+    `partial * s + acc` ordering Mosaic fuses."""
+    it = iter(rest)
+    z_ref = next(it) if has_zeros else None
+    b_ref = next(it) if has_bias else None
+    p_hbm = next(it)      # [n_n, K//2, BN] int8 ANY
+    out_ref = next(it)
+    w_buf = next(it)      # [L, slab//2, BN] int8 VMEM
+    acc_ref = next(it)
+    sems = next(it)
+
+    t = pl.program_id(0)
+    L = lookahead
+    half = slab // 2
+    Gp, Gh = pack_group, pack_group // 2
+    cps = slab // Gp
+
+    def copy_for(tt, slot):
+        jj = tt // n_k
+        kk = tt - jj * n_k
+        return pltpu.make_async_copy(
+            p_hbm.at[jj, pl.ds(kk * half, half)],
+            w_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _prologue():
+        for l in range(min(L, n_t)):
+            copy_for(l, l).start()
+
+    @pl.when((t > 0) & (t + L - 1 < n_t))
+    def _prefetch():
+        copy_for(t + L - 1, (t + L - 1) % L).start()
+
+    slot = t % L
+    copy_for(t, slot).wait()
+
+    k = t % n_k
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc = acc_ref[:]
+    for c in range(cps):
+        pblk = w_buf[slot, c * Gh:(c + 1) * Gh, :]
+        w4 = pltpu.bitcast(pblk, jnp.int4)
+        w_c = w4 if mixed else w4.astype(jnp.bfloat16)     # [Gp, BN]
+        x_c = x_ref[:, pl.ds(k * slab + c * Gp, Gp)]       # traced k: ds
+        partial = jnp.dot(x_c, w_c, preferred_element_type=jnp.float32)
+        if per_channel:
+            s_g = s_ref[pl.ds(0, 1), :]
+        else:
+            s_g = s_ref[pl.ds(k * cps + c, 1), :]
+        acc = partial * s_g + acc
+        if has_zeros:
+            z_g = (z_ref[pl.ds(0, 1), :] if per_channel
+                   else z_ref[pl.ds(k * cps + c, 1), :])
+            xsum = jnp.sum(x_c.astype(jnp.float32), axis=1, keepdims=True)
+            acc = acc - xsum * (s_g * z_g)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_k - 1)
+    def _epilogue():
+        r = acc_ref[:]
+        if has_bias:
+            r = r + b_ref[0, :][None, :].astype(jnp.float32)
+        r = _ACTIVATIONS[activation](r)
+        out_ref[:] = r.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "slab",
+                     "lookahead", "mixed", "interpret"),
+)
+def _w4a16_matmul_stream(
+    x: jax.Array,
+    packed3: jax.Array,     # [n_n, K//2, BN]
+    scales: jax.Array,
+    zeros: Optional[jax.Array],
+    bias: Optional[jax.Array],
+    activation: Optional[str],
+    out_dtype,
+    block_m: int,
+    slab: int,
+    lookahead: int,
+    interpret: bool,
+    mixed: bool = False,
+):
+    M, K = x.shape
+    n_n, half, BN = packed3.shape
+    N = n_n * BN
+    n_scale_groups = scales.shape[0]
+    G = K // n_scale_groups
+    Gp = pack_group_for(K, n_scale_groups)
+    n_k = K // slab
+    n_t = n_n * n_k
+
+    in_specs = [
+        pl.BlockSpec((block_m, K), lambda t: (0, 0)),
+        pl.BlockSpec((n_scale_groups, BN), lambda t, nk=n_k: (0, t // nk)),
+    ]
+    operands = [x.astype(jnp.bfloat16), scales.astype(jnp.float32)]
+    if zeros is not None:
+        in_specs.append(pl.BlockSpec((n_scale_groups, BN),
+                                     lambda t, nk=n_k: (0, t // nk)))
+        operands.append(zeros.astype(jnp.float32))
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, BN),
+                                     lambda t, nk=n_k: (0, t // nk)))
+        operands.append(bias.reshape(1, N).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(packed3)
+
+    kernel = functools.partial(
+        _w4a16_kernel_stream,
+        n_k=n_k,
+        slab=slab,
+        lookahead=lookahead,
+        n_t=n_t,
+        pack_group=Gp,
+        per_channel=G >= K,
+        has_zeros=zeros is not None,
+        has_bias=bias is not None,
+        activation=activation,
+        out_dtype=out_dtype,
+        mixed=mixed,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((block_m, BN),
+                               lambda t, nk=n_k: (0, t // nk)),
+        out_shape=jax.ShapeDtypeStruct((round_up(M, block_m), N), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((lookahead, slab // 2, BN), jnp.int8),
+            pltpu.VMEM((block_m, BN), jnp.float32),
+            pltpu.SemaphoreType.DMA((lookahead,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=K * N // 2 + M * K * 2 + M * N * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+
+
 def ramp_schedule(K: int, bk0: int = RAMP_SLAB,
                   bk_big: int = 4 * RAMP_SLAB) -> tuple:
     """First step one small slab (the only cold DMA), then big steps."""
@@ -595,6 +774,13 @@ def w4a16_tactic_candidates(K: int, N: int, tiled: bool,
         half = max(bk_max // 2, G)
         if K % half == 0 and half != bk_max:
             cands.append({"block_k": half, "mixed": True})
+        if K % RAMP_SLAB == 0 and RAMP_SLAB % max(G, 128) == 0:
+            # flat-grid manual-DMA stream (single cold SLAB per call,
+            # lookahead 4): the r2-verdict pipeline plan
+            cands.append({"variant": "stream", "mixed": True})
+            if K % (2 * RAMP_SLAB) == 0:
+                cands.append({"variant": "stream", "mixed": True,
+                              "ramp_bk0": 2 * RAMP_SLAB})
         return cands
     return [{"block_k": bk} for bk in
             {bk_max, max(bk_max // 2, G)} if K % bk == 0]
@@ -694,9 +880,19 @@ def w4a16_matmul(
             and round_up(M, bm) == bm    # single M block (decode shapes)
             and bm * K * 2 <= (8 << 20))  # whole-K x tile must fit VMEM
         Mp = round_up(M, bm)
+        slab = ramp_bk0 or RAMP_SLAB
+        stream_ok = (
+            variant == "stream"
+            and K % slab == 0 and slab % Gp == 0
+            and round_up(M, bm) == bm    # single M block (decode shapes)
+            and bm * K * 2 <= (8 << 20))
         if Mp != M:
             x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-        if ramp_ok:
+        if stream_ok:
+            out = _w4a16_matmul_stream(
+                x2, packed, scales, zeros, bias, activation, out_dtype,
+                bm, slab, 4, bool(interpret), mixed)
+        elif ramp_ok:
             n_n, half, BN = packed.shape
             sched = ramp_schedule(K, ramp_bk0 or RAMP_SLAB,
                                   ramp_bk_big or 4 * RAMP_SLAB)

@@ -1323,9 +1323,16 @@ class DpKVCacheManager:
         return max(r.match_prefix(token_ids, cache_salt) for r in self.ranks)
 
     def get_events(self, since_id: int = 0):
-        evs = [e for r in self.ranks for e in r.get_events(since_id)]
+        # per-rank local ids collide across ranks; namespace them as
+        # id*R + rank so a single cursor (max id + 1) pages correctly
+        R = len(self.ranks)
+        evs = []
+        for i, r in enumerate(self.ranks):
+            local_since = max(0, (since_id - i + R - 1) // R)
+            for e in r.get_events(local_since):
+                evs.append({**e, "id": e["id"] * R + i})
         evs.sort(key=lambda e: e["id"])
-        return evs
+        return [e for e in evs if e["id"] >= since_id]
 
     def reuse_block_hashes(self):
         out = []

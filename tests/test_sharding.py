@@ -281,3 +281,41 @@ def test_ring_cp_matches_single_device(cp, tp):
 
     np.testing.assert_allclose(lp1, lcp, rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(ld1, ldc, rtol=3e-2, atol=3e-2)
+
+
+def test_low_precision_all_reduce():
+    """int8-wire all-reduce (reference customLowPrecisionAllReduceKernels
+    analog): numerics within 1 LSB/partial of exact psum, and the psum
+    path switches over via TLLM_LOW_PRECISION_ALLREDUCE."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from tensorrt_llm_tpu.parallel.ops import (tp_all_reduce,
+                                               tp_all_reduce_int8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("ep", "tp"))
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 16, 256)
+                    .astype(np.float32), jnp.bfloat16)
+
+    def lp(v):
+        return tp_all_reduce_int8(v)
+
+    def exact(v):
+        return jax.lax.psum(v, ("ep", "tp"))
+
+    sm = dict(mesh=mesh, in_specs=P(("ep", "tp")),
+              out_specs=P(("ep", "tp")), check_vma=False)
+    a = np.asarray(jax.jit(jax.shard_map(lp, **sm))(x), np.float32)
+    b = np.asarray(jax.jit(jax.shard_map(exact, **sm))(x), np.float32)
+    rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert rel < 0.02, rel
+
+    import os
+    os.environ["TLLM_LOW_PRECISION_ALLREDUCE"] = "1"
+    try:
+        c = np.asarray(jax.jit(jax.shard_map(
+            lambda v: tp_all_reduce(v), **sm))(x), np.float32)
+    finally:
+        del os.environ["TLLM_LOW_PRECISION_ALLREDUCE"]
+    np.testing.assert_allclose(c, a, rtol=0, atol=0)
