@@ -61,16 +61,13 @@ def main():
         print(f"wrote {args.out} ({len(reports)} configs)", flush=True)
 
     configs = [
-        # Llama-3-8B shapes, W4A16, bf16 KV: D=128 KV pools take the plain
-        # (non-lane-packed, non-int8) cache path — the config with the
-        # fewest on-device moving parts, so it runs FIRST to guarantee a
-        # number survives a tunnel drop (VERDICT r2 item #2).
-        ("llama-3-8b-w4a16",
-         ["throughput", "--model", "llama-3-8b", "--quant", "W4A16",
-          "--max-batch-size", str(conc), *common]),
-        # config #3: TinyLlama-1.1B W4A16, single chip
+        # config #3 first: the smallest bring-up (VERDICT r3 #1 — land a
+        # number before anything big compiles)
         ("tinyllama-1.1b-w4a16",
          ["throughput", "--model", "tinyllama-1.1b", "--quant", "W4A16",
+          "--max-batch-size", str(conc), *common]),
+        ("llama-3-8b-w4a16",
+         ["throughput", "--model", "llama-3-8b", "--quant", "W4A16",
           "--max-batch-size", str(conc), *common]),
         # config #4 (TP=1 slice): Llama-3-8B shapes, W4A16 + INT8 KV
         ("llama-3-8b-w4a16-int8kv",

@@ -6,11 +6,13 @@ lax.scan variant aborts at runtime.  Bisect: k=2 vs 4, Pallas vs XLA
 attention backend, with/without on-device sampling state variety.
 """
 
+import faulthandler
 import os
 import sys
 import time
 
 os.environ.setdefault("TLLM_LOG_LEVEL", "INFO")
+faulthandler.dump_traceback_later(240, repeat=True)
 
 import numpy as np
 

@@ -182,12 +182,49 @@ def case_w4a16_5632():
 
 
 
+def case_attn_plus_gemm():
+    """Paged-attention Pallas kernel + W4A16 Pallas kernel in ONE scan
+    body (two different manual-DMA kernels sharing a while-loop body)."""
+    from tensorrt_llm_tpu.ops.attention_xla import write_kv_cache
+    from tensorrt_llm_tpu.ops.paged_attention import paged_decode_attention
+    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul
+    from tensorrt_llm_tpu.quantization import (choose_block_n, pack_w4_tiled,
+                                               quantize_w4)
+    K, N = 2048, 2048
+    w = jnp.asarray(np.random.RandomState(0).randn(K, N)
+                    .astype(np.float32) * 0.1)
+    qw, s, _ = quantize_w4(w, 128, True)
+    p = pack_w4_tiled(qw, choose_block_n(N))
+    k, v = pools()
+    bt, lens = tables()
+    slots = jnp.asarray(np.arange(B, dtype=np.int32) + 30)
+    x = jnp.ones((B, K), jnp.bfloat16)
+
+    def f(x, p, s, k, v, bt, lens, slots):
+        def body(carry, _):
+            kk, vv, ln, sl, xx = carry
+            h = w4a16_matmul(xx, p, s, block_k=2048, mixed=True)  # [B, N]
+            qq = h[:, :HQ * D].reshape(B, HQ, D).astype(jnp.bfloat16)
+            kn = jnp.mean(qq.reshape(B, HKV, HQ // HKV, D), axis=2)
+            kk, vv = write_kv_cache(kk, vv, kn, kn, sl)
+            o = paged_decode_attention(qq, kk, vv, bt, ln + 1, scale=0.125)
+            xn = xx + jnp.pad(o.reshape(B, -1),
+                              ((0, 0), (0, K - HQ * D))).astype(xx.dtype)
+            return (kk, vv, ln + 1, sl + 1, xn), jnp.sum(o)
+        (kk, vv, *_), outs = jax.lax.scan(
+            body, (k, v, lens, slots, x), None, length=2)
+        return outs, kk, vv
+    jax.block_until_ready(
+        jax.jit(f, donate_argnums=(3, 4))(x, p, s, k, v, bt, lens, slots))
+
+
 def main():
     enable_compilation_cache()
     only = sys.argv[1] if len(sys.argv) > 1 else None
     cases = {"kernel": case_kernel_only, "scatter": case_scatter_only,
              "both": case_both, "sampler": case_sampler_only,
-             "w4a16": case_w4a16_scan, "w4a16_5632": case_w4a16_5632}
+             "w4a16": case_w4a16_scan, "w4a16_5632": case_w4a16_5632,
+             "attn_plus_gemm": case_attn_plus_gemm}
     for name, fn in cases.items():
         if only and only != name:
             continue

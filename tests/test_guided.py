@@ -76,13 +76,35 @@ def test_json_schema_constrained_output(llm):
     import json
     schema = {"type": "object",
               "properties": {"ok": {"type": "boolean"},
-                             "n": {"type": "integer"}}}
+                             "n": {"type": "integer"}},
+              "required": ["ok", "n"]}
     out = llm.generate(
         "q", SamplingParams(max_tokens=40, temperature=1.0,
                             guided_decoding=GuidedDecodingParams(
                                 json=schema)))[0]
     obj = json.loads(out.outputs[0].text)
     assert isinstance(obj["ok"], bool) and isinstance(obj["n"], int), obj
+
+
+def test_json_schema_optional_properties(llm):
+    """Without `required`, properties are omissible (xgrammar semantics:
+    every property optional) — but whatever IS emitted must parse and
+    type-check against the schema."""
+    import json
+    schema = {"type": "object",
+              "properties": {"ok": {"type": "boolean"},
+                             "n": {"type": "integer"}}}
+    for seed in range(3):
+        out = llm.generate(
+            "q", SamplingParams(max_tokens=40, temperature=1.0, seed=seed,
+                                guided_decoding=GuidedDecodingParams(
+                                    json=schema)))[0]
+        obj = json.loads(out.outputs[0].text)
+        assert set(obj) <= {"ok", "n"}, obj
+        if "ok" in obj:
+            assert isinstance(obj["ok"], bool), obj
+        if "n" in obj:
+            assert isinstance(obj["n"], int), obj
 
 
 def test_json_object_constrained_output(llm):
