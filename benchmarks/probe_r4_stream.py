@@ -54,10 +54,40 @@ def bench(M, K, N, tactic, r, inner=None):
     return (K * N / 2) / dt, spread
 
 
+def check_numerics():
+    """Real-Mosaic stream-vs-dequant-reference check (verify-skill rule:
+    kernel changes need an on-chip numerics pass, interpret mode is not
+    Mosaic)."""
+    from tensorrt_llm_tpu.ops.w4a16_gemm import w4a16_matmul
+    from tensorrt_llm_tpu.quantization import (choose_block_n, dequantize_w4,
+                                               pack_w4, pack_w4_tiled,
+                                               quantize_w4)
+    import numpy as np
+    M, K, N = 16, 4096, 4096
+    w = jnp.asarray(np.random.RandomState(0).randn(K, N)
+                    .astype(np.float32) * 0.1)
+    q, s, _ = quantize_w4(w, 128, True)
+    p3 = pack_w4_tiled(q, choose_block_n(N))
+    x = jnp.asarray(np.random.RandomState(1).randn(M, K)
+                    .astype(np.float32) * 0.5, jnp.bfloat16)
+    ref = x.astype(jnp.float32) @ dequantize_w4(pack_w4(q), s)
+    tol = float(jnp.max(jnp.abs(ref))) / 8 * 3
+    for name, tac in [("stream", {"variant": "stream", "mixed": True}),
+                      ("stream-2k", {"variant": "stream", "mixed": True,
+                                     "ramp_bk0": 2048})]:
+        out = w4a16_matmul(x, p3, s, **tac)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        status = "OK" if err <= tol else "NUMERICS FAIL"
+        print(f"  numerics {name}: err={err:.4f} tol={tol:.4f} {status}",
+              flush=True)
+        assert err <= tol, (name, err, tol)
+
+
 def main():
     enable_compilation_cache()
     r = rtt()
     print(f"rtt={r*1e3:.1f}ms", flush=True)
+    check_numerics()
     ROOF = 819e9
     shapes = [(16, 4096, 6144), (16, 4096, 4096),
               (16, 4096, 28672), (16, 14336, 4096)]
