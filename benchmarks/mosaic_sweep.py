@@ -85,7 +85,7 @@ def cases():
     for tag, hq, hkv, d in [("llama8b", 32, 8, 128)]:
         def fi(q, kd, ks, vd, vs, bt, lens, d=d):
             return paged_decode_attention(
-                q, ((kd, ks), (vd, vs)), None, bt, lens, scale=d ** -0.5)
+                q, (kd, ks), (vd, vs), bt, lens, scale=d ** -0.5)
         (kd, ks), (vd, vs) = _int8_pool(NB, hkv, BS, d), _int8_pool(
             NB, hkv, BS, d)
         yield (f"paged_decode/int8kv/{tag}", fi,
@@ -94,7 +94,7 @@ def cases():
 
         def fip(q, kd, ks, vd, vs, bt, lens, d=d):
             return flash_prefill_attention(
-                q, ((kd, ks), (vd, vs)), None, bt, lens, jnp.int32(0),
+                q, (kd, ks), (vd, vs), bt, lens, jnp.int32(0),
                 scale=d ** -0.5)
         yield (f"flash_prefill/int8kv/{tag}", fip,
                [S((256, hq, d), BF16), kd, ks, vd, vs,
@@ -126,11 +126,9 @@ def cases():
                             mixed=True)
     yield ("w4a16/tiled/mixed", gmx, [S((256, K), BF16), pk3, sc])
 
-    # W4A8 (int8 activations on the MXU int8 path)
+    # W4A8 (int8 activations on the MXU int8 path; quantizes internally)
     def g8(x, p, s):
-        from tensorrt_llm_tpu.ops.w4a16_gemm import quantize_act_int8
-        xq, xs = quantize_act_int8(x)
-        return w4a8_matmul(xq, xs, p, s)
+        return w4a8_matmul(x, p, s)
     yield ("w4a8/tiled/M256", g8, [S((256, K), BF16), pk3, sc])
 
     # fused gated MLP (three weight streams, one grid)
