@@ -282,3 +282,45 @@ def test_w4a8_linear_method_e2e():
         assert a == b and len(a) == 5
     finally:
         llm.shutdown()
+
+
+@pytest.mark.parametrize("M,K,N,group,symmetric,act", [
+    (16, 2048, 1024, 128, True, None),
+    (16, 2048, 1024, 128, False, "silu"),
+    (8, 2048, 512, -1, True, None),
+    (64, 4096, 1024, 128, True, None),
+])
+def test_w4a16_stream_variant(M, K, N, group, symmetric, act):
+    """Flat-grid manual-DMA stream kernel (uniform slabs, lookahead 4) ==
+    XLA reference across group/per-channel, zeros and epilogues."""
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
+    q, scales, zeros = quantize_w4(w, group, symmetric=symmetric)
+    p3 = pack_w4_tiled(q, 256)
+    bias = (jax.random.normal(jax.random.PRNGKey(6), (N,), jnp.float32)
+            if act else None)
+    out = w4a16_matmul(x, p3, scales, zeros, bias=bias, activation=act,
+                       variant="stream", interpret=True)
+    ref = np.asarray(w4a16_matmul_xla(x, p3, scales, zeros, bias=bias,
+                                      activation=act), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref,
+        rtol=2e-2, atol=2e-2 * max(np.abs(ref).max(), 1.0))
+
+
+def test_w4a16_stream_large_m_falls_back():
+    """M above one row block: stream constraint falls back to tiled."""
+    from tensorrt_llm_tpu.quantization import pack_w4_tiled
+    M, K, N = 400, 2048, 512
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    x = jax.random.normal(k1, (M, K), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (K, N), jnp.float32) * 0.1
+    q, scales, _ = quantize_w4(w, 128, True)
+    p3 = pack_w4_tiled(q, 256)
+    out = w4a16_matmul(x, p3, scales, variant="stream", interpret=True)
+    ref = np.asarray(w4a16_matmul_xla(x, p3, scales), np.float32)
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               rtol=2e-2, atol=2e-2 * np.abs(ref).max())
