@@ -43,6 +43,11 @@ def main():
                     help="reduced request count for smoke runs")
     ap.add_argument("--isl", type=int, default=1000)
     ap.add_argument("--osl", type=int, default=1000)
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated substrings: run matching configs")
+    ap.add_argument("--decode-steps", type=int, default=None,
+                    help="forwarded to the bench CLI (1 = single-step "
+                         "decode, no fused scan)")
     args = ap.parse_args()
 
     n = 8 if args.quick else 32
@@ -79,7 +84,12 @@ def main():
          ["throughput", "--model", "gpt-oss-20b", "--quant", "W4A16",
           "--max-batch-size", str(conc), *common]),
     ]
+    wanted = (args.configs.split(",") if args.configs else None)
     for name, argv in configs:
+        if wanted and not any(w in name for w in wanted):
+            continue
+        if args.decode_steps:
+            argv = argv + ["--decode-steps", str(args.decode_steps)]
         try:
             reports.append(run_config(name, argv))
         except Exception as e:  # noqa: BLE001 — don't lose earlier numbers
