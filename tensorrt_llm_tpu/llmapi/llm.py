@@ -903,6 +903,14 @@ class GenerationFuture:
                 raise RuntimeError(f"generation failed: {piece.error}")
             if piece.truncate_to is not None:
                 del toks[piece.truncate_to:]  # async stop-scan overshoot
+                if detok is not None:
+                    # overshoot text was already pushed into the detok
+                    # state; rebuild from the truncated tokens so the final
+                    # text matches token_ids even when the stop-trim below
+                    # is skipped (include_stop_str_in_output=True)
+                    detok = IncrementalDetokenizer(tok,
+                                                   sp.skip_special_tokens)
+                    detok.push(toks)
             toks.extend(piece.new_token_ids)
             text = "" if detok is not None else self._decode(toks)
             if detok is None:

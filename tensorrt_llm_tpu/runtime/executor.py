@@ -736,7 +736,8 @@ class PyExecutor:
             fed = self._stop_fed.get(req.request_id, 0)
             if n > fed:
                 self._stop_scan.feed(req.request_id, sp.stop,
-                                     req.output_token_ids)
+                                     req.output_token_ids,
+                                     sp.skip_special_tokens)
                 self._stop_fed[req.request_id] = n
         hits = self._stop_scan.poll()
         if not hits:
@@ -1191,6 +1192,7 @@ class PyExecutor:
                 if reason is None and req.num_tokens >= self.max_seq_len:
                     reason = FinishReason.LENGTH
                 if reason is not None:
+                    reason = self._reconcile_stop_on_finish(req, reason)
                     req.finish(reason)
                     req.emit(finished=True)
             if req.is_generating:
@@ -1395,6 +1397,7 @@ class PyExecutor:
             if reason is None and req.num_tokens >= self.max_seq_len:
                 reason = FinishReason.LENGTH
             if reason is not None:
+                reason = self._reconcile_stop_on_finish(req, reason)
                 req.finish(reason)
                 if req.request_type != "context_only":
                     # ctx-only finish is emitted by the cleanup pass, after
@@ -1481,6 +1484,35 @@ class PyExecutor:
                 out[i] = np.asarray(
                     sp.logits_processor(list(toks), row), np.float32)
         return out
+
+    def _reconcile_stop_on_finish(self, req: LlmRequest, reason):
+        """A request finishing by EOS/length may carry a stop string that
+        completed EARLIER in the same fused chunk — the synchronous scan
+        checks every token, so the async path must honor it too (else the
+        stop text leaks and finish_reason diverges).  Feed the final chunk,
+        flush the scan worker, and take this request's hit; the hit wins
+        only if it landed strictly before the finishing token (at the same
+        token, check_stop ran first in the synchronous order)."""
+        sp = req.sampling_params
+        if (self._stop_scan is None or not sp.stop
+                or reason not in (FinishReason.EOS, FinishReason.LENGTH)):
+            return reason
+        n = len(req.output_token_ids)
+        if n > self._stop_fed.get(req.request_id, 0):
+            self._stop_scan.feed(req.request_id, sp.stop,
+                                 req.output_token_ids,
+                                 sp.skip_special_tokens)
+            self._stop_fed[req.request_id] = n
+        self._stop_scan.flush()
+        hit = self._stop_scan.take(req.request_id)
+        if hit is None:
+            return reason
+        n_match, stop_str = hit
+        if n_match >= n:
+            return reason
+        req.truncate_output(n_match)
+        req.stop_string = stop_str
+        return FinishReason.STOP_STRING
 
     def _check_stop_strings(self, req: LlmRequest):
         sp = req.sampling_params

@@ -1192,6 +1192,15 @@ class KVCacheManager:
         """Events with id >= since_id (bounded history)."""
         return [e for e in self.events if e["id"] >= since_id]
 
+    def event_cursor(self):
+        """(next_since_id, oldest_retained_id) — explicit wire cursors so
+        routers never infer gaps from id contiguity (which breaks under
+        the DP manager's id namespacing, ADVICE r4).  A client whose
+        cursor is below oldest_retained_id missed ring-trimmed events and
+        must resync with ?full=1."""
+        oldest = self.events[0]["id"] if self.events else self._next_event_id
+        return self._next_event_id, oldest
+
     def reuse_block_hashes(self) -> List[int]:
         """Every currently matchable block chain hash (device + host
         tiers) — the full-snapshot resync for event-fed router views
@@ -1334,6 +1343,16 @@ class DpKVCacheManager:
         evs.sort(key=lambda e: e["id"])
         return [e for e in evs if e["id"] >= since_id]
 
+    def event_cursor(self):
+        """Namespaced cursors: min of per-rank next ids guarantees no
+        future event is skipped (a later poll may return a few duplicates
+        from faster ranks — idempotent, applied in id order); max of
+        per-rank retained floors is a conservative gap signal."""
+        R = len(self.ranks)
+        pairs = [r.event_cursor() for r in self.ranks]
+        return (min(n * R + i for i, (n, _) in enumerate(pairs)),
+                max(o * R + i for i, (_, o) in enumerate(pairs)))
+
     def reuse_block_hashes(self):
         out = []
         for r in self.ranks:
@@ -1469,6 +1488,9 @@ class HelixKVCacheManager:
 
     def get_events(self, since_id: int = 0):
         return []
+
+    def event_cursor(self):
+        return 0, 0
 
     def free_sequence(self, seq_id: int):
         for r in self.ranks:
@@ -1641,6 +1663,9 @@ class StarKVCacheManager:
 
     def get_events(self, since_id: int = 0):
         return []
+
+    def event_cursor(self):
+        return 0, 0
 
     def free_sequence(self, seq_id: int):
         self._bounds.pop(seq_id, None)

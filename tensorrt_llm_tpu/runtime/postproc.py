@@ -22,15 +22,17 @@ from tensorrt_llm_tpu.utils.common import logger
 
 
 class _ReqScan:
-    __slots__ = ("detok", "text", "n_tokens", "lens", "stops", "maxw")
+    __slots__ = ("detok", "text", "n_tokens", "lens", "stops", "maxw",
+                 "skip")
 
-    def __init__(self, detok, stops: List[str]):
+    def __init__(self, detok, stops: List[str], skip: bool):
         self.detok = detok
         self.text = ""          # bounded scan tail
         self.n_tokens = 0       # tokens consumed so far
         self.lens: List[int] = []  # text length after each consumed token
         self.stops = stops
         self.maxw = max(len(s) for s in stops)
+        self.skip = skip        # request's skip_special_tokens
 
 
 class StopScanWorker:
@@ -43,9 +45,8 @@ class StopScanWorker:
     `drop(req_id)` releases state when a request finishes for any reason.
     """
 
-    def __init__(self, tokenizer, skip_special_tokens: bool = True):
+    def __init__(self, tokenizer):
         self.tokenizer = tokenizer
-        self._skip = skip_special_tokens
         self._q: "queue.Queue" = queue.Queue()
         self._state: Dict[int, _ReqScan] = {}
         self._hits: Dict[int, Tuple[int, str]] = {}
@@ -56,14 +57,24 @@ class StopScanWorker:
         self._thread.start()
 
     # ------------------------------------------------------------ executor side --
-    def feed(self, req_id: int, stops: List[str], tokens: List[int]):
-        """Called from the executor thread: no tokenizer work here."""
-        self._q.put((req_id, stops, list(tokens)))
+    def feed(self, req_id: int, stops: List[str], tokens: List[int],
+             skip_special_tokens: bool = True):
+        """Called from the executor thread: no tokenizer work here.
+        `skip_special_tokens` must match the request's detokenization mode
+        so the scanned text is the text the user receives."""
+        self._q.put((req_id, stops, list(tokens), skip_special_tokens))
 
     def poll(self) -> Dict[int, Tuple[int, str]]:
         with self._lock:
             hits, self._hits = self._hits, {}
         return hits
+
+    def take(self, req_id: int) -> Optional[Tuple[int, str]]:
+        """Pop only this request's hit (used by the executor's finish path
+        to reconcile a stop match with an EOS/length finish in the same
+        fused chunk, without draining other requests' hits)."""
+        with self._lock:
+            return self._hits.pop(req_id, None)
 
     def drop(self, req_id: int):
         self._q.put((req_id, None, None))
@@ -86,7 +97,7 @@ class StopScanWorker:
             item = self._q.get()
             if item is None:
                 return
-            req_id, stops, tokens = item
+            req_id, stops, tokens = item[0], item[1], item[2]
             if req_id is None:
                 tokens.set()  # flush marker
                 continue
@@ -96,21 +107,22 @@ class StopScanWorker:
                     self._hits.pop(req_id, None)
                 continue
             try:
-                self._scan(req_id, stops, tokens)
+                self._scan(req_id, stops, tokens, item[3])
             except Exception:  # noqa: BLE001 — scanning must never die
                 logger.exception("stop-scan failed for request %d", req_id)
                 self._state.pop(req_id, None)
 
-    def _scan(self, req_id: int, stops: List[str], tokens: List[int]):
+    def _scan(self, req_id: int, stops: List[str], tokens: List[int],
+              skip: bool):
         st = self._state.get(req_id)
         if st is None:
             incremental = getattr(self.tokenizer,
                                   "supports_incremental_decode", True)
             from tensorrt_llm_tpu.llmapi.detokenizer import (
                 IncrementalDetokenizer)
-            detok = (IncrementalDetokenizer(self.tokenizer, self._skip)
+            detok = (IncrementalDetokenizer(self.tokenizer, skip)
                      if incremental else None)
-            st = self._state[req_id] = _ReqScan(detok, stops)
+            st = self._state[req_id] = _ReqScan(detok, stops, skip)
         if req_id in self._hits:
             return
         new = tokens[st.n_tokens:]
@@ -123,7 +135,7 @@ class StopScanWorker:
                 # incremental)
                 st.text = self.tokenizer.decode(
                     tokens[:st.n_tokens + 1],
-                    skip_special_tokens=self._skip)
+                    skip_special_tokens=st.skip)
             st.n_tokens += 1
             st.lens.append(len(st.text))
             # bounded scan: a match must end within the newly added text

@@ -119,22 +119,49 @@ class KvView:
         self.cursor = 0          # next event id we expect
         self.block_size = 0
         self.need_full = True    # bootstrap with a snapshot
+        self.epoch = None        # worker process identity
 
     def apply(self, resp: dict):
+        ep = resp.get("epoch")
+        if ep is not None and ep != self.epoch:
+            if self.epoch is not None:
+                # worker restarted: event ids reset below our cursor and
+                # its cache is cold — drop the stale view entirely
+                self.blocks.clear()
+                self.cursor = 0
+                self.need_full = True
+            self.epoch = ep
         self.block_size = resp.get("block_size") or self.block_size
         if "block_hashes" in resp:
             self.blocks = set(resp["block_hashes"])
             self.need_full = False
         events = resp.get("events") or []
-        for e in events:
-            if e["id"] > self.cursor and "block_hashes" not in resp:
-                # missed events (bounded ring wrapped): resync next time
+        oldest = resp.get("oldest_retained_id")
+        if oldest is not None:
+            # explicit gap signal: events below the retained floor are
+            # gone; ids themselves may be legitimately non-contiguous
+            # (DP manager namespacing) — never infer gaps from them
+            if oldest > self.cursor and "block_hashes" not in resp:
                 self.need_full = True
+        else:
+            for e in events:   # legacy servers: contiguity heuristic
+                if e["id"] > self.cursor and "block_hashes" not in resp:
+                    self.need_full = True
+                break
+        start = self.cursor
+        seen = start
+        for e in events:
             if e["type"] == "stored":
                 self.blocks.add(e["block_hash"])
             elif e["type"] == "removed":
                 self.blocks.discard(e["block_hash"])
-            self.cursor = max(self.cursor, e["id"] + 1)
+            seen = max(seen, e["id"] + 1)
+        nxt = resp.get("next_since_id")
+        # with an explicit cursor, use it EXACTLY (not max with applied
+        # ids): under DP namespacing a fast rank's ids can exceed the
+        # aggregate cursor, and advancing past it would skip slow ranks'
+        # future events.  Replayed duplicates are idempotent.
+        self.cursor = max(start, nxt) if nxt is not None else seen
 
     def match(self, token_ids) -> int:
         if not self.block_size or not self.blocks:

@@ -46,7 +46,11 @@ class OpenAIServer:
         register_to/advertise_url/disagg_role: announce this worker to a
         disaggregated front end on startup and withdraw on shutdown
         (reference metadata-server registration, disagg_auto_scaling.py)."""
+        import uuid
         self.llm = llm
+        # per-process event-stream epoch: a restart resets KV event ids,
+        # so routers must be able to detect it and drop their stale view
+        self._epoch = uuid.uuid4().hex
         self.model_name = model_name
         self.tool_parser_name = tool_parser
         # "deepseek-r1" | "qwen3" | "nano-v3": split <think> blocks into
@@ -238,8 +242,18 @@ class OpenAIServer:
         views (reference kvCacheEventManager + serve/router.py:76-139)."""
         out = dict(self.llm.get_kv_cache_stats())
         since = int(request.query.get("since_id", 0))
-        out["events"] = self.llm.get_kv_cache_events(since)
         kv = getattr(self.llm, "kv_manager", None)
+        # explicit cursors + process epoch: routers page with
+        # next_since_id, resync on oldest_retained_id gaps or epoch change
+        # (worker restart resets event ids) — ADVICE r4.  Cursor is
+        # snapshotted BEFORE collecting events: an event appended between
+        # the two calls then shows up as a harmless duplicate next poll
+        # instead of being skipped forever.
+        out["epoch"] = self._epoch
+        if hasattr(kv, "event_cursor"):
+            out["next_since_id"], out["oldest_retained_id"] = \
+                kv.event_cursor()
+        out["events"] = self.llm.get_kv_cache_events(since)
         out["block_size"] = getattr(kv, "block_size", 0)
         if request.query.get("full") and hasattr(kv, "reuse_block_hashes"):
             out["block_hashes"] = kv.reuse_block_hashes()

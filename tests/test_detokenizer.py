@@ -106,12 +106,13 @@ def test_streaming_future_uses_incremental(monkeypatch):
     s = "héllo 世界 🎉"
     data = list(s.encode("utf-8"))
 
-    class Piece:
-        def __init__(self, ids, fin):
-            self.new_token_ids = ids
-            self.finished = fin
-            self.finish_reason = None
-            self.error = None
+    # use the real executor->LLM payload type (one source of truth — a
+    # local double went stale when truncate_to was added in round 4)
+    from tensorrt_llm_tpu.runtime.request import RequestOutputPiece
+
+    def Piece(ids, fin):
+        return RequestOutputPiece(request_id=1, new_token_ids=ids,
+                                  finished=fin)
 
     class Req:
         request_id = 1

@@ -348,3 +348,68 @@ def test_kv_view_removed_events():
         assert view.match(prompt) == 0
     finally:
         llm.shutdown()
+
+
+def test_kv_view_explicit_cursor_non_contiguous_ids():
+    """DP managers namespace event ids as id*R+rank, so ids are legitimately
+    non-contiguous.  With explicit next_since_id/oldest_retained_id cursors
+    the view must NOT flag a gap (ADVICE r4: every DP event batch forced a
+    full resync)."""
+    from tensorrt_llm_tpu.serve.disagg_server import KvView
+    view = KvView()
+    view.apply({"epoch": "e1", "block_size": 8, "block_hashes": [],
+                "next_since_id": 0, "oldest_retained_id": 0})
+    assert not view.need_full
+    # rank-0 events only (R=2): ids 0, 2, 4 — non-contiguous by design
+    view.apply({"epoch": "e1",
+                "events": [{"id": 0, "type": "stored", "block_hash": 11},
+                           {"id": 2, "type": "stored", "block_hash": 22},
+                           {"id": 4, "type": "stored", "block_hash": 33}],
+                "next_since_id": 5, "oldest_retained_id": 0})
+    assert not view.need_full
+    assert view.cursor == 5
+    assert view.blocks == {11, 22, 33}
+    # cursor comes from next_since_id, never from applied ids: a fast
+    # rank's ids may exceed the aggregate cursor
+    view.apply({"epoch": "e1",
+                "events": [{"id": 12, "type": "stored", "block_hash": 44}],
+                "next_since_id": 7, "oldest_retained_id": 0})
+    assert view.cursor == 7 and not view.need_full
+
+
+def test_kv_view_gap_and_epoch_reset():
+    from tensorrt_llm_tpu.serve.disagg_server import KvView
+    view = KvView()
+    view.apply({"epoch": "e1", "block_size": 8, "block_hashes": [5],
+                "next_since_id": 3, "oldest_retained_id": 0})
+    assert not view.need_full and view.blocks == {5}
+    # bounded ring trimmed past our cursor -> resync required
+    view.apply({"epoch": "e1", "events": [],
+                "next_since_id": 900, "oldest_retained_id": 800})
+    assert view.need_full
+    view.apply({"epoch": "e1", "block_size": 8, "block_hashes": [5, 6],
+                "next_since_id": 900, "oldest_retained_id": 800})
+    assert not view.need_full and view.cursor == 900
+    # worker restart: epoch changes, ids reset below the cursor — the view
+    # must drop its state instead of advertising the dead worker's blocks
+    view.apply({"epoch": "e2", "events": [],
+                "next_since_id": 0, "oldest_retained_id": 0})
+    assert view.need_full and view.blocks == set() and view.cursor == 0
+
+
+def test_event_cursor_wire_fields():
+    """/kv_cache_events must publish epoch + explicit cursors and the base
+    manager's event_cursor must page without duplicates or gaps."""
+    llm = mk_llm(seed=4)
+    try:
+        prompt = [int(x) for x in np.random.RandomState(3).randint(1, 60, 30)]
+        llm.generate([list(prompt)], SamplingParams(
+            max_tokens=4, temperature=0.0, ignore_eos=True))
+        nxt, oldest = llm.kv_manager.event_cursor()
+        assert oldest == 0
+        evs = llm.get_kv_cache_events(0)
+        assert evs and nxt == max(e["id"] for e in evs) + 1
+        # paging from the cursor returns nothing new
+        assert llm.get_kv_cache_events(nxt) == []
+    finally:
+        llm.shutdown()

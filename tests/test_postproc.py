@@ -108,3 +108,68 @@ def test_streaming_truncates_async_overshoot(llm):
         final = out
     assert final.finished
     assert stop not in final.outputs[0].text
+
+
+def test_stop_beats_length_in_same_fused_chunk(llm):
+    """A stop string completing EARLIER in the fused chunk in which the
+    request also hits max_tokens must win (the synchronous scan checks
+    every token) — finish_reason 'length' + leaked stop text is the ADVICE
+    r4 divergence."""
+    probe = _greedy(llm, "chunk")
+    # stop completes at output token 5 (1 char per token); max_tokens puts
+    # the LENGTH finish 2 tokens later, inside the same fused chunk (k<=4)
+    stop = probe.text[2:5]
+    assert stop
+    sync_saved, sync = llm.executor._stop_scan, None
+    outs = {}
+    for mode in ("async", "sync"):
+        if mode == "sync":
+            llm.executor._stop_scan = sync
+        try:
+            outs[mode] = llm.generate("chunk", SamplingParams(
+                max_tokens=7, temperature=0.0, ignore_eos=True,
+                stop=[stop]))[0].outputs[0]
+        finally:
+            llm.executor._stop_scan = sync_saved
+    a, b = outs["async"], outs["sync"]
+    assert b.finish_reason == "stop_string"
+    assert a.finish_reason == "stop_string", \
+        f"async diverged: {a.finish_reason!r} text={a.text!r}"
+    assert a.text == b.text and a.token_ids == b.token_ids
+    assert stop not in a.text
+
+
+def test_scan_respects_skip_special_tokens():
+    """The scan must render text with the request's skip_special_tokens
+    mode: a stop string spanning a special token only matches when the
+    request keeps special tokens (ADVICE r4)."""
+    import time
+    from tensorrt_llm_tpu.runtime.postproc import StopScanWorker
+
+    class SpecialTok:
+        eos_token_id = 0
+        supports_incremental_decode = False
+
+        def decode(self, ids, skip_special_tokens=True):
+            out = []
+            for i in ids:
+                if i == 99:          # the special token
+                    if not skip_special_tokens:
+                        out.append("<s>")
+                else:
+                    out.append(chr(i))
+            return "".join(out)
+
+    toks = [ord("a"), 99, ord("b")]
+    w = StopScanWorker(SpecialTok())
+    try:
+        w.feed(1, ["a<s>b"], toks, skip_special_tokens=False)
+        w.feed(2, ["a<s>b"], toks, skip_special_tokens=True)
+        w.feed(3, ["ab"], toks, skip_special_tokens=True)
+        assert w.flush()
+        hits = w.poll()
+        assert 1 in hits and hits[1][1] == "a<s>b"
+        assert 2 not in hits
+        assert 3 in hits
+    finally:
+        w.close()
