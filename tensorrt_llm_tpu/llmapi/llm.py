@@ -693,6 +693,21 @@ class LLM:
             request_type="generation_only", first_gen_tokens=list(first),
             kv_payload=fut.req.kv_payload)
 
+    def generate_context_only_streamed(self, prompt, sampling_params=None):
+        """Streamed disaggregated prefill (reference ContextProgress
+        layer-wise transfer, cacheTransceiver.cpp:203 — chunk-wise here):
+        returns (GenerationFuture, frame queue).  KV frames appear on the
+        queue WHILE later prefill chunks still compute; the stream ends
+        with ``{"end": True, "first_gen_tokens": [...], ...}``.  Feed the
+        frames to a decode server via ``DisaggregatedParams(kv_frames=q)``
+        or ship them with ``frame_to_bytes``."""
+        from tensorrt_llm_tpu.llmapi.disagg_params import DisaggregatedParams
+        fut = self.generate_async(
+            prompt, sampling_params,
+            disaggregated_params=DisaggregatedParams(
+                request_type="context_only", stream=True))
+        return fut, fut.req.kv_stream
+
     # ------------------------------------------------------------------ scoring ---
     def score(self, token_ids) -> List[float]:
         """Teacher-forced log-probs: logprob of token_ids[i+1] given the

@@ -147,6 +147,9 @@ class PyExecutor:
         self.request_queue: "queue.Queue[LlmRequest]" = queue.Queue()
         self.active: List[LlmRequest] = []
         self.waiting: List[LlmRequest] = []
+        # generation_only requests whose streamed KV frames are still
+        # arriving (reference disagg transfer-in-progress states)
+        self._receiving: List[LlmRequest] = []
         self._cancelled: set = set()
 
         self.iteration = 0
@@ -252,7 +255,7 @@ class PyExecutor:
         except BaseException as e:  # noqa: BLE001
             self._error = e
             logger.error("executor loop died: %s\n%s", e, traceback.format_exc())
-            for req in self.active + self.waiting:
+            for req in self.active + self.waiting + self._receiving:
                 req.finish(FinishReason.ERROR)
                 req.emit(finished=True, error=str(e))
 
@@ -343,17 +346,68 @@ class PyExecutor:
         self.kv.add_sequence(req.request_id, req.prompt_token_ids,
                              cache_salt=f"__disagg_{req.request_id}")
         self.kv.grow_sequence(req.request_id, P)
+        if getattr(dp, "kv_frames", None) is not None:
+            # streamed receive (ContextProgress analog): frames inject as
+            # they arrive, overlapping the sender's remaining prefill;
+            # the request activates when the end frame lands
+            self._receiving.append(req)
+            self._pump_kv_receive()
+            return
         table = self.kv.block_table(req.request_id, self.kv.blocks_needed(P))
         ring = (self.kv.local_block_table(req.request_id)
                 if getattr(self.engine, "_vswa", False) else None)
         self.engine.inject_kv_blocks(table, dp.kv_payload["layers"], ring)
+        self._activate_generation_only(req)
+
+    def _activate_generation_only(self, req):
+        dp = req.disagg_params
         req.start_context()
-        req.context_position = P
+        req.context_position = req.prompt_len
         req.finish_context()
         for tok in dp.first_gen_tokens:
             req.append_token(int(tok))
         req.emit(finished=False)
         self.active.append(req)
+
+    def _pump_kv_receive(self):
+        """Drain available KV frames (non-blocking) into pre-allocated
+        block tables; activate requests whose end frame arrived."""
+        import jax
+        for req in list(self._receiving):
+            q = req.disagg_params.kv_frames
+            P = req.prompt_len
+            while True:
+                try:
+                    frame = q.get_nowait()
+                except queue.Empty:
+                    break
+                if frame.get("error"):
+                    self._receiving.remove(req)
+                    self.kv.free_sequence(req.request_id)
+                    req.finish(FinishReason.ERROR)
+                    req.emit(finished=True,
+                             error=f"kv stream: {frame['error']}")
+                    break
+                if frame.get("end"):
+                    dp = req.disagg_params
+                    if not dp.first_gen_tokens:
+                        dp.first_gen_tokens = list(
+                            frame.get("first_gen_tokens", []))
+                    self._receiving.remove(req)
+                    self._activate_generation_only(req)
+                    break
+                table = self.kv.block_table(req.request_id,
+                                            self.kv.blocks_needed(P))
+                if frame.get("ring"):
+                    ring = self.kv.local_block_table(req.request_id)
+                    self.engine.inject_kv_blocks(table, frame["layers"],
+                                                 ring)
+                else:
+                    s = frame["start_block"]
+                    n = np.asarray(
+                        jax.tree.leaves(frame["layers"][0])[0]).shape[0]
+                    self.engine.inject_kv_blocks(table[s:s + n],
+                                                 frame["layers"])
 
     def _handle_cancellations(self):
         # multiproc: act only on the collectively-agreed cancel set so every
@@ -378,6 +432,15 @@ class PyExecutor:
         for req in list(self.waiting):
             if req.request_id in pending:
                 self.waiting.remove(req)
+                req.finish(FinishReason.CANCELLED)
+                self._run_finish_hook(req)
+                req.emit(finished=True)
+                pending.discard(req.request_id)
+                self._cancelled.discard(req.request_id)
+        for req in list(self._receiving):
+            if req.request_id in pending:
+                self._receiving.remove(req)
+                self.kv.free_sequence(req.request_id)
                 req.finish(FinishReason.CANCELLED)
                 self._run_finish_hook(req)
                 req.emit(finished=True)
@@ -417,6 +480,8 @@ class PyExecutor:
         t0 = time.perf_counter()
         self._fetch_new_requests()
         self._handle_cancellations()
+        if self._receiving:
+            self._pump_kv_receive()
         if not self.active and not self.waiting:
             if self._inflight:
                 self._drain_inflight()
@@ -586,6 +651,7 @@ class PyExecutor:
             req.context_position += chunk
             self.kv.seal_full_blocks(
                 req.request_id, req.prompt_token_ids[:req.context_position])
+            self._pump_kv_stream(req)
             stats.num_prefill_tokens += chunk
             if req.remaining_context == 0:
                 req.finish_context()
@@ -753,6 +819,40 @@ class PyExecutor:
             if req.request_type != "context_only":
                 req.emit(finished=True)
 
+    def _pump_kv_stream(self, req: LlmRequest, tail: bool = False):
+        """Streamed disagg transfer (reference ContextProgress layer-wise
+        streaming, cacheTransceiver.cpp:203 — here chunk-wise: XLA runs
+        all layers in one dispatch, so the natural progress unit is the
+        finished prefill chunk).  Push newly-completed full blocks as a
+        frame so the network send + receiver inject overlap the remaining
+        prefill compute; ``tail=True`` flushes the final (possibly
+        partial) block at finish."""
+        if req.kv_stream is None or req.request_type != "context_only":
+            return
+        if getattr(self.engine, "_vswa", False):
+            # sliding-window rings can rewrite early blocks mid-prefill;
+            # they settle only at finish — ship everything as one frame
+            if not tail:
+                return
+            done = self.kv.blocks_needed(req.prompt_len)
+            if done > req._kv_streamed_blocks:
+                table = self.kv.block_table(req.request_id, done)
+                ring = self.kv.local_block_table(req.request_id)
+                layers = self.engine.extract_kv_blocks(table, ring)
+                req.kv_stream.put({"start_block": 0, "layers": layers,
+                                   "ring": True})
+                req._kv_streamed_blocks = done
+            return
+        bs = self.kv.block_size
+        done = (self.kv.blocks_needed(req.prompt_len) if tail
+                else req.context_position // bs)
+        sent = req._kv_streamed_blocks
+        if done > sent:
+            table = self.kv.block_table(req.request_id, done)
+            layers = self.engine.extract_kv_blocks(table[sent:done])
+            req.kv_stream.put({"start_block": sent, "layers": layers})
+            req._kv_streamed_blocks = done
+
     def _cleanup_finished(self):
         for req in list(self.active):
             if req.is_finished:
@@ -763,6 +863,21 @@ class PyExecutor:
                     # change drains the pipeline, then cleanup proceeds.
                     continue
                 if req.request_type == "context_only" \
+                        and req.kv_stream is not None \
+                        and req.kv_payload is None:
+                    # streamed send side: most blocks already left during
+                    # the chunk loop; flush the tail + end marker instead
+                    # of capturing a whole payload
+                    self._pump_kv_stream(req, tail=True)
+                    P = req.prompt_len
+                    req.kv_payload = {"streamed": True, "num_tokens": P,
+                                      "block_size": self.kv.block_size}
+                    req.kv_stream.put({
+                        "end": True, "num_tokens": P,
+                        "block_size": self.kv.block_size,
+                        "first_gen_tokens": list(req.output_token_ids)})
+                    req.emit(finished=True)
+                elif req.request_type == "context_only" \
                         and req.kv_payload is None:
                     # disagg send side: capture the prompt KV pages before
                     # freeing the sequence (reference CacheTransceiver send)

@@ -561,6 +561,7 @@ class ModelEngine:
         model = self.model
 
         vswa = self._vswa
+        unroll = os.environ.get("TLLM_MULTI_STEP_UNROLL", "0") == "1"
 
         def steps(params, kv_caches, first_ids, positions0, slot_table,
                   block_tables, kv_lens0, sampling_state, seq_slots,
@@ -590,10 +591,24 @@ class ModelEngine:
                 return ((caches, tokens, pos + 1, kv_lens + 1, key_step + 1),
                         (tokens, logp))
 
-            (kv_caches, _, _, _, _), (toks, logps) = jax.lax.scan(
-                body, (kv_caches, first_ids, positions0, kv_lens0,
-                       jnp.int32(0)),
-                (slot_table, local_slot_table))  # each [k, B]
+            carry0 = (kv_caches, first_ids, positions0, kv_lens0,
+                      jnp.int32(0))
+            if unroll:
+                # unrolled k-step body: identical math, no while-loop HLO.
+                # Escape hatch for lax.scan misbehavior at full model depth
+                # on real hardware (r4: 22-layer scan hangs, 1-layer OK)
+                carry, ys = carry0, []
+                for j in range(num_steps):
+                    carry, y = body(carry, (slot_table[j],
+                                            local_slot_table[j]))
+                    ys.append(y)
+                kv_caches = carry[0]
+                toks = jnp.stack([y[0] for y in ys])
+                logps = jnp.stack([y[1] for y in ys])
+            else:
+                (kv_caches, _, _, _, _), (toks, logps) = jax.lax.scan(
+                    body, carry0,
+                    (slot_table, local_slot_table))  # each [k, B]
             return toks, logps, kv_caches
 
         if self.mesh is not None:

@@ -116,6 +116,15 @@ class LlmRequest:
         self.request_type = request_type   # full | context_only | generation_only
         self.disagg_params = disagg_params
         self.kv_payload: Optional[Any] = None  # filled for context_only
+        # streamed transfer (ContextProgress analog): the executor pushes
+        # per-chunk KV frames here while later chunks still compute
+        self.kv_stream = None
+        self._kv_streamed_blocks = 0
+        if disagg_params is not None and getattr(disagg_params, "stream",
+                                                 False) \
+                and request_type == "context_only":
+            import queue as _q
+            self.kv_stream = _q.Queue()
 
     # ---- derived ---------------------------------------------------------------
     @property

@@ -265,12 +265,16 @@ class OpenAIDisaggServer:
                  model_name: str = "tpu-llm",
                  health_interval: float = 5.0,
                  conditional_max_prompt: int = 0,
-                 conditional_cached_fraction: float = 0.0):
+                 conditional_cached_fraction: float = 0.0,
+                 stream_kv: bool = False):
         """conditional_max_prompt: prompts with at most this many tokens
         skip the remote prefill hop (0 = off).  conditional_cached_fraction:
         skip the hop when a generation server already caches at least this
         fraction of the prompt (0 = off) — reference conditional
-        disaggregation."""
+        disaggregation.  stream_kv: the decode worker pulls chunk-wise KV
+        frames directly from the prefill worker while prefill computes
+        (reference ContextProgress layer-wise streaming) instead of the
+        blocking two-phase whole-payload relay."""
         self.ctx_pool = ServerPool(ctx_urls)
         self.gen_pool = ServerPool(gen_urls)
         self.ctx_router = Router(self.ctx_pool, router_policy)
@@ -279,6 +283,7 @@ class OpenAIDisaggServer:
         self.health_interval = health_interval
         self.conditional_max_prompt = conditional_max_prompt
         self.conditional_cached_fraction = conditional_cached_fraction
+        self.stream_kv = stream_kv
         self._health_task = None
         self._session = None   # shared worker-fleet connection pool
         self.app = web.Application(client_max_size=1 << 30)
@@ -379,6 +384,17 @@ class OpenAIDisaggServer:
                                     json=fwd) as r:
                 return web.json_response(await r.json(),
                                          status=r.status)
+        if self.stream_kv:
+            # streamed path: one request to the decode worker, which pulls
+            # framed KV straight from the prefill worker as it computes
+            ctx_url = await self.ctx_router.pick(
+                session, body.get("prompt_token_ids"))
+            gen_url = await self.gen_router.pick(session)
+            fwd = dict(body)
+            fwd["ctx_url"] = ctx_url
+            async with session.post(f"{gen_url}/disagg/generate_streamed",
+                                    json=fwd) as r:
+                return web.json_response(await r.json(), status=r.status)
         # 1) context phase (KV-aware: route to the prefill server that
         # already caches the longest prompt prefix)
         ctx_url = await self.ctx_router.pick(
@@ -440,6 +456,111 @@ async def disagg_context(server, request: web.Request):
         "first_gen_tokens": dparams.first_gen_tokens,
         "kv_payload_b64": base64.b64encode(
             payload_to_bytes(dparams.kv_payload)).decode(),
+    })
+
+
+async def disagg_context_stream(server, request: web.Request):
+    """Streamed context phase: a chunked binary response of
+    length-prefixed KV frames, each emitted as soon as its prefill chunk
+    finishes — transfer overlaps the remaining prefill compute (reference
+    ContextProgress layer-wise streaming, cacheTransceiver.cpp:203)."""
+    import asyncio
+
+    from tensorrt_llm_tpu.llmapi.disagg_params import frame_to_bytes
+    body = await request.json()
+    ids = body.get("prompt_token_ids")
+    if ids is None:
+        ids = server.llm.tokenizer.encode(body["prompt"])
+    sp = _sampling_from_body(body)
+    fut, frames = server.llm.generate_context_only_streamed(list(ids), sp)
+    resp = web.StreamResponse()
+    resp.content_type = "application/octet-stream"
+    await resp.prepare(request)
+    loop = asyncio.get_event_loop()
+
+    def next_frame():
+        import queue as q_mod
+        deadline = 600
+        waited = 0.0
+        while True:
+            try:
+                return frames.get(timeout=1.0)
+            except q_mod.Empty:
+                waited += 1.0
+                err = getattr(fut.req, "error", None) or (
+                    "prefill timed out" if waited >= deadline else None)
+                if fut.req.is_finished and fut.req.kv_payload is None:
+                    err = err or "prefill failed"
+                if err:
+                    return {"end": True, "error": str(err)}
+
+    while True:
+        frame = await loop.run_in_executor(None, next_frame)
+        data = frame_to_bytes(frame)
+        await resp.write(len(data).to_bytes(8, "little") + data)
+        if frame.get("end") or frame.get("error"):
+            break
+    await resp.write_eof()
+    return resp
+
+
+async def disagg_generate_streamed(server, request: web.Request):
+    """Generation phase that PULLS streamed KV frames directly from the
+    prefill worker (body carries ctx_url) and injects them as they
+    arrive; decode starts the moment the end frame lands — no whole-
+    payload wait, no front-end relay hop."""
+    import asyncio
+    import queue as q_mod
+
+    from aiohttp import ClientSession, ClientTimeout
+    from tensorrt_llm_tpu.llmapi.disagg_params import (DisaggregatedParams,
+                                                       frame_from_bytes)
+    body = await request.json()
+    ids = body.get("prompt_token_ids")
+    if ids is None:
+        ids = server.llm.tokenizer.encode(body["prompt"])
+    ctx_url = body["ctx_url"]
+    rx: "q_mod.Queue" = q_mod.Queue()
+    dp = DisaggregatedParams(request_type="generation_only", kv_frames=rx)
+    sp = _sampling_from_body(body, max_tokens_default=32)
+    fut = server.llm.generate_async(list(ids), sp, disaggregated_params=dp)
+    ctx_body = {k: v for k, v in body.items() if k != "ctx_url"}
+    ctx_body["prompt_token_ids"] = list(ids)
+    try:
+        async with ClientSession(
+                timeout=ClientTimeout(total=600)) as session:
+            async with session.post(f"{ctx_url}/disagg/context_stream",
+                                    json=ctx_body) as r:
+                if r.status != 200:
+                    raise RuntimeError(
+                        f"ctx stream HTTP {r.status}: {await r.text()}")
+                reader = r.content
+                while True:
+                    n = int.from_bytes(await reader.readexactly(8),
+                                       "little")
+                    frame = frame_from_bytes(await reader.readexactly(n))
+                    if frame.get("error"):
+                        rx.put({"error": frame["error"]})
+                        raise RuntimeError(
+                            f"ctx stream: {frame['error']}")
+                    rx.put(frame)
+                    if frame.get("end"):
+                        break
+    except Exception as e:  # noqa: BLE001 — unblock the executor first
+        rx.put({"error": str(e)})
+        return web.json_response({"error": str(e)}, status=502)
+    loop = asyncio.get_event_loop()
+    out = await loop.run_in_executor(None, lambda: fut.result(timeout=600))
+    text = ""
+    if server.llm.tokenizer is not None:
+        text = server.llm.tokenizer.decode(out.outputs[0].token_ids)
+    return web.json_response({
+        "id": f"cmpl-{out.request_id}",
+        "object": "text_completion",
+        "model": server.model_name,
+        "choices": [{"index": 0, "text": text,
+                     "token_ids": out.outputs[0].token_ids,
+                     "finish_reason": out.outputs[0].finish_reason}],
     })
 
 

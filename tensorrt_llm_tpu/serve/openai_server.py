@@ -84,6 +84,9 @@ class OpenAIServer:
             web.get("/steady_clock_offset", self.steady_clock_offset),
             web.post("/disagg/context", self.disagg_context),
             web.post("/disagg/generate", self.disagg_generate),
+            web.post("/disagg/context_stream", self.disagg_context_stream),
+            web.post("/disagg/generate_streamed",
+                     self.disagg_generate_streamed),
             web.post("/v1/mm_embeddings", self.mm_embeddings),
         ])
 
@@ -302,6 +305,19 @@ class OpenAIServer:
         """Disaggregated decode phase (see serve/disagg_server.py)."""
         from tensorrt_llm_tpu.serve.disagg_server import disagg_generate
         return await disagg_generate(self, request)
+
+    async def disagg_context_stream(self, request: web.Request):
+        """Streamed prefill: chunked response of framed KV blocks emitted
+        while prefill still computes (see serve/disagg_server.py)."""
+        from tensorrt_llm_tpu.serve.disagg_server import disagg_context_stream
+        return await disagg_context_stream(self, request)
+
+    async def disagg_generate_streamed(self, request: web.Request):
+        """Decode phase pulling streamed KV directly from the prefill
+        worker (see serve/disagg_server.py)."""
+        from tensorrt_llm_tpu.serve.disagg_server import (
+            disagg_generate_streamed)
+        return await disagg_generate_streamed(self, request)
 
     async def update_weights(self, request: web.Request):
         """RLHF weight hot-swap (reference serve/openai_server.py:290):

@@ -413,3 +413,110 @@ def test_event_cursor_wire_fields():
         assert llm.get_kv_cache_events(nxt) == []
     finally:
         llm.shutdown()
+
+
+def test_disagg_streamed_frames_overlap_prefill():
+    """Chunk-wise streamed KV transfer (reference ContextProgress,
+    cacheTransceiver.cpp:203): frames must be emitted WHILE later prefill
+    chunks still compute (event-ordering assertion), and the streamed
+    receive path must reproduce the whole-payload disagg output
+    token-for-token over a serialization round-trip."""
+    import queue as q_mod
+    import time
+
+    from tensorrt_llm_tpu.llmapi.disagg_params import (frame_from_bytes,
+                                                       frame_to_bytes)
+
+    prompt = [int(x) for x in np.random.RandomState(11).randint(1, 60, 40)]
+    sp_gen = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+
+    ref = mk_llm(seed=4)
+    try:
+        want = ref.generate([list(prompt)], sp_gen)[0].outputs[0].token_ids
+    finally:
+        ref.shutdown()
+
+    # max_num_tokens=16 forces the 40-token prompt through 3 prefill chunks
+    ctx = mk_llm(seed=4, max_num_tokens=16)
+    gen = mk_llm(seed=4)
+    try:
+        fut, frames = ctx.generate_context_only_streamed(
+            list(prompt), SamplingParams(temperature=0.0, ignore_eos=True))
+        received = []
+        first = frames.get(timeout=60)
+        # event ordering: the first frame left the executor while prefill
+        # of later chunks was still running (end_time set only at finish)
+        overlap = fut.req.end_time is None
+        received.append(first)
+        while not received[-1].get("end"):
+            received.append(frames.get(timeout=60))
+        fut.result(timeout=60)
+        assert overlap, "first frame arrived only after prefill finished"
+        kv_frames = [f for f in received if not f.get("end")]
+        end = received[-1]
+        assert len(kv_frames) >= 2, "stream was not split across chunks"
+        starts = [f["start_block"] for f in kv_frames]
+        assert starts == sorted(starts) and starts[0] == 0
+        assert end["first_gen_tokens"] == [want[0]]
+        assert end["num_tokens"] == len(prompt)
+
+        # ship over the wire and feed the decode server incrementally
+        rx = q_mod.Queue()
+        for f in received:
+            rx.put(frame_from_bytes(frame_to_bytes(f)))
+        dp = DisaggregatedParams(request_type="generation_only",
+                                 kv_frames=rx)
+        out = gen.generate_async(list(prompt), sp_gen,
+                                 disaggregated_params=dp).result(timeout=120)
+        got = out.outputs[0].token_ids
+        assert got == want, (got, want)
+    finally:
+        ctx.shutdown()
+        gen.shutdown()
+
+
+def test_disagg_http_streamed():
+    """HTTP streamed flow: gen worker pulls framed KV directly from the
+    ctx worker's /disagg/context_stream while prefill computes; greedy
+    output equals a single-instance run."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+    from tensorrt_llm_tpu.serve.openai_server import OpenAIServer
+
+    prompt = [int(x) for x in np.random.RandomState(17).randint(1, 60, 40)]
+    ref = mk_llm(seed=9)
+    try:
+        want = ref.generate([list(prompt)], SamplingParams(
+            max_tokens=6, temperature=0.0, ignore_eos=True)
+        )[0].outputs[0].token_ids
+    finally:
+        ref.shutdown()
+
+    # small token budget on the ctx worker: multi-chunk prefill -> frames
+    ctx_llm = mk_llm(seed=9, max_num_tokens=16)
+    gen_llm = mk_llm(seed=9)
+    loop = asyncio.new_event_loop()
+    try:
+        ctx_ts = TestServer(OpenAIServer(ctx_llm, "tiny").app, loop=loop)
+        gen_tc = TestClient(TestServer(
+            OpenAIServer(gen_llm, "tiny").app, loop=loop), loop=loop)
+        loop.run_until_complete(ctx_ts.start_server())
+        loop.run_until_complete(gen_tc.start_server())
+        ctx_url = str(ctx_ts.make_url("")).rstrip("/")
+
+        async def flow():
+            r = await gen_tc.post("/disagg/generate_streamed", json={
+                "prompt_token_ids": prompt, "ctx_url": ctx_url,
+                "max_tokens": 6, "temperature": 0.0, "ignore_eos": True})
+            assert r.status == 200, await r.text()
+            return await r.json()
+
+        out = loop.run_until_complete(flow())
+        assert out["choices"][0]["token_ids"] == want
+        loop.run_until_complete(gen_tc.close())
+        loop.run_until_complete(ctx_ts.close())
+    finally:
+        loop.close()
+        ctx_llm.shutdown()
+        gen_llm.shutdown()

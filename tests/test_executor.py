@@ -152,6 +152,35 @@ def test_multi_step_matches_single_step():
     assert run(1) == run(4)
 
 
+def test_multi_step_unroll_matches_scan(monkeypatch):
+    """TLLM_MULTI_STEP_UNROLL=1 (the lax.scan escape hatch for the r4
+    on-chip hang) must be bit-identical to the scan path."""
+    cfg = ModelConfig(**TINY)
+    model = get_model_class(cfg.architecture)(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+
+    def run():
+        kv = KVCacheManager(KVCacheConfig(block_size=8), cfg.num_layers,
+                            cfg.num_kv_heads, cfg.head_dim, num_blocks=64)
+        engine = ModelEngine(model, params, kv, max_seq_len=128,
+                             decode_buckets=(4,), prefill_buckets=(16,))
+        ex = PyExecutor(engine, SchedulerConfig(), eos_token_id=0,
+                        max_seq_len=128, max_decode_steps=4)
+        ex.start()
+        try:
+            req = LlmRequest([3, 5, 7], SamplingParams(
+                max_tokens=11, temperature=0.0, ignore_eos=True))
+            ex.submit(req)
+            toks, _ = collect(req)
+        finally:
+            ex.shutdown()
+        return toks
+
+    scan = run()
+    monkeypatch.setenv("TLLM_MULTI_STEP_UNROLL", "1")
+    assert run() == scan
+
+
 def test_stop_token(executor):
     req = LlmRequest([1, 2, 3], SamplingParams(max_tokens=20, temperature=0.0,
                                                stop_token_ids=None))
