@@ -204,9 +204,12 @@ class PagedMultiLoraManager(MultiLoraManager):
         # acquire() runs on the submit thread while release() runs on the
         # executor thread via on_finished — the slot/ref/LRU bookkeeping
         # must be atomic or a racing release can zero a just-pinned ref
-        # and evict an adapter mid-request
+        # and evict an adapter mid-request.  A Condition (not a bare Lock)
+        # lets acquire() wait for a slot when every one is pinned by
+        # in-flight requests instead of failing under load.
         import threading
-        self._lock = threading.Lock()
+        self._cond = threading.Condition()
+        self._lock = self._cond  # Condition is itself a context-manager lock
 
     def bind_engine(self, engine):
         assert getattr(engine, "pp_size", 1) == 1, \
@@ -219,13 +222,28 @@ class PagedMultiLoraManager(MultiLoraManager):
             self._lru.remove(name)
         self._lru.append(name)
 
-    def acquire(self, name: Optional[str]) -> int:
-        """Slot for `name`, swapping it in if needed; pins until release."""
+    def acquire(self, name: Optional[str],
+                timeout: float = 120.0) -> int:
+        """Slot for `name`, swapping it in if needed; pins until release.
+        When every device slot is pinned by in-flight requests, blocks
+        until one frees (the reference PeftCacheManager likewise queues
+        requests whose adapter cannot onboard yet)."""
+        import time as _t
         if name is None:
             return 0
         if name not in self.all_adapters:
             raise KeyError(name)
-        with self._lock:
+        deadline = _t.monotonic() + timeout
+        with self._cond:
+            while name not in self.slots and not self._has_victim():
+                remaining = deadline - _t.monotonic()
+                if remaining <= 0 or not self._cond.wait(
+                        timeout=min(remaining, 1.0)):
+                    if _t.monotonic() >= deadline:
+                        raise RuntimeError(
+                            "all device adapter slots stayed pinned for "
+                            f"{timeout:.0f}s — raise "
+                            "lora_max_device_adapters")
             if name not in self.slots:
                 self._swap_in(name)
             self._refs[name] = self._refs.get(name, 0) + 1
@@ -235,9 +253,14 @@ class PagedMultiLoraManager(MultiLoraManager):
     def release(self, name: Optional[str]):
         if not name:
             return
-        with self._lock:
+        with self._cond:
             if name in self._refs:
                 self._refs[name] = max(self._refs[name] - 1, 0)
+                if self._refs[name] == 0:
+                    self._cond.notify_all()
+
+    def _has_victim(self) -> bool:
+        return any(self._refs.get(c, 0) == 0 for c in self._lru)
 
     def slot_of(self, name: Optional[str]) -> int:
         # non-pinning lookup (compat); acquire() is the serving path
