@@ -117,8 +117,12 @@ class AutoTuner:
                     ts.append(time.perf_counter() - t0)
                 t = min(ts)
             except Exception as e:  # noqa: BLE001 — invalid tactic
-                logger.debug("autotune %s %s tactic %s failed: %s",
-                             op, key, tactic, e)
+                # WARNING, not debug: a tactic that lowers in interpret
+                # mode but fails Mosaic on the chip must be visible (r4:
+                # the stream variant silently dropped out of every
+                # on-chip autotune)
+                logger.warning("autotune %s %s tactic %s failed: %s",
+                               op, key, tactic, str(e)[:500])
                 continue
             logger.info("autotune %s %s tactic %s: %.2fus/iter", op, key,
                         tactic, max(t - rtt, 0.0) * 1e6 / self.chain_len)

@@ -561,7 +561,16 @@ class ModelEngine:
         model = self.model
 
         vswa = self._vswa
-        unroll = os.environ.get("TLLM_MULTI_STEP_UNROLL", "0") == "1"
+        # default "auto": unrolled bodies on real TPU, lax.scan elsewhere.
+        # Measured on v5e (benchmarks/tpu_return_logs/r5_aot_*.log,
+        # 22-layer TinyLlama k=4): the scanned executable runs ~322s
+        # (Pallas attn) / ~101s (XLA attn) per dispatch — the while-loop
+        # carry defeats in-place KV pool aliasing — while the unrolled
+        # body runs in seconds with identical tokens.  CPU tests keep
+        # scan: it compiles faster and shows no such pathology.
+        mode = os.environ.get("TLLM_MULTI_STEP_UNROLL", "auto")
+        unroll = (mode == "1") or (
+            mode == "auto" and jax.default_backend() not in ("cpu",))
 
         def steps(params, kv_caches, first_ids, positions0, slot_table,
                   block_tables, kv_lens0, sampling_state, seq_slots,
