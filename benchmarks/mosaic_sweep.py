@@ -110,6 +110,18 @@ def cases():
             return w4a16_matmul(x, p, s, variant=variant,
                                 block_k=None if variant == "ramp" else 1024)
         yield (f"w4a16/{variant}/M{m}", g, [S((m, K), BF16), pk3, sc])
+    # flat-grid manual-DMA stream variant (r4 — absent from the r4 sweep,
+    # and it silently dropped out of every on-chip autotune: DEBUG-level
+    # failure logging).  These cases answer whether it lowers at all.
+    for m, kw in [(8, {}), (16, {}), (64, {}),
+                  (16, {"mixed": True}),
+                  (16, {"ramp_bk0": 2048}),
+                  (16, {"mixed": True, "ramp_bk0": 2048})]:
+        def gst(x, p, s, kw=kw):
+            return w4a16_matmul(x, p, s, variant="stream", **kw)
+        tag = "_".join([f"M{m}"] + [f"{k}{v}" for k, v in kw.items()])
+        yield (f"w4a16/stream/{tag}", gst, [S((m, K), BF16), pk3, sc])
+
     # zeros + bias + silu epilogue; per-channel scales
     def gz(x, p, s, z, b):
         return w4a16_matmul(x, p, s, zeros=z, bias=b, activation="silu",

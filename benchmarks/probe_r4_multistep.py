@@ -86,6 +86,28 @@ def try_single(llm):
     return ok
 
 
+def try_prefill(llm):
+    from tensorrt_llm_tpu.runtime.request import LlmRequest
+    from tensorrt_llm_tpu.llmapi.sampling_params import SamplingParams
+    import jax
+    eng = llm.engine
+    kv = eng.kv_manager
+    req = LlmRequest([1] * 64, SamplingParams(max_tokens=1))
+    kv.add_sequence(req.request_id, req.prompt_token_ids)
+    kv.grow_sequence(req.request_id, 64)
+    try:
+        logits = eng.run_prefill(eng.prepare_prefill_inputs(req, 64))
+        jax.block_until_ready(logits)
+        print("  prefill: OK", flush=True)
+        ok = True
+    except Exception as e:  # noqa: BLE001
+        print(f"  prefill: FAIL {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        ok = False
+    kv.free_sequence(req.request_id)
+    return ok
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "pallas"
     layers = int(sys.argv[2]) if len(sys.argv) > 2 else 22
@@ -95,6 +117,13 @@ def main():
         try_single(llm)
         try_multi(llm, 2)
         try_multi(llm, 4)
+        # r5: the bench dies at the FIRST prefill AFTER warmup ran the
+        # multi-step variant — i.e. when another executable consumes the
+        # multi executable's donated cache outputs.  Probe that order.
+        print("  --- single/prefill AFTER multi (donated-cache handoff)",
+              flush=True)
+        try_single(llm)
+        try_prefill(llm)
     finally:
         llm.shutdown()
 

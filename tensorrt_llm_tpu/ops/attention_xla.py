@@ -61,8 +61,17 @@ def _scatter_pages(cache, new, slot_mapping, bs, nb):
     H = cache.shape[1]
     pages = slot_mapping // bs
     offs = slot_mapping % bs
-    # OOB slots (padding rows use a huge slot) are dropped by scatter mode.
-    pages = jnp.where(slot_mapping >= nb * bs, nb, pages)
+    # OOB slots (padding rows / ring dedup use the PAD_SLOT sentinel)
+    # remap to page 0, which is RESERVED in every pool: the block
+    # allocator's free list starts at 1, and VSWA rings shift their slab
+    # space by one block (local_block_table).  An in-bounds scribble into
+    # a page no block table references.  mode="drop" alone is not enough:
+    # OOB drop-scatters fault the real TPU runtime asynchronously (r5:
+    # every k>1 warmup with sentinel tables wedged the device; the next
+    # fetch died FAILED_PRECONDITION — tpu_return_logs/r5_benchmin_*).
+    oob = slot_mapping >= nb * bs
+    pages = jnp.where(oob, 0, pages)
+    offs = jnp.where(oob, 0, offs)
     head_ids = jnp.arange(H, dtype=slot_mapping.dtype)[None, :]
     if cache.ndim == 3:                      # per-(token, head) scales
         rows = (pages[:, None] * H + head_ids) * bs + offs[:, None]

@@ -753,7 +753,10 @@ class KVCacheManager:
         return self._ring is None or bool(self._ring._free)
 
     def local_num_blocks(self) -> int:
-        return self.ring_slots * self.ring_blocks
+        # +1: ring block 0 is reserved (like the main allocator's block 0)
+        # so PAD_SLOT writes can remap there — see ops/attention_xla.py
+        # _scatter_pages; slabs start at block 1 (local_block_table)
+        return self.ring_slots * self.ring_blocks + 1
 
     def ring_slot_of(self, seq_id: int) -> int:
         return -1 if self._ring is None else self._ring.get(seq_id)
@@ -762,7 +765,8 @@ class KVCacheManager:
         s = self._ring.get(seq_id)
         if s < 0:
             return [0] * self.ring_blocks
-        return list(range(s * self.ring_blocks, (s + 1) * self.ring_blocks))
+        return list(range(1 + s * self.ring_blocks,
+                          1 + (s + 1) * self.ring_blocks))
 
     def local_slot_mapping(self, seq_id: int, start_token: int,
                            num_tokens: int, pad_slot: int,
@@ -776,7 +780,7 @@ class KVCacheManager:
         P = self.ring_capacity
         if s < 0:
             return [pad_slot] * num_tokens
-        base = s * P
+        base = self.block_size + s * P   # slabs start at block 1
         if not dedup:
             return [base + (start_token + i) % P for i in range(num_tokens)]
         out = [pad_slot] * num_tokens
@@ -795,7 +799,7 @@ class KVCacheManager:
         self._ring.add(dst_id)
         s, d = self._ring.get(src_id), self._ring.get(dst_id)
         R = self.ring_blocks
-        return [(s * R + i, d * R + i) for i in range(R)]
+        return [(1 + s * R + i, 1 + d * R + i) for i in range(R)]
 
     # ------------------------------------------------------------------ pools --
     def allocate_pools(self, dtype=None) -> List[Tuple[jax.Array, jax.Array]]:

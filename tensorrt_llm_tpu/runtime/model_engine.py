@@ -561,16 +561,8 @@ class ModelEngine:
         model = self.model
 
         vswa = self._vswa
-        # default "auto": unrolled bodies on real TPU, lax.scan elsewhere.
-        # Measured on v5e (benchmarks/tpu_return_logs/r5_aot_*.log,
-        # 22-layer TinyLlama k=4): the scanned executable runs ~322s
-        # (Pallas attn) / ~101s (XLA attn) per dispatch — the while-loop
-        # carry defeats in-place KV pool aliasing — while the unrolled
-        # body runs in seconds with identical tokens.  CPU tests keep
-        # scan: it compiles faster and shows no such pathology.
-        mode = os.environ.get("TLLM_MULTI_STEP_UNROLL", "auto")
-        unroll = (mode == "1") or (
-            mode == "auto" and jax.default_backend() not in ("cpu",))
+        unroll = (os.environ.get("TLLM_MULTI_STEP_UNROLL", "0") == "1"
+                  or self._multi_step_mode() == "unroll")
 
         def steps(params, kv_caches, first_ids, positions0, slot_table,
                   block_tables, kv_lens0, sampling_state, seq_slots,
@@ -661,6 +653,127 @@ class ModelEngine:
             )
         return jax.jit(steps, donate_argnums=(1,))
 
+    def _multi_step_mode(self) -> str:
+        """How k fused decode steps execute.  "chain" (TPU default):
+        k separate single-step dispatches with on-device sampling, the
+        next step's ids fed from the previous step's DEVICE tokens — no
+        host sync inside the chunk, and in-place KV scatter aliasing
+        works because each XLA program touches each pool once (exactly
+        the proven single-step pattern; donation chains buffers across
+        dispatches).  "scan"/"unroll": one fused program — measured
+        pathological on v5e at real pool sizes because the multi-step
+        program copies the pools between steps (r5_benchmin: k=2 ~20s
+        per dispatch on free-mem-sized pools, k=4 aborts the device;
+        benchmarks/tpu_return_logs/r5_benchmin_k*.log, r5_aot_*.log).
+        The CPU default stays "scan" (fast compiles, no pathology)."""
+        mode = os.environ.get("TLLM_MULTI_STEP_MODE", "auto")
+        if mode == "auto":
+            import jax as _j
+            return "chain" if _j.default_backend() != "cpu" else "scan"
+        return mode
+
+    def _make_chain_step_fn(self):
+        """One decode step + on-device sampling: (tokens [B], logps [B],
+        caches).  The chain-mode building block."""
+        from tensorrt_llm_tpu.runtime.sampler import sample_tokens
+
+        model = self.model
+        vswa = self._vswa
+
+        def step(params, kv_caches, ids, positions, slots, block_tables,
+                 kv_lens, sampling_state, seq_slots, lora_ids,
+                 local_slots, local_tables, key_step):
+            B = ids.shape[0]
+            meta = AttentionMetadata(
+                positions=positions,
+                slot_mapping=slots,
+                block_tables=block_tables,
+                kv_lens=kv_lens,
+                q_offset=jnp.int32(0),
+                seq_slots=seq_slots,
+                lora_ids=lora_ids,
+                local_slot_mapping=local_slots if vswa else None,
+                local_block_tables=local_tables if vswa else None,
+                mode="decode",
+            )
+            logits, caches = model.forward(
+                params, ids, kv_caches, meta,
+                jnp.arange(B, dtype=jnp.int32))
+            tokens, logp = sample_tokens(logits, sampling_state,
+                                         step_offset=key_step)
+            return tokens, logp, caches
+
+        if self.mesh is not None:
+            cache_spec = self._cache_specs
+            if self.mapping.dp_size > 1:
+                from tensorrt_llm_tpu.runtime.sampler import SamplingState
+                d = P("dp")
+                state_spec = SamplingState(
+                    temperature=d, top_k=d, top_p=d, min_p=d, greedy=d,
+                    seeds=d)
+                lt_spec = d if self._vswa else P()
+                inner = step
+
+                def step(params, caches, *rest):
+                    t, lp, nc = inner(params, caches, *rest)
+                    return (jax.lax.all_gather(t, "dp", axis=0,
+                                               tiled=True),
+                            jax.lax.all_gather(lp, "dp", axis=0,
+                                               tiled=True), nc)
+                step = jax.shard_map(
+                    step, mesh=self.mesh,
+                    in_specs=(self._param_specs, cache_spec,
+                              d, d, d, d, d, state_spec, d, d, d,
+                              lt_spec, P()),
+                    out_specs=(P(), P(), cache_spec),
+                    check_vma=False,
+                )
+                return jax.jit(step, donate_argnums=(1,))
+            step = jax.shard_map(
+                step, mesh=self.mesh,
+                in_specs=(self._param_specs, cache_spec,
+                          P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                          P(), P()),
+                out_specs=(P(), P(), cache_spec),
+                check_vma=False,
+            )
+        return jax.jit(step, donate_argnums=(1,))
+
+    def _run_decode_chain(self, inputs: StepInputs, num_steps: int,
+                          sampling_state, slot_table,
+                          local_slot_table=None):
+        if "chain_step" not in self._fns:
+            self._fns["chain_step"] = self._make_chain_step_fn()
+        fn = self._fns["chain_step"]
+        slot_table = np.asarray(slot_table)
+        if local_slot_table is None:
+            local_slot_table = np.zeros_like(slot_table)
+        else:
+            local_slot_table = np.asarray(local_slot_table)
+        _, lt = self._locals_of(inputs)
+        pos = np.asarray(inputs.positions)
+        lens = np.asarray(inputs.kv_lens)
+        ids = jnp.asarray(inputs.input_ids)
+        bt = jnp.asarray(inputs.block_tables)
+        ss = jnp.asarray(inputs.seq_slots)
+        li = jnp.asarray(inputs.lora_ids)
+        toks_l, logps_l = [], []
+        with self.lock:
+            for j in range(num_steps):
+                toks_j, logps_j, self.kv_caches = fn(
+                    self.params, self.kv_caches, ids,
+                    jnp.asarray(pos + j), jnp.asarray(slot_table[j]),
+                    bt, jnp.asarray(lens + j), sampling_state, ss, li,
+                    jnp.asarray(local_slot_table[j]), lt, jnp.int32(j))
+                ids = toks_j
+                toks_l.append(toks_j)
+                logps_l.append(logps_j)
+        toks = jnp.stack(toks_l)
+        logps = jnp.stack(logps_l)
+        if os.environ.get("TLLM_SYNC_DISPATCH") == "1":
+            jax.block_until_ready(toks)
+        return toks, logps
+
     def run_decode_multi(self, inputs: StepInputs, num_steps: int,
                          sampling_state, slot_table: np.ndarray,
                          local_slot_table: Optional[np.ndarray] = None):
@@ -670,6 +783,10 @@ class ModelEngine:
             return self._run_decode_multi_pp(inputs, num_steps,
                                              sampling_state, slot_table,
                                              local_slot_table)
+        if self._multi_step_mode() == "chain":
+            return self._run_decode_chain(inputs, num_steps,
+                                          sampling_state, slot_table,
+                                          local_slot_table)
         key = ("multi", num_steps)
         if key not in self._fns:
             self._fns[key] = self._make_multi_step_fn(num_steps)
@@ -1722,6 +1839,24 @@ class ModelEngine:
         from tensorrt_llm_tpu.runtime.sampler import SamplingState
         self.autotune_kernels()
         kv = self.kv_manager
+
+        def _sync(tag, out=None):
+            # debug: surface an aborting warmup dispatch AT the dispatch.
+            # NOTE a real FETCH, not block_until_ready — on the axon
+            # tunnel block_until_ready returns before the program ran;
+            # only materializing data is a true sync.
+            if os.environ.get("TLLM_WARMUP_SYNC") == "1":
+                import time as _t
+                t0 = _t.time()
+                try:
+                    if out is not None:
+                        np.asarray(jax.tree.leaves(out)[0])
+                    logger.info("warmup sync [%s]: %.1fs", tag,
+                                _t.time() - t0)
+                except Exception as e:  # noqa: BLE001
+                    logger.error("warmup sync [%s] FAILED: %s", tag, e)
+                    raise
+
         if prefill:
             for T in self.prefill_buckets:
                 if T > self.max_seq_len:
@@ -1730,15 +1865,24 @@ class ModelEngine:
                                  SamplingParams(max_tokens=1))
                 kv.add_sequence(req.request_id, req.prompt_token_ids)
                 kv.grow_sequence(req.request_id, req.prompt_len)
-                self.run_prefill(self.prepare_prefill_inputs(req, req.prompt_len))
+                out_p = self.run_prefill(
+                    self.prepare_prefill_inputs(req, req.prompt_len))
+                _sync(f"prefill T={T}", out_p)
                 kv.free_sequence(req.request_id)
         if decode:
             # representative lengths hitting each table bucket up to the
-            # engine limit
+            # engine limit.  Leave k-1 tokens of headroom below each
+            # bucket/limit: the fused k-step warmup runs steps at
+            # L..L+k-1, and L = bucket_cap - 1 made step k index past the
+            # block table — an out-of-range scalar-prefetch DMA that
+            # wedged the chip asynchronously and killed the first real
+            # request's fetch (r5 root cause #2; tpu_return_logs/
+            # r5_stage3.log pins it to "multi B=16 L=255 k=4").
             bs = kv.block_size
+            km = max(1, int(multi_steps))
             lens, mb = [], 16
             while True:
-                lens.append(min(mb * bs - 1, self.max_seq_len - 1, 
+                lens.append(min(mb * bs - km, self.max_seq_len - km,
                                 kv.num_blocks * bs // 2))
                 if mb * bs - 1 >= self.max_seq_len - 1                         or mb >= self.max_blocks_per_seq:
                     break
@@ -1748,20 +1892,25 @@ class ModelEngine:
                 for L in lens:
                     req = LlmRequest([1] * L, SamplingParams(max_tokens=1))
                     kv.add_sequence(req.request_id, req.prompt_token_ids)
-                    kv.grow_sequence(req.request_id, L)
+                    # grow for the k-step chain's future positions too
+                    kv.grow_sequence(req.request_id, L + km - 1)
                     reqs = [req] * B
                     inputs = self.prepare_decode_inputs(reqs)
-                    self.run_decode(inputs)
+                    out_d = self.run_decode(inputs)
+                    _sync(f"decode B={B} L={L}", out_d)
                     # executor uses k = max_decode_steps, capped at 4
                     # when eos can stop early — warm both variants
                     for k in sorted({multi_steps, min(multi_steps, 4)}):
-                        if k <= 1:
+                        if k <= 1 or os.environ.get(
+                                "TLLM_WARMUP_MULTI", "1") != "1":
                             continue
                         st = np.full((k, len(inputs.input_ids)),
                                      np.int64(2 ** 30), np.int32)
                         state = SamplingState.from_params(
                             [req.sampling_params] * len(reqs),
                             step=0, pad_to=len(inputs.input_ids))
-                        self.run_decode_multi(inputs, k, state, st)
+                        out_m = self.run_decode_multi(inputs, k, state,
+                                                      st)
+                        _sync(f"multi B={B} L={L} k={k}", out_m)
                     kv.free_sequence(req.request_id)
         logger.info("engine warmup done (%d executables)", len(self._fns))

@@ -179,6 +179,11 @@ def test_multi_step_unroll_matches_scan(monkeypatch):
     scan = run()
     monkeypatch.setenv("TLLM_MULTI_STEP_UNROLL", "1")
     assert run() == scan
+    # chain mode (TPU default): k single-step dispatches with on-device
+    # sampling, device tokens fed forward — must match the scan too
+    monkeypatch.delenv("TLLM_MULTI_STEP_UNROLL")
+    monkeypatch.setenv("TLLM_MULTI_STEP_MODE", "chain")
+    assert run() == scan
 
 
 def test_stop_token(executor):

@@ -93,7 +93,8 @@ def test_vswa_ring_slot_mapping_cyclic():
     _, kv, _ = build(True)
     kv.add_sequence(101, [1, 2, 3])
     P = kv.ring_capacity
-    base = kv.ring_slot_of(101) * P
+    # slabs start at block 1 (ring block 0 is the reserved PAD target)
+    base = kv.block_size + kv.ring_slot_of(101) * P
     # positions wrap cyclically
     m = kv.local_slot_mapping(101, P - 2, 4, pad_slot=-1, dedup=False)
     assert m == [base + P - 2, base + P - 1, base + 0, base + 1]
