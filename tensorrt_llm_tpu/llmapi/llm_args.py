@@ -108,8 +108,12 @@ class LlmArgs:
     # speculative decoding
     speculative_config: Optional[Any] = None   # SpeculativeConfig
 
-    # fused multi-step decode (1 disables)
-    max_decode_steps: int = 4
+    # fused multi-step decode (1 disables).  8 measured best on v5e with
+    # the chained-dispatch engine (tinyllama quick sweep, tok/s/chip:
+    # k=1 38.8, k=4 118.2, k=8 309.8, k=16 256.9 — BENCH_E2E_r5 logs);
+    # eos-stopping requests still cap at 4 (_decode_steps_for) so the
+    # overshoot waste is bounded
+    max_decode_steps: int = 8
     # overlap decode pipeline (reference disable_overlap_scheduler):
     # None = env default (TLLM_OVERLAP_DECODE / TLLM_OVERLAP_DEPTH)
     disable_overlap_scheduler: bool = False

@@ -680,19 +680,26 @@ class ModelEngine:
         model = self.model
         vswa = self._vswa
 
-        def step(params, kv_caches, ids, positions, slots, block_tables,
-                 kv_lens, sampling_state, seq_slots, lora_ids,
-                 local_slots, local_tables, key_step):
+        def step(params, kv_caches, ids, positions0, slot_table,
+                 block_tables, kv_lens0, sampling_state, seq_slots,
+                 lora_ids, local_slot_table, local_tables, key_step):
+            # per-step values derive ON DEVICE from per-chunk uploads:
+            # the only per-step host transfer is the ids handoff (device
+            # array) and the step scalar — uploads through the tunnel
+            # cost ~an RTT each, so per-step rows would dominate TPOT
             B = ids.shape[0]
             meta = AttentionMetadata(
-                positions=positions,
-                slot_mapping=slots,
+                positions=positions0 + key_step,
+                slot_mapping=jax.lax.dynamic_index_in_dim(
+                    slot_table, key_step, 0, keepdims=False),
                 block_tables=block_tables,
-                kv_lens=kv_lens,
+                kv_lens=kv_lens0 + key_step,
                 q_offset=jnp.int32(0),
                 seq_slots=seq_slots,
                 lora_ids=lora_ids,
-                local_slot_mapping=local_slots if vswa else None,
+                local_slot_mapping=(jax.lax.dynamic_index_in_dim(
+                    local_slot_table, key_step, 0, keepdims=False)
+                    if vswa else None),
                 local_block_tables=local_tables if vswa else None,
                 mode="decode",
             )
@@ -708,6 +715,7 @@ class ModelEngine:
             if self.mapping.dp_size > 1:
                 from tensorrt_llm_tpu.runtime.sampler import SamplingState
                 d = P("dp")
+                kB = P(None, "dp")
                 state_spec = SamplingState(
                     temperature=d, top_k=d, top_p=d, min_p=d, greedy=d,
                     seeds=d)
@@ -723,7 +731,7 @@ class ModelEngine:
                 step = jax.shard_map(
                     step, mesh=self.mesh,
                     in_specs=(self._param_specs, cache_spec,
-                              d, d, d, d, d, state_spec, d, d, d,
+                              d, d, kB, d, d, state_spec, d, d, kB,
                               lt_spec, P()),
                     out_specs=(P(), P(), cache_spec),
                     check_vma=False,
@@ -750,10 +758,21 @@ class ModelEngine:
             local_slot_table = np.zeros_like(slot_table)
         else:
             local_slot_table = np.asarray(local_slot_table)
+        # pad the step tables to a power-of-two row bucket so one
+        # executable serves every k (pad rows carry PAD_SLOT -> the
+        # reserved page; the loop runs only num_steps iterations)
+        K = 1 << (num_steps - 1).bit_length()
+        if K != slot_table.shape[0]:
+            pad = np.full((K - slot_table.shape[0], slot_table.shape[1]),
+                          PAD_SLOT, np.int32)
+            slot_table = np.concatenate([slot_table, pad])
+            local_slot_table = np.concatenate([local_slot_table, pad])
         _, lt = self._locals_of(inputs)
-        pos = np.asarray(inputs.positions)
-        lens = np.asarray(inputs.kv_lens)
         ids = jnp.asarray(inputs.input_ids)
+        pos0 = jnp.asarray(inputs.positions)
+        lens0 = jnp.asarray(inputs.kv_lens)
+        st_dev = jnp.asarray(slot_table)
+        lst_dev = jnp.asarray(local_slot_table)
         bt = jnp.asarray(inputs.block_tables)
         ss = jnp.asarray(inputs.seq_slots)
         li = jnp.asarray(inputs.lora_ids)
@@ -761,10 +780,9 @@ class ModelEngine:
         with self.lock:
             for j in range(num_steps):
                 toks_j, logps_j, self.kv_caches = fn(
-                    self.params, self.kv_caches, ids,
-                    jnp.asarray(pos + j), jnp.asarray(slot_table[j]),
-                    bt, jnp.asarray(lens + j), sampling_state, ss, li,
-                    jnp.asarray(local_slot_table[j]), lt, jnp.int32(j))
+                    self.params, self.kv_caches, ids, pos0, st_dev,
+                    bt, lens0, sampling_state, ss, li, lst_dev, lt,
+                    jnp.int32(j))
                 ids = toks_j
                 toks_l.append(toks_j)
                 logps_l.append(logps_j)
