@@ -758,10 +758,13 @@ class ModelEngine:
             local_slot_table = np.zeros_like(slot_table)
         else:
             local_slot_table = np.asarray(local_slot_table)
-        # pad the step tables to a power-of-two row bucket so one
-        # executable serves every k (pad rows carry PAD_SLOT -> the
+        # pad the step tables to ONE fixed row count so a single
+        # executable serves every k — tail chunks (k < max) must not
+        # trigger mid-serving compiles (pad rows carry PAD_SLOT -> the
         # reserved page; the loop runs only num_steps iterations)
-        K = 1 << (num_steps - 1).bit_length()
+        K = max(getattr(self, "_chain_rows", 0) or 0,
+                1 << (num_steps - 1).bit_length())
+        self._chain_rows = K
         if K != slot_table.shape[0]:
             pad = np.full((K - slot_table.shape[0], slot_table.shape[1]),
                           PAD_SLOT, np.int32)
