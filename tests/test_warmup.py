@@ -27,3 +27,36 @@ def test_warmup_covers_table_buckets():
             set(llm.engine._fns) - compiled)
     finally:
         llm.shutdown()
+
+
+def test_warmup_multi_step_stays_inside_block_tables(monkeypatch):
+    """r5 on-chip root cause: warmup ran the k-step variant at
+    L = bucket_cap - 1 without growing the sequence, so steps 2..k
+    indexed past the block table (an out-of-range scalar-prefetch DMA
+    that wedged the chip).  Assert every warmup multi call keeps
+    L + k - 1 within both the grown sequence and the table bucket."""
+    from tensorrt_llm_tpu.runtime.model_engine import ModelEngine
+
+    calls = []
+    orig = ModelEngine.run_decode_multi
+
+    def checked(self, inputs, num_steps, state, slot_table,
+                local_slot_table=None):
+        kv_lens = np.asarray(inputs.kv_lens)
+        table_w = np.asarray(inputs.block_tables).shape[1]
+        cap = table_w * self.kv_manager.block_size
+        assert int(kv_lens.max()) + num_steps - 1 <= cap, (
+            int(kv_lens.max()), num_steps, cap)
+        calls.append(num_steps)
+        return orig(self, inputs, num_steps, state, slot_table,
+                    local_slot_table)
+
+    monkeypatch.setattr(ModelEngine, "run_decode_multi", checked)
+    cfg = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=2,
+                      head_dim=16, max_position=512)
+    llm = tllm.LLM(model=cfg, skip_tokenizer_init=True, max_seq_len=512,
+                   max_batch_size=4, kv_num_blocks=256, kv_block_size=8,
+                   max_decode_steps=4, enable_warmup=True, seed=0)
+    llm.shutdown()
+    assert calls, "warmup never exercised the multi-step variant"
