@@ -217,7 +217,8 @@ class LLM:
                     cfg.sparse_attention.get("index_head_dim", 128))
             else:
                 kvcfg.sparse_kt = True
-        num_blocks = kvcfg.num_blocks or self._derive_num_blocks(cfg, kvcfg, a)
+        num_blocks = kvcfg.num_blocks or self._derive_num_blocks(
+            cfg, kvcfg, a, params)
         if mapping.cp_size > 1 and mapping.cp_type == "helix":
             from tensorrt_llm_tpu.runtime.kv_cache_manager import (
                 HelixKVCacheManager)
@@ -333,7 +334,7 @@ class LLM:
         return place
 
     @staticmethod
-    def _derive_num_blocks(cfg, kvcfg, a) -> int:
+    def _derive_num_blocks(cfg, kvcfg, a, params=None) -> int:
         """Size the pool from device free memory (reference
         resource_manager.py:782 calculate_max_num_blocks)."""
         from tensorrt_llm_tpu.quantization.mode import KvCacheQuantAlgo
@@ -341,6 +342,14 @@ class LLM:
             stats = jax.devices()[0].memory_stats() or {}
             limit = stats.get("bytes_limit", 8 << 30)
             used = stats.get("bytes_in_use", 0)
+            # async dispatch: freshly created/uploaded weights may not be
+            # committed device-side yet, so bytes_in_use under-reports and
+            # the pool overshoots HBM (r5: every 8B+ bench config died
+            # RESOURCE_EXHAUSTED).  Floor `used` at the params footprint.
+            if params is not None:
+                pbytes = sum(getattr(l, "nbytes", 0)
+                             for l in jax.tree.leaves(params))
+                used = max(used, pbytes)
             budget = int((limit - used) * kvcfg.free_mem_fraction)
         except Exception:
             budget = 4 << 30
