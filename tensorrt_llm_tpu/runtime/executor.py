@@ -1233,6 +1233,12 @@ class PyExecutor:
                for r in reqs):
             return 1  # penalties/stop/logit controls need host state
         k = self.max_decode_steps
+        if self.drafter is not None and not self._spec_adaptive_off:
+            # speculation replaces multi-token fusion (reference: spec
+            # modes own the decode loop): large fused chunks would eat a
+            # request's whole budget before the drafter ever re-proposes
+            # (history-based drafters like NGram need generated tokens)
+            k = min(k, 2)
         for r in reqs:
             sp = r.sampling_params
             # budget overshoot is fine (excess sampled tokens are dropped
