@@ -779,13 +779,20 @@ class ModelEngine:
         bt = jnp.asarray(inputs.block_tables)
         ss = jnp.asarray(inputs.seq_slots)
         li = jnp.asarray(inputs.lora_ids)
+        # step scalars are device constants reused across every chunk —
+        # a fresh jnp.int32(j) per step is an upload (ack ~RTT on the
+        # tunnel) in the hottest loop
+        steps = getattr(self, "_step_scalars", None)
+        if steps is None or len(steps) < num_steps:
+            steps = self._step_scalars = [
+                jnp.int32(j) for j in range(max(num_steps, 16))]
         toks_l, logps_l = [], []
         with self.lock:
             for j in range(num_steps):
                 toks_j, logps_j, self.kv_caches = fn(
                     self.params, self.kv_caches, ids, pos0, st_dev,
                     bt, lens0, sampling_state, ss, li, lst_dev, lt,
-                    jnp.int32(j))
+                    steps[j])
                 ids = toks_j
                 toks_l.append(toks_j)
                 logps_l.append(logps_j)
