@@ -19,13 +19,24 @@ import time
 
 def run_config(name: str, argv: list) -> dict:
     from tensorrt_llm_tpu.commands import bench
+    import gc
     import io
     import contextlib
 
     buf = io.StringIO()
     t0 = time.time()
-    with contextlib.redirect_stdout(buf):
-        bench.main(argv)
+    try:
+        with contextlib.redirect_stdout(buf):
+            bench.main(argv)
+    finally:
+        # configs share one process: drop the previous engine's device
+        # buffers (params, pools, jit executables) before the next builds
+        # or the next free-mem sizing sees a full device and the build
+        # dies RESOURCE_EXHAUSTED
+        import jax
+        gc.collect()
+        jax.clear_caches()
+        gc.collect()
     out = buf.getvalue()
     # the report is the last JSON object printed
     report = json.loads(out[out.index("{"):])

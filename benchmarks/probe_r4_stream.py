@@ -98,6 +98,13 @@ def main():
                        "ramp_bk0": 2048}),
         ("stream-0.5k", {"variant": "stream", "mixed": True,
                          "ramp_bk0": 512}),
+        ("stream-1k-la8", {"variant": "stream", "mixed": True,
+                           "lookahead": 8}),
+        ("stream-0.5k-la8", {"variant": "stream", "mixed": True,
+                             "ramp_bk0": 512, "lookahead": 8}),
+        ("stream-0.5k-la12", {"variant": "stream", "mixed": True,
+                              "ramp_bk0": 512, "lookahead": 12}),
+        ("tiled-bk2048-mixed", {"block_k": 2048, "mixed": True}),
     ]
     for (M, K, N) in shapes:
         for name, tac in tactics:

@@ -141,7 +141,9 @@ def _dsa_score_kernel(
     kvlen_ref,    # [B] int32
     # inputs
     q_ref,        # [1, Hi, Di] VMEM
-    w_ref,        # [1, Hi] f32 VMEM
+    w_ref,        # [B, Hi] f32 VMEM (full array: a (1, Hi) block violates
+                  #   Mosaic's sublane-divisibility rule when B % 8 != 0 —
+                  #   caught by the r5 on-chip compile sweep)
     k_hbm,        # [NB, 1, BS, Di] ANY/HBM
     # outputs
     s_out,        # [1, TS] f32
@@ -189,7 +191,7 @@ def _dsa_score_kernel(
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [Hi, TS]
-        gated = jnp.maximum(logits, 0.0) * w_ref[0][:, None]
+        gated = jnp.maximum(logits, 0.0) * w_ref[b][:, None]
         scores = jnp.sum(gated, axis=0, keepdims=True)    # [1, TS]
         kv_pos = t * TS + jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
         s_out[:] = jnp.where(kv_pos < kv_len, scores, NEG_INF)
@@ -228,7 +230,7 @@ def dsa_scores_pallas(
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec((1, q_idx.shape[1], di), lambda b, t, *_: (b, 0, 0)),
-            pl.BlockSpec((1, weights.shape[1]), lambda b, t, *_: (b, 0)),
+            pl.BlockSpec((B, weights.shape[1]), lambda b, t, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TS), lambda b, t, *_: (b, t)),

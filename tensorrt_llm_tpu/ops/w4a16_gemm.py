@@ -827,6 +827,7 @@ def w4a16_matmul(
     variant: Optional[str] = None,
     ramp_bk0: Optional[int] = None,
     ramp_bk_big: Optional[int] = None,
+    lookahead: int = 4,
     mixed: bool = False,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -872,6 +873,7 @@ def w4a16_matmul(
             variant = tactic.get("variant")
             ramp_bk0 = tactic.get("ramp_bk0", ramp_bk0)
             ramp_bk_big = tactic.get("ramp_bk_big", ramp_bk_big)
+            lookahead = tactic.get("lookahead", lookahead)
             mixed = tactic.get("mixed", mixed)
         bm = block_m or min(256, max(16, round_up(M, 16)))
         ramp_ok = (
@@ -891,7 +893,7 @@ def w4a16_matmul(
         if stream_ok:
             out = _w4a16_matmul_stream(
                 x2, packed, scales, zeros, bias, activation, out_dtype,
-                bm, slab, 4, bool(interpret), mixed)
+                bm, slab, max(2, int(lookahead)), bool(interpret), mixed)
         elif ramp_ok:
             n_n, half, BN = packed.shape
             sched = ramp_schedule(K, ramp_bk0 or RAMP_SLAB,
