@@ -775,12 +775,17 @@ def w4a16_tactic_candidates(K: int, N: int, tiled: bool,
         if K % half == 0 and half != bk_max:
             cands.append({"block_k": half, "mixed": True})
         if K % RAMP_SLAB == 0 and RAMP_SLAB % max(G, 128) == 0:
-            # flat-grid manual-DMA stream (single cold SLAB per call,
-            # lookahead 4): the r2-verdict pipeline plan
-            cands.append({"variant": "stream", "mixed": True})
+            # flat-grid manual-DMA stream (single cold SLAB per call):
+            # the r2-verdict pipeline plan.  r5 on-chip tactic probe
+            # (tpu_return_logs/r5_tactics.log): the 2K-slab stream beats
+            # the tiled grid by ~5 points at the small decode shapes
+            # (73.1% vs 67.8% at 16x4096x4096), so it leads.
             if K % (2 * RAMP_SLAB) == 0:
-                cands.append({"variant": "stream", "mixed": True,
-                              "ramp_bk0": 2 * RAMP_SLAB})
+                cands.insert(0, {"variant": "stream", "mixed": True,
+                                 "ramp_bk0": 2 * RAMP_SLAB})
+            cands.append({"variant": "stream", "mixed": True})
+            cands.append({"variant": "stream", "mixed": True,
+                          "lookahead": 8})
         return cands
     return [{"block_k": bk} for bk in
             {bk_max, max(bk_max // 2, G)} if K % bk == 0]
