@@ -100,6 +100,26 @@ def cases():
                [S((256, hq, d), BF16), kd, ks, vd, vs,
                 S((MB,), I32), S((), I32)])
 
+    # awkward table width (129 blocks = 2064-token max_seq_len): no
+    # aligned dividing tile exists, the kernel must pad the tile space
+    # (r5: the int8 scale BlockSpec shrank to 48 lanes and Mosaic
+    # rejected it — the int8kv bench config died in warmup)
+    def fpa(q, kc, vc, bt, lens):
+        return flash_prefill_attention(q, kc, vc, bt, lens, jnp.int32(0),
+                                       scale=128 ** -0.5)
+    yield ("flash_prefill/bf16/mb129", fpa, [
+        S((256, 32, 128), BF16), _pool(160, 8, BS, 128),
+        _pool(160, 8, BS, 128), S((129,), I32), S((), I32)])
+
+    def fpa8(q, kd, ks, vd, vs, bt, lens):
+        return flash_prefill_attention(q, (kd, ks), (vd, vs), bt, lens,
+                                       jnp.int32(0), scale=128 ** -0.5)
+    (kd_, ks_), (vd_, vs_) = _int8_pool(160, 8, BS, 128), _int8_pool(
+        160, 8, BS, 128)
+    yield ("flash_prefill/int8kv/mb129", fpa8, [
+        S((256, 32, 128), BF16), kd_, ks_, vd_, vs_,
+        S((129,), I32), S((), I32)])
+
     # ---- W4A16 GEMM variants ----------------------------------------------------
     K, N, BN, G = 4096, 4096, 512, 128
     pk3 = S((N // BN, K // 2, BN), I8)
@@ -162,18 +182,23 @@ def cases():
         S((E, Km // G, Nm), F32), S((E,), I32)])
 
     # ---- MLA ---------------------------------------------------------------------
+    # production latent pools are LANE-TILE PADDED (ModelConfig.kv_pool_dim
+    # rounds L+R up to 128; layers/mla.py zero-pads latents + queries) —
+    # an unpadded 576-lane pool cannot even be DMA-sliced by Mosaic
+    # ("Slice shape ... must be aligned to tiling (128)", r5 sweep)
     L, R, H = 512, 64, 128
+    DKP = -(-(L + R) // 128) * 128
     def md(q, c, bt, lens):
         return mla_decode_pallas(q, c, bt, lens, scale=(L + R) ** -0.5,
                                  kv_lora_rank=L)
     yield ("mla_decode/B8", md, [
-        S((8, H, L + R), BF16), S((NB, 1, BS, L + R), BF16),
+        S((8, H, DKP), BF16), S((NB, 1, BS, DKP), BF16),
         S((8, MB), I32), S((8,), I32)])
     def mp(q, c, bt, lens):
         return mla_prefill_pallas(q, c, bt, lens, jnp.int32(0),
                                   scale=(L + R) ** -0.5, kv_lora_rank=L)
     yield ("mla_prefill/T256", mp, [
-        S((256, H, L + R), BF16), S((NB, 1, BS, L + R), BF16),
+        S((256, H, DKP), BF16), S((NB, 1, BS, DKP), BF16),
         S((MB,), I32), S((), I32)])
 
     # ---- DSA indexer -------------------------------------------------------------

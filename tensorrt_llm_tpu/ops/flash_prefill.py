@@ -453,6 +453,19 @@ def flash_prefill_attention(
     TS = max(BS, (TS // BS) * BS)
     while (MB * BS) % TS:
         TS -= BS
+    if TS % 128 or TS < 128:
+        # awkward table widths (e.g. MB=129 -> the only dividing tile is
+        # 48) leave an unaligned tile: Mosaic rejects <128-lane scale
+        # blocks (int8 path) and tiny tiles mean one DMA per page.  Pad
+        # the tile space instead: tail table entries point at RESERVED
+        # block 0 (safe garbage, masked off by kv_len in-kernel).
+        TS = min(tile_size, 256)
+        TS = max(128, (TS // 128) * 128)
+        while TS % BS:
+            TS += 128   # BS is a power of two <= 128 in practice
+        MB_pad = -(-(MB * BS) // TS) * TS // BS
+        block_table = jnp.pad(block_table, (0, MB_pad - MB))
+        MB = MB_pad
     PPT = TS // BS
     n_kv_tiles = (MB * BS) // TS
 

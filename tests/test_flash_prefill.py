@@ -117,3 +117,43 @@ def test_flash_prefill_int8(T_prefix, T_chunk, win, sinks):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_flash_prefill_awkward_table_width_pads_tiles():
+    """MB with no 128-lane-aligned dividing tile (e.g. 129 blocks for a
+    2064-token max_seq_len) must pad the tile space with reserved-block-0
+    entries instead of shrinking TS to an unaligned width — Mosaic
+    rejects <128-lane scale blocks and the r5 int8kv bench died on it.
+    Exactness vs the XLA reference proves the padded tail is masked."""
+    Hq, Hkv, D, BS, MB = 8, 2, 128, 16, 9   # 9*16=144: tiles pad to 256
+    T_prefix, T_chunk = 96, 32
+    q, k_cache, v_cache, bt = build_seq(
+        jax.random.PRNGKey(3), T_prefix, T_chunk, Hq, Hkv, D, BS, MB)
+    kv_len = jnp.int32(T_prefix + T_chunk)
+    q_off = jnp.int32(T_prefix)
+    ref = paged_prefill_xla(q, k_cache, v_cache, bt, kv_len, q_off,
+                            scale=D ** -0.5)
+    out = flash_prefill_attention(q, k_cache, v_cache, bt, kv_len, q_off,
+                                  scale=D ** -0.5, tile_size=256,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    # int8 pools through the same awkward width
+    from tensorrt_llm_tpu.ops.attention_xla import quantize_kv_token
+    kq, ksc = quantize_kv_token(
+        jnp.transpose(k_cache, (0, 2, 1, 3)).reshape(-1, Hkv, D))
+    vq, vsc = quantize_kv_token(
+        jnp.transpose(v_cache, (0, 2, 1, 3)).reshape(-1, Hkv, D))
+    NB = MB + 1
+    k8 = (jnp.transpose(kq.reshape(NB, BS, Hkv, D), (0, 2, 1, 3)),
+          jnp.transpose(ksc.reshape(NB, BS, Hkv), (0, 2, 1)))
+    v8 = (jnp.transpose(vq.reshape(NB, BS, Hkv, D), (0, 2, 1, 3)),
+          jnp.transpose(vsc.reshape(NB, BS, Hkv), (0, 2, 1)))
+    out8 = flash_prefill_attention(q, k8, v8, bt, kv_len, q_off,
+                                   scale=D ** -0.5, tile_size=256,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out8, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=8e-2, atol=8e-2)
