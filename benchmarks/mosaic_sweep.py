@@ -120,6 +120,20 @@ def cases():
         S((256, 32, 128), BF16), kd_, ks_, vd_, vs_,
         S((129,), I32), S((), I32)])
 
+    def pda(q, kc, vc, bt, lens):
+        return paged_decode_attention(q, kc, vc, bt, lens,
+                                      scale=128 ** -0.5)
+    yield ("paged_decode/bf16/mb129", pda, [
+        S((B, 32, 128), BF16), _pool(160, 8, BS, 128),
+        _pool(160, 8, BS, 128), S((B, 129), I32), S((B,), I32)])
+
+    def pda8(q, kd, ks, vd, vs, bt, lens):
+        return paged_decode_attention(q, (kd, ks), (vd, vs), bt, lens,
+                                      scale=128 ** -0.5)
+    yield ("paged_decode/int8kv/mb129", pda8, [
+        S((B, 32, 128), BF16), kd_, ks_, vd_, vs_,
+        S((B, 129), I32), S((B,), I32)])
+
     # ---- W4A16 GEMM variants ----------------------------------------------------
     K, N, BN, G = 4096, 4096, 512, 128
     pk3 = S((N // BN, K // 2, BN), I8)

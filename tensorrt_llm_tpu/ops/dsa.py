@@ -194,7 +194,11 @@ def _dsa_score_kernel(
         gated = jnp.maximum(logits, 0.0) * w_ref[b][:, None]
         scores = jnp.sum(gated, axis=0, keepdims=True)    # [1, TS]
         kv_pos = t * TS + jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
-        s_out[:] = jnp.where(kv_pos < kv_len, scores, NEG_INF)
+        # the out block is 8 broadcast sublane rows (a 1-row block
+        # violates Mosaic's sublane divisibility; the wrapper slices
+        # row 0 of every group afterwards)
+        s_out[:] = jnp.broadcast_to(
+            jnp.where(kv_pos < kv_len, scores, NEG_INF), s_out.shape)
 
     @pl.when(t >= n_tiles)
     def _pad():
@@ -233,7 +237,7 @@ def dsa_scores_pallas(
             pl.BlockSpec((B, weights.shape[1]), lambda b, t, *_: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TS), lambda b, t, *_: (b, t)),
+        out_specs=pl.BlockSpec((8, TS), lambda b, t, *_: (b, t)),
         scratch_shapes=[
             pltpu.VMEM((2, TS, di), idx_cache.dtype),
             pltpu.SemaphoreType.DMA((2, TS // bs)),
@@ -241,16 +245,18 @@ def dsa_scores_pallas(
     )
     kernel = functools.partial(_dsa_score_kernel, tile_size=TS,
                                page_size=bs)
-    return pl.pallas_call(
+    out8 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8 * B, S), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(block_tables, kv_lens, q_idx.astype(jnp.bfloat16),
       weights.astype(jnp.float32), idx_cache)
+    # one broadcast 8-row group per batch row (see kernel comment)
+    return out8[::8]
 
 
 def dsa_prefill_mask(

@@ -342,6 +342,21 @@ def paged_decode_attention(
     TS = max(BS, (TS // BS) * BS)
     while (MB * BS) % TS:
         TS -= BS
+    if TS % 128 or TS < 128:
+        # awkward table widths (MB=129 at a 2064-token max_seq_len):
+        # the only dividing tile is unaligned — Mosaic rejects <128-lane
+        # scale blocks (int8 path) and tiny tiles DMA one page at a
+        # time.  Pad the tile space: tail entries point at RESERVED
+        # block 0, masked by kv_len in-kernel (same fix as
+        # flash_prefill_attention).
+        TS = min(tile_size, 256)
+        TS = max(128, (TS // 128) * 128)
+        while TS % BS:
+            TS += 128
+        MB_pad = -(-(MB * BS) // TS) * TS // BS
+        block_tables = jnp.pad(block_tables,
+                               ((0, 0), (0, MB_pad - MB)))
+        MB = MB_pad
     PPT = TS // BS
     n_tiles = (MB * BS) // TS
 

@@ -216,3 +216,43 @@ def test_paged_decode_int8_matches_xla(B, Hq, Hkv, D, BS, MB, sinks, win):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32),
         rtol=2e-2, atol=2e-2)
+
+
+def test_paged_decode_awkward_table_width_pads_tiles():
+    """129-block tables (2064-token max_seq_len) have no 128-aligned
+    dividing tile; the kernel must pad the tile space with reserved-
+    block-0 entries (r5: the int8 scale BlockSpec shrank to 48 lanes
+    and Mosaic rejected it at serving time)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tensorrt_llm_tpu.ops.attention_xla import (paged_decode_xla,
+                                                    write_kv_cache)
+    from tensorrt_llm_tpu.ops.paged_attention import paged_decode_attention
+
+    B, Hq, Hkv, D, BS, MB = 2, 8, 2, 128, 16, 9
+    NB = B * MB + 1
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    total = 120
+    k_cache = jnp.zeros((NB, Hkv, BS, D), jnp.bfloat16)
+    v_cache = jnp.zeros((NB, Hkv, BS, D), jnp.bfloat16)
+    bt = np.zeros((B, MB), np.int32)
+    lens = np.array([total, total - 17], np.int32)
+    for b in range(B):
+        bt[b] = 1 + b * MB + np.arange(MB)
+        toks = int(lens[b])
+        k_all = jax.random.normal(keys[0], (toks, Hkv, D), jnp.bfloat16)
+        v_all = jax.random.normal(keys[1], (toks, Hkv, D), jnp.bfloat16)
+        slots = (bt[b][np.arange(toks) // BS] * BS
+                 + np.arange(toks) % BS).astype(np.int32)
+        k_cache, v_cache = write_kv_cache(k_cache, v_cache, k_all, v_all,
+                                          jnp.asarray(slots))
+    q = jax.random.normal(keys[2], (B, Hq, D), jnp.bfloat16)
+    ref = paged_decode_xla(q, k_cache, v_cache, jnp.asarray(bt),
+                           jnp.asarray(lens), scale=D ** -0.5)
+    out = paged_decode_attention(q, k_cache, v_cache, jnp.asarray(bt),
+                                 jnp.asarray(lens), scale=D ** -0.5,
+                                 tile_size=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
