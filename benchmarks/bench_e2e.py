@@ -25,6 +25,13 @@ def run_config(name: str, argv: list) -> dict:
 
     buf = io.StringIO()
     t0 = time.time()
+    # cleanup BEFORE building too: a failed previous config's engine is
+    # pinned by its exception traceback until the caller's handler exits,
+    # so the in-finally cleanup below could not free it yet
+    import jax as _jax
+    gc.collect()
+    _jax.clear_caches()
+    gc.collect()
     try:
         with contextlib.redirect_stdout(buf):
             bench.main(argv)
