@@ -159,10 +159,24 @@ class LLM:
         model_cls = get_model_class(cfg.architecture)
         self.model = model_cls(cfg)
 
+        def _random_init():
+            """Random-init at the real shapes.  On an accelerator, init on
+            the HOST then ship final arrays once: device-side init stacks
+            per-layer bf16/f32 quantize transients on top of the growing
+            final params and OOMs big models (r5: GPT-OSS-20B ~12.5 GB
+            final died in init on the 16 GB chip)."""
+            if jax.default_backend() == "cpu" or mapping.world_size > 1:
+                return self.model.init(jax.random.PRNGKey(a.seed))
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                p = self.model.init(jax.random.PRNGKey(a.seed))
+                p = jax.tree.map(lambda x: x.block_until_ready(), p)
+            return jax.device_put(p, jax.devices()[0])
+
         if a.load_format == "dummy":
             # reference load_format="dummy": skip the checkpoint read and
             # random-init at the real shapes (perf/bring-up runs)
-            params = self.model.init(jax.random.PRNGKey(a.seed))
+            params = _random_init()
         elif model_path is not None and _has_weights(model_path):
             get_tensor = _safetensors_reader(model_path)
             if a.lora_path:
@@ -178,7 +192,7 @@ class LLM:
                                                 **kw)
         elif params is None:
             logger.warning("no checkpoint found — random-initializing weights")
-            params = self.model.init(jax.random.PRNGKey(a.seed))
+            params = _random_init()
 
         if getattr(model_cls, "is_encoder", False):
             # BERT-class encoder (embeddings / reranking): one bidirectional
