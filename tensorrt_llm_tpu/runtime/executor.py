@@ -1396,16 +1396,33 @@ class PyExecutor:
         if getattr(self.engine, "_vswa", False):
             local_table = np.full((k, B), np.int64(2**30), np.int32)
         sp_rows = [SamplingParams() for _ in range(B)]
+        tables_needed = getattr(self.engine, "multi_step_needs_slot_tables",
+                                True)
         for i, req in enumerate(reqs):
             start = req.num_tokens + virt[i] - 1
-            slot_table[:, rows[i]] = self.kv.slot_mapping(
-                req.request_id, start, k)
-            if local_table is not None:
-                local_table[:, rows[i]] = self.kv.local_slot_mapping(
-                    req.request_id, start, k, int(2**30), dedup=False)
+            if tables_needed:
+                slot_table[:, rows[i]] = self.kv.slot_mapping(
+                    req.request_id, start, k)
+                if local_table is not None:
+                    local_table[:, rows[i]] = self.kv.local_slot_mapping(
+                        req.request_id, start, k, int(2**30), dedup=False)
             sp_rows[rows[i]] = req.sampling_params
-        state = SamplingState.from_params(sp_rows, step=self.iteration,
-                                          pad_to=B)
+        if not tables_needed:
+            # chain mode: one SamplingState per COMPOSITION, not per
+            # chunk — the per-chunk seed fold re-uploads a fresh seeds
+            # array every dispatch (~100 ms of fresh-content upload on
+            # the tunnel); cross-chunk randomness uniqueness rides the
+            # chain's GLOBAL step offset.  scan/unroll restart offsets at
+            # 0 each chunk, so they keep per-chunk seeds.
+            state_key = (comp, B)
+            if getattr(self, "_chain_state_key", None) != state_key:
+                self._chain_state = SamplingState.from_params(
+                    sp_rows, step=self.iteration, pad_to=B)
+                self._chain_state_key = state_key
+            state = self._chain_state
+        else:
+            state = SamplingState.from_params(sp_rows, step=self.iteration,
+                                              pad_to=B)
         toks, logps = self.engine.run_decode_multi(inputs, k, state,
                                                    slot_table, local_table)
         self._inflight.append({"reqs": list(reqs), "rows": rows, "k": k,

@@ -674,32 +674,47 @@ class ModelEngine:
 
     def _make_chain_step_fn(self):
         """One decode step + on-device sampling: (tokens [B], logps [B],
-        caches).  The chain-mode building block."""
+        caches).  The chain-mode building block.
+
+        EVERYTHING per-step derives ON DEVICE from per-composition
+        uploads: positions/kv_lens = base + step offset, flat write
+        slots = block_tables[pos // bs] * bs + pos % bs (VSWA ring slots
+        from the ring tables at pos % ring_capacity — exactly
+        KVCacheManager.local_slot_mapping's arithmetic).  On the
+        tunnel-attached chip a fresh-content upload costs ~100 ms while
+        dispatches are free (r5 probe), so the steady-state decode loop
+        must upload nothing but the cached step-offset scalar."""
         from tensorrt_llm_tpu.runtime.sampler import sample_tokens
 
         model = self.model
         vswa = self._vswa
+        bs = self.kv_manager.block_size
+        ring_cap = (int(self.kv_manager.ring_capacity)
+                    if vswa else 0)
 
-        def step(params, kv_caches, ids, positions0, slot_table,
-                 block_tables, kv_lens0, sampling_state, seq_slots,
-                 lora_ids, local_slot_table, local_tables, key_step):
-            # per-step values derive ON DEVICE from per-chunk uploads:
-            # the only per-step host transfer is the ids handoff (device
-            # array) and the step scalar — uploads through the tunnel
-            # cost ~an RTT each, so per-step rows would dominate TPOT
+        def step(params, kv_caches, ids, pos_base, block_tables,
+                 len_base, sampling_state, seq_slots, lora_ids,
+                 local_tables, step_off):
             B = ids.shape[0]
+            positions = pos_base + step_off
+            slots = (jnp.take_along_axis(
+                block_tables, (positions // bs)[:, None], axis=1)[:, 0]
+                * bs + positions % bs)
+            lslots = None
+            if vswa:
+                pm = positions % ring_cap
+                lslots = (jnp.take_along_axis(
+                    local_tables, (pm // bs)[:, None], axis=1)[:, 0]
+                    * bs + pm % bs)
             meta = AttentionMetadata(
-                positions=positions0 + key_step,
-                slot_mapping=jax.lax.dynamic_index_in_dim(
-                    slot_table, key_step, 0, keepdims=False),
+                positions=positions,
+                slot_mapping=slots,
                 block_tables=block_tables,
-                kv_lens=kv_lens0 + key_step,
+                kv_lens=len_base + step_off,
                 q_offset=jnp.int32(0),
                 seq_slots=seq_slots,
                 lora_ids=lora_ids,
-                local_slot_mapping=(jax.lax.dynamic_index_in_dim(
-                    local_slot_table, key_step, 0, keepdims=False)
-                    if vswa else None),
+                local_slot_mapping=lslots,
                 local_block_tables=local_tables if vswa else None,
                 mode="decode",
             )
@@ -707,7 +722,7 @@ class ModelEngine:
                 params, ids, kv_caches, meta,
                 jnp.arange(B, dtype=jnp.int32))
             tokens, logp = sample_tokens(logits, sampling_state,
-                                         step_offset=key_step)
+                                         step_offset=step_off)
             return tokens, logp, caches
 
         if self.mesh is not None:
@@ -715,7 +730,6 @@ class ModelEngine:
             if self.mapping.dp_size > 1:
                 from tensorrt_llm_tpu.runtime.sampler import SamplingState
                 d = P("dp")
-                kB = P(None, "dp")
                 state_spec = SamplingState(
                     temperature=d, top_k=d, top_p=d, min_p=d, greedy=d,
                     seeds=d)
@@ -731,7 +745,7 @@ class ModelEngine:
                 step = jax.shard_map(
                     step, mesh=self.mesh,
                     in_specs=(self._param_specs, cache_spec,
-                              d, d, kB, d, d, state_spec, d, d, kB,
+                              d, d, d, d, state_spec, d, d,
                               lt_spec, P()),
                     out_specs=(P(), P(), cache_spec),
                     check_vma=False,
@@ -740,59 +754,99 @@ class ModelEngine:
             step = jax.shard_map(
                 step, mesh=self.mesh,
                 in_specs=(self._param_specs, cache_spec,
-                          P(), P(), P(), P(), P(), P(), P(), P(), P(),
+                          P(), P(), P(), P(), P(), P(), P(),
                           P(), P()),
                 out_specs=(P(), P(), cache_spec),
                 check_vma=False,
             )
         return jax.jit(step, donate_argnums=(1,))
 
+    @property
+    def multi_step_needs_slot_tables(self) -> bool:
+        """Chain mode derives write slots in-graph; the executor can skip
+        the O(k x B) host slot_mapping loops per chunk."""
+        return self._multi_step_mode() != "chain" or self.pp_size > 1
+
+    def _step_scalar(self, j: int):
+        """Cached device scalar for step offset j — a fresh jnp.int32 in
+        the decode loop is a fresh-content upload (~100 ms on the tunnel;
+        the axon client content-caches repeats)."""
+        cache = getattr(self, "_step_scalar_cache", None)
+        if cache is None:
+            cache = self._step_scalar_cache = {}
+        s = cache.get(j)
+        if s is None:
+            s = cache[j] = jnp.int32(j)
+        return s
+
+    def _chain_dev_array(self, name: str, host) -> jax.Array:
+        """Device copy of a host array re-uploaded ONLY when the content
+        changes (uploads cost ~100 ms on the tunnel; np comparison of a
+        [B, MB] table is microseconds)."""
+        cache = getattr(self, "_chain_dev", None)
+        if cache is None:
+            cache = self._chain_dev = {}
+        host = np.asarray(host)
+        ent = cache.get(name)
+        if (ent is None or ent[0].shape != host.shape
+                or ent[0].dtype != host.dtype
+                or not np.array_equal(ent[0], host)):
+            ent = cache[name] = (host.copy(), jnp.asarray(host))
+        return ent[1]
+
     def _run_decode_chain(self, inputs: StepInputs, num_steps: int,
                           sampling_state, slot_table,
                           local_slot_table=None):
+        # slot tables are ignored: the chain derives write slots on device
+        # from the block tables + positions (identical arithmetic to
+        # KVCacheManager.slot_mapping / local_slot_mapping)
         if "chain_step" not in self._fns:
             self._fns["chain_step"] = self._make_chain_step_fn()
         fn = self._fns["chain_step"]
-        slot_table = np.asarray(slot_table)
-        if local_slot_table is None:
-            local_slot_table = np.zeros_like(slot_table)
-        else:
-            local_slot_table = np.asarray(local_slot_table)
-        # pad the step tables to ONE fixed row count so a single
-        # executable serves every k — tail chunks (k < max) must not
-        # trigger mid-serving compiles (pad rows carry PAD_SLOT -> the
-        # reserved page; the loop runs only num_steps iterations)
-        K = max(getattr(self, "_chain_rows", 0) or 0,
-                1 << (num_steps - 1).bit_length())
-        self._chain_rows = K
-        if K != slot_table.shape[0]:
-            pad = np.full((K - slot_table.shape[0], slot_table.shape[1]),
-                          PAD_SLOT, np.int32)
-            slot_table = np.concatenate([slot_table, pad])
-            local_slot_table = np.concatenate([local_slot_table, pad])
         _, lt = self._locals_of(inputs)
-        ids = jnp.asarray(inputs.input_ids)
-        pos0 = jnp.asarray(inputs.positions)
-        lens0 = jnp.asarray(inputs.kv_lens)
-        st_dev = jnp.asarray(slot_table)
-        lst_dev = jnp.asarray(local_slot_table)
-        bt = jnp.asarray(inputs.block_tables)
-        ss = jnp.asarray(inputs.seq_slots)
-        li = jnp.asarray(inputs.lora_ids)
-        # step scalars are device constants reused across every chunk —
-        # a fresh jnp.int32(j) per step is an upload (ack ~RTT on the
-        # tunnel) in the hottest loop
-        steps = getattr(self, "_step_scalars", None)
-        if steps is None or len(steps) < num_steps:
-            steps = self._step_scalars = [
-                jnp.int32(j) for j in range(max(num_steps, 16))]
+
+        # steady-state chunks of a stable composition upload NOTHING:
+        # positions/kv_lens advance uniformly, so they ride the cached
+        # base arrays + the step-offset scalar.  Padding rows (pos 0,
+        # len 1) ride too: their in-graph slots resolve through the
+        # all-zeros pad table row to reserved page 0 at any offset.
+        cache = getattr(self, "_chain_dev", None)
+        if cache is None:
+            cache = self._chain_dev = {}
+        pos_h = np.asarray(inputs.positions)
+        lens_h = np.asarray(inputs.kv_lens)
+        base = cache.get("pos_base")
+        off0 = 0
+        reuse = False
+        if base is not None and base[0].shape == pos_h.shape:
+            dpos = pos_h.astype(np.int64) - base[0]
+            dlen = lens_h.astype(np.int64) - cache["len_base"][0]
+            real = pos_h > 0
+            du = np.unique(dpos[real])
+            if (du.size == 1 and du[0] >= 0
+                    and (dpos[~real] == 0).all()
+                    and (dlen[real] == du[0]).all()
+                    and (dlen[~real] == 0).all()):
+                off0 = int(du[0])
+                reuse = True
+        if not reuse:
+            cache["pos_base"] = (pos_h.copy(), jnp.asarray(pos_h))
+            cache["len_base"] = (lens_h.copy(), jnp.asarray(lens_h))
+        pos0 = cache["pos_base"][1]
+        lens0 = cache["len_base"][1]
+        bt = self._chain_dev_array("bt", inputs.block_tables)
+        ss = self._chain_dev_array("ss", inputs.seq_slots)
+        li = self._chain_dev_array("li", inputs.lora_ids)
+        ids = (inputs.input_ids if hasattr(inputs.input_ids, "devices")
+               else jnp.asarray(inputs.input_ids))
+
         toks_l, logps_l = [], []
         with self.lock:
             for j in range(num_steps):
                 toks_j, logps_j, self.kv_caches = fn(
-                    self.params, self.kv_caches, ids, pos0, st_dev,
-                    bt, lens0, sampling_state, ss, li, lst_dev, lt,
-                    steps[j])
+                    self.params, self.kv_caches, ids, pos0, bt,
+                    lens0, sampling_state, ss, li, lt,
+                    self._step_scalar(off0 + j))
                 ids = toks_j
                 toks_l.append(toks_j)
                 logps_l.append(logps_j)
