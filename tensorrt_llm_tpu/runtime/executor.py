@@ -1299,7 +1299,12 @@ class PyExecutor:
         """Host-side bookkeeping for one fused chunk: append sampled tokens,
         stop checks, emission (the reference's _update_requests)."""
         toks = np.asarray(toks)[:, rows]   # [k, B] -> request order
-        logps = np.asarray(logps)[:, rows]
+        if any(r.sampling_params.logprobs for r in reqs):
+            logps = np.asarray(logps)[:, rows]
+        else:
+            # skip the second device fetch (~40 ms RTT each on the
+            # tunnel) when nobody records logprobs
+            logps = np.zeros_like(toks, np.float32)
         for i, req in enumerate(reqs):
             for j in range(k):
                 if not req.is_generating:
