@@ -244,16 +244,63 @@ def w4a16_grouped_matmul_xla(
     scales: jax.Array,
     group_sizes: jax.Array,
     zeros: Optional[jax.Array] = None,
+    expert_chunk: int = 4,
 ) -> jax.Array:
-    """Fallback: per-expert dequant + ragged_dot (CPU tests / odd shapes)."""
-    deq = jax.vmap(lambda p, s, z=None: dequantize_w4_any(p, s, z))
-    if zeros is not None:
-        w = deq(packed, scales, zeros)
-    else:
-        w = deq(packed, scales)
-    return jax.lax.ragged_dot(
-        xs.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
-        group_sizes).astype(jnp.float32)
+    """Fallback: per-expert dequant + ragged_dot (CPU tests / odd shapes
+    the Pallas kernel cannot block, e.g. GPT-OSS K=2880 % 128 != 0).
+
+    Dequantizes CHUNKS of experts inside an accumulating scan instead of
+    all at once: the all-expert dequant materialized 2x f32[E, K, N]
+    (~4 GB for GPT-OSS-20B) and made the 20B prefill program need 5 GB
+    of HLO temps — past single-chip HBM (r5 OOM dump).  Rows outside a
+    chunk ride zero-weight border groups, so each partial ragged_dot
+    contributes exactly its chunk's rows."""
+    E = packed.shape[0]
+    C = min(expert_chunk, E)
+    while E % C:
+        C -= 1
+    nc = E // C
+    if nc == 1:
+        deq = jax.vmap(lambda p, s, z=None: dequantize_w4_any(p, s, z))
+        w = deq(packed, scales, zeros) if zeros is not None \
+            else deq(packed, scales)
+        return jax.lax.ragged_dot(
+            xs.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            group_sizes).astype(jnp.float32)
+    M = xs.shape[0]
+    xb = xs.astype(jnp.bfloat16)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(group_sizes).astype(jnp.int32)])
+
+    def body(acc, c):
+        a = c * C
+        pk = jax.lax.dynamic_slice_in_dim(packed, a, C, 0)
+        sc = jax.lax.dynamic_slice_in_dim(scales, a, C, 0)
+        deq = jax.vmap(lambda p, s, z=None: dequantize_w4_any(p, s, z))
+        if zeros is not None:
+            zr = jax.lax.dynamic_slice_in_dim(zeros, a, C, 0)
+            w = deq(pk, sc, zr)
+        else:
+            w = deq(pk, sc)
+        w = w.astype(jnp.bfloat16)
+        K, N = w.shape[1], w.shape[2]
+        zpad = jnp.zeros((1, K, N), w.dtype)
+        w_ext = jnp.concatenate([zpad, w, zpad])
+        gs = jax.lax.dynamic_slice_in_dim(group_sizes, a, C, 0) \
+            .astype(jnp.int32)
+        pre = jax.lax.dynamic_index_in_dim(starts, a, keepdims=True)
+        post = jnp.int32(M)[None] - pre - jnp.sum(gs)[None]
+        sizes = jnp.concatenate([pre, gs, post])
+        return acc + jax.lax.ragged_dot(xb, w_ext, sizes), None
+
+    out, _ = jax.lax.scan(body, jnp.zeros((M, packed.shape[1]
+                                           * packed.shape[3]
+                                           if packed.ndim == 4
+                                           else packed.shape[-1]),
+                                          jnp.float32),
+                          jnp.arange(nc))
+    return out
 
 
 def w4a16_grouped_matmul(
