@@ -803,7 +803,10 @@ class ModelEngine:
         if "chain_step" not in self._fns:
             self._fns["chain_step"] = self._make_chain_step_fn()
         fn = self._fns["chain_step"]
-        _, lt = self._locals_of(inputs)
+        if inputs.local_block_tables is not None:
+            lt = self._chain_dev_array("lt", inputs.local_block_tables)
+        else:
+            _, lt = self._locals_of(inputs)
 
         # steady-state chunks of a stable composition upload NOTHING:
         # positions/kv_lens advance uniformly, so they ride the cached
